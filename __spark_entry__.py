@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implemented queries live in spark_signals.parity (pipeline operators) and
+spark_signals.datapipe.parity (LLM-data-pipeline operators); this module just
+exposes the registry.
 """
 
 from __future__ import annotations
@@ -14,25 +17,47 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from spark_signals.parity import PIPELINE_QUERIES
+
+    merged: dict = {}
+    merged.update(PIPELINE_QUERIES)
+    try:
+        from spark_signals.datapipe.parity import DATAPIPE_QUERIES
+
+        merged.update(DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from spark_signals.relational import RELATIONAL_QUERIES
+
+        merged.update(RELATIONAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from spark_signals.streaming.parity import STREAMING_QUERIES
+
+        merged.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
+    return merged
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full signal pipeline —
+    tick normalization → rolling features → SMA crossover detection →
+    non-HOLD trading decisions."""
+    from spark_signals.parity import q_signals_decisions
+
+    return q_signals_decisions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec[0] for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted for non-SQL-expressible
+    ops, which get the driver's weaker rows-only check)."""
+    return {name: spec[1] for name, spec in _registry().items() if spec[1] is not None}

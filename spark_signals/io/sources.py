@@ -1,0 +1,120 @@
+"""Tick-stream sources.
+
+The engine's primary input is the ``prices_raw`` stream (reference DDL:
+flink_jobs/__main__.py:51-74 — product_id, price, best_bid, best_ask,
+volume_24h, sequence, side, event_time, source). Batch mode reads parquet/JSON
+archives; streaming mode (spark_signals.streaming) reads file or Kafka sources
+with the same schema and a 5s watermark.
+
+``load_ticks`` adapts the driver's synthetic ``events`` table
+(event_id, ts, user_id, event_type, value, props — see TESTDATA.md) into that
+contract deterministically, per FIXTURES.md §5:
+
+    event_id  → sequence
+    ts        → event_time
+    user_id   → product_id   ("P-<id>")
+    value     → price; best_bid/ask synthesized as value ∓ 5 bps,
+                NULL on event_type='error' rows to exercise the
+                mid-price fallback (reference: sma_cross.py:67-70)
+    event_type→ side
+
+The same mapping is expressed in ANSI SQL in spark_signals.oracle so DuckDB
+sees bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fixed schema — no runtime inference, parse errors dropped
+# (reference: __main__.py:53-71, 'json.ignore-parse-errors').
+PRICES_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.StringType(), False),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("best_bid", T.DoubleType(), True),
+        T.StructField("best_ask", T.DoubleType(), True),
+        T.StructField("volume_24h", T.DoubleType(), True),
+        T.StructField("sequence", T.LongType(), True),
+        T.StructField("side", T.StringType(), True),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("source", T.StringType(), False),
+    ]
+)
+
+BID_FACTOR = 0.9995
+ASK_FACTOR = 1.0005
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set runtime session confs the engine's semantics depend on.
+
+    Called defensively from every reader because the driver may hand us a
+    SparkSession it built itself: the test parquet stores timestamp[ns]
+    (unreadable without nanosAsLong), and event-time semantics are defined
+    in UTC (SURVEY.md §1.3).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_ticks(spark: SparkSession, sf_dir: str, source: str = "events") -> DataFrame:
+    """events.parquet → prices_raw tick stream (deterministic adapter)."""
+    ev = read_table(spark, sf_dir, "events")
+    # events.ts is parquet timestamp[ns]; with nanosAsLong Spark reads int64
+    # nanos — truncate to µs exactly as DuckDB does reading the same file.
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    quoted = F.col("event_type") != F.lit("error")
+    return ev.select(
+        F.concat(F.lit("P-"), F.col("user_id").cast("string")).alias("product_id"),
+        F.col("value").alias("price"),
+        F.when(quoted, F.col("value") * F.lit(BID_FACTOR)).alias("best_bid"),
+        F.when(quoted, F.col("value") * F.lit(ASK_FACTOR)).alias("best_ask"),
+        F.lit(None).cast("double").alias("volume_24h"),
+        F.col("event_id").alias("sequence"),
+        F.col("event_type").alias("side"),
+        F.col("ts").alias("event_time"),
+        F.lit(source).alias("source"),
+    )
+
+
+def read_prices_raw(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Batch read of an archived tick stream in the prices_raw schema.
+
+    JSON mode enforces the fixed schema and silently drops malformed rows —
+    the Spark analog of the reference's ``json.ignore-parse-errors=true``
+    (reference: __main__.py:71) + producer-side validation-drop
+    (producer/run.py:62-91): PERMISSIVE parsing nulls out bad fields, and the
+    NOT NULL contract columns filter those rows away.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        df = spark.read.schema(PRICES_RAW_SCHEMA).option("mode", "PERMISSIVE").json(path)
+        return df.filter(
+            F.col("product_id").isNotNull()
+            & F.col("price").isNotNull()
+            & F.col("event_time").isNotNull()
+        )
+    raise ValueError(f"unsupported tick format: {fmt}")
+
+
+def union_with_replay(live: DataFrame, replay: DataFrame) -> DataFrame:
+    """U1 — live ∪ replayed history for backtests (reference: sma_cross.py:43-52).
+
+    unionByName keeps the operation position-independent; both inputs must
+    already be in the prices_raw contract.
+    """
+    return live.unionByName(replay)

@@ -1,0 +1,439 @@
+"""Parity suite: oracle-checked queries over the driver's test tables.
+
+Each entry pairs a Spark DataFrame query (the engine's own operators) with an
+equivalent DuckDB SQL string (spark_signals.oracle CTE chain). Column names
+and rounding are aligned on both sides — the driver hash-compares values after
+sorting columns by name.
+
+Rounding policy (see oracle.py docstring): per-row IEEE arithmetic is left
+unrounded (bit-identical across engines); any column downstream of a
+multi-row aggregate (rolling stddev/avg, grouped sums) is rounded to a fixed
+number of decimals on both sides. JSON metadata columns are excluded from
+parity projections — double→string formatting differs across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_signals import oracle
+from spark_signals.config import EngineConfig
+from spark_signals.io.sources import load_ticks
+from spark_signals.pipeline import metrics as M
+from spark_signals.pipeline import normalize as N
+from spark_signals.pipeline import positions as P
+from spark_signals.pipeline import rollup as R
+from spark_signals.pipeline import sma_cross as S
+
+CFG = EngineConfig()
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+DP = 6
+DP_PNL = 9  # realized-pnl magnitudes are ~1e-4; keep more signal
+
+
+def sround(col, dp: int):
+    """Cross-engine-deterministic rounding: floor(x*10^dp + 0.5000001)/10^dp.
+
+    Built from IEEE-exact primitives (multiply, add, floor, divide) so Spark
+    and DuckDB produce bit-identical results — engine-native round
+    implementations disagree on half-way doubles (Spark rounds the exact
+    decimal expansion HALF_UP; DuckDB rounds x*10^dp in float space).
+
+    The offset is 0.5 + 1e-7, not 0.5: input prices have 2-decimal structure,
+    so frame averages land *exactly* on half-way boundaries where a 1-ulp
+    cross-engine difference in the aggregate flips the rounded digit. The
+    nudge moves the decision boundary to an unstructured point whose
+    neighborhood (±ulp) real data essentially never hits.
+    """
+    scale = F.lit(float(10 ** dp))
+    return F.floor(col * scale + F.lit(0.5000001)) / scale
+
+
+def _round_cols(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    for c, dp in cols.items():
+        df = df.withColumn(c, sround(F.col(c), dp))
+    return df
+
+
+# ---------------------------------------------------------------- pipeline
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_ticks(spark, sf_dir)
+
+
+def q_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ticks(spark, sf_dir)
+
+
+SQL_TICKS = oracle.with_chain(CFG, upto="ticks") + "\nSELECT * FROM ticks"
+
+
+def q_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    return _round_cols(norm, {"volatility": DP})
+
+
+SQL_NORMALIZED = (
+    oracle.with_chain(CFG, upto="normalized")
+    + f"""
+SELECT product_id, event_time, sequence, mid_price, best_bid, best_ask,
+       returns, floor((volatility) * 1e{DP} + 0.5000001) / 1e{DP} AS volatility
+FROM normalized_prices"""
+)
+
+
+def q_sma_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG).drop("metadata")
+    return _round_cols(
+        sig,
+        {"confidence": DP, "fast_sma": DP, "slow_sma": DP, "spread": DP, "prev_spread": DP},
+    )
+
+
+SQL_SMA_SIGNALS = (
+    oracle.with_chain(CFG, upto="signals")
+    + f"""
+SELECT strategy_run_id, instrument_id, sequence, signal_time, signal_type, position,
+       floor((confidence) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence, floor((fast_sma) * 1e{DP} + 0.5000001) / 1e{DP} AS fast_sma,
+       floor((slow_sma) * 1e{DP} + 0.5000001) / 1e{DP} AS slow_sma, floor((spread) * 1e{DP} + 0.5000001) / 1e{DP} AS spread,
+       floor((prev_spread) * 1e{DP} + 0.5000001) / 1e{DP} AS prev_spread
+FROM crossover_signals"""
+)
+
+
+def q_signals_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG)
+    dec = S.signals_decisions(sig).drop("metadata")
+    return _round_cols(dec, {"confidence": DP})
+
+
+SQL_SIGNALS_DECISIONS = (
+    oracle.with_chain(CFG, upto="signals")
+    + f"""
+SELECT strategy_run_id, instrument_id, signal_time, signal_type, position,
+       floor((confidence) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence
+FROM crossover_signals WHERE signal_type <> 'HOLD'"""
+)
+
+
+def _costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    base = P.positions_base_inline(norm, CFG)
+    stream = P.positions_stream(base, CFG)
+    return P.positions_costs(P.positions_enriched(stream, CFG), CFG)
+
+
+def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    base = P.positions_base_inline(norm, CFG)
+    stream = P.positions_stream(base, CFG)
+    return stream.select("product_id", "event_time", "sequence", "mid_price", "position")
+
+
+SQL_POSITIONS = (
+    oracle.with_chain(CFG, upto="positions")
+    + """
+SELECT product_id, event_time, sequence, mid_price, position
+FROM positions_stream"""
+)
+
+
+def q_j1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the explicit left-join re-attachment form."""
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG)
+    base = P.positions_base_join(norm, sig)
+    return _round_cols(
+        base.select(
+            "product_id", "event_time", "sequence", "mid_price", "spread", "signal_position"
+        ),
+        {},
+    )
+
+
+SQL_J1_JOIN = (
+    oracle.with_chain(CFG, upto="positions")
+    + """
+SELECT product_id, event_time, sequence, mid_price, spread, signal_position
+FROM positions_base"""
+)
+
+
+_COST_ROUND = {
+    "volatility": DP,
+    "volatility_ratio": DP_PNL,
+    "slippage_rate": DP_PNL,
+    "trade_cost_rate": DP_PNL,
+}
+
+
+def q_positions_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_cols(_costs(spark, sf_dir), _COST_ROUND)
+
+
+SQL_POSITIONS_COSTS = (
+    oracle.with_chain(CFG, upto="positions")
+    + f"""
+SELECT product_id, event_time, sequence, mid_price, returns,
+       floor((volatility) * 1e{DP} + 0.5000001) / 1e{DP} AS volatility, best_bid, best_ask, spread, position,
+       prev_position, position_change,
+       floor((volatility_ratio) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS volatility_ratio, spread_ratio,
+       floor((slippage_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_rate, transaction_cost_rate,
+       floor((trade_cost_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS trade_cost_rate, fill_latency_ms
+FROM positions_costs"""
+)
+
+
+def q_executions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = P.executions(_costs(spark, sf_dir), CFG).drop("metadata")
+    return _round_cols(
+        ex, {"execution_price": DP, "transaction_cost": DP_PNL, "slippage_cost": DP_PNL}
+    )
+
+
+SQL_EXECUTIONS = (
+    oracle.with_chain(CFG, upto="positions")
+    + f"""
+SELECT '{CFG.strategy_run_id}' AS strategy_run_id, product_id, sequence,
+       event_time AS signal_time,
+       event_time + to_milliseconds(fill_latency_ms) AS execution_time,
+       position_change,
+       floor((CASE WHEN position_change > 0 THEN mid_price * (1 + slippage_rate)
+                  WHEN position_change < 0 THEN mid_price * (1 - slippage_rate)
+                  ELSE mid_price END) * 1e{DP} + 0.5000001) / 1e{DP} AS execution_price,
+       mid_price AS base_price,
+       floor((ABS(position_change) * mid_price * {oracle._fmt(CFG.transaction_cost_rate)}) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS transaction_cost,
+       floor((ABS(position_change) * mid_price * slippage_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_cost
+FROM positions_costs WHERE position_change <> 0"""
+)
+
+
+def q_position_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = P.position_transitions(_costs(spark, sf_dir), CFG).drop("metadata")
+    return _round_cols(
+        tr, {"transaction_cost": DP_PNL, "slippage_cost": DP_PNL, "trade_cost": DP_PNL}
+    )
+
+
+SQL_POSITION_TRANSITIONS = (
+    oracle.with_chain(CFG, upto="positions")
+    + f"""
+SELECT '{CFG.strategy_run_id}' AS strategy_run_id, product_id, event_time, sequence,
+       position, position_change,
+       floor((ABS(position_change) * mid_price * transaction_cost_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL}
+           AS transaction_cost,
+       floor((ABS(position_change) * mid_price * slippage_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_cost,
+       floor((ABS(position_change) * mid_price * trade_cost_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS trade_cost,
+       mid_price
+FROM positions_costs
+WHERE prev_position IS NULL OR position <> prev_position"""
+)
+
+
+def q_position_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ret = M.position_returns(_costs(spark, sf_dir), CFG)
+    return _round_cols(
+        ret,
+        {
+            "slippage_rate": DP_PNL,
+            "trade_cost_rate": DP_PNL,
+            "transaction_cost": DP_PNL,
+            "slippage_cost": DP_PNL,
+            "trade_cost": DP_PNL,
+            "realized_pnl": DP_PNL,
+        },
+    )
+
+
+SQL_POSITION_RETURNS = (
+    oracle.with_chain(CFG, upto="returns")
+    + f"""
+SELECT product_id, event_time, sequence, mid_price, asset_return, position,
+       prev_position, position_change, transaction_cost_rate,
+       floor((slippage_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_rate,
+       floor((trade_cost_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS trade_cost_rate,
+       floor((transaction_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS transaction_cost,
+       floor((slippage_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_cost,
+       floor((trade_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS trade_cost,
+       floor((realized_pnl) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS realized_pnl,
+       notional_exposure, unit_exposure
+FROM position_returns"""
+)
+
+
+def _metrics_chain(spark: SparkSession, sf_dir: str):
+    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG)
+    base = P.positions_base_inline(norm, CFG)
+    stream = P.positions_stream(base, CFG)
+    costs = P.positions_costs(P.positions_enriched(stream, CFG), CFG)
+    returns = M.position_returns(costs, CFG)
+    perf = M.performance_windows(returns, CFG)
+    counts = M.signal_counts(sig, CFG)
+    return perf, counts
+
+
+_PERF_ROUND = {
+    "avg_return": DP_PNL,
+    "volatility": DP_PNL,
+    "cumulative_return": DP_PNL,
+    "downside_sum": DP,
+    "min_return": DP_PNL,
+    "avg_notional_exposure": DP,
+    "avg_unit_exposure": DP,
+    "total_trade_cost": DP_PNL,
+    "total_transaction_cost": DP_PNL,
+    "total_slippage_cost": DP_PNL,
+}
+
+
+def q_performance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perf, _ = _metrics_chain(spark, sf_dir)
+    return _round_cols(perf, _PERF_ROUND)
+
+
+SQL_PERFORMANCE_WINDOWS = (
+    oracle.with_chain(CFG, upto="metrics")
+    + f"""
+SELECT window_start, window_end,
+       floor((avg_return) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS avg_return,
+       floor((volatility) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS volatility,
+       floor((cumulative_return) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS cumulative_return,
+       floor((downside_sum) * 1e6 + 0.5000001) / 1e6 AS downside_sum,
+       sample_size, negative_samples,
+       floor((min_return) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS min_return,
+       floor((avg_notional_exposure) * 1e{DP} + 0.5000001) / 1e{DP} AS avg_notional_exposure,
+       floor((avg_unit_exposure) * 1e{DP} + 0.5000001) / 1e{DP} AS avg_unit_exposure,
+       floor((total_trade_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_trade_cost,
+       floor((total_transaction_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_transaction_cost,
+       floor((total_slippage_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_slippage_cost
+FROM performance_windows"""
+)
+
+
+def q_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, counts = _metrics_chain(spark, sf_dir)
+    return counts
+
+
+SQL_SIGNAL_COUNTS = (
+    oracle.with_chain(CFG, upto="metrics")
+    + """
+SELECT window_start, window_end, trades_executed FROM signal_counts"""
+)
+
+
+_METRICS_ROUND = {
+    "sharpe_ratio": DP,
+    "sortino_ratio": DP,
+    "cumulative_return": DP_PNL,
+    "drawdown": DP_PNL,
+    "volatility": DP_PNL,
+    "avg_exposure_notional": DP,
+    "total_trade_cost": DP_PNL,
+    "total_transaction_cost": DP_PNL,
+    "total_slippage_cost": DP_PNL,
+}
+
+
+def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perf, counts = _metrics_chain(spark, sf_dir)
+    metr = M.metrics_enriched(perf, counts, CFG).drop("metadata")
+    return _round_cols(metr, _METRICS_ROUND)
+
+
+SQL_METRICS = (
+    oracle.with_chain(CFG, upto="metrics")
+    + f"""
+SELECT strategy_run_id, window_start, metric_time, window_label,
+       floor((sharpe_ratio) * 1e{DP} + 0.5000001) / 1e{DP} AS sharpe_ratio,
+       floor((sortino_ratio) * 1e{DP} + 0.5000001) / 1e{DP} AS sortino_ratio,
+       floor((cumulative_return) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS cumulative_return,
+       floor((drawdown) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS drawdown,
+       floor((volatility) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS volatility,
+       trades_executed,
+       floor((avg_exposure_notional) * 1e{DP} + 0.5000001) / 1e{DP} AS avg_exposure_notional,
+       floor((total_trade_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_trade_cost,
+       floor((total_transaction_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_transaction_cost,
+       floor((total_slippage_cost) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS total_slippage_cost,
+       sample_size, negative_samples
+FROM metrics_enriched"""
+)
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perf, counts = _metrics_chain(spark, sf_dir)
+    metr = M.metrics_enriched(perf, counts, CFG)
+    roll = R.hourly_rollup(metr, CFG)
+    return _round_cols(
+        roll,
+        {
+            "sharpe_avg": DP,
+            "sortino_avg": DP,
+            "cumulative_return_last": DP_PNL,
+            "max_drawdown": DP_PNL,
+        },
+    )
+
+
+SQL_HOURLY_ROLLUP = (
+    oracle.with_chain(CFG, upto="rollup")
+    + f"""
+SELECT strategy_run_id, window_label, bucket,
+       floor((sharpe_avg) * 1e{DP} + 0.5000001) / 1e{DP} AS sharpe_avg,
+       floor((sortino_avg) * 1e{DP} + 0.5000001) / 1e{DP} AS sortino_avg,
+       floor((cumulative_return_last) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS cumulative_return_last,
+       floor((max_drawdown) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS max_drawdown,
+       trades_executed_sum
+FROM hourly_rollup"""
+)
+
+
+def q_union_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — live ∪ replay union (reference: sma_cross.py:43-52).
+
+    Live = even event_ids, replay = odd event_ids re-tagged, unioned back
+    into one stream (deterministic split of the driver's events table).
+    """
+    ticks = load_ticks(spark, sf_dir)
+    live = ticks.filter(F.col("sequence") % 2 == 0)
+    replay = ticks.filter(F.col("sequence") % 2 == 1).withColumn("source", F.lit("replay"))
+    from spark_signals.io.sources import union_with_replay
+
+    return union_with_replay(live, replay)
+
+
+SQL_UNION_REPLAY = (
+    oracle.with_chain(CFG, upto="ticks")
+    + """
+SELECT * FROM ticks WHERE sequence % 2 = 0
+UNION ALL
+SELECT product_id, price, best_bid, best_ask, volume_24h, sequence, side,
+       event_time, 'replay' AS source
+FROM ticks WHERE sequence % 2 = 1"""
+)
+
+
+PIPELINE_QUERIES: dict[str, QuerySpec] = {
+    "ticks_source": (q_ticks, SQL_TICKS),
+    "normalized_prices": (q_normalized, SQL_NORMALIZED),
+    "sma_crossover_signals": (q_sma_signals, SQL_SMA_SIGNALS),
+    "signals_decisions": (q_signals_decisions, SQL_SIGNALS_DECISIONS),
+    "positions_forward_fill": (q_positions, SQL_POSITIONS),
+    "j1_signal_rejoin": (q_j1_join, SQL_J1_JOIN),
+    "positions_costs": (q_positions_costs, SQL_POSITIONS_COSTS),
+    "executions": (q_executions, SQL_EXECUTIONS),
+    "position_transitions": (q_position_transitions, SQL_POSITION_TRANSITIONS),
+    "position_returns": (q_position_returns, SQL_POSITION_RETURNS),
+    "performance_windows_5m": (q_performance_windows, SQL_PERFORMANCE_WINDOWS),
+    "signal_counts_5m": (q_signal_counts, SQL_SIGNAL_COUNTS),
+    "strategy_metrics": (q_metrics, SQL_METRICS),
+    "metrics_hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
+    "union_live_replay": (q_union_replay, SQL_UNION_REPLAY),
+}

@@ -1,0 +1,91 @@
+"""SMA-crossover strategy stage — W3, W4, W5, P3, P11.
+
+normalized_prices → sma_enriched → crossover_signals: fast/slow rolling
+means over trailing row frames, spread, confirmation-lagged spread for
+debounce, LONG/SHORT/HOLD classification, JSON metadata.
+
+Reference semantics: sma_cross.py:127-184. Signal classification
+(sma_cross.py:155-164): LONG when spread crosses above zero relative to the
+spread ``confirmation`` ticks ago, SHORT on the inverse; |spread| is the
+confidence. The non-HOLD filter for the decisions sink is
+sma_cross.py:380-394.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_signals.config import EngineConfig
+from spark_signals.pipeline.normalize import tick_window
+
+
+def sma_enriched(norm: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """W3 + W4 — fast/slow trailing-row-frame SMAs (reference: sma_cross.py:127-146)."""
+    w = tick_window(cfg)
+    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
+    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
+    return norm.select(
+        "product_id",
+        "event_time",
+        "sequence",
+        F.col("mid_price").alias("price"),
+        fast.alias("fast_sma"),
+        slow.alias("slow_sma"),
+    )
+
+
+def crossover_signals(sma: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """W5 + P3 + P11 — debounced crossover classification
+    (reference: sma_cross.py:148-184)."""
+    w = tick_window(cfg)
+    spread = F.col("fast_sma") - F.col("slow_sma")
+    enriched = sma.withColumn("spread", spread).withColumn(
+        "prev_spread", F.lag("spread", cfg.confirmation).over(w)
+    )
+    long_cond = (F.col("spread") > 0) & (F.col("prev_spread") <= 0)
+    short_cond = (F.col("spread") < 0) & (F.col("prev_spread") >= 0)
+    signal_type = (
+        F.when(long_cond, F.lit("LONG")).when(short_cond, F.lit("SHORT")).otherwise(F.lit("HOLD"))
+    )
+    position = (
+        F.when(long_cond, F.lit(1.0)).when(short_cond, F.lit(-1.0)).otherwise(F.lit(0.0))
+    )
+    # JSON_OBJECT key order (reference: sma_cross.py:166-172) is preserved by
+    # struct field order inside to_json.
+    metadata = F.to_json(
+        F.struct(
+            F.col("fast_sma").cast("string").alias("fast_sma"),
+            F.col("slow_sma").cast("string").alias("slow_sma"),
+            F.col("spread").cast("string").alias("spread"),
+            F.lit(str(cfg.confirmation)).alias("confirmation_window"),
+            F.lit(cfg.execution_mode).alias("execution_mode"),
+        )
+    )
+    return enriched.select(
+        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
+        F.col("product_id").alias("instrument_id"),
+        F.col("sequence"),
+        F.col("event_time").alias("signal_time"),
+        signal_type.alias("signal_type"),
+        position.alias("position"),
+        F.abs(F.col("spread")).alias("confidence"),
+        F.col("fast_sma"),
+        F.col("slow_sma"),
+        F.col("spread"),
+        F.col("prev_spread"),
+        metadata.alias("metadata"),
+    )
+
+
+def signals_decisions(signals: DataFrame) -> DataFrame:
+    """P4 — the decisions sink drops HOLD rows (reference: sma_cross.py:380-394)."""
+    return signals.filter(F.col("signal_type") != "HOLD").select(
+        "strategy_run_id",
+        "instrument_id",
+        "signal_time",
+        "signal_type",
+        "position",
+        "confidence",
+        "metadata",
+    )

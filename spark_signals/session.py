@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings verify correctness; the same declarative plans are what a
+multi-executor cluster would run — partitioning is by instrument key and
+event-time windows, so scale-out is a matter of shuffle-partition counts and
+input splits, not plan changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark-signals", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE re-plans at runtime: coalesces tiny shuffle partitions locally,
+        # splits skewed ones on a real cluster.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+        # the driver's events.parquet stores timestamp[ns]; Spark reads the
+        # raw int64 and io.sources converts ns → µs (DuckDB-equivalent
+        # truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
