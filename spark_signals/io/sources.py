@@ -62,16 +62,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet timestamp[ns]; nanosAsLong surfaces the raw int64 —
+    # truncate to µs exactly as DuckDB does reading the same file.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_ticks(spark: SparkSession, sf_dir: str, source: str = "events") -> DataFrame:
     """events.parquet → prices_raw tick stream (deterministic adapter)."""
     ev = read_table(spark, sf_dir, "events")
-    # events.ts is parquet timestamp[ns]; with nanosAsLong Spark reads int64
-    # nanos — truncate to µs exactly as DuckDB does reading the same file.
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     quoted = F.col("event_type") != F.lit("error")
     return ev.select(
         F.concat(F.lit("P-"), F.col("user_id").cast("string")).alias("product_id"),

@@ -1,0 +1,239 @@
+"""Relational / control-plane operator coverage on the TPC-H-ish tables.
+
+The reference runs this class of SQL against Postgres from its CLI tools and
+Grafana dashboards (SURVEY.md §2.5 J3-J5, §2.4 A5-A6, §2.7 sorts/limits):
+run listings (join + order + limit), strategy summaries (left join + FILTER
+aggregates), existence checks (anti/semi joins), and top-k panels. Here they
+are expressed as Catalyst plans over the driver's star schema, plus a
+TPC-H-Q1-style pricing rollup exercising map-side partial aggregation.
+
+Scale notes: dimension tables (customer, nation, region) are broadcast —
+`F.broadcast` pins the hint so the fact-side scan never shuffles for the
+join. Top-k goes through TakeOrderedAndProject (no global sort). Aggregates
+are partial-before-shuffle by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_signals.io.sources import read_table
+from spark_signals.parity import sround
+
+TOPK_LIMIT = 200
+LISTING_LIMIT = 100
+
+
+def q_runs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — inner join + ORDER BY ... DESC LIMIT (reference:
+    scripts/strategy_runs.py:26-37 lists runs joined to strategies).
+
+    orders ⋈ customer stands in for strategy_runs ⋈ strategies. The
+    customer side is broadcast; the limit plans as TakeOrderedAndProject.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(LISTING_LIMIT)
+    )
+
+
+SQL_RUNS_LISTING = f"""
+SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT {LISTING_LIMIT}"""
+
+
+def q_strategy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + A5 — left join + grouped FILTER aggregates (reference:
+    scripts/strategy_manager.py:337-350 summarizes strategies with
+    COUNT(*) FILTER / MIN(...) FILTER over their runs)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open_orders"),
+        F.min(F.when(F.col("o_orderstatus") == "O", F.col("o_orderdate"))).alias(
+            "first_open_orderdate"
+        ),
+    )
+
+
+SQL_STRATEGY_SUMMARY = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open_orders,
+       MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS first_open_orderdate
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment"""
+
+
+def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — anti-join (reference: strategy_manager.py:176-184 deletes
+    strategies WHERE NOT EXISTS runs)."""
+    part = read_table(spark, sf_dir, "part")
+    early = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01")
+    )
+    return part.join(
+        early, part.p_partkey == early.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+SQL_PARTS_NEVER_SHIPPED = """
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate < TIMESTAMP '1995-06-01 00:00:00')"""
+
+
+def q_orders_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) companion to J5."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+SQL_ORDERS_WITH_LINEITEMS = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 top-k — ORDER BY value DESC LIMIT n with a deterministic
+    tiebreak (reference: Grafana overview.json:46 'ORDER BY event_time DESC
+    LIMIT 200'). Plans as TakeOrderedAndProject — per-partition heaps, no
+    global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.desc("event_id"))
+        .limit(TOPK_LIMIT)
+    )
+
+
+SQL_TOPK_EVENTS = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY value DESC, event_id DESC LIMIT {TOPK_LIMIT}"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary on lineitem — grouped sums/avgs with
+    map-side partial aggregation; the driver's hourly-rollup shape at
+    warehouse scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+        agg = agg.withColumn(c, sround(F.col(c), 2))
+    for c in ["avg_qty", "avg_price", "avg_disc"]:
+        agg = agg.withColumn(c, sround(F.col(c), 6))
+    return agg
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       floor((SUM(l_quantity)) * 1e2 + 0.5000001) / 1e2 AS sum_qty,
+       floor((SUM(l_extendedprice)) * 1e2 + 0.5000001) / 1e2 AS sum_base_price,
+       floor((SUM(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5000001) / 1e2 AS sum_disc_price,
+       floor((SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))) * 1e2 + 0.5000001) / 1e2 AS sum_charge,
+       floor((AVG(l_quantity)) * 1e6 + 0.5000001) / 1e6 AS avg_qty,
+       floor((AVG(l_extendedprice)) * 1e6 + 0.5000001) / 1e6 AS avg_price,
+       floor((AVG(l_discount)) * 1e6 + 0.5000001) / 1e6 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (fact ⋈ fact ⋈ broadcast dim) + grouped revenue — the
+    shape of the reference's Grafana per-instrument panels at scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return agg.withColumn("revenue", sround(F.col("revenue"), 2))
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, o_orderstatus,
+       floor((SUM(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5000001) / 1e2 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus"""
+
+
+def q_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-chained snowflake join: supplier ⋈ nation ⋈ region with
+    grouped account-balance stats (A6-style control-plane counting)."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    agg = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.avg("s_acctbal").alias("avg_acctbal"),
+            F.max("s_acctbal").alias("max_acctbal"),
+        )
+    )
+    return agg.withColumn("avg_acctbal", sround(F.col("avg_acctbal"), 6))
+
+
+SQL_NATION_REGION_ROLLUP = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       floor((AVG(s_acctbal)) * 1e6 + 0.5000001) / 1e6 AS avg_acctbal,
+       MAX(s_acctbal) AS max_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+RELATIONAL_QUERIES = {
+    "runs_listing_join_topn": (q_runs_listing, SQL_RUNS_LISTING),
+    "strategy_summary_filter_agg": (q_strategy_summary, SQL_STRATEGY_SUMMARY),
+    "anti_join_parts_never_shipped": (q_parts_never_shipped, SQL_PARTS_NEVER_SHIPPED),
+    "semi_join_has_lineitems": (q_orders_with_lineitems, SQL_ORDERS_WITH_LINEITEMS),
+    "topk_events": (q_topk_events, SQL_TOPK_EVENTS),
+    "pricing_summary_q1": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "segment_revenue_3way_join": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "nation_region_rollup": (q_nation_region_rollup, SQL_NATION_REGION_ROLLUP),
+}
