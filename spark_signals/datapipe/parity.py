@@ -1,0 +1,102 @@
+"""Oracle-checked parity registry for the data-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_signals.datapipe import dedup as D
+from spark_signals.datapipe import similarity as SIM
+from spark_signals.datapipe import text as T
+from spark_signals.io.sources import read_table
+from spark_signals.parity import sround
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T.text_stats(_docs(spark, sf_dir))
+    return df.withColumn("quality_score", sround(F.col("quality_score"), 6))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = D.dedup_minhash_lsh(_docs(spark, sf_dir))
+    return df.withColumn("jaccard", sround(F.col("jaccard"), 6))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = D.dedup_ngram_jaccard(_docs(spark, sf_dir))
+    return df.withColumn("jaccard", sround(F.col("jaccard"), 6))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup(_emb(spark, sf_dir))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_bruteforce_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_ivf_topk(_emb(spark, sf_dir))
+
+
+def _sql_round_jaccard(sql: str) -> str:
+    """Wrap a dedup SQL so jaccard is rounded like the Spark side."""
+    return (
+        "SELECT doc_a, doc_b, floor((jaccard) * 1e6 + 0.5000001) / 1e6 AS jaccard FROM ("
+        + sql
+        + ") t"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing (mapInPandas — not
+    SQL-expressible; driver records the rows-only check)."""
+    from spark_signals.datapipe.multimodal import media_features
+
+    return media_features(spark, sf_dir)
+
+
+DATAPIPE_QUERIES = {
+    "text_stats_quality": (
+        q_text_stats,
+        "SELECT doc_id, lang, source, n_chars, n_words, n_tokens_bpe, n_punct, "
+        "n_stopwords_en, punct_ratio, stopword_ratio, "
+        "floor((quality_score) * 1e6 + 0.5000001) / 1e6 AS quality_score FROM ("
+        + T.SQL_TEXT_STATS()
+        + ") t",
+    ),
+    "lang_id_heuristic": (q_lang_id, T.SQL_LANG_ID()),
+    "doc_fingerprint_minhash1": (q_fingerprint, T.SQL_FINGERPRINT()),
+    "dedup_exact_hash": (q_dedup_exact, D.SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_round_jaccard(D.SQL_DEDUP_MINHASH)),
+    "dedup_ngram_jaccard": (q_dedup_ngram, _sql_round_jaccard(D.SQL_DEDUP_NGRAM)),
+    "dedup_simhash": (q_dedup_simhash, D.SQL_DEDUP_SIMHASH),
+    "embedding_cosine_neardup": (q_embedding_neardup, D.SQL_EMBEDDING_NEARDUP),
+    "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
+    "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
+    "multimodal_features": (q_media_features, None),
+}

@@ -1,0 +1,187 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (min-hash over word shingles). Everything is built from
+JVM-side `pyspark.sql.functions` higher-order array functions — no Python
+UDFs — so the whole stage stays inside WholeStageCodegen and scales linearly
+with input splits (embarrassingly parallel per-row work; zero shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"],
+    "es": ["el", "la", "de", "los", "y", "en", "que", "un", "por", "con"],
+    "fr": ["le", "la", "les", "et", "un", "pour", "dans", "est", "que", "des"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def words_col(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def _sql_array(values: list[str]) -> str:
+    return "array(" + ",".join(f"'{v}'" for v in values) + ")"
+
+
+def _stop_count(lang: str) -> Column:
+    arr = _sql_array(STOPWORDS[lang])
+    return F.expr(f"size(filter(words, w -> array_contains({arr}, w)))")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality features + deterministic quality score."""
+    df = docs.withColumn("words", words_col(F.col("text")))
+    lower = F.lower(F.col("text"))
+    n_words = F.size("words")
+    n_chars = F.length("text")
+    # non [a-z0-9 space] characters = punctuation-ish
+    n_punct = n_chars - F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    n_stop = _stop_count("en")
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    # BPE-ish token count: letter runs, digit runs, single other marks
+    bpe_tokens = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    quality = (
+        F.least(F.lit(1.0), n_words.cast("double") / F.lit(50.0))
+        * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0)))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        bpe_tokens.alias("n_tokens_bpe"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords_en"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def SQL_TEXT_STATS() -> str:
+    en = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH d AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+)
+SELECT doc_id, lang, source,
+  length(text) AS n_chars,
+  len(words) AS n_words,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+  length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+  len(list_filter(words, w -> list_contains({en}, w))) AS n_stopwords_en,
+  CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+  CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)
+      AS stopword_ratio,
+  least(CAST(1.0 AS DOUBLE), CAST(len(words) AS DOUBLE) / CAST(50.0 AS DOUBLE))
+    * (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    AS quality_score
+FROM d"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language guess with deterministic tie-break
+    (preference order {order})."""
+    df = docs.withColumn("words", words_col(F.col("text")))
+    for lang in LANG_ORDER:
+        df = df.withColumn(f"s_{lang}", _stop_count(lang))
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_ORDER}
+    guess = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        *[F.col(f"s_{lang}") for lang in LANG_ORDER],
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("guess_matches_claim"),
+    )
+
+
+def SQL_LANG_ID() -> str:
+    lists = {
+        lang: "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]" for lang in LANG_ORDER
+    }
+    counts = ",\n  ".join(
+        f"len(list_filter(words, w -> list_contains({lists[lang]}, w))) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    return f"""
+WITH d AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+  {counts}
+  FROM d
+)
+SELECT doc_id, lang AS lang_claimed, s_en, s_de, s_es, s_fr,
+  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess,
+  (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS guess_matches_claim
+FROM c"""
+
+
+def shingles_col(n: int = 3) -> Column:
+    """Word n-gram shingles of the pre-computed ``words`` column; documents
+    shorter than n words contribute their whole text as one shingle."""
+    return F.when(
+        F.size("words") >= n,
+        F.expr(
+            f"transform(sequence(1, size(words) - {n - 1}), j -> concat_ws(' ', slice(words, j, {n})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+
+
+def SQL_SHINGLES(n: int = 3) -> str:
+    return f"""CASE WHEN len(words) >= {n}
+        THEN list_transform(range(1, len(words) - {n - 2}), j -> array_to_string(list_slice(words, j, j + {n - 1}), ' '))
+        ELSE [array_to_string(words, ' ')] END"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: minimum md5 over word-3-gram shingles (the
+    1-hash MinHash — a locality-sensitive rolling signature)."""
+    df = docs.withColumn("words", words_col(F.col("text")))
+    df = df.withColumn("shingles", shingles_col(3))
+    return df.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.expr("array_min(transform(shingles, s -> md5(s)))").alias("fingerprint"),
+    )
+
+
+def SQL_FINGERPRINT() -> str:
+    return f"""
+WITH d AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, {SQL_SHINGLES(3)} AS shingles FROM d
+)
+SELECT doc_id, len(shingles) AS n_shingles,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM s"""

@@ -1,0 +1,174 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_signals.datapipe import dedup as D
+from spark_signals.datapipe import similarity as SIM
+from spark_signals.datapipe import text as TX
+from spark_signals.datapipe.multimodal import extract_features, synthesize_media
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def test_dedup_exact_finds_whitespace_variants(spark):
+    df = docs_df(
+        spark,
+        ["the quick brown fox", "THE  quick   Brown fox", "something else entirely"],
+    )
+    out = {r.doc_id: r for r in D.dedup_exact(df).collect()}
+    assert out[0].canonical_doc_id == 0 and not out[0].is_duplicate
+    assert out[1].canonical_doc_id == 0 and out[1].is_duplicate
+    assert out[2].group_size == 1
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    other = "completely different words about spark shuffles and parquet column pruning"
+    df = docs_df(spark, [base, near, other])
+    pairs = {(r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(df).collect()}
+    assert (0, 1) in pairs
+    assert all(p in {(0, 1)} for p in pairs)
+
+
+def test_ngram_jaccard_symmetric_bounds(spark):
+    df = docs_df(spark, ["abcdefghij klmnop", "abcdefghij klmnoX", "zzzzz yyyyy xxxxx"])
+    out = D.dedup_ngram_jaccard(df).collect()
+    for r in out:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+    assert any({r.doc_a, r.doc_b} == {0, 1} for r in out)
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = docs_df(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "unrelated totally different thing"])
+    out = D.dedup_simhash(df).collect()
+    exact = [r for r in out if (r.doc_a, r.doc_b) == (0, 1)]
+    assert exact and exact[0].hamming == 0
+
+
+def test_lang_id_prefers_matching_stopwords(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat is on the mat and the dog is in the house",
+            "der hund ist mit der katze und das haus ist von der stadt",
+            "el perro y la casa de los gatos en la ciudad que vive",
+        ],
+    )
+    out = {r.doc_id: r.lang_guess for r in TX.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "es"
+
+
+def test_text_stats_ranges(spark):
+    df = docs_df(spark, ["the quick brown fox!", "a b", "!!!!"])
+    out = {r.doc_id: r for r in TX.text_stats(df).collect()}
+    assert out[0].n_words == 4
+    assert 0.0 <= out[0].punct_ratio <= 1.0
+    assert 0.0 <= out[0].quality_score <= 1.0
+    assert out[2].punct_ratio == 1.0 and out[2].quality_score == 0.0
+
+
+def test_ann_topk_self_similarity(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for vid in range(30):
+        vec = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((vid, [float(x) for x in vec], vid % 3))
+    # vec 20 = exact copy of query vec 0 → must be its top match
+    rows[20] = (20, rows[0][1], rows[0][2])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    out = SIM.ann_bruteforce_topk(emb)
+    top = {r.query_id: r.match_id for r in out.filter(F.col("rank") == 1).collect()}
+    assert top[0] == 20
+    per_query = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == SIM.TOP_K for r in per_query)
+
+
+def test_ivf_probes_subset_and_finds_copy(spark):
+    import random
+
+    random.seed(11)
+    rows = []
+    for vid in range(40):
+        center = [10.0 * (vid % 4 == k) for k in range(4)] * 2
+        vec = [c + random.gauss(0, 0.1) for c in center]
+        rows.append((vid, [float(x) for x in vec], vid % 4))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    out = SIM.ann_ivf_topk(emb).collect()
+    # every query's matches come from probed cells only (NPROBE labels)
+    for q in {r.query_id for r in out}:
+        labels = {r.match_label for r in out if r.query_id == q}
+        assert len(labels) <= SIM.NPROBE
+        # same-cluster vectors dominate the top ranks
+        top = [r for r in out if r.query_id == q and r.rank == 1][0]
+        assert top.match_label == q % 4
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with some text", "en", "s", 30) for i in range(9)],
+        DOC_SCHEMA,
+    )
+    media = synthesize_media(docs.withColumn("n_chars", F.length("text")))
+    assert {r.kind for r in media.select("kind").distinct().collect()} == {
+        "image",
+        "audio",
+        "video",
+    }
+    feats = extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 9
+    # videos sample at most target_frames frames
+    for r in rows.values():
+        if r.kind == "video":
+            assert r.sampled_frames is not None and r.sampled_frames <= 8
+        if r.kind == "audio":
+            assert r.decoded_width is None
+        assert r.n_bytes > 0 and len(r.content_digest) == 32
+    # determinism: run twice, same digests
+    again = {r.media_id: r.content_digest for r in feats.collect()}
+    assert again == {k: v.content_digest for k, v in rows.items()}
+
+
+@pytest.mark.parametrize("name", ["dedup_exact_hash", "ann_bruteforce_topk"])
+def test_datapipe_registry_runs(spark, name):
+    from spark_signals.datapipe.parity import DATAPIPE_QUERIES
+
+    fn, _ = DATAPIPE_QUERIES[name]
+    assert fn(spark, "/root/testdata/sf0.001").count() > 0
