@@ -1,0 +1,236 @@
+"""Stateful per-key rolling features for Structured Streaming — T4.
+
+Flink SQL runs `LAG` / `LAST_VALUE` / rows-frame `AVG` / `STDDEV_POP`
+incrementally on an unbounded keyed stream (reference: sma_cross.py:89-143,
+223-230); Spark Structured Streaming forbids window *functions* on streaming
+DataFrames (SURVEY.md §7 "What's hard"). This module reproduces them with
+``applyInPandasWithState``: per product key, the state carries
+
+  * a bounded deque of the last ``slow_window`` mid-prices (frame state for
+    the rolling SMAs and volatility — the Spark analog of Flink's 6h-TTL
+    keyed state, reference __main__.py:45),
+  * a deque of the last ``confirmation`` spreads (for the debounce lag),
+  * the forward-fill position and previous position.
+
+**Bit-parity with batch:** each frame aggregate is recomputed per row by
+replaying Spark's own accumulator recurrences in ascending frame order —
+``Average`` (running double sum / count) and ``CentralMomentAgg`` (Welford:
+delta/deltaN/m2) — so the streaming output is IEEE-identical to the batch
+window plan and hash-matches the same DuckDB oracle. An O(1)-per-event
+running-sum variant would drift in the last ulp; exactness wins here, and
+O(slow_window)=O(60) per event is amortized-constant anyway.
+
+Scale: state is O(slow_window) doubles per instrument; throughput is bounded
+by instrument-key parallelism (thousands of keys ≫ executor slots at
+production scale) and Arrow batch transfer, not by Python per-row overhead —
+rows reach the processor in columnar batches.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spark_signals.config import EngineConfig
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("mids", T.ArrayType(T.DoubleType()), True),
+        T.StructField("spreads", T.ArrayType(T.DoubleType()), True),
+        T.StructField("position", T.DoubleType(), True),
+        T.StructField("has_prev_position", T.BooleanType(), True),
+        T.StructField("prev_mid", T.DoubleType(), True),
+        T.StructField("has_prev_mid", T.BooleanType(), True),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.StringType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("sequence", T.LongType(), True),
+        T.StructField("mid_price", T.DoubleType(), True),
+        T.StructField("returns", T.DoubleType(), True),
+        T.StructField("volatility", T.DoubleType(), True),
+        T.StructField("best_bid", T.DoubleType(), True),
+        T.StructField("best_ask", T.DoubleType(), True),
+        T.StructField("spread", T.DoubleType(), True),
+        T.StructField("position", T.DoubleType(), True),
+        T.StructField("prev_position", T.DoubleType(), True),
+        T.StructField("position_change", T.DoubleType(), True),
+        T.StructField("volatility_ratio", T.DoubleType(), True),
+        T.StructField("spread_ratio", T.DoubleType(), True),
+        T.StructField("slippage_rate", T.DoubleType(), True),
+        T.StructField("transaction_cost_rate", T.DoubleType(), True),
+        T.StructField("trade_cost_rate", T.DoubleType(), True),
+        T.StructField("fill_latency_ms", T.LongType(), True),
+        T.StructField("signal_type", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+    ]
+)
+
+
+def _running_avg(values: list[float]) -> float:
+    """Spark `Average` accumulator replay: ascending sum / count."""
+    s = 0.0
+    for v in values:
+        s += v
+    return s / len(values)
+
+
+def _stddev_pop(values: list[float]) -> float:
+    """Spark `CentralMomentAgg` (Welford) replay in ascending frame order,
+    matching the exact FP operation order of its updateExpressions:
+    deltaN = delta/newN; m2 += delta * (delta - deltaN)."""
+    n = 0.0
+    mean = 0.0
+    m2 = 0.0
+    for v in values:
+        n += 1.0
+        delta = v - mean
+        delta_n = delta / n
+        mean += delta_n
+        m2 += delta * (delta - delta_n)
+    return math.sqrt(m2 / n)
+
+
+def make_feature_processor(cfg: EngineConfig):
+    """Build the applyInPandasWithState function for the given config."""
+    slow = cfg.sma_slow_window
+    fast = cfg.sma_fast_window
+    vol_w = cfg.volatility_window
+    keep = max(slow, vol_w)
+    confirmation = cfg.confirmation
+    tx_rate = cfg.transaction_cost_rate
+    slip_base = cfg.slippage_rate
+    slip_max = cfg.slippage_max_rate
+    vol_mult = cfg.slippage_volatility_multiplier
+    spread_mult = cfg.slippage_spread_multiplier
+    lat_base = cfg.fill_latency_ms
+    lat_hi = cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
+    lat_vol = float(cfg.fill_latency_volatility_ms)
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid = state.get
+            mids = list(mids)
+            spreads = list(spreads)
+        else:
+            mids, spreads, position = [], [], 0.0
+            has_prev_pos, prev_mid, has_prev_mid = False, 0.0, False
+
+        product_id = key[0]
+        out_rows: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # drop rows behind the watermark — Flink's streaming OVER-aggregates
+        # discard late rows (T3, reference __main__.py:63); Spark does not do
+        # this automatically for applyInPandasWithState, so enforce it here
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            batch = batch[batch["event_time"].astype("int64") // 1_000_000 >= wm_ms]
+        # event-time order within the micro-batch (watermark bounds disorder
+        # across batches, as in the reference's 5s watermark contract)
+        batch = batch.sort_values(["event_time", "sequence"], kind="mergesort")
+
+        for row in batch.itertuples(index=False):
+            bid = None if pd.isna(row.best_bid) else float(row.best_bid)
+            ask = None if pd.isna(row.best_ask) else float(row.best_ask)
+            price = float(row.price)
+            mid = (bid + ask) / 2 if (bid is not None and ask is not None) else price
+
+            returns = None
+            if has_prev_mid and prev_mid != 0:
+                returns = (mid - prev_mid) / prev_mid
+
+            mids.append(mid)
+            if len(mids) > keep:
+                mids = mids[-keep:]
+            volatility = _stddev_pop(mids[-vol_w:])
+            fast_sma = _running_avg(mids[-fast:])
+            slow_sma = _running_avg(mids[-slow:])
+            sig_spread = fast_sma - slow_sma
+
+            prev_spread = spreads[-confirmation] if len(spreads) >= confirmation else None
+            spreads.append(sig_spread)
+            if len(spreads) > confirmation:
+                spreads = spreads[-confirmation:]
+
+            signal_type = "HOLD"
+            signal_position = None
+            if prev_spread is not None:
+                if sig_spread > 0 and prev_spread <= 0:
+                    signal_type, signal_position = "LONG", 1.0
+                elif sig_spread < 0 and prev_spread >= 0:
+                    signal_type, signal_position = "SHORT", -1.0
+
+            prev_position = position if has_prev_pos else None
+            if signal_position is not None:
+                position = signal_position
+            # else: forward-fill (position unchanged)
+
+            quote_spread = (ask - bid) if (bid is not None and ask is not None) else None
+            mid_bad = mid == 0
+            volatility_ratio = 0.0 if mid_bad else (volatility if volatility is not None else 0.0) / mid
+            spread_ratio = 0.0 if (mid_bad or quote_spread is None) else quote_spread / mid
+
+            slip_raw = slip_base + volatility_ratio * vol_mult + spread_ratio * spread_mult
+            slippage_rate = 0.0 if slip_raw < 0 else (slip_max if slip_raw > slip_max else slip_raw)
+            lat_raw = lat_base + int(math.floor(lat_vol * volatility_ratio))
+            fill_latency = lat_base if lat_raw < lat_base else (lat_hi if lat_raw > lat_hi else lat_raw)
+
+            out_rows.append(
+                {
+                    "product_id": product_id,
+                    "event_time": row.event_time,
+                    "sequence": row.sequence,
+                    "mid_price": mid,
+                    "returns": returns,
+                    "volatility": volatility,
+                    "best_bid": bid,
+                    "best_ask": ask,
+                    "spread": quote_spread,
+                    "position": position,
+                    "prev_position": prev_position,
+                    "position_change": position - (prev_position if prev_position is not None else 0.0),
+                    "volatility_ratio": volatility_ratio,
+                    "spread_ratio": spread_ratio,
+                    "slippage_rate": slippage_rate,
+                    "transaction_cost_rate": tx_rate,
+                    "trade_cost_rate": slippage_rate + tx_rate,
+                    "fill_latency_ms": fill_latency,
+                    "signal_type": signal_type,
+                    "confidence": abs(sig_spread),
+                }
+            )
+
+            prev_mid, has_prev_mid = mid, True
+            has_prev_pos = True
+
+        state.update((mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid))
+        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return process
+
+
+def stateful_features(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """ticks (streaming or batch grouped) → positions_costs-parity rows."""
+    return (
+        ticks.groupBy("product_id")
+        .applyInPandasWithState(
+            make_feature_processor(cfg),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

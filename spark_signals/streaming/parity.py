@@ -1,0 +1,120 @@
+"""Streaming parity queries.
+
+The stateful streaming path is held to the SAME DuckDB oracle as the batch
+window plan: `streaming_positions_costs` runs the real Structured Streaming
+pipeline (file source → watermark → applyInPandasWithState → memory sink,
+availableNow trigger) and must hash-match SQL_POSITIONS_COSTS — the
+bit-parity claim from streaming/features.py, checked end-to-end by the
+driver. `streaming_metrics_5m` additionally runs the native watermarked
+tumbling aggregation on top of the feature stream (complete output mode so
+trailing windows are emitted in the drain run).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from spark_signals.config import EngineConfig
+from spark_signals.io.sources import load_ticks
+from spark_signals.parity import (
+    _COST_ROUND,
+    SQL_POSITIONS_COSTS,
+    _round_cols,
+)
+from spark_signals.streaming.features import stateful_features
+from spark_signals.streaming.job import read_tick_stream, streaming_metrics
+
+CFG = EngineConfig()
+
+_COST_COLS = [
+    "product_id", "event_time", "sequence", "mid_price", "returns", "volatility",
+    "best_bid", "best_ask", "spread", "position", "prev_position", "position_change",
+    "volatility_ratio", "spread_ratio", "slippage_rate", "transaction_cost_rate",
+    "trade_cost_rate", "fill_latency_ms",
+]
+
+
+def _materialize_tick_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write the adapted tick stream as a single sorted parquet file so the
+    file source replays it as one in-order micro-batch (the deterministic-
+    backtest mode, T7; multi-batch replay is exercised in tests)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_signals_ticks_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ticks = load_ticks(spark, sf_dir).orderBy("event_time", "sequence")
+        ticks.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+def q_streaming_positions_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _materialize_tick_files(spark, sf_dir)
+    ticks = read_tick_stream(spark, src).withWatermark("event_time", CFG.watermark_delay)
+    feats = stateful_features(ticks, CFG)
+    table = _run_stream_to_table(spark, feats, "stream_costs", "append")
+    return _round_cols(table.select(*_COST_COLS), _COST_ROUND)
+
+
+def q_streaming_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _materialize_tick_files(spark, sf_dir)
+    ticks = read_tick_stream(spark, src)
+    feats = stateful_features(
+        ticks.withWatermark("event_time", CFG.watermark_delay), CFG
+    )
+    metr = streaming_metrics(feats, CFG)
+    table = _run_stream_to_table(spark, metr, "stream_metrics", "complete")
+    rounded = _round_cols(
+        table,
+        {
+            "avg_return": 9,
+            "volatility": 9,
+            "cumulative_return": 9,
+            "downside_sum": 6,
+            "min_return": 9,
+            "total_trade_cost": 9,
+        },
+    )
+    return rounded
+
+
+def _streaming_metrics_oracle() -> str:
+    """Reuse the batch performance_windows CTE chain, re-projected to the
+    streaming aggregate's column set."""
+    from spark_signals import oracle
+
+    return (
+        oracle.with_chain(CFG, upto="metrics")
+        + """
+SELECT window_start, window_end,
+       floor((avg_return) * 1e9 + 0.5000001) / 1e9 AS avg_return,
+       floor((volatility) * 1e9 + 0.5000001) / 1e9 AS volatility,
+       floor((cumulative_return) * 1e9 + 0.5000001) / 1e9 AS cumulative_return,
+       floor((downside_sum) * 1e6 + 0.5000001) / 1e6 AS downside_sum,
+       sample_size, negative_samples,
+       floor((min_return) * 1e9 + 0.5000001) / 1e9 AS min_return,
+       floor((total_trade_cost) * 1e9 + 0.5000001) / 1e9 AS total_trade_cost
+FROM performance_windows"""
+    )
+
+
+STREAMING_QUERIES = {
+    "streaming_positions_costs": (q_streaming_positions_costs, SQL_POSITIONS_COSTS),
+    "streaming_metrics_5m": (q_streaming_metrics, _streaming_metrics_oracle()),
+}
