@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_signals.datapipe.text import SQL_SHINGLES, shingles_col, words_col
+from spark_signals.datapipe.util import spread_small_input
 
 NUM_HASHES = 12
 BAND_ROWS = 2  # 6 bands × 2 rows — tuned for recall on small synthetic docs
@@ -81,6 +82,7 @@ def _minhash_signature_expr() -> str:
 
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
+    docs = spread_small_input(docs)
     return docs.withColumn("words", words_col(F.col("text"))).withColumn(
         "shingles", F.array_distinct(shingles_col(3))
     )
@@ -110,7 +112,20 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     (band, band_hash)); the exact Jaccard re-check joins shingle sets back
     only for candidate pairs.
     """
-    bands = minhash_bands(docs)
+    # one shingle pass shared by band generation and Jaccard verification
+    # (the reference StatementSet-style common-subplan reuse, hand-managed)
+    sh = _with_shingles(docs).select(
+        "doc_id", "shingles", F.expr(_minhash_signature_expr()).alias("sig")
+    ).persist()
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {NUM_BANDS - 1}), "
+                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}))) as band_hash))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -119,7 +134,6 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _with_shingles(docs).select("doc_id", "shingles")
     pairs = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
@@ -188,7 +202,7 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
         f"array_distinct(transform(sequence(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1)), "
         f"j -> substring(norm_text, j, {CHAR_NGRAM})))"
     )
-    base = docs.select("doc_id", norm.alias("norm_text")).withColumn("grams", grams)
+    base = spread_small_input(docs).select("doc_id", norm.alias("norm_text")).withColumn("grams", grams)
     hashed = base.withColumn("gram_hashes", F.expr("transform(grams, g -> md5(g))"))
     keyed = hashed.select(
         "doc_id",
@@ -258,7 +272,7 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     Per word, the first 8 md5 hex chars give 32 bits via nibble values; bit j
     of the signature is 1 iff the sum over words of (2·bit−1) is positive.
     """
-    df = docs.withColumn("words", words_col(F.col("text")))
+    df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
     df = df.withColumn("whashes", F.expr("transform(words, w -> substring(md5(w), 1, 8))"))
     # nibble value of hex char c: strpos('0123456789abcdef', c) - 1
     bit_expr = (

@@ -46,7 +46,9 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = embeddings.select(
+    from spark_signals.datapipe.util import spread_small_input
+
+    corpus = spread_small_input(embeddings).select(
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb"),
         F.col("label").alias("match_label"),
     )

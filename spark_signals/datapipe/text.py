@@ -39,7 +39,9 @@ def _stop_count(lang: str) -> Column:
 
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document quality features + deterministic quality score."""
-    df = docs.withColumn("words", words_col(F.col("text")))
+    from spark_signals.datapipe.util import spread_small_input
+
+    df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
     lower = F.lower(F.col("text"))
     n_words = F.size("words")
     n_chars = F.length("text")
@@ -164,7 +166,9 @@ def SQL_SHINGLES(n: int = 3) -> str:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: minimum md5 over word-3-gram shingles (the
     1-hash MinHash — a locality-sensitive rolling signature)."""
-    df = docs.withColumn("words", words_col(F.col("text")))
+    from spark_signals.datapipe.util import spread_small_input
+
+    df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
     df = df.withColumn("shingles", shingles_col(3))
     return df.select(
         "doc_id",

@@ -87,8 +87,8 @@ FROM normalized_prices"""
 
 
 def q_sma_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
-    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG).drop("metadata")
+    enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals_enriched(enriched, CFG).drop("metadata")
     return _round_cols(
         sig,
         {"confidence": DP, "fast_sma": DP, "slow_sma": DP, "spread": DP, "prev_spread": DP},
@@ -107,8 +107,8 @@ FROM crossover_signals"""
 
 
 def q_signals_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
-    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG)
+    enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals_enriched(enriched, CFG)
     dec = S.signals_decisions(sig).drop("metadata")
     return _round_cols(dec, {"confidence": DP})
 
@@ -123,15 +123,15 @@ FROM crossover_signals WHERE signal_type <> 'HOLD'"""
 
 
 def _costs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
-    base = P.positions_base_inline(norm, CFG)
+    enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
+    base = P.positions_base_inline(enriched, CFG)
     stream = P.positions_stream(base, CFG)
     return P.positions_costs(P.positions_enriched(stream, CFG), CFG)
 
 
 def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
-    base = P.positions_base_inline(norm, CFG)
+    enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
+    base = P.positions_base_inline(enriched, CFG)
     stream = P.positions_stream(base, CFG)
     return stream.select("product_id", "event_time", "sequence", "mid_price", "position")
 
@@ -268,9 +268,9 @@ FROM position_returns"""
 
 
 def _metrics_chain(spark: SparkSession, sf_dir: str):
-    norm = N.normalized_prices(_ticks(spark, sf_dir), CFG)
-    sig = S.crossover_signals(S.sma_enriched(norm, CFG), CFG)
-    base = P.positions_base_inline(norm, CFG)
+    enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
+    sig = S.crossover_signals_enriched(enriched, CFG)
+    base = P.positions_base_inline(enriched, CFG)
     stream = P.positions_stream(base, CFG)
     costs = P.positions_costs(P.positions_enriched(stream, CFG), CFG)
     returns = M.position_returns(costs, CFG)

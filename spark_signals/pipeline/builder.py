@@ -57,12 +57,17 @@ class PipelineOutputs:
 
 def build_pipeline(ticks: DataFrame, cfg: EngineConfig | None = None) -> PipelineOutputs:
     cfg = cfg or EngineConfig()
-    norm = N.normalized_prices(ticks, cfg)
-    sma = S.sma_enriched(norm, cfg)
-    signals = S.crossover_signals(sma, cfg)
+    # one shared window stage; every downstream branch is a projection off it
+    # (forks reuse the exchange instead of recomputing the scan+sort)
+    enriched = N.enriched_ticks(ticks, cfg)
+    norm = enriched.select(
+        "product_id", "event_time", "sequence", "mid_price",
+        "best_bid", "best_ask", "returns", "volatility",
+    )
+    signals = S.crossover_signals_enriched(enriched, cfg)
     decisions = S.signals_decisions(signals)
 
-    base = P.positions_base_inline(norm, cfg)
+    base = P.positions_base_inline(enriched, cfg)
     stream = P.positions_stream(base, cfg)
     enriched = P.positions_enriched(stream, cfg)
     costs = P.positions_costs(enriched, cfg)

@@ -46,6 +46,40 @@ def normalized_base(ticks: DataFrame) -> DataFrame:
     )
 
 
+def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """All per-tick window-derived columns in ONE window stage.
+
+    normalized_prices ∪ sma_enriched ∪ the crossover lag — every rolling
+    feature shares the same (partitionBy product_id, orderBy event_time,
+    sequence) spec, so Catalyst plans a single shuffle + sort and stacks the
+    Window operators on top. Downstream stages (signals, positions, metrics,
+    counts) are pure projections off this one frame; branches that fork from
+    it share the exchange via ReuseExchange instead of recomputing the scan.
+    """
+    w = tick_window(cfg)
+    base = normalized_base(ticks)
+    prev_mid = F.lag("mid_price").over(w)
+    vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
+    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
+    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
+    df = base.select(
+        "product_id",
+        "event_time",
+        "sequence",
+        "mid_price",
+        "best_bid",
+        "best_ask",
+        F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
+        .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
+        .alias("returns"),
+        F.stddev_pop("mid_price").over(vol_frame).alias("volatility"),
+        fast.alias("fast_sma"),
+        slow.alias("slow_sma"),
+    )
+    df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
+    return df.withColumn("prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w))
+
+
 def normalized_prices(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P2 + W1 + W2 — returns and rolling volatility
     (reference: sma_cross.py:76-105)."""

@@ -33,19 +33,14 @@ from spark_signals.config import EngineConfig
 from spark_signals.pipeline.normalize import tick_window
 
 
-def positions_base_inline(norm: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """normalized_prices + inline signal columns → positions_base.
+def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """normalize.enriched_ticks → positions_base, as a pure projection.
 
     Semantically equals the reference's J1 left join of sparse (non-HOLD)
-    signals (sma_cross.py:186-208) but runs in the same window stage — no
+    signals (sma_cross.py:186-208) but reuses the shared window stage — no
     join, no second shuffle.
     """
-    w = tick_window(cfg)
-    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
-    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
-    df = norm.withColumn("fast_sma", fast).withColumn("slow_sma", slow)
-    df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
-    df = df.withColumn("prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w))
+    df = enriched
     long_cond = (F.col("sig_spread") > 0) & (F.col("prev_sig_spread") <= 0)
     short_cond = (F.col("sig_spread") < 0) & (F.col("prev_sig_spread") >= 0)
     quote_spread = F.when(

@@ -78,6 +78,43 @@ def crossover_signals(sma: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def crossover_signals_enriched(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """crossover_signals as a pure projection off normalize.enriched_ticks
+    (sig_spread / prev_sig_spread already computed in the shared window
+    stage) — same output as ``crossover_signals``, zero extra shuffles."""
+    long_cond = (F.col("sig_spread") > 0) & (F.col("prev_sig_spread") <= 0)
+    short_cond = (F.col("sig_spread") < 0) & (F.col("prev_sig_spread") >= 0)
+    signal_type = (
+        F.when(long_cond, F.lit("LONG")).when(short_cond, F.lit("SHORT")).otherwise(F.lit("HOLD"))
+    )
+    position = (
+        F.when(long_cond, F.lit(1.0)).when(short_cond, F.lit(-1.0)).otherwise(F.lit(0.0))
+    )
+    metadata = F.to_json(
+        F.struct(
+            F.col("fast_sma").cast("string").alias("fast_sma"),
+            F.col("slow_sma").cast("string").alias("slow_sma"),
+            F.col("sig_spread").cast("string").alias("spread"),
+            F.lit(str(cfg.confirmation)).alias("confirmation_window"),
+            F.lit(cfg.execution_mode).alias("execution_mode"),
+        )
+    )
+    return enriched.select(
+        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
+        F.col("product_id").alias("instrument_id"),
+        F.col("sequence"),
+        F.col("event_time").alias("signal_time"),
+        signal_type.alias("signal_type"),
+        position.alias("position"),
+        F.abs(F.col("sig_spread")).alias("confidence"),
+        F.col("fast_sma"),
+        F.col("slow_sma"),
+        F.col("sig_spread").alias("spread"),
+        F.col("prev_sig_spread").alias("prev_spread"),
+        metadata.alias("metadata"),
+    )
+
+
 def signals_decisions(signals: DataFrame) -> DataFrame:
     """P4 — the decisions sink drops HOLD rows (reference: sma_cross.py:380-394)."""
     return signals.filter(F.col("signal_type") != "HOLD").select(

@@ -24,11 +24,16 @@ def get_spark(app_name: str = "spark-signals", shuffle_partitions: int | None = 
         # splits skewed ones on a real cluster.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't let AQE re-serialize CPU-heavy stages over byte-small inputs:
+        # with the default 1MB floor, a 2MB shuffle of 5k documents coalesces
+        # to 1-2 partitions and md5/shingle work runs on one core
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.schemaInference", "false")
         # the driver's events.parquet stores timestamp[ns]; Spark reads the
         # raw int64 and io.sources converts ns → µs (DuckDB-equivalent
