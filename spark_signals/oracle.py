@@ -27,9 +27,13 @@ def _fmt(x: float) -> str:
     return f"CAST({x!r} AS DOUBLE)"
 
 
-def ticks_cte() -> str:
-    """events.parquet → prices_raw mapping; mirrors io.sources.load_ticks."""
-    return """
+def ticks_cte(where_sql: str | None = None) -> str:
+    """events.parquet → prices_raw mapping; mirrors io.sources.load_ticks.
+
+    ``where_sql`` bounds the replay window (replay.replay_window's
+    pushed-down predicates, e.g. "ts >= ... AND ts <= ...")."""
+    where = f"\n    WHERE {where_sql}" if where_sql else ""
+    return f"""
 ticks AS (
     SELECT
         'P-' || CAST(user_id AS VARCHAR) AS product_id,
@@ -41,7 +45,7 @@ ticks AS (
         event_type AS side,
         ts AS event_time,
         'events' AS source
-    FROM events
+    FROM events{where}
 )"""
 
 
@@ -281,11 +285,11 @@ hourly_rollup AS (
 )"""
 
 
-def with_chain(cfg: EngineConfig, *, upto: str) -> str:
+def with_chain(cfg: EngineConfig, *, upto: str, ticks_where: str | None = None) -> str:
     """Assemble 'WITH a AS (...), b AS (...)' up to and including a stage."""
     stages = ["ticks", "normalized", "signals", "positions", "returns", "metrics", "rollup"]
     builders = {
-        "ticks": ticks_cte,
+        "ticks": lambda: ticks_cte(ticks_where),
         "normalized": lambda: normalized_cte(cfg),
         "signals": lambda: signals_cte(cfg),
         "positions": lambda: positions_cte(cfg),
@@ -293,7 +297,6 @@ def with_chain(cfg: EngineConfig, *, upto: str) -> str:
         "metrics": lambda: metrics_cte(cfg),
         "rollup": lambda: rollup_cte(cfg),
     }
-    builders["ticks"] = ticks_cte
     idx = stages.index(upto)
     parts = [builders[s]() for s in stages[: idx + 1]]
     return "WITH " + ",".join(parts)

@@ -420,6 +420,35 @@ FROM ticks WHERE sequence % 2 = 1"""
 )
 
 
+REPLAY_START = "2024-01-08 00:00:00"
+REPLAY_END = "2024-01-22 00:00:00"
+
+
+def q_replay_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — time-bounded batch replay through the full strategy: the
+    signals a backtest over [REPLAY_START, REPLAY_END) would have produced.
+    The window predicates push down to the parquet scan."""
+    from spark_signals.replay import backtest
+
+    out = backtest(_ticks(spark, sf_dir), CFG, start_ts=REPLAY_START, end_ts=REPLAY_END)
+    return _round_cols(out.signals_decisions.drop("metadata"), {"confidence": DP})
+
+
+SQL_REPLAY_BACKTEST = (
+    oracle.with_chain(
+        CFG,
+        upto="signals",
+        ticks_where=(
+            f"ts >= TIMESTAMP '{REPLAY_START}' AND ts <= TIMESTAMP '{REPLAY_END}'"
+        ),
+    )
+    + f"""
+SELECT strategy_run_id, instrument_id, signal_time, signal_type, position,
+       floor((confidence) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence
+FROM crossover_signals WHERE signal_type <> 'HOLD'"""
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "ticks_source": (q_ticks, SQL_TICKS),
     "normalized_prices": (q_normalized, SQL_NORMALIZED),
@@ -436,4 +465,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "strategy_metrics": (q_metrics, SQL_METRICS),
     "metrics_hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     "union_live_replay": (q_union_replay, SQL_UNION_REPLAY),
+    "replay_backtest_window": (q_replay_backtest, SQL_REPLAY_BACKTEST),
 }

@@ -1,0 +1,202 @@
+"""Tests: replay/backtest mode, control plane, feeder validation, sinks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_signals.config import EngineConfig
+from spark_signals.control.runs import (
+    RunStore,
+    engine_config_from_strategy,
+    load_strategy_config,
+)
+from spark_signals.io.feeder import generate_ticks, parse_event_time, prepare_payload, write_json_ticks
+from spark_signals.io.sinks import apply_retention, write_sinks
+from spark_signals.io.sources import load_ticks, read_prices_raw
+from spark_signals.pipeline import build_pipeline
+from spark_signals.replay import backtest, replay_window
+from spark_signals.strategies import get_strategy_module, register_strategy
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ replay
+def test_replay_window_bounds(spark):
+    ticks = load_ticks(spark, SF)
+    win = replay_window(ticks, start_ts="2024-01-08 00:00:00", end_ts="2024-01-22 00:00:00")
+    lo, hi = win.agg(F.min("event_time"), F.max("event_time")).first()
+    assert lo >= dt.datetime(2024, 1, 8)
+    assert hi <= dt.datetime(2024, 1, 22)
+    assert 0 < win.count() < ticks.count()
+
+
+def test_replay_offset_seek(spark):
+    ticks = load_ticks(spark, SF)
+    win = replay_window(ticks, start_offset=500)
+    assert win.agg(F.min("sequence")).first()[0] == 500
+
+
+def test_replay_predicates_push_down(spark):
+    ticks = load_ticks(spark, SF)
+    win = replay_window(ticks, start_ts="2024-01-08 00:00:00")
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    # the ts bound must reach the parquet scan, not sit in a post-filter only
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_backtest_runs_strategy_over_window(spark):
+    out = backtest(
+        load_ticks(spark, SF), EngineConfig(), start_ts="2024-01-08", end_ts="2024-01-22"
+    )
+    sigs = out.signals_decisions
+    times = sigs.agg(F.min("signal_time"), F.max("signal_time")).first()
+    assert times[0] >= dt.datetime(2024, 1, 8)
+    assert times[1] <= dt.datetime(2024, 1, 22)
+
+
+# ----------------------------------------------------------- control plane
+def test_run_store_lifecycle(tmp_path):
+    store = RunStore(str(tmp_path))
+    store.upsert_strategy("sma_cross", "baseline")
+    store.upsert_strategy("sma_cross", "baseline v2")  # upsert, not dup
+    assert store.strategies()["sma_cross"]["description"] == "baseline v2"
+
+    run = store.start_run("sma_cross", "BACKTEST", {"SMA_FAST_WINDOW": 5})
+    assert run.run_id in {r["run_id"] for r in store.active_runs()}
+    store.end_run(run.run_id)
+    assert store.active_runs() == []
+    assert store.list_runs(5)[0]["run_id"] == run.run_id
+
+    # D6 CHECK constraint analog
+    with pytest.raises(ValueError):
+        store.start_run("sma_cross", "YOLO")
+    # can't retire a strategy with runs (J5 guard)
+    assert store.retire_strategy("sma_cross") is False
+
+
+def test_strategy_config_shapes(tmp_path):
+    import json
+
+    cfg = {
+        "name": "mock_breakout",
+        "module": "sma_cross",
+        "run_type": "REPLAY",
+        "execution_mode": "replay",
+        "parameters": {"SMA_FAST_WINDOW": 5, "SMA_SLOW_WINDOW": 30, "TRANSACTION_COST_BPS": 3},
+    }
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(cfg))
+    loaded = load_strategy_config(str(p))
+    ec = engine_config_from_strategy(loaded)
+    assert ec.sma_fast_window == 5 and ec.sma_slow_window == 30
+    assert ec.transaction_cost_rate == 3 / 10_000
+    assert ec.execution_mode == "replay"
+
+    bad = dict(cfg, run_type="NOPE")
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError):
+        load_strategy_config(str(p))
+
+
+def test_strategy_registry_resolution():
+    mod = get_strategy_module("sma_cross")
+    assert hasattr(mod, "build_pipeline")
+    register_strategy("alias_test", "spark_signals.strategies.sma_cross")
+    assert get_strategy_module("alias_test") is mod
+    with pytest.raises(ModuleNotFoundError):
+        get_strategy_module("not_a_strategy")
+
+
+# ------------------------------------------------------------- feeder/P13/14
+def test_payload_golden_case():
+    raw = {
+        "product_id": "BTC-USD",
+        "price": "41000.1234",
+        "best_bid": 40999.9,
+        "best_ask": 41000.5,
+        "volume_24h": 123.45,
+        "sequence": 42,
+        "side": "buy",
+        "event_time": "2024-06-01T12:00:00Z",
+        "source": "coinbase",
+    }
+    out = prepare_payload(raw)
+    assert out["price"] == 41000.1234
+    assert out["event_time"] == "2024-06-01T12:00:00+00:00"  # Z normalized
+    assert out["sequence"] == 42
+
+
+@pytest.mark.parametrize(
+    "mutation",
+    [
+        {"price": None},
+        {"event_time": "not-a-time"},
+        {"event_time": None},
+        {"product_id": None},
+        {"best_bid": "abc"},
+        {"price": "inf"},
+    ],
+)
+def test_payload_malformed_dropped(mutation):
+    raw = {
+        "product_id": "BTC-USD",
+        "price": 1.0,
+        "event_time": "2024-06-01T12:00:00Z",
+    }
+    raw.update(mutation)
+    assert prepare_payload(raw) is None
+
+
+def test_parse_event_time_offsets():
+    assert parse_event_time("2024-06-01T12:00:00Z").hour == 12
+    assert parse_event_time("2024-06-01T14:00:00+02:00").hour == 12  # normalized to UTC
+    assert parse_event_time("garbage") is None
+
+
+def test_feeder_roundtrip_through_json_source(spark, tmp_path):
+    rows = generate_ticks(200)
+    rows.append({"product_id": None, "price": 1, "event_time": "x"})  # dropped
+    out = str(tmp_path / "ticks")
+    write_json_ticks(rows, out, batch_size=64)
+    df = read_prices_raw(spark, out, fmt="json")
+    assert df.count() == 200
+    assert set(r.product_id for r in df.select("product_id").distinct().collect()) == {
+        "BTC-USD",
+        "ETH-USD",
+    }
+    # pipeline runs end-to-end on fed data
+    assert build_pipeline(df).normalized_prices.count() == 200
+
+
+# ------------------------------------------------------------------- sinks
+def test_write_sinks_partitioned_and_retention(spark, tmp_path):
+    out = build_pipeline(load_ticks(spark, SF))
+    root = str(tmp_path / "wh")
+    paths = write_sinks(out, root)
+    assert set(paths) == {
+        "prices_normalized",
+        "signals_decisions",
+        "strategy_executions",
+        "strategy_positions",
+        "strategy_metrics",
+        "strategy_metrics_hourly",
+    }
+    norm_path = paths["prices_normalized"]
+    parts = [d for d in os.listdir(norm_path) if d.startswith("event_date=")]
+    assert len(parts) > 5  # date-partitioned (Jan 2024 days)
+    # partition pruning works on read
+    pruned = spark.read.parquet(norm_path).filter(F.col("event_date") == "2024-01-05")
+    assert pruned.count() > 0
+
+    # retention: keep 10 days from 2024-01-31 → drop partitions < 01-21
+    import datetime as dt
+
+    dropped = apply_retention(spark, norm_path, keep_days=10, now=dt.date(2024, 1, 31))
+    assert dropped > 0
+    remaining = [d for d in os.listdir(norm_path) if d.startswith("event_date=")]
+    assert all(d.split("=")[1] >= "2024-01-21" for d in remaining)
