@@ -70,9 +70,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_ticks(spark: SparkSession, sf_dir: str, source: str = "events") -> DataFrame:
-    """events.parquet → prices_raw tick stream (deterministic adapter)."""
-    ev = read_table(spark, sf_dir, "events")
+def load_ticks(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str = "events",
+    start_ts=None,
+    end_ts=None,
+) -> DataFrame:
+    """events.parquet → prices_raw tick stream (deterministic adapter).
+
+    Optional replay bounds are applied to the RAW int64 nanosecond column
+    *before* the ns→µs conversion so they reach the parquet scan as
+    PushedFilters (a bound on the converted timestamp would sit above the
+    projection and scan everything) — the Kafka seek-by-timestamp analog
+    with rowgroup pruning.
+    """
+    ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        import datetime as dt
+
+        def _ns(b):
+            if isinstance(b, str):
+                b = dt.datetime.fromisoformat(b)
+            return int(b.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000)
+
+        if start_ts is not None:
+            ev = ev.filter(F.col("ts") >= F.lit(_ns(start_ts)))
+        if end_ts is not None:
+            # +999 ns: inclusive at µs resolution after the ns→µs truncation
+            ev = ev.filter(F.col("ts") <= F.lit(_ns(end_ts) + 999))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if start_ts is not None:
+            ev = ev.filter(F.col("ts") >= F.lit(start_ts))
+        if end_ts is not None:
+            ev = ev.filter(F.col("ts") <= F.lit(end_ts))
     quoted = F.col("event_type") != F.lit("error")
     return ev.select(
         F.concat(F.lit("P-"), F.col("user_id").cast("string")).alias("product_id"),

@@ -430,7 +430,8 @@ def q_replay_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window predicates push down to the parquet scan."""
     from spark_signals.replay import backtest
 
-    out = backtest(_ticks(spark, sf_dir), CFG, start_ts=REPLAY_START, end_ts=REPLAY_END)
+    bounded = load_ticks(spark, sf_dir, start_ts=REPLAY_START, end_ts=REPLAY_END)
+    out = backtest(bounded, CFG)
     return _round_cols(out.signals_decisions.drop("metadata"), {"confidence": DP})
 
 

@@ -41,12 +41,11 @@ def test_replay_offset_seek(spark):
 
 
 def test_replay_predicates_push_down(spark):
-    ticks = load_ticks(spark, SF)
-    win = replay_window(ticks, start_ts="2024-01-08 00:00:00")
+    # bounds passed to the adapter apply to the raw int64 column BEFORE the
+    # ns->us conversion, so they reach the parquet scan as PushedFilters
+    win = load_ticks(spark, SF, start_ts="2024-01-08 00:00:00")
     plan = win._jdf.queryExecution().executedPlan().toString()
-    # the ts bound must reach the parquet scan, not sit in a post-filter only
-    assert "PushedFilters: [" in plan
-    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual" in plan
+    assert "GreaterThanOrEqual(ts," in plan.split("PushedFilters: [", 1)[1]
 
 
 def test_backtest_runs_strategy_over_window(spark):
