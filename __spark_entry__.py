@@ -40,6 +40,12 @@ def _registry():
         merged.update(STREAMING_QUERIES)
     except ImportError:
         pass
+    try:
+        from spark_signals.serving import SERVING_QUERIES
+
+        merged.update(SERVING_QUERIES)
+    except ImportError:
+        pass
     return merged
 
 

@@ -63,6 +63,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_ivf_topk(_emb(spark, sf_dir))
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ann_lsh_pairs(_emb(spark, sf_dir))
+
+
 def _sql_round_jaccard(sql: str) -> str:
     """Wrap a dedup SQL so jaccard is rounded like the Spark side."""
     return (
@@ -98,5 +102,6 @@ DATAPIPE_QUERIES = {
     "embedding_cosine_neardup": (q_embedding_neardup, D.SQL_EMBEDDING_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
+    "ann_lsh_hyperplane_pairs": (q_ann_lsh, SIM.SQL_ANN_LSH),
     "multimodal_features": (q_media_features, None),
 }

@@ -146,6 +146,78 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
     )
 
 
+N_HYPERPLANES = 8
+LSH_COS_THRESHOLD = 0.2
+
+
+def _hyperplane_sig_expr(dim: int = 64) -> str:
+    """Random-hyperplane (sign-LSH) signature as a bit string.
+
+    Hyperplane components are md5-derived pseudo-randoms (nibble of
+    md5('i:d') − 8.5 ∈ [−8.5, 6.5]) — deterministic and identical in both
+    engines, like every other hash in this module. sign(v·r_i) gives bit i;
+    vectors with small angles share buckets with probability
+    (1 − θ/π)^bits.
+    """
+    return (
+        f"concat_ws('', transform(sequence(0, {N_HYPERPLANES - 1}), i -> "
+        f"case when aggregate(sequence(1, {dim}), 0D, (acc, d) -> "
+        "acc + cast(element_at(embedding, d) as double) * "
+        "(cast(instr('0123456789abcdef', substring(md5(concat(cast(i as string), ':', cast(d as string))), 1, 1)) as double) - 8.5)"
+        ") > 0 then '1' else '0' end))"
+    )
+
+
+def ann_lsh_pairs(embeddings: DataFrame) -> DataFrame:
+    """Sign-LSH bucketed near-neighbor pairs — the hash-blocking scale path
+    alongside IVF: one shuffle on the 2^bits bucket key, exact cosine only
+    within buckets."""
+    from spark_signals.datapipe.util import spread_small_input
+
+    sigs = spread_small_input(embeddings).select(
+        "vec_id", "embedding", F.expr(_hyperplane_sig_expr()).alias("bucket")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(b, "bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = sround(
+        _dot("a.embedding", "b.embedding") / (_norm("a.embedding") * _norm("b.embedding")), 6
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("bucket"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= LSH_COS_THRESHOLD)
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+    array_to_string(list_transform(range(0, {N_HYPERPLANES}), i ->
+      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+        CAST(embedding[d] AS DOUBLE) *
+        (CAST(strpos('0123456789abcdef', substring(md5(i::VARCHAR || ':' || d::VARCHAR), 1, 1)) AS DOUBLE) - 8.5)
+      )) > 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+    floor((
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    ) * 1e6 + 0.5000001) / 1e6 AS cosine
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine FROM pairs WHERE cosine >= {LSH_COS_THRESHOLD}"""
+
+
 SQL_ANN_IVF = f"""
 WITH dims AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val

@@ -132,8 +132,17 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
                 ),
             }
             for name, df in sinks.items():
-                df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                    os.path.join(out_dir, name)
+                # partition by batch id + dynamic partition overwrite: a
+                # replayed micro-batch (post-failure recovery) rewrites its
+                # own partition instead of appending duplicates — the
+                # exactly-once-ish contract of the reference's checkpoint +
+                # retrying JDBC sinks (T5)
+                (
+                    df.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(os.path.join(out_dir, name))
                 )
         finally:
             batch_df.unpersist()

@@ -122,6 +122,30 @@ def test_streaming_metrics_drop_late_rows(spark, tmp_path):
     assert min(starts) >= t0 - dt.timedelta(minutes=5)
 
 
+def test_multi_sink_writer_idempotent_on_batch_replay(spark, tmp_path):
+    """Re-processing a micro-batch (failure recovery) must not duplicate
+    sink rows — the batch-id partition is overwritten, not appended."""
+    from spark_signals.config import EngineConfig
+    from spark_signals.streaming.job import multi_sink_writer
+    from spark_signals.parity import _costs
+    import os as _os
+
+    cfg = EngineConfig()
+    out = str(tmp_path / "idem")
+    feats = _costs(spark, SF).withColumn("signal_type", F.lit("HOLD")).withColumn(
+        "confidence", F.lit(0.0)
+    )
+    writer = multi_sink_writer(out, cfg)
+    writer(feats, 7)
+    n1 = spark.read.parquet(_os.path.join(out, "prices_normalized")).count()
+    writer(feats, 7)  # same batch id replayed
+    n2 = spark.read.parquet(_os.path.join(out, "prices_normalized")).count()
+    assert n1 == n2 == 1000
+    writer(feats, 8)  # a new batch id appends
+    n3 = spark.read.parquet(_os.path.join(out, "prices_normalized")).count()
+    assert n3 == 2000
+
+
 def test_run_streaming_job_multi_sink(spark, tmp_path):
     out = str(tmp_path / "out")
     src = str(tmp_path / "src")
