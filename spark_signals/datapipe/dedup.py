@@ -189,46 +189,65 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 
 # --------------------------------------------------------- char-ngram jaccard
-def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
-    """Character-5-gram Jaccard with min/max-hash blocking.
+NGRAM_HASHES = 8
+NGRAM_BAND_ROWS = 2
+NGRAM_BANDS = NGRAM_HASHES // NGRAM_BAND_ROWS
+NGRAM_JACCARD_THRESHOLD = 0.5
 
-    Blocking keys are the minimum and maximum md5 over the doc's char-grams
-    (two 1-hash MinHash buckets); pairs sharing either key get an exact
-    Jaccard verification. At scale this is two hash shuffles instead of a
-    cross join.
+
+def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
+    """Character-5-gram Jaccard with banded char-gram-MinHash blocking.
+
+    A single min-hash block key is far too permissive on corpora with a
+    shared vocabulary (measured: 976k candidate pairs over 5k synthetic
+    docs); banding K=8 char-gram minhashes into 4 bands of 2 requires TWO
+    simultaneous hash agreements per bucket — P(collision)=1-(1-J²)^4, so
+    J=0.5 pairs are found with ~66% per-band-set recall while J≈0.1
+    background pairs almost never collide. One shuffle on (band, band_hash),
+    exact Jaccard verification only on candidates.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1)), "
         f"j -> substring(norm_text, j, {CHAR_NGRAM})))"
     )
-    base = spread_small_input(docs).select("doc_id", norm.alias("norm_text")).withColumn("grams", grams)
-    hashed = base.withColumn("gram_hashes", F.expr("transform(grams, g -> md5(g))"))
-    keyed = hashed.select(
-        "doc_id",
-        "grams",
-        F.explode(
-            F.array(F.array_min("gram_hashes"), F.array_max("gram_hashes"))
-        ).alias("block_key"),
+    base = (
+        spread_small_input(docs)
+        .select("doc_id", norm.alias("norm_text"))
+        .withColumn("grams", grams)
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    sig = (
+        f"transform(sequence(0, {NGRAM_HASHES - 1}), "
+        "i -> array_min(transform(grams, g -> md5(concat(cast(i as string), ':', g)))))"
+    )
+    keyed = base.select("doc_id", "grams", F.expr(sig).alias("sig")).persist()
+    bands = keyed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {NGRAM_BANDS - 1}), "
+                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {NGRAM_BAND_ROWS} + 1, {NGRAM_BAND_ROWS}))) as band_hash))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
-        a.join(b, "block_key")
+        a.join(b, ["band", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("g_a"),
-            F.col("b.grams").alias("g_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    g = keyed.select("doc_id", "grams")
+    pairs = (
+        cand.join(g.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a")
+        .join(g.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "g_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
     jac = inter.cast("double") / union
-    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD
     )
 
 
@@ -243,15 +262,20 @@ g AS (
       j -> substring(norm_text, j, {CHAR_NGRAM}))) AS grams
   FROM base
 ),
-keyed AS (
-  SELECT doc_id, grams, unnest([
-    list_min(list_transform(grams, x -> md5(x))),
-    list_max(list_transform(grams, x -> md5(x)))]) AS block_key
+sig AS (
+  SELECT doc_id, grams,
+    list_transform(range(0, {NGRAM_HASHES}),
+      i -> list_min(list_transform(grams, x -> md5(i::VARCHAR || ':' || x)))) AS sig
   FROM g
+),
+bands AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(list_slice(sig, b * {NGRAM_BAND_ROWS} + 1, b * {NGRAM_BAND_ROWS} + {NGRAM_BAND_ROWS}), '|')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, {NGRAM_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keyed a JOIN keyed b USING (block_key)
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -262,7 +286,7 @@ JOIN g ga ON ga.doc_id = doc_a
 JOIN g gb ON gb.doc_id = doc_b
 WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
     / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
-    >= {JACCARD_THRESHOLD}"""
+    >= {NGRAM_JACCARD_THRESHOLD}"""
 
 
 # ----------------------------------------------------------------- simhash

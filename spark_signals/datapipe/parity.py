@@ -104,4 +104,21 @@ DATAPIPE_QUERIES = {
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
     "ann_lsh_hyperplane_pairs": (q_ann_lsh, SIM.SQL_ANN_LSH),
     "multimodal_features": (q_media_features, None),
+    "ewma_zscore_strategy": (
+        lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),
+        None,
+    ),
 }
+
+
+def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
+    declarative equivalent — rows-only check by design)."""
+    from spark_signals.config import EngineConfig
+    from spark_signals.io.sources import load_ticks
+    from spark_signals.strategies import get_strategy_module
+
+    out = get_strategy_module("ewma_zscore").build_pipeline(
+        load_ticks(spark, sf_dir), EngineConfig(strategy_run_id="ewma-z")
+    )
+    return out.signals_decisions

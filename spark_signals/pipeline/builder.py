@@ -55,22 +55,20 @@ class PipelineOutputs:
         }
 
 
-def build_pipeline(ticks: DataFrame, cfg: EngineConfig | None = None) -> PipelineOutputs:
-    cfg = cfg or EngineConfig()
-    # one shared window stage; every downstream branch is a projection off it
-    # (forks reuse the exchange instead of recomputing the scan+sort)
-    enriched = N.enriched_ticks(ticks, cfg)
-    norm = enriched.select(
-        "product_id", "event_time", "sequence", "mid_price",
-        "best_bid", "best_ask", "returns", "volatility",
-    )
-    signals = S.crossover_signals_enriched(enriched, cfg)
-    decisions = S.signals_decisions(signals)
+def assemble_outputs(
+    norm: DataFrame, signals: DataFrame, base: DataFrame, cfg: EngineConfig
+) -> PipelineOutputs:
+    """Shared downstream machinery: forward-fill → cost model → executions/
+    transitions → tumbling metrics → rollup.
 
-    base = P.positions_base_inline(enriched, cfg)
+    ``base`` is a positions_base-shaped DataFrame (normalized columns +
+    sparse ``signal_position``); ``signals`` the strategy's signal stream
+    (crossover_signals schema). Custom strategies (e.g. the pandas-UDF EWMA
+    strategy) supply their own signal stage and reuse everything below it.
+    """
     stream = P.positions_stream(base, cfg)
-    enriched = P.positions_enriched(stream, cfg)
-    costs = P.positions_costs(enriched, cfg)
+    enriched_pos = P.positions_enriched(stream, cfg)
+    costs = P.positions_costs(enriched_pos, cfg)
 
     execs = P.executions(costs, cfg)
     transitions = P.position_transitions(costs, cfg)
@@ -84,7 +82,7 @@ def build_pipeline(ticks: DataFrame, cfg: EngineConfig | None = None) -> Pipelin
     return PipelineOutputs(
         normalized_prices=norm,
         crossover_signals=signals,
-        signals_decisions=decisions,
+        signals_decisions=S.signals_decisions(signals),
         positions_costs=costs,
         executions=execs,
         position_transitions=transitions,
@@ -94,6 +92,20 @@ def build_pipeline(ticks: DataFrame, cfg: EngineConfig | None = None) -> Pipelin
         metrics=metr,
         hourly_rollup=roll,
     )
+
+
+def build_pipeline(ticks: DataFrame, cfg: EngineConfig | None = None) -> PipelineOutputs:
+    cfg = cfg or EngineConfig()
+    # one shared window stage; every downstream branch is a projection off it
+    # (forks reuse the exchange instead of recomputing the scan+sort)
+    enriched = N.enriched_ticks(ticks, cfg)
+    norm = enriched.select(
+        "product_id", "event_time", "sequence", "mid_price",
+        "best_bid", "best_ask", "returns", "volatility",
+    )
+    signals = S.crossover_signals_enriched(enriched, cfg)
+    base = P.positions_base_inline(enriched, cfg)
+    return assemble_outputs(norm, signals, base, cfg)
 
 
 def persist_for_fanout(outputs: PipelineOutputs) -> PipelineOutputs:
