@@ -199,3 +199,19 @@ def test_write_sinks_partitioned_and_retention(spark, tmp_path):
     assert dropped > 0
     remaining = [d for d in os.listdir(norm_path) if d.startswith("event_date=")]
     assert all(d.split("=")[1] >= "2024-01-21" for d in remaining)
+
+
+# -------------------------------------------------------------------- skew
+def test_salted_join_matches_plain_join(spark):
+    from spark_signals.pipeline.skew import salted_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, customer, "o_custkey").groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the salted plan joins on (key, salt) - both key columns in the join
+    plan = salted_join(orders, customer, "o_custkey")._jdf.queryExecution().toString()
+    assert "_salt" in plan
