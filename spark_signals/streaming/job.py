@@ -78,6 +78,7 @@ def streaming_metrics(features: DataFrame, cfg: EngineConfig) -> DataFrame:
             ),
         )
         .select(
+            F.col("w").alias("window"),
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "avg_return",
@@ -88,6 +89,36 @@ def streaming_metrics(features: DataFrame, cfg: EngineConfig) -> DataFrame:
             "negative_samples",
             "min_return",
             "total_trade_cost",
+        )
+    )
+
+
+def streaming_hourly_rollup(metrics5: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """A4 in streaming: a SECOND stateful aggregation chained on the first —
+    the Structured Streaming form of TimescaleDB's continuous aggregate
+    (reference 03_continuous_aggregates.sql:3-22).
+
+    Chaining requires ``window_time(window)`` (window.end − 1µs) as the
+    event-time column of the upstream aggregate so the watermark propagates;
+    an hourly window finalizes only when every 5-minute child has finalized.
+    """
+    w = F.window(F.window_time("window"), cfg.rollup_window).alias("w")
+    return (
+        metrics5.groupBy(w)
+        .agg(
+            F.sum("cumulative_return").alias("cumulative_return_sum"),
+            F.min("min_return").alias("min_return"),
+            F.sum("sample_size").alias("sample_size_sum"),
+            F.sum("total_trade_cost").alias("total_trade_cost_sum"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "cumulative_return_sum",
+            "min_return",
+            "sample_size_sum",
+            "total_trade_cost_sum",
+            "n_windows",
         )
     )
 

@@ -78,7 +78,7 @@ def q_streaming_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = stateful_features(
         ticks.withWatermark("event_time", CFG.watermark_delay), CFG
     )
-    metr = streaming_metrics(feats, CFG)
+    metr = streaming_metrics(feats, CFG).drop("window")
     table = _run_stream_to_table(spark, metr, "stream_metrics", "complete")
     rounded = _round_cols(
         table,
@@ -114,7 +114,67 @@ FROM performance_windows"""
     )
 
 
+def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as a chained second streaming aggregation (append mode): hourly
+    windows emit only once their 5-minute children are all finalized under
+    the watermark — the oracle models that cut explicitly."""
+    from spark_signals.streaming.job import streaming_hourly_rollup
+
+    src = _materialize_tick_files(spark, sf_dir)
+    ticks = read_tick_stream(spark, src)
+    feats = stateful_features(
+        ticks.withWatermark("event_time", CFG.watermark_delay), CFG
+    )
+    roll = streaming_hourly_rollup(streaming_metrics(feats, CFG), CFG)
+    table = _run_stream_to_table(spark, roll, "stream_rollup", "append")
+    return _round_cols(
+        table,
+        {
+            "cumulative_return_sum": 9,
+            "min_return": 9,
+            "total_trade_cost_sum": 9,
+        },
+    )
+
+
+def _streaming_rollup_oracle() -> str:
+    """Batch hourly rollup of performance_windows, cut to hourly windows
+    fully finalized under the final watermark (max event_time − 5s).
+
+    The hourly bucket keys on window_time(window) = window_end − 1µs, so a
+    5-minute window ending exactly on the hour belongs to the PREVIOUS hour
+    — mirrored with (window_end − INTERVAL 1 MICROSECOND).
+    """
+    from spark_signals import oracle
+
+    return (
+        oracle.with_chain(CFG, upto="metrics")
+        + """
+, hourly AS (
+    SELECT
+        time_bucket(INTERVAL '1 hour', window_end - INTERVAL 1 MICROSECOND) AS bucket,
+        SUM(cumulative_return) AS cumulative_return_sum,
+        MIN(min_return) AS min_return,
+        SUM(sample_size) AS sample_size_sum,
+        SUM(total_trade_cost) AS total_trade_cost_sum,
+        COUNT(*) AS n_windows
+    FROM performance_windows
+    GROUP BY 1
+),
+wm AS (SELECT max(event_time) - INTERVAL 5 SECOND AS w FROM ticks)
+SELECT bucket,
+       floor((cumulative_return_sum) * 1e9 + 0.5000001) / 1e9 AS cumulative_return_sum,
+       floor((min_return) * 1e9 + 0.5000001) / 1e9 AS min_return,
+       sample_size_sum,
+       floor((total_trade_cost_sum) * 1e9 + 0.5000001) / 1e9 AS total_trade_cost_sum,
+       n_windows
+FROM hourly, wm
+WHERE bucket + INTERVAL '1 hour' <= wm.w"""
+    )
+
+
 STREAMING_QUERIES = {
     "streaming_positions_costs": (q_streaming_positions_costs, SQL_POSITIONS_COSTS),
     "streaming_metrics_5m": (q_streaming_metrics, _streaming_metrics_oracle()),
+    "streaming_hourly_rollup_chained": (q_streaming_hourly_rollup, _streaming_rollup_oracle()),
 }
