@@ -161,3 +161,28 @@ def test_run_streaming_job_multi_sink(spark, tmp_path):
         "LONG",
         "SHORT",
     }
+
+
+def test_streaming_union_live_replay(spark, tmp_path):
+    """U1 in streaming mode: two file streams (live + replay topics) union
+    into one pipeline input (reference sma_cross.py:43-52)."""
+    from spark_signals.config import EngineConfig
+
+    cfg = EngineConfig()
+    live_dir = str(tmp_path / "live")
+    replay_dir = str(tmp_path / "replay")
+    ticks = load_ticks(spark, SF).orderBy("event_time", "sequence")
+    ticks.filter(F.col("sequence") % 2 == 0).coalesce(1).write.parquet(live_dir)
+    ticks.filter(F.col("sequence") % 2 == 1).withColumn(
+        "source", F.lit("replay")
+    ).coalesce(1).write.parquet(replay_dir)
+
+    live = read_tick_stream(spark, live_dir)
+    replay = read_tick_stream(spark, replay_dir)
+    union = live.unionByName(replay).withWatermark("event_time", cfg.watermark_delay)
+    feats = stateful_features(union, cfg)
+    got = _drain(feats, spark)
+    assert got.count() == 1000
+    # union fed both halves through one keyed state: sequences are complete
+    seqs = {r.sequence for r in got.select("sequence").collect()}
+    assert seqs == set(range(1000))
