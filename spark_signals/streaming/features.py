@@ -100,8 +100,33 @@ def _stddev_pop(values: list[float]) -> float:
     return math.sqrt(m2 / n)
 
 
-def make_feature_processor(cfg: EngineConfig):
-    """Build the applyInPandasWithState function for the given config."""
+FRESH_STATE: tuple = ([], [], 0.0, False, 0.0, False)
+
+
+def prepare_batch(batch: pd.DataFrame, watermark_ms: int) -> pd.DataFrame:
+    """Late-row drop + deterministic event-time order for one micro-batch.
+
+    Flink's streaming OVER-aggregates discard rows behind the watermark (T3,
+    reference __main__.py:63); Spark's arbitrary-state operators do not do
+    this automatically, so enforce it here. The sort bounds within-batch
+    disorder, as the reference's 5s watermark contract does across batches.
+    """
+    if watermark_ms > 0:
+        batch = batch[batch["event_time"].astype("int64") // 1_000_000 >= watermark_ms]
+    return batch.sort_values(["event_time", "sequence"], kind="mergesort")
+
+
+def replay_batch(
+    cfg: EngineConfig,
+    product_id: str,
+    batch: pd.DataFrame,
+    state_tuple: tuple,
+) -> tuple[list[dict], tuple]:
+    """Run the per-row accumulator replay over one prepared micro-batch.
+
+    Shared core of both arbitrary-state operators (applyInPandasWithState
+    and transformWithStateInPandas) so they stay bit-identical. Returns
+    (output rows, new state tuple)."""
     slow = cfg.sma_slow_window
     fast = cfg.sma_fast_window
     vol_w = cfg.volatility_window
@@ -116,108 +141,107 @@ def make_feature_processor(cfg: EngineConfig):
     lat_hi = cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
     lat_vol = float(cfg.fill_latency_volatility_ms)
 
+    mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid = state_tuple
+    mids = list(mids)
+    spreads = list(spreads)
+    out_rows: list[dict] = []
+
+    for row in batch.itertuples(index=False):
+        bid = None if pd.isna(row.best_bid) else float(row.best_bid)
+        ask = None if pd.isna(row.best_ask) else float(row.best_ask)
+        price = float(row.price)
+        mid = (bid + ask) / 2 if (bid is not None and ask is not None) else price
+
+        returns = None
+        if has_prev_mid and prev_mid != 0:
+            returns = (mid - prev_mid) / prev_mid
+
+        mids.append(mid)
+        if len(mids) > keep:
+            mids = mids[-keep:]
+        volatility = _stddev_pop(mids[-vol_w:])
+        fast_sma = _running_avg(mids[-fast:])
+        slow_sma = _running_avg(mids[-slow:])
+        sig_spread = fast_sma - slow_sma
+
+        prev_spread = spreads[-confirmation] if len(spreads) >= confirmation else None
+        spreads.append(sig_spread)
+        if len(spreads) > confirmation:
+            spreads = spreads[-confirmation:]
+
+        signal_type = "HOLD"
+        signal_position = None
+        if prev_spread is not None:
+            if sig_spread > 0 and prev_spread <= 0:
+                signal_type, signal_position = "LONG", 1.0
+            elif sig_spread < 0 and prev_spread >= 0:
+                signal_type, signal_position = "SHORT", -1.0
+
+        prev_position = position if has_prev_pos else None
+        if signal_position is not None:
+            position = signal_position
+        # else: forward-fill (position unchanged)
+
+        quote_spread = (ask - bid) if (bid is not None and ask is not None) else None
+        mid_bad = mid == 0
+        volatility_ratio = 0.0 if mid_bad else (volatility if volatility is not None else 0.0) / mid
+        spread_ratio = 0.0 if (mid_bad or quote_spread is None) else quote_spread / mid
+
+        slip_raw = slip_base + volatility_ratio * vol_mult + spread_ratio * spread_mult
+        slippage_rate = 0.0 if slip_raw < 0 else (slip_max if slip_raw > slip_max else slip_raw)
+        lat_raw = lat_base + int(math.floor(lat_vol * volatility_ratio))
+        fill_latency = lat_base if lat_raw < lat_base else (lat_hi if lat_raw > lat_hi else lat_raw)
+
+        out_rows.append(
+            {
+                "product_id": product_id,
+                "event_time": row.event_time,
+                "sequence": row.sequence,
+                "mid_price": mid,
+                "returns": returns,
+                "volatility": volatility,
+                "best_bid": bid,
+                "best_ask": ask,
+                "spread": quote_spread,
+                "position": position,
+                "prev_position": prev_position,
+                "position_change": position - (prev_position if prev_position is not None else 0.0),
+                "volatility_ratio": volatility_ratio,
+                "spread_ratio": spread_ratio,
+                "slippage_rate": slippage_rate,
+                "transaction_cost_rate": tx_rate,
+                "trade_cost_rate": slippage_rate + tx_rate,
+                "fill_latency_ms": fill_latency,
+                "signal_type": signal_type,
+                "confidence": abs(sig_spread),
+            }
+        )
+
+        prev_mid, has_prev_mid = mid, True
+        has_prev_pos = True
+
+    return out_rows, (mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid)
+
+
+def rows_to_frame(out_rows: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def make_feature_processor(cfg: EngineConfig):
+    """Build the applyInPandasWithState function for the given config."""
+
     def process(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid = state.get
-            mids = list(mids)
-            spreads = list(spreads)
-        else:
-            mids, spreads, position = [], [], 0.0
-            has_prev_pos, prev_mid, has_prev_mid = False, 0.0, False
-
-        product_id = key[0]
-        out_rows: list[dict] = []
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # drop rows behind the watermark — Flink's streaming OVER-aggregates
-        # discard late rows (T3, reference __main__.py:63); Spark does not do
-        # this automatically for applyInPandasWithState, so enforce it here
-        wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0:
-            batch = batch[batch["event_time"].astype("int64") // 1_000_000 >= wm_ms]
-        # event-time order within the micro-batch (watermark bounds disorder
-        # across batches, as in the reference's 5s watermark contract)
-        batch = batch.sort_values(["event_time", "sequence"], kind="mergesort")
-
-        for row in batch.itertuples(index=False):
-            bid = None if pd.isna(row.best_bid) else float(row.best_bid)
-            ask = None if pd.isna(row.best_ask) else float(row.best_ask)
-            price = float(row.price)
-            mid = (bid + ask) / 2 if (bid is not None and ask is not None) else price
-
-            returns = None
-            if has_prev_mid and prev_mid != 0:
-                returns = (mid - prev_mid) / prev_mid
-
-            mids.append(mid)
-            if len(mids) > keep:
-                mids = mids[-keep:]
-            volatility = _stddev_pop(mids[-vol_w:])
-            fast_sma = _running_avg(mids[-fast:])
-            slow_sma = _running_avg(mids[-slow:])
-            sig_spread = fast_sma - slow_sma
-
-            prev_spread = spreads[-confirmation] if len(spreads) >= confirmation else None
-            spreads.append(sig_spread)
-            if len(spreads) > confirmation:
-                spreads = spreads[-confirmation:]
-
-            signal_type = "HOLD"
-            signal_position = None
-            if prev_spread is not None:
-                if sig_spread > 0 and prev_spread <= 0:
-                    signal_type, signal_position = "LONG", 1.0
-                elif sig_spread < 0 and prev_spread >= 0:
-                    signal_type, signal_position = "SHORT", -1.0
-
-            prev_position = position if has_prev_pos else None
-            if signal_position is not None:
-                position = signal_position
-            # else: forward-fill (position unchanged)
-
-            quote_spread = (ask - bid) if (bid is not None and ask is not None) else None
-            mid_bad = mid == 0
-            volatility_ratio = 0.0 if mid_bad else (volatility if volatility is not None else 0.0) / mid
-            spread_ratio = 0.0 if (mid_bad or quote_spread is None) else quote_spread / mid
-
-            slip_raw = slip_base + volatility_ratio * vol_mult + spread_ratio * spread_mult
-            slippage_rate = 0.0 if slip_raw < 0 else (slip_max if slip_raw > slip_max else slip_raw)
-            lat_raw = lat_base + int(math.floor(lat_vol * volatility_ratio))
-            fill_latency = lat_base if lat_raw < lat_base else (lat_hi if lat_raw > lat_hi else lat_raw)
-
-            out_rows.append(
-                {
-                    "product_id": product_id,
-                    "event_time": row.event_time,
-                    "sequence": row.sequence,
-                    "mid_price": mid,
-                    "returns": returns,
-                    "volatility": volatility,
-                    "best_bid": bid,
-                    "best_ask": ask,
-                    "spread": quote_spread,
-                    "position": position,
-                    "prev_position": prev_position,
-                    "position_change": position - (prev_position if prev_position is not None else 0.0),
-                    "volatility_ratio": volatility_ratio,
-                    "spread_ratio": spread_ratio,
-                    "slippage_rate": slippage_rate,
-                    "transaction_cost_rate": tx_rate,
-                    "trade_cost_rate": slippage_rate + tx_rate,
-                    "fill_latency_ms": fill_latency,
-                    "signal_type": signal_type,
-                    "confidence": abs(sig_spread),
-                }
-            )
-
-            prev_mid, has_prev_mid = mid, True
-            has_prev_pos = True
-
-        state.update((mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid))
-        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        state_tuple = state.get if state.exists else FRESH_STATE
+        batch = prepare_batch(
+            pd.concat(list(pdfs), ignore_index=True), state.getCurrentWatermarkMs()
+        )
+        out_rows, new_state = replay_batch(cfg, key[0], batch, state_tuple)
+        state.update(new_state)
+        yield rows_to_frame(out_rows)
 
     return process
 
