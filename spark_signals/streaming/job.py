@@ -47,6 +47,25 @@ def read_tick_stream(
     raise ValueError(f"unsupported stream format: {fmt}")
 
 
+def dedup_tick_stream(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """At-least-once input hygiene: drop redelivered ticks by identity key.
+
+    The reference's Kafka producer is at-least-once (send-and-wait, reference
+    producer/kafka_producer.py:15-53), so replays/reconnects can redeliver
+    the same (product_id, sequence) tick; downstream stateful stages would
+    double-count it. ``dropDuplicatesWithinWatermark`` keeps the first
+    arrival per key and holds each key's fingerprint in state only for the
+    watermark delay — bounded state, unlike a global ``dropDuplicates`` whose
+    key set grows forever at 100 TB stream scale.
+
+    Expects an un-watermarked stream; applies the engine watermark itself
+    (a watermark is required for the within-watermark dedup operator).
+    """
+    return ticks.withWatermark("event_time", cfg.watermark_delay).dropDuplicatesWithinWatermark(
+        ["product_id", "sequence"]
+    )
+
+
 def streaming_metrics(features: DataFrame, cfg: EngineConfig) -> DataFrame:
     """A1 on the stream: watermark + native tumbling aggregation.
 
@@ -187,6 +206,7 @@ def run_streaming_job(
     out_dir: str,
     cfg: EngineConfig | None = None,
     available_now: bool = True,
+    dedupe: bool = False,
 ):
     """End-to-end streaming run: source → features → multi-sink fan-out.
 
@@ -196,7 +216,12 @@ def run_streaming_job(
     """
     cfg = cfg or EngineConfig()
     ticks = read_tick_stream(spark, source_dir)
-    features = build_streaming_features(ticks, cfg)
+    if dedupe:
+        # dedup_tick_stream declares the watermark itself; re-declaring it
+        # downstream is disallowed once multiple stateful operators chain
+        features = stateful_features(dedup_tick_stream(ticks, cfg), cfg)
+    else:
+        features = build_streaming_features(ticks, cfg)
     writer = (
         features.writeStream.foreachBatch(multi_sink_writer(out_dir, cfg))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))

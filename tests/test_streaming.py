@@ -186,3 +186,36 @@ def test_streaming_union_live_replay(spark, tmp_path):
     # union fed both halves through one keyed state: sequences are complete
     seqs = {r.sequence for r in got.select("sequence").collect()}
     assert seqs == set(range(1000))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once redelivery: every tick written twice; the dedup stage
+    keeps one arrival per (product_id, sequence) so the stateful features
+    match the batch truth computed on the clean stream."""
+    from spark_signals.streaming.job import dedup_tick_stream
+
+    cfg = EngineConfig()
+    src = str(tmp_path / "dup_ticks")
+    ticks = load_ticks(spark, SF).orderBy("event_time", "sequence")
+    ticks.unionAll(ticks).coalesce(1).write.parquet(src)
+
+    deduped = dedup_tick_stream(read_tick_stream(spark, src), cfg)
+    feats = stateful_features(deduped, cfg)
+    got = _sorted_rows(_drain(feats, spark), CHECK_COLS)
+    from spark_signals.parity import _costs
+
+    want = _sorted_rows(_costs(spark, SF), CHECK_COLS)
+    assert got == want
+
+
+def test_run_streaming_job_dedupe(spark, tmp_path):
+    """Full job with dedupe=True: duplicated source collapses to one row per
+    tick across all sinks (chained stateful operators: dedup → features)."""
+    from spark_signals.streaming.job import run_streaming_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    t = load_ticks(spark, SF).orderBy("event_time", "sequence")
+    t.unionAll(t).coalesce(1).write.parquet(src)
+    run_streaming_job(spark, src, out, dedupe=True)
+    assert spark.read.parquet(f"{out}/prices_normalized").count() == t.count()
