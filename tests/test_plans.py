@@ -1,0 +1,119 @@
+"""Physical-plan regression tests — enforce the SCALE.md audits.
+
+Every claim SCALE.md makes about the plans (pushdown reaches the scan,
+dims broadcast, top-k avoids global sorts, the whole rolling-feature chain
+shares ONE exchange+sort, no Python in batch paths) is asserted here so a
+refactor that silently regresses the plan fails CI, not the 100 TB run.
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from spark_signals.datapipe.dedup import dedup_exact, dedup_minhash_lsh
+from spark_signals.datapipe.similarity import ann_bruteforce_topk
+from spark_signals.datapipe.text import text_stats
+from spark_signals.io.sources import load_ticks, read_table
+from spark_signals.pipeline.builder import build_pipeline
+from spark_signals.relational import (
+    q_pricing_summary,
+    q_runs_listing,
+    q_topk_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_op(plan: str, op: str) -> int:
+    # formatted explain lists each node as "(N) OpName" in the details section
+    return len(re.findall(rf"^\s*\(\d+\) {op}\b", plan, re.M))
+
+
+def test_replay_bounds_reach_parquet_scan(spark):
+    """S10: time bounds must land in PushedFilters on the RAW int64 ns
+    column — a bound above the ns→µs projection would scan all rowgroups."""
+    p = plan_str(load_ticks(spark, SF, start_ts="2024-01-08", end_ts="2024-01-09"))
+    assert "GreaterThanOrEqual(ts," in p and "LessThanOrEqual(ts," in p
+
+
+def test_tick_adapter_prunes_unused_columns(spark):
+    """Column pruning: the tick adapter never materializes `props`."""
+    p = plan_str(load_ticks(spark, SF))
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in schema_line
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    """Q1-style scan: shipdate predicate pushed, comment column pruned."""
+    p = plan_str(q_pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate," in p
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema_line
+
+
+def test_dim_join_broadcasts(spark):
+    """J3: the customer dim is pinned broadcast — the fact side must not
+    shuffle (no SortMergeJoin / ShuffledHashJoin anywhere in the plan)."""
+    p = plan_str(q_runs_listing(spark, SF))
+    assert count_op(p, "BroadcastHashJoin") >= 1
+    assert count_op(p, "SortMergeJoin") == 0
+    assert count_op(p, "ShuffledHashJoin") == 0
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """§2.7: ORDER BY ... LIMIT n = per-partition heaps, never a global
+    sort feeding a Limit."""
+    p = plan_str(q_topk_events(spark, SF))
+    assert count_op(p, "TakeOrderedAndProject") == 1
+    assert count_op(p, "Sort") == 0
+
+
+def test_rolling_features_share_one_window_stage(spark):
+    """W1-W7 (lag, rolling stddev, both SMAs, confirmation lag,
+    forward-fill, position lag) all stack on ONE partition+sort: exactly
+    one Exchange and one Sort in the whole positions_costs plan."""
+    out = build_pipeline(load_ticks(spark, SF))
+    p = plan_str(out.positions_costs)
+    assert count_op(p, "Exchange") == 1
+    assert count_op(p, "Sort") == 1
+    assert count_op(p, "Window") >= 3  # frames stacked, not re-sorted
+
+
+def test_metrics_dag_bounded_shuffles(spark):
+    """Full DAG ticks→features→2 tumbling aggs→J2 join→ratios: the static
+    plan re-uses the windowed exchange for both agg branches; shuffle count
+    must stay bounded (8 static nodes; AQE ReuseExchange dedups at runtime)
+    and both tumbling aggs must partial-aggregate before their shuffle."""
+    out = build_pipeline(load_ticks(spark, SF))
+    p = plan_str(out.metrics)
+    assert count_op(p, "Exchange") <= 8
+    assert count_op(p, "Sort") <= 2
+    # partial->final HashAggregate pairs = map-side combine before shuffle
+    assert "partial_avg(realized_pnl" in p and "partial_count(1)" in p
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda spark: build_pipeline(load_ticks(spark, SF)).metrics,
+        lambda spark: dedup_exact(read_table(spark, SF, "documents")),
+        lambda spark: dedup_minhash_lsh(read_table(spark, SF, "documents")),
+        lambda spark: text_stats(read_table(spark, SF, "documents")),
+        lambda spark: ann_bruteforce_topk(read_table(spark, SF, "embeddings")),
+    ],
+    ids=["metrics", "dedup_exact", "dedup_minhash", "text_stats", "ann_brute"],
+)
+def test_batch_paths_have_no_python_stages(spark, build):
+    """JVM-side discipline: zero row-at-a-time or Arrow Python evaluation
+    in any batch plan — everything stays inside whole-stage codegen."""
+    p = plan_str(build(spark))
+    assert "EvalPython" not in p  # BatchEvalPython / ArrowEvalPython
+    assert "FlatMapGroupsInPandas" not in p
