@@ -15,7 +15,8 @@ import datetime as dt
 import json
 import math
 import os
-from typing import Any
+import time
+from typing import Any, Callable, Iterable
 
 REQUIRED_FIELDS = ("product_id", "price", "event_time")
 OPTIONAL_FLOAT_FIELDS = ("best_bid", "best_ask", "volume_24h")
@@ -112,6 +113,60 @@ def generate_ticks(
             }
         )
     return rows
+
+
+def paced_replay(
+    rows: Iterable[dict[str, Any]],
+    emit: Callable[[dict[str, Any]], None],
+    *,
+    speedup_factor: float = 1.0,
+    start_offset: int | None = None,
+    start_timestamp_ms: int | None = None,
+    end_timestamp_ms: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """S10 live re-feed: re-emit archived payloads with event-time-
+    proportional pacing (reference flink_jobs/replay/service.py:17-124).
+
+    Inter-event wall time = event-time delta ÷ ``speedup_factor``
+    (service.py:108-115); the first emitted record goes out immediately.
+    Seek-by-timestamp wins over seek-by-offset when both are given
+    (service.py:53-76); iteration stops at ``end_timestamp_ms``
+    (service.py:100-102). Malformed payloads are dropped (P14) and do not
+    contribute pacing gaps. Returns the number of records emitted.
+
+    Batch replay through the *engine* should use ``spark_signals.replay``
+    (deterministic, predicate-pushed); this feeder-side path exists to
+    drive the streaming job's file/Kafka source like the reference's
+    replayed topic. ``sleep`` is injectable for tests, mirroring the
+    reference's dummy-consumer test style (tests/test_replay_service.py).
+    """
+    if speedup_factor <= 0:
+        raise ValueError("speedup_factor must be > 0")
+    emitted = 0
+    prev_ms: int | None = None
+    for raw in rows:
+        payload = prepare_payload(raw)
+        if payload is None:
+            continue
+        ts = parse_event_time(payload["event_time"])
+        assert ts is not None  # prepare_payload validated it
+        ts_ms = int(ts.timestamp() * 1000)
+        if start_timestamp_ms is not None:
+            if ts_ms < start_timestamp_ms:
+                continue
+        elif start_offset is not None:
+            seq = payload.get("sequence")
+            if seq is None or seq < start_offset:
+                continue
+        if end_timestamp_ms is not None and ts_ms > end_timestamp_ms:
+            break
+        if prev_ms is not None and ts_ms > prev_ms:
+            sleep((ts_ms - prev_ms) / 1000.0 / speedup_factor)
+        emit(payload)
+        emitted += 1
+        prev_ms = ts_ms
+    return emitted
 
 
 def write_json_ticks(rows: list[dict[str, Any]], out_dir: str, batch_size: int = 1000) -> list[str]:

@@ -14,7 +14,13 @@ from spark_signals.control.runs import (
     engine_config_from_strategy,
     load_strategy_config,
 )
-from spark_signals.io.feeder import generate_ticks, parse_event_time, prepare_payload, write_json_ticks
+from spark_signals.io.feeder import (
+    generate_ticks,
+    paced_replay,
+    parse_event_time,
+    prepare_payload,
+    write_json_ticks,
+)
 from spark_signals.io.sinks import apply_retention, write_sinks
 from spark_signals.io.sources import load_ticks, read_prices_raw
 from spark_signals.pipeline import build_pipeline
@@ -170,6 +176,73 @@ def test_feeder_roundtrip_through_json_source(spark, tmp_path):
     }
     # pipeline runs end-to-end on fed data
     assert build_pipeline(df).normalized_prices.count() == 200
+
+
+# ------------------------------------------------------- paced replay (S10)
+def _replay_fixture():
+    """4 ticks, 1s/2s/4s apart, plus one malformed row in the middle."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    rows = []
+    for i, off in enumerate([0, 1, 3, 7]):
+        rows.append(
+            {
+                "product_id": "BTC-USD",
+                "price": 100.0 + i,
+                "sequence": i,
+                "event_time": (t0 + dt.timedelta(seconds=off)).isoformat(),
+            }
+        )
+    rows.insert(2, {"product_id": "BTC-USD", "price": "garbage", "event_time": "x"})
+    return t0, rows
+
+
+def test_paced_replay_sleeps_event_time_delta_over_speedup():
+    _, rows = _replay_fixture()
+    sleeps, out = [], []
+    n = paced_replay(rows, out.append, speedup_factor=2.0, sleep=sleeps.append)
+    assert n == 4 and [p["sequence"] for p in out] == [0, 1, 2, 3]
+    # gaps 1s, 2s, 4s ÷ speedup 2 — first record immediate, malformed row
+    # contributes no gap
+    assert sleeps == [0.5, 1.0, 2.0]
+
+
+def test_paced_replay_end_timestamp_bound():
+    t0, rows = _replay_fixture()
+    out = []
+    end_ms = int(t0.timestamp() * 1000) + 1500  # between 2nd and 3rd tick
+    n = paced_replay(rows, out.append, end_timestamp_ms=end_ms, sleep=lambda s: None)
+    assert n == 2 and [p["sequence"] for p in out] == [0, 1]
+
+
+def test_paced_replay_seek_by_timestamp_wins_over_offset():
+    t0, rows = _replay_fixture()
+    out = []
+    start_ms = int(t0.timestamp() * 1000) + 2000  # skips ticks at +0s, +1s
+    paced_replay(
+        rows,
+        out.append,
+        start_timestamp_ms=start_ms,
+        start_offset=0,  # would include everything — timestamp must win
+        sleep=lambda s: None,
+    )
+    assert [p["sequence"] for p in out] == [2, 3]
+
+
+def test_paced_replay_seek_by_offset():
+    _, rows = _replay_fixture()
+    out = []
+    paced_replay(rows, out.append, start_offset=2, sleep=lambda s: None)
+    assert [p["sequence"] for p in out] == [2, 3]
+
+
+def test_paced_replay_feeds_streaming_source_dir(spark, tmp_path):
+    """Replayed payloads land as JSON batches the streaming job can read."""
+    _, rows = _replay_fixture()
+    buf = []
+    paced_replay(rows, buf.append, speedup_factor=1e9, sleep=lambda s: None)
+    out = str(tmp_path / "replayed")
+    write_json_ticks(buf, out)
+    assert read_prices_raw(spark, out, fmt="json").count() == 4
 
 
 # ------------------------------------------------------------------- sinks
