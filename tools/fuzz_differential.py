@@ -1,0 +1,207 @@
+"""Randomized cross-engine differential fuzzer: Spark vs DuckDB.
+
+Extends the fixed oracle suite (SURVEY.md §5 "rebuild strategy") with
+property-style coverage: each seed draws a random query from a small grammar
+over the `events` table — grouped aggregations (sum/avg/min/max/count/
+stddev_pop/conditional sum, optional filters, modulo-bucketed keys) and
+window queries (lag-k, rolling rows-frame aggregates with deterministic
+(ts, event_id) ordering) — renders it BOTH as a Spark DataFrame plan and as
+DuckDB SQL, and diffs the results exactly (after the cross-engine `sround`
+rounding from spark_signals.parity on multi-row float aggregates).
+
+The grammar deliberately stays inside the reference's semantic envelope
+(SURVEY.md §2.3-2.4: trailing ROWS frames, lag, population stddev, CASE
+aggregates) so every failure is a real parity bug in an operator family the
+engine claims.
+
+Usage: python tools/fuzz_differential.py [sf_dir] [n_queries] [seed]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_signals.io.sources import read_table
+from spark_signals.parity import sround
+from tools.oracle_check import compare, duck_connection
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# (tag, spark agg builder, sql template, rounding dp or None for exact)
+AGGS = [
+    ("sum", lambda: F.sum("value"), "SUM(value)", 6),
+    ("avg", lambda: F.avg("value"), "AVG(value)", 6),
+    ("min", lambda: F.min("value"), "MIN(value)", None),
+    ("max", lambda: F.max("value"), "MAX(value)", None),
+    ("cnt", lambda: F.count("value"), "COUNT(value)", None),
+    ("sd", lambda: F.stddev_pop("value"), "STDDEV_POP(value)", 6),
+]
+
+
+def _sql_round(expr: str, dp: int | None) -> str:
+    if dp is None:
+        return expr
+    return f"floor(({expr}) * 1e{dp} + 0.5000001) / 1e{dp}"
+
+
+def gen_agg_query(rng: random.Random):
+    """Random grouped aggregation → (name, spark_builder, sql)."""
+    where_sql, sp_filters = [], []
+    if rng.random() < 0.6:
+        c = round(rng.uniform(10, 300), 2)
+        op = rng.choice(["<", ">="])
+        where_sql.append(f"value {op} {c}")
+        sp_filters.append(
+            (F.col("value") < c) if op == "<" else (F.col("value") >= c)
+        )
+    if rng.random() < 0.4:
+        types = sorted(rng.sample(EVENT_TYPES, rng.randint(2, 4)))
+        where_sql.append("event_type IN (%s)" % ", ".join(f"'{t}'" for t in types))
+        sp_filters.append(F.col("event_type").isin(types))
+
+    keys_sql, sp_keys = [], []
+    if rng.random() < 0.7:
+        keys_sql.append("event_type")
+        sp_keys.append(F.col("event_type"))
+    if rng.random() < 0.5:
+        k = rng.randint(2, 7)
+        keys_sql.append(f"user_id % {k} AS bucket")
+        sp_keys.append((F.col("user_id") % k).alias("bucket"))
+
+    n_aggs = rng.randint(1, 3)
+    picks = rng.sample(AGGS, n_aggs)
+    agg_sql, sp_aggs = [], []
+    for i, (tag, sp_fn, sql_tpl, dp) in enumerate(picks):
+        alias = f"a{i}_{tag}"
+        agg_sql.append(f"{_sql_round(sql_tpl, dp)} AS {alias}")
+        col = sp_fn()
+        if dp is not None:
+            col = sround(col, dp)
+        sp_aggs.append(col.alias(alias))
+    # conditional aggregate (A1-style CASE sum) sometimes
+    if rng.random() < 0.4:
+        c2 = round(rng.uniform(50, 250), 2)
+        agg_sql.append(
+            _sql_round(f"SUM(CASE WHEN value < {c2} THEN value * value ELSE 0.0 END)", 6)
+            + " AS a_case"
+        )
+        sp_aggs.append(
+            sround(
+                F.sum(F.when(F.col("value") < c2, F.col("value") * F.col("value")).otherwise(0.0)),
+                6,
+            ).alias("a_case")
+        )
+
+    sql = "SELECT "
+    sql += ", ".join(keys_sql + agg_sql)
+    sql += " FROM events"
+    if where_sql:
+        sql += " WHERE " + " AND ".join(where_sql)
+    if keys_sql:
+        sql += " GROUP BY " + ", ".join(k.split(" AS ")[0] for k in keys_sql)
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "events")
+        for f in sp_filters:
+            df = df.filter(f)
+        if sp_keys:
+            return df.groupBy(*sp_keys).agg(*sp_aggs)
+        return df.agg(*sp_aggs)
+
+    name = "agg[" + ",".join(t for t, *_ in picks) + (";grouped" if keys_sql else ";global") + "]"
+    return name, build, sql
+
+
+WINDOW_AGGS = [
+    ("ravg", lambda: F.avg("value"), "AVG(value)", 6),
+    ("rsum", lambda: F.sum("value"), "SUM(value)", 6),
+    ("rmin", lambda: F.min("value"), "MIN(value)", None),
+    ("rmax", lambda: F.max("value"), "MAX(value)", None),
+    ("rsd", lambda: F.stddev_pop("value"), "STDDEV_POP(value)", 6),
+]
+
+
+def gen_window_query(rng: random.Random):
+    """Random lag / trailing-rows-frame window query (SURVEY §2.3 shapes)."""
+    part = rng.choice(["user_id", "event_type"])
+    over_sql = f"PARTITION BY {part} ORDER BY ts, event_id"
+    w = Window.partitionBy(part).orderBy("ts", "event_id")
+
+    where_sql, sp_filter = "", None
+    if rng.random() < 0.4:
+        c = round(rng.uniform(10, 300), 2)
+        where_sql = f" WHERE value >= {c}"
+        sp_filter = F.col("value") >= c
+
+    if rng.random() < 0.4:
+        k = rng.randint(1, 5)
+        wcol = F.lag("value", k).over(w)
+        wsql = f"LAG(value, {k}) OVER ({over_sql})"
+        dp = None
+        tag = f"lag{k}"
+    else:
+        tag, sp_fn, sql_tpl, dp = rng.choice(WINDOW_AGGS)
+        frame = rng.randint(2, 80)
+        wcol = sp_fn().over(w.rowsBetween(-(frame - 1), 0))
+        wsql = (
+            f"{sql_tpl.split('(')[0]}(value) OVER ({over_sql} "
+            f"ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)"
+        )
+        tag = f"{tag}{frame}"
+    if dp is not None:
+        wcol = sround(wcol, dp)
+        wsql = _sql_round(wsql, dp)
+
+    sql = f"SELECT event_id, {wsql} AS wval FROM events{where_sql}"
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "events")
+        if sp_filter is not None:
+            df = df.filter(sp_filter)
+        return df.select("event_id", wcol.alias("wval"))
+
+    return f"win[{tag};{part}]", build, sql
+
+
+def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, verbose: bool = True):
+    """Run n random differential checks; returns list of (name, message) failures."""
+    rng = random.Random(seed)
+    con = duck_connection(sf_dir)
+    failures = []
+    for i in range(n):
+        gen = gen_window_query if rng.random() < 0.5 else gen_agg_query
+        name, build, sql = gen(rng)
+        try:
+            ok, msg = compare(name, build(spark, sf_dir), sql, con)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        if not ok:
+            failures.append((name, f"{msg} | sql: {sql}"))
+        if verbose:
+            print(f"[{'PASS' if ok else 'FAIL'}] #{i} {name}: {msg}")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+    from spark_signals.session import get_spark
+
+    spark = get_spark("fuzz-differential")
+    failures = run_fuzz(spark, sf_dir, n, seed)
+    print(f"\n{len(failures)} failures")
+    for name, msg in failures:
+        print(f"  {name}: {msg}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
