@@ -471,3 +471,124 @@ WITH p AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
+
+
+# ------------------------------------------------- cluster canonicalization
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` has columns (src, dst); ``vertices`` a single column ``id``.
+    Returns (id, comp) where comp = the minimum vertex id reachable.
+
+    Scale design: the driver loop is O(graph diameter) iterations (same
+    propagation scheme as GraphX/Pregel connectedComponents); each iteration
+    is one distributed join + min-aggregate keyed by vertex id. Near-dup
+    graphs are unions of small dense clusters, so diameter — and the
+    iteration count — stays tiny even at billions of docs. Lineage is
+    truncated per iteration (localCheckpoint; a reliable checkpoint dir at
+    cluster scale), so plans don't grow with iterations. The alternating
+    large-star/small-star variant (O(log n) rounds on adversarial chains)
+    is the documented upgrade path if diameters ever grow.
+    """
+    sym = edges.selectExpr("src", "dst").unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Near-dup *clusters*: MinHash-LSH pairs → connected components →
+    canonical survivor per cluster (min doc_id).
+
+    The operator a training-data pipeline actually runs downstream of
+    pairwise dedup: pairs (A,B),(B,C) must collapse to ONE kept document,
+    which needs the transitive closure, not the pair list. Output:
+    (doc_id, cluster_id, cluster_size, is_canonical) for every document —
+    filter ``is_canonical`` to materialize the deduplicated corpus.
+    """
+    pairs = dedup_minhash_lsh(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    verts = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(pairs, verts)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_shingle_docs()},
+sig AS (
+  SELECT doc_id,
+    list_transform(range(0, {NUM_HASHES}),
+      i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(list_slice(sig, b * {BAND_ROWS} + 1, b * {BAND_ROWS} + {BAND_ROWS}), '|')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+      >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS node, r.comp
+  FROM reach r JOIN edges e ON e.dst = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)"""

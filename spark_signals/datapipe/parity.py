@@ -51,6 +51,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup(_emb(spark, sf_dir))
 
@@ -99,6 +103,7 @@ DATAPIPE_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_round_jaccard(D.SQL_DEDUP_MINHASH)),
     "dedup_ngram_jaccard": (q_dedup_ngram, _sql_round_jaccard(D.SQL_DEDUP_NGRAM)),
     "dedup_simhash": (q_dedup_simhash, D.SQL_DEDUP_SIMHASH),
+    "dedup_clusters_canonical": (q_dedup_clusters, D.SQL_DEDUP_CLUSTERS),
     "embedding_cosine_neardup": (q_embedding_neardup, D.SQL_EMBEDDING_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),

@@ -172,3 +172,35 @@ def test_datapipe_registry_runs(spark, name):
 
     fn, _ = DATAPIPE_QUERIES[name]
     assert fn(spark, "/root/testdata/sf0.001").count() > 0
+
+
+# ------------------------------------------------ cluster canonicalization
+def test_connected_components_chain_triangle_singleton(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    triangle 10-11-12, singleton 99."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+    got = {r.id: r.comp for r in D.connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_dedup_clusters_collapses_transitive_pairs(spark):
+    """A~B and B~C but A!~C pairwise: the cluster must still be {A,B,C}
+    with exactly one canonical survivor."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma epsilon"),  # ~1
+        (3, base + "alpha beta zeta epsilon"),   # ~2, farther from 1
+        (4, "completely unrelated content about spark catalyst physical plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.dedup_clusters(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 4  # every doc labeled
+    assert by_id[1].cluster_id == by_id[2].cluster_id == by_id[3].cluster_id == 1
+    assert by_id[4].cluster_id == 4 and by_id[4].cluster_size == 1
+    assert [r.doc_id for r in out if r.is_canonical and r.cluster_id == 1] == [1]
+    assert by_id[1].cluster_size == 3
