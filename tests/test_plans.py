@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_signals.datapipe.dedup import dedup_exact, dedup_minhash_lsh
 from spark_signals.datapipe.similarity import ann_bruteforce_topk
@@ -117,3 +118,30 @@ def test_batch_paths_have_no_python_stages(spark, build):
     p = plan_str(build(spark))
     assert "EvalPython" not in p  # BatchEvalPython / ArrowEvalPython
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-location via bucketing: same key + same bucket count on both
+    sides ⇒ the equi-join plans with ZERO Exchange nodes (the write-once,
+    join-many layout SCALE.md claims for fact⋈fact joins)."""
+    from spark_signals.io.sinks import write_bucketed
+
+    ticks = load_ticks(spark, SF)
+    agg_a = ticks.groupBy("product_id").count()
+    agg_b = ticks.groupBy("product_id").agg(F.avg("price").alias("avg_price"))
+    write_bucketed(agg_a, "bkt_counts", str(tmp_path / "bkt_counts"), buckets=8)
+    write_bucketed(agg_b, "bkt_prices", str(tmp_path / "bkt_prices"), buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_counts").join(spark.table("bkt_prices"), "product_id")
+            p = plan_str(joined)
+            assert count_op(p, "Exchange") == 0
+            assert count_op(p, "SortMergeJoin") == 1
+            assert joined.count() == agg_a.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_counts")
+        spark.sql("DROP TABLE IF EXISTS bkt_prices")
