@@ -207,6 +207,8 @@ def run_streaming_job(
     cfg: EngineConfig | None = None,
     available_now: bool = True,
     dedupe: bool = False,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end streaming run: source → features → multi-sink fan-out.
 
@@ -215,7 +217,7 @@ def run_streaming_job(
     60s-checkpoint cadence of the reference.
     """
     cfg = cfg or EngineConfig()
-    ticks = read_tick_stream(spark, source_dir)
+    ticks = read_tick_stream(spark, source_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger)
     if dedupe:
         # dedup_tick_stream declares the watermark itself; re-declaring it
         # downstream is disallowed once multiple stateful operators chain
