@@ -139,12 +139,31 @@ def gen_window_query(rng: random.Random):
         where_sql = f" WHERE value >= {c}"
         sp_filter = F.col("value") >= c
 
-    if rng.random() < 0.4:
+    shape = rng.random()
+    if shape < 0.3:
         k = rng.randint(1, 5)
         wcol = F.lag("value", k).over(w)
         wsql = f"LAG(value, {k}) OVER ({over_sql})"
         dp = None
         tag = f"lag{k}"
+    elif shape < 0.5:
+        # W6 forward-fill: sparsify value with a CASE, then
+        # last_value IGNORE NULLS over unbounded preceding, seeded with 0
+        c = round(rng.uniform(50, 250), 2)
+        sparse_sql = f"CASE WHEN value < {c} THEN value END"
+        sparse = F.when(F.col("value") < c, F.col("value"))
+        wcol = F.coalesce(
+            F.last(sparse, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(0.0),
+        )
+        wsql = (
+            f"COALESCE(LAST_VALUE(({sparse_sql}) IGNORE NULLS) OVER ({over_sql} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)"
+        )
+        dp = None
+        tag = f"ffill{c}"
     else:
         tag, sp_fn, sql_tpl, dp = rng.choice(WINDOW_AGGS)
         frame = rng.randint(2, 80)
