@@ -73,6 +73,11 @@ def gen_agg_query(rng: random.Random):
         k = rng.randint(2, 7)
         keys_sql.append(f"user_id % {k} AS bucket")
         sp_keys.append((F.col("user_id") % k).alias("bucket"))
+    if rng.random() < 0.3:
+        # A1/A4 shape: event-time bucket aggregation (tumble analog)
+        unit = rng.choice(["hour", "day"])
+        keys_sql.append(f"date_trunc('{unit}', ts) AS tbucket")
+        sp_keys.append(F.date_trunc(unit, "ts").alias("tbucket"))
 
     n_aggs = rng.randint(1, 3)
     picks = rng.sample(AGGS, n_aggs)
@@ -188,13 +193,61 @@ def gen_window_query(rng: random.Random):
     return f"win[{tag};{part}]", build, sql
 
 
+def gen_join_query(rng: random.Random):
+    """J3/J4-shape: orders ⋈ customer (inner or left) with grouped
+    aggregates over the joined relation, dim side broadcast."""
+    how = rng.choice(["inner", "left"])
+    sql_join = "JOIN" if how == "inner" else "LEFT JOIN"
+    where_sql, sp_filter = "", None
+    if rng.random() < 0.5:
+        c = rng.choice(["'O'", "'F'", "'P'"])
+        where_sql = f" WHERE o_orderstatus = {c}"
+        sp_filter = F.col("o_orderstatus") == c.strip("'")
+
+    picks = rng.sample(
+        [
+            ("cnt", lambda: F.count("o_orderkey"), "COUNT(o_orderkey)", None),
+            ("sum", lambda: F.sum("o_totalprice"), "SUM(o_totalprice)", 2),
+            ("avg", lambda: F.avg("o_totalprice"), "AVG(o_totalprice)", 6),
+            ("max", lambda: F.max("o_totalprice"), "MAX(o_totalprice)", None),
+        ],
+        rng.randint(1, 3),
+    )
+    agg_sql, sp_aggs = [], []
+    for i, (tag, sp_fn, sql_tpl, dp) in enumerate(picks):
+        alias = f"j{i}_{tag}"
+        agg_sql.append(f"{_sql_round(sql_tpl, dp)} AS {alias}")
+        col = sp_fn()
+        if dp is not None:
+            col = sround(col, dp)
+        sp_aggs.append(col.alias(alias))
+
+    sql = (
+        "SELECT c_mktsegment, " + ", ".join(agg_sql)
+        + f" FROM customer {sql_join} orders ON c_custkey = o_custkey{where_sql}"
+        + " GROUP BY c_mktsegment"
+    )
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        customer = read_table(spark, sf_dir, "customer")
+        orders = read_table(spark, sf_dir, "orders")
+        df = customer.join(
+            orders, customer.c_custkey == orders.o_custkey, how
+        )
+        if sp_filter is not None:
+            df = df.filter(sp_filter)
+        return df.groupBy("c_mktsegment").agg(*sp_aggs)
+
+    return f"join[{how}{';filtered' if where_sql else ''}]", build, sql
+
+
 def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, verbose: bool = True):
     """Run n random differential checks; returns list of (name, message) failures."""
     rng = random.Random(seed)
     con = duck_connection(sf_dir)
     failures = []
     for i in range(n):
-        gen = gen_window_query if rng.random() < 0.5 else gen_agg_query
+        r = rng.random()
+        gen = gen_window_query if r < 0.4 else (gen_agg_query if r < 0.8 else gen_join_query)
         name, build, sql = gen(rng)
         try:
             ok, msg = compare(name, build(spark, sf_dir), sql, con)
