@@ -227,6 +227,60 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
 
 
+SESSION_GAP = "30 minutes"
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 beyond-parity: gap-based sessionization via Spark's native
+    ``session_window`` (30-min inactivity gap per user).
+
+    The reference uses tumbling windows only (SURVEY.md §2.8 T6), but
+    session windows are first-class in Spark batch AND Structured
+    Streaming, so the engine exposes them. The oracle reproduces the
+    semantics with the classic island detection (lag → new-session flag →
+    running sum); session_end = last event + gap, matching Spark's
+    definition exactly.
+
+    Scale: one shuffle on user_id; the session assembly is a merging
+    aggregation (map-side partial sessions merged in reduce) — the same
+    plan shape Spark uses for streaming session windows with watermark
+    state eviction.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), sround(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       floor((SUM(value)) * 1e6 + 0.5000001) / 1e6 AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+
 RELATIONAL_QUERIES = {
     "runs_listing_join_topn": (q_runs_listing, SQL_RUNS_LISTING),
     "strategy_summary_filter_agg": (q_strategy_summary, SQL_STRATEGY_SUMMARY),
@@ -236,4 +290,5 @@ RELATIONAL_QUERIES = {
     "pricing_summary_q1": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "segment_revenue_3way_join": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "nation_region_rollup": (q_nation_region_rollup, SQL_NATION_REGION_ROLLUP),
+    "session_window_per_user": (q_user_sessions, SQL_USER_SESSIONS),
 }
