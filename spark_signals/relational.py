@@ -281,6 +281,66 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid"""
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (p50/p95/p99) — the
+    SLO-style quantile reporting the reference's healthchecks imply
+    (BASELINE.md lag/staleness SLOs), as an exact single-pass aggregate.
+
+    Scale note: exact percentile shuffles all values per group (sort-based
+    aggregate). At 100 TB the drop-in scale path is
+    ``F.percentile_approx`` (t-digest sketch, map-side combinable,
+    rescan-free) — same call site, bounded error; the exact form stays the
+    correctness oracle at test scale.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        sround(F.percentile("value", 0.5), 6).alias("p50"),
+        sround(F.percentile("value", 0.95), 6).alias("p95"),
+        sround(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+  floor((quantile_cont(value, 0.5)) * 1e6 + 0.5000001) / 1e6 AS p50,
+  floor((quantile_cont(value, 0.95)) * 1e6 + 0.5000001) / 1e6 AS p95,
+  floor((quantile_cont(value, 0.99)) * 1e6 + 0.5000001) / 1e6 AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type"""
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 beyond-parity: 2h sliding window, 1h slide — each event lands in
+    exactly 2 epoch-aligned windows (Spark native ``window(col, w, s)``;
+    works unchanged under readStream + watermark).
+
+    The oracle expands the slide set (k ∈ {0,1} hour offsets from the
+    event's hour) — the standard relational emulation of sliding windows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), sround(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+WITH slides AS (SELECT unnest(range(0, 2)) AS k)
+SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start,
+       date_trunc('hour', ts) - k * INTERVAL 1 HOUR + INTERVAL 2 HOUR AS win_end,
+       count(*) AS n_events,
+       floor((SUM(value)) * 1e6 + 0.5000001) / 1e6 AS sum_value
+FROM events, slides
+GROUP BY 1, 2"""
+
+
 RELATIONAL_QUERIES = {
     "runs_listing_join_topn": (q_runs_listing, SQL_RUNS_LISTING),
     "strategy_summary_filter_agg": (q_strategy_summary, SQL_STRATEGY_SUMMARY),
@@ -291,4 +351,6 @@ RELATIONAL_QUERIES = {
     "segment_revenue_3way_join": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "nation_region_rollup": (q_nation_region_rollup, SQL_NATION_REGION_ROLLUP),
     "session_window_per_user": (q_user_sessions, SQL_USER_SESSIONS),
+    "value_percentiles_exact": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS),
 }
