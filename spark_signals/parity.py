@@ -450,6 +450,54 @@ FROM crossover_signals WHERE signal_type <> 'HOLD'"""
 )
 
 
+def q_breakout_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third registry strategy (Bollinger breakout) through the full
+    strategy contract — non-HOLD decisions, oracle-checked like sma_cross."""
+    from spark_signals.strategies.breakout import build_pipeline as bk_build
+
+    out = bk_build(_ticks(spark, sf_dir), CFG)
+    dec = out.signals_decisions.drop("metadata")
+    return _round_cols(dec, {"confidence": DP})
+
+
+_BK_UPPER = f"slow_sma + CAST(2.0 AS DOUBLE) * volatility"
+_BK_LOWER = f"slow_sma - CAST(2.0 AS DOUBLE) * volatility"
+
+SQL_BREAKOUT_SIGNALS = (
+    oracle.with_chain(CFG, upto="normalized")
+    + f""",
+bk AS (
+  SELECT product_id, event_time, sequence, mid_price, volatility,
+    AVG(mid_price) OVER (PARTITION BY product_id ORDER BY event_time, sequence
+      ROWS BETWEEN {CFG.sma_slow_window - 1} PRECEDING AND CURRENT ROW) AS slow_sma
+  FROM normalized_prices
+),
+bks AS (
+  SELECT *,
+    CASE WHEN mid_price > {_BK_UPPER} THEN CAST(1.0 AS DOUBLE)
+         WHEN mid_price < {_BK_LOWER} THEN CAST(-1.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS state
+  FROM bk
+),
+bkl AS (
+  SELECT *, LAG(state) OVER (PARTITION BY product_id ORDER BY event_time, sequence)
+            AS prev_state
+  FROM bks
+)
+SELECT '{CFG.strategy_run_id}' AS strategy_run_id,
+       product_id AS instrument_id,
+       event_time AS signal_time,
+       CASE WHEN state = 1.0 THEN 'LONG' ELSE 'SHORT' END AS signal_type,
+       state AS position,
+       floor((CASE WHEN volatility > 0
+              THEN ABS(mid_price - (CASE WHEN state > 0 THEN {_BK_UPPER}
+                                         ELSE {_BK_LOWER} END)) / volatility
+              ELSE CAST(0.0 AS DOUBLE) END) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence
+FROM bkl
+WHERE state <> 0.0 AND COALESCE(prev_state, CAST(0.0 AS DOUBLE)) <> state"""
+)
+
+
 PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "ticks_source": (q_ticks, SQL_TICKS),
     "normalized_prices": (q_normalized, SQL_NORMALIZED),
@@ -467,4 +515,5 @@ PIPELINE_QUERIES: dict[str, QuerySpec] = {
     "metrics_hourly_rollup": (q_hourly_rollup, SQL_HOURLY_ROLLUP),
     "union_live_replay": (q_union_replay, SQL_UNION_REPLAY),
     "replay_backtest_window": (q_replay_backtest, SQL_REPLAY_BACKTEST),
+    "breakout_band_signals": (q_breakout_signals, SQL_BREAKOUT_SIGNALS),
 }

@@ -23,6 +23,7 @@ from importlib import import_module
 STRATEGY_REGISTRY: dict[str, str] = {
     "sma_cross": "spark_signals.strategies.sma_cross",
     "ewma_zscore": "spark_signals.strategies.ewma_zscore",
+    "breakout": "spark_signals.strategies.breakout",
 }
 
 

@@ -158,3 +158,38 @@ def test_execution_latency_shift(spark):
     delta_ms = (ex.execution_time - ex.signal_time).total_seconds() * 1000
     cfg = CFG
     assert cfg.fill_latency_ms <= delta_ms <= cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
+
+
+# ------------------------------------------------------- breakout strategy
+def test_breakout_fires_on_band_exit_only(spark):
+    """Flat series inside the bands → no signals; a jump beyond
+    slow_sma + 2·vol fires exactly one LONG at the entering tick (the
+    in-band chop before it must not fire)."""
+    from spark_signals.strategies import get_strategy_module
+
+    mids = [100.0, 100.1] * 20 + [140.0, 140.0, 140.0]
+    out = get_strategy_module("breakout").build_pipeline(make_ticks(spark, mids), CFG)
+    dec = out.signals_decisions.collect()
+    assert [r.signal_type for r in dec] == ["LONG"]
+    # fires on the FIRST 140 tick (state enters +1 there)
+    assert dec[0].signal_time == make_ticks(spark, mids).collect()[40].event_time
+
+
+def test_breakout_short_on_lower_band_exit(spark):
+    from spark_signals.strategies import get_strategy_module
+
+    mids = [100.0, 100.1] * 20 + [60.0, 60.0]
+    out = get_strategy_module("breakout").build_pipeline(make_ticks(spark, mids), CFG)
+    dec = out.signals_decisions.collect()
+    assert [r.signal_type for r in dec] == ["SHORT"]
+
+
+def test_breakout_full_outputs_shape(spark):
+    """The third strategy drives the ENTIRE downstream machinery (fills,
+    costs, metrics) through the shared assemble_outputs contract."""
+    from spark_signals.strategies import get_strategy_module
+
+    mids = [100.0 + i * 0.5 for i in range(80)]
+    out = get_strategy_module("breakout").build_pipeline(make_ticks(spark, mids), CFG)
+    assert out.positions_costs.count() == 80
+    assert out.metrics.columns == build_pipeline(make_ticks(spark, mids), CFG).metrics.columns
