@@ -145,3 +145,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_counts")
         spark.sql("DROP TABLE IF EXISTS bkt_prices")
+
+
+def test_breakout_strategy_preserves_single_window_stage(spark):
+    """Strategy composition must not add shuffles: breakout's bands/state/
+    lag stack onto the same (product_id, time) window spec — still exactly
+    one Exchange + one Sort through positions_costs."""
+    from spark_signals.config import EngineConfig
+    from spark_signals.strategies import get_strategy_module
+
+    out = get_strategy_module("breakout").build_pipeline(load_ticks(spark, SF), EngineConfig())
+    p = plan_str(out.positions_costs)
+    assert count_op(p, "Exchange") == 1
+    assert count_op(p, "Sort") == 1
