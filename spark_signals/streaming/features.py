@@ -103,6 +103,67 @@ def _stddev_pop(values: list[float]) -> float:
 FRESH_STATE: tuple = ([], [], 0.0, False, 0.0, False)
 
 
+# ------------------------------------------------------------ signal rules
+# A rule is cfg -> step(mid, fast_sma, slow_sma, volatility, rule_state) ->
+# (signal_type, signal_position, confidence, new_rule_state). The
+# ``rule_state`` list rides in the STATE_SCHEMA ``spreads`` slot, so adding
+# a rule needs no state-schema migration. Each rule replays its batch
+# strategy's exact FP operation order — streaming stays bit-identical to
+# the corresponding batch plan for every registered strategy.
+
+
+def sma_rule(cfg: EngineConfig):
+    """Debounced SMA crossover (pipeline.sma_cross) — rule_state is the
+    trailing ``confirmation`` spread deque (W5's lag)."""
+    confirmation = cfg.confirmation
+
+    def step(mid, fast_sma, slow_sma, volatility, rule_state):
+        sig_spread = fast_sma - slow_sma
+        prev_spread = rule_state[-confirmation] if len(rule_state) >= confirmation else None
+        rule_state = rule_state + [sig_spread]
+        if len(rule_state) > confirmation:
+            rule_state = rule_state[-confirmation:]
+        signal_type = "HOLD"
+        signal_position = None
+        if prev_spread is not None:
+            if sig_spread > 0 and prev_spread <= 0:
+                signal_type, signal_position = "LONG", 1.0
+            elif sig_spread < 0 and prev_spread >= 0:
+                signal_type, signal_position = "SHORT", -1.0
+        return signal_type, signal_position, abs(sig_spread), rule_state
+
+    return step
+
+
+def breakout_rule(cfg: EngineConfig):
+    """Bollinger-band breakout (strategies.breakout) — rule_state is the
+    single previous band state [-1, 0, +1]."""
+    from spark_signals.strategies.breakout import K_BANDS
+
+    def step(mid, fast_sma, slow_sma, volatility, rule_state):
+        upper = slow_sma + K_BANDS * volatility
+        lower = slow_sma - K_BANDS * volatility
+        state = 1.0 if mid > upper else (-1.0 if mid < lower else 0.0)
+        prev = rule_state[0] if rule_state else 0.0
+        entering = state != 0.0 and prev != state
+        if entering:
+            signal_type = "LONG" if state == 1.0 else "SHORT"
+            signal_position = state
+            band = upper if state > 0 else lower
+            confidence = abs(mid - band) / volatility if volatility > 0 else 0.0
+        else:
+            signal_type, signal_position, confidence = "HOLD", None, 0.0
+        return signal_type, signal_position, confidence, [state]
+
+    return step
+
+
+STREAMING_RULES = {
+    "sma_cross": sma_rule,
+    "breakout": breakout_rule,
+}
+
+
 def prepare_batch(batch: pd.DataFrame, watermark_ms: int) -> pd.DataFrame:
     """Late-row drop + deterministic event-time order for one micro-batch.
 
@@ -121,17 +182,19 @@ def replay_batch(
     product_id: str,
     batch: pd.DataFrame,
     state_tuple: tuple,
+    rule=None,
 ) -> tuple[list[dict], tuple]:
     """Run the per-row accumulator replay over one prepared micro-batch.
 
     Shared core of both arbitrary-state operators (applyInPandasWithState
-    and transformWithStateInPandas) so they stay bit-identical. Returns
-    (output rows, new state tuple)."""
+    and transformWithStateInPandas) so they stay bit-identical. ``rule``
+    is a signal-rule step function (see STREAMING_RULES); None = the
+    default SMA crossover. Returns (output rows, new state tuple)."""
+    rule = rule or sma_rule(cfg)
     slow = cfg.sma_slow_window
     fast = cfg.sma_fast_window
     vol_w = cfg.volatility_window
     keep = max(slow, vol_w)
-    confirmation = cfg.confirmation
     tx_rate = cfg.transaction_cost_rate
     slip_base = cfg.slippage_rate
     slip_max = cfg.slippage_max_rate
@@ -141,9 +204,9 @@ def replay_batch(
     lat_hi = cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
     lat_vol = float(cfg.fill_latency_volatility_ms)
 
-    mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid = state_tuple
+    mids, rule_state, position, has_prev_pos, prev_mid, has_prev_mid = state_tuple
     mids = list(mids)
-    spreads = list(spreads)
+    rule_state = list(rule_state)
     out_rows: list[dict] = []
 
     for row in batch.itertuples(index=False):
@@ -162,20 +225,10 @@ def replay_batch(
         volatility = _stddev_pop(mids[-vol_w:])
         fast_sma = _running_avg(mids[-fast:])
         slow_sma = _running_avg(mids[-slow:])
-        sig_spread = fast_sma - slow_sma
 
-        prev_spread = spreads[-confirmation] if len(spreads) >= confirmation else None
-        spreads.append(sig_spread)
-        if len(spreads) > confirmation:
-            spreads = spreads[-confirmation:]
-
-        signal_type = "HOLD"
-        signal_position = None
-        if prev_spread is not None:
-            if sig_spread > 0 and prev_spread <= 0:
-                signal_type, signal_position = "LONG", 1.0
-            elif sig_spread < 0 and prev_spread >= 0:
-                signal_type, signal_position = "SHORT", -1.0
+        signal_type, signal_position, confidence, rule_state = rule(
+            mid, fast_sma, slow_sma, volatility, rule_state
+        )
 
         prev_position = position if has_prev_pos else None
         if signal_position is not None:
@@ -213,22 +266,24 @@ def replay_batch(
                 "trade_cost_rate": slippage_rate + tx_rate,
                 "fill_latency_ms": fill_latency,
                 "signal_type": signal_type,
-                "confidence": abs(sig_spread),
+                "confidence": confidence,
             }
         )
 
         prev_mid, has_prev_mid = mid, True
         has_prev_pos = True
 
-    return out_rows, (mids, spreads, position, has_prev_pos, prev_mid, has_prev_mid)
+    return out_rows, (mids, rule_state, position, has_prev_pos, prev_mid, has_prev_mid)
 
 
 def rows_to_frame(out_rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
 
-def make_feature_processor(cfg: EngineConfig):
-    """Build the applyInPandasWithState function for the given config."""
+def make_feature_processor(cfg: EngineConfig, strategy: str = "sma_cross"):
+    """Build the applyInPandasWithState function for the given config and
+    registered signal rule."""
+    rule = STREAMING_RULES[strategy](cfg)
 
     def process(
         key: tuple[Any, ...],
@@ -239,19 +294,25 @@ def make_feature_processor(cfg: EngineConfig):
         batch = prepare_batch(
             pd.concat(list(pdfs), ignore_index=True), state.getCurrentWatermarkMs()
         )
-        out_rows, new_state = replay_batch(cfg, key[0], batch, state_tuple)
+        out_rows, new_state = replay_batch(cfg, key[0], batch, state_tuple, rule)
         state.update(new_state)
         yield rows_to_frame(out_rows)
 
     return process
 
 
-def stateful_features(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """ticks (streaming or batch grouped) → positions_costs-parity rows."""
+def stateful_features(
+    ticks: DataFrame, cfg: EngineConfig, strategy: str = "sma_cross"
+) -> DataFrame:
+    """ticks (streaming or batch grouped) → positions_costs-parity rows.
+
+    ``strategy`` selects a STREAMING_RULES entry — the streaming analog of
+    the batch strategy registry; each rule is held to the same
+    bit-identical-to-batch gate as the default SMA crossover."""
     return (
         ticks.groupBy("product_id")
         .applyInPandasWithState(
-            make_feature_processor(cfg),
+            make_feature_processor(cfg, strategy),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

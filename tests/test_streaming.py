@@ -219,3 +219,42 @@ def test_run_streaming_job_dedupe(spark, tmp_path):
     t.unionAll(t).coalesce(1).write.parquet(src)
     run_streaming_job(spark, src, out, dedupe=True)
     assert spark.read.parquet(f"{out}/prices_normalized").count() == t.count()
+
+
+def test_streaming_breakout_rule_matches_batch_strategy(spark, tmp_path):
+    """Pluggable streaming rule: the breakout STREAMING_RULES entry must be
+    bit-identical to strategies.breakout's batch plan — positions/costs AND
+    the sparse signal set (type + confidence)."""
+    from spark_signals.strategies import get_strategy_module
+
+    cfg = EngineConfig()
+    src = str(tmp_path / "ticks_bk")
+    load_ticks(spark, SF).orderBy("event_time", "sequence").coalesce(1).write.parquet(src)
+    feats = stateful_features(
+        read_tick_stream(spark, src).withWatermark("event_time", cfg.watermark_delay),
+        cfg,
+        strategy="breakout",
+    )
+    got_df = _drain(feats, spark)
+    got = _sorted_rows(got_df, CHECK_COLS)
+
+    out = get_strategy_module("breakout").build_pipeline(load_ticks(spark, SF), cfg)
+    want = _sorted_rows(out.positions_costs, CHECK_COLS)
+    assert got == want
+
+    sig_cols = ["sequence", "signal_type", "confidence"]
+    got_sig = [
+        tuple(r)
+        for r in got_df.filter(got_df.signal_type != "HOLD")
+        .select(*sig_cols)
+        .orderBy("sequence")
+        .collect()
+    ]
+    want_sig = [
+        tuple(r)
+        for r in out.crossover_signals.filter("signal_type <> 'HOLD'")
+        .select(*sig_cols)
+        .orderBy("sequence")
+        .collect()
+    ]
+    assert got_sig == want_sig and len(got_sig) > 0
