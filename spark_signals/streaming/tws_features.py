@@ -44,6 +44,7 @@ from spark_signals.streaming.features import (
     FRESH_STATE,
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
+    STREAMING_RULES,
     prepare_batch,
     replay_batch,
     rows_to_frame,
@@ -58,9 +59,10 @@ class RollingFeatureProcessor(StatefulProcessor):
     tuple ``applyInPandasWithState`` keeps, so checkpointed semantics match.
     """
 
-    def __init__(self, cfg: EngineConfig, ttl_ms: int | None = None):
+    def __init__(self, cfg: EngineConfig, ttl_ms: int | None = None, strategy: str = "sma_cross"):
         self._cfg = cfg
         self._ttl_ms = ttl_ms
+        self._rule = STREAMING_RULES[strategy](cfg)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState("features", STATE_SCHEMA, self._ttl_ms)
@@ -76,7 +78,7 @@ class RollingFeatureProcessor(StatefulProcessor):
             pd.concat(list(rows), ignore_index=True),
             timerValues.getCurrentWatermarkInMs(),
         )
-        out_rows, new_state = replay_batch(self._cfg, key[0], batch, state_tuple)
+        out_rows, new_state = replay_batch(self._cfg, key[0], batch, state_tuple, self._rule)
         self._state.update(new_state)
         yield rows_to_frame(out_rows)
 
@@ -90,6 +92,7 @@ def stateful_features_tws(
     *,
     state_ttl_ms: int | None = 6 * 3600 * 1000,
     time_mode: str = "ProcessingTime",
+    strategy: str = "sma_cross",
 ) -> DataFrame:
     """ticks (streaming, watermarked) → positions_costs-parity rows.
 
@@ -100,7 +103,7 @@ def stateful_features_tws(
     ``time_mode="None"`` for unbounded state.
     """
     return ticks.groupBy("product_id").transformWithStateInPandas(
-        statefulProcessor=RollingFeatureProcessor(cfg, state_ttl_ms),
+        statefulProcessor=RollingFeatureProcessor(cfg, state_ttl_ms, strategy),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode=time_mode,
