@@ -133,6 +133,62 @@ def extract_features(media: DataFrame, target_frames: int = 8) -> DataFrame:
     return media.mapInPandas(process, FEATURE_SCHEMA)
 
 
+# DuckDB oracle for the stub feature pipeline: every stub feature (byte
+# length, md5 digest, first-64-byte checksum arithmetic, frame sampling,
+# first-32-byte norm) is exactly expressible over the same utf-8 payload.
+# Bytes are recovered from hex(content) via a 256-row printf lookup; the
+# integer sums and the final /255.0 division are exact IEEE, so no rounding
+# gate is needed.
+SQL_MEDIA_FEATURES = """
+WITH hexmap AS (
+    SELECT i, printf('%02X', i) AS h FROM range(0, 256) t(i)
+),
+media AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text AS txt,
+           encode(text) AS content
+    FROM documents
+),
+sized AS (
+    SELECT media_id, kind, txt,
+           octet_length(content) AS n_bytes,
+           upper(hex(content)) AS hx
+    FROM media
+),
+head_bytes AS (
+    SELECT s.media_id, p.p, m.i AS byte_val
+    FROM sized s
+    JOIN range(1, 65) p(p) ON p.p <= s.n_bytes
+    JOIN hexmap m ON m.h = substr(s.hx, 2 * p.p - 1, 2)
+),
+checks AS (
+    SELECT media_id,
+           SUM(byte_val) AS checksum64,
+           SUM(CASE WHEN p <= 32 THEN byte_val ELSE 0 END) AS checksum32
+    FROM head_bytes GROUP BY media_id
+)
+SELECT s.media_id,
+       s.kind,
+       CAST(s.n_bytes AS BIGINT) AS n_bytes,
+       md5(s.txt) AS content_digest,
+       CASE s.kind WHEN 'image' THEN CAST((COALESCE(c.checksum64, 0) % 64) + 1 AS INTEGER)
+                   WHEN 'video' THEN CAST((COALESCE(c.checksum64, 0) % 32) + 1 AS INTEGER)
+       END AS decoded_width,
+       CASE s.kind WHEN 'image' THEN CAST((s.n_bytes % 64) + 1 AS INTEGER)
+                   WHEN 'video' THEN CAST((s.n_bytes % 32) + 1 AS INTEGER)
+       END AS decoded_height,
+       CASE s.kind WHEN 'video' THEN CAST(LEAST((s.n_bytes % 300) + 1, 8) AS INTEGER)
+       END AS sampled_frames,
+       CASE WHEN s.n_bytes > 0
+            THEN CAST(COALESCE(c.checksum32, 0) AS DOUBLE) / CAST(255.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS feature_norm
+FROM sized s LEFT JOIN checks c USING (media_id)
+"""
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_signals.io.sources import read_table
 

@@ -81,12 +81,22 @@ def _sql_round_jaccard(sql: str) -> str:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/featurize plumbing (mapInPandas — not
-    SQL-expressible; driver records the rows-only check)."""
+    """Multimodal decode/featurize plumbing (mapInPandas). The stub codec's
+    features are deterministic byte arithmetic, so the full output is held
+    to the DuckDB oracle (SQL_MEDIA_FEATURES) like every other query."""
     from spark_signals.datapipe.multimodal import media_features
 
     return media_features(spark, sf_dir)
 
+
+def _load_oracle_sqls() -> tuple[str, str]:
+    from spark_signals.datapipe.multimodal import SQL_MEDIA_FEATURES
+    from spark_signals.strategies.ewma_zscore import oracle_sql
+
+    return SQL_MEDIA_FEATURES, oracle_sql()
+
+
+_SQL_MEDIA_FEATURES, _SQL_EWMA_STRATEGY = _load_oracle_sqls()
 
 DATAPIPE_QUERIES = {
     "text_stats_quality": (
@@ -108,10 +118,10 @@ DATAPIPE_QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
     "ann_lsh_hyperplane_pairs": (q_ann_lsh, SIM.SQL_ANN_LSH),
-    "multimodal_features": (q_media_features, None),
+    "multimodal_features": (q_media_features, _SQL_MEDIA_FEATURES),
     "ewma_zscore_strategy": (
         lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),
-        None,
+        _SQL_EWMA_STRATEGY,
     ),
 }
 
@@ -126,4 +136,7 @@ def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = get_strategy_module("ewma_zscore").build_pipeline(
         load_ticks(spark, sf_dir), EngineConfig(strategy_run_id="ewma-z")
     )
-    return out.signals_decisions
+    # metadata carries a double rendered as a string — cross-engine float
+    # formatting is not part of the parity contract here (P11 gates the
+    # SMA pipeline's metadata, whose fields are format-stable).
+    return out.signals_decisions.drop("metadata")

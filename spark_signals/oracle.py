@@ -269,8 +269,25 @@ metrics_enriched AS (
 
 
 def rollup_cte(cfg: EngineConfig) -> str:
+    # Round-before-aggregate parity doctrine: the inputs to the hourly
+    # AVG/MAX are themselves outputs of multi-row aggregates (sharpe built
+    # from avg/stddev of pnl), so they carry cross-engine ulp drift. Rounding
+    # them to the metrics-gate grid (dp=6 sharpe/sortino, dp=9 pnl-scale;
+    # parity.DP / parity.DP_PNL) BEFORE the outer aggregate makes both
+    # engines aggregate bit-identical grid values, and the 0.5000001 nudge in
+    # the outer rounding then absorbs sum-order drift. The Spark side of this
+    # pre-rounding lives in parity.q_hourly_rollup.
     assert cfg.rollup_window == "1 hour"
     return """
+metrics_rounded AS (
+    SELECT
+        strategy_run_id, window_label, metric_time, trades_executed,
+        floor(sharpe_ratio * 1e6 + 0.5000001) / 1e6 AS sharpe_ratio,
+        floor(sortino_ratio * 1e6 + 0.5000001) / 1e6 AS sortino_ratio,
+        floor(cumulative_return * 1e9 + 0.5000001) / 1e9 AS cumulative_return,
+        floor(drawdown * 1e9 + 0.5000001) / 1e9 AS drawdown
+    FROM metrics_enriched
+),
 hourly_rollup AS (
     SELECT
         strategy_run_id, window_label,
@@ -280,7 +297,7 @@ hourly_rollup AS (
         arg_max(cumulative_return, metric_time) AS cumulative_return_last,
         MAX(drawdown) AS max_drawdown,
         SUM(trades_executed) AS trades_executed_sum
-    FROM metrics_enriched
+    FROM metrics_rounded
     GROUP BY 1, 2, 3
 )"""
 

@@ -370,6 +370,19 @@ FROM metrics_enriched"""
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf, counts = _metrics_chain(spark, sf_dir)
     metr = M.metrics_enriched(perf, counts, CFG)
+    # Round-before-aggregate: the rollup AVG/MAX must consume the same
+    # dp-gridded values on both engines, else a ~ulp cross-engine drift in
+    # sharpe/sortino occasionally flips the outer rounding (the r01 flake).
+    # Mirrors oracle.rollup_cte's metrics_rounded CTE.
+    metr = _round_cols(
+        metr,
+        {
+            "sharpe_ratio": DP,
+            "sortino_ratio": DP,
+            "cumulative_return": DP_PNL,
+            "drawdown": DP_PNL,
+        },
+    )
     roll = R.hourly_rollup(metr, CFG)
     return _round_cols(
         roll,

@@ -79,6 +79,76 @@ def _ewma_signals(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def oracle_sql(run_id: str = "ewma-z") -> str:
+    """DuckDB oracle replaying the EWMA recursion exactly.
+
+    The recursion has no frame-based SQL equivalent, but it IS linearly
+    replayable: a recursive CTE advances one row per product per iteration
+    (rn → rn+1), computing the identical IEEE double sequence
+    ``d = x−m; m += α·d; v = (1−α)·(v + α·d·d)`` in the same operation
+    order as ``_ewma_signals``. Per-row ops are exactly rounded in both
+    engines, so z/confidence are bit-identical — no rounding gate needed.
+    Iteration count = max rows per product (~n/products), not n.
+    """
+    from spark_signals import oracle
+
+    cfg = EngineConfig(strategy_run_id=run_id)
+    a = "CAST(0.1 AS DOUBLE)"
+    return (
+        "WITH RECURSIVE "
+        + oracle.ticks_cte().strip().rstrip()
+        + ","
+        + oracle.normalized_cte(cfg).strip()
+        + f""",
+ewma_ordered AS (
+    SELECT product_id, event_time, CAST(sequence AS BIGINT) AS sequence,
+           mid_price AS x,
+           row_number() OVER (PARTITION BY product_id ORDER BY event_time, sequence) AS rn
+    FROM normalized_base
+),
+ewma_rec AS (
+    SELECT product_id, event_time, sequence, rn, x,
+           x AS m, CAST(0.0 AS DOUBLE) AS v
+    FROM ewma_ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.product_id, o.event_time, o.sequence, o.rn, o.x,
+           r.m + {a} * (o.x - r.m) AS m,
+           (CAST(1.0 AS DOUBLE) - {a}) * (r.v + {a} * (o.x - r.m) * (o.x - r.m)) AS v
+    FROM ewma_rec r
+    JOIN ewma_ordered o ON o.product_id = r.product_id AND o.rn = r.rn + 1
+),
+ewma_z AS (
+    SELECT *,
+           CASE WHEN v > CAST(0.0 AS DOUBLE) THEN (x - m) / sqrt(v)
+                ELSE CAST(0.0 AS DOUBLE) END AS z
+    FROM ewma_rec
+),
+ewma_prev AS (
+    SELECT *, COALESCE(LAG(z) OVER (PARTITION BY product_id ORDER BY rn),
+                       CAST(0.0 AS DOUBLE)) AS prev_z
+    FROM ewma_z
+),
+ewma_crossed AS (
+    SELECT *,
+           CASE WHEN z > CAST(2.0 AS DOUBLE) AND prev_z <= CAST(2.0 AS DOUBLE)
+                THEN CAST(-1.0 AS DOUBLE)
+                WHEN z < CAST(-2.0 AS DOUBLE) AND prev_z >= CAST(-2.0 AS DOUBLE)
+                THEN CAST(1.0 AS DOUBLE)
+           END AS signal_position
+    FROM ewma_prev
+)
+SELECT '{run_id}' AS strategy_run_id,
+       product_id AS instrument_id,
+       event_time AS signal_time,
+       CASE WHEN signal_position = CAST(1.0 AS DOUBLE) THEN 'LONG'
+            ELSE 'SHORT' END AS signal_type,
+       signal_position AS position,
+       ABS(z) AS confidence
+FROM ewma_crossed
+WHERE signal_position IS NOT NULL"""
+    )
+
+
 def build_pipeline(ticks: DataFrame, cfg: EngineConfig) -> PipelineOutputs:
     enriched = N.enriched_ticks(ticks, cfg)
     norm = enriched.select(

@@ -125,7 +125,15 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = stateful_features(
         ticks.withWatermark("event_time", CFG.watermark_delay), CFG
     )
-    roll = streaming_hourly_rollup(streaming_metrics(feats, CFG), CFG)
+    # Round-before-aggregate (same doctrine as parity.q_hourly_rollup): the
+    # 5-minute sums carry cross-engine ulp drift from partial-agg sum order,
+    # so grid them at dp=9 before the hourly SUM/MIN on BOTH engines — the
+    # oracle's metrics_rounded_s CTE mirrors this exactly.
+    metr5 = _round_cols(
+        streaming_metrics(feats, CFG),
+        {"cumulative_return": 9, "min_return": 9, "total_trade_cost": 9},
+    )
+    roll = streaming_hourly_rollup(metr5, CFG)
     table = _run_stream_to_table(spark, roll, "stream_rollup", "append")
     return _round_cols(
         table,
@@ -150,7 +158,15 @@ def _streaming_rollup_oracle() -> str:
     return (
         oracle.with_chain(CFG, upto="metrics")
         + """
-, hourly AS (
+, metrics_rounded_s AS (
+    SELECT
+        window_end, sample_size,
+        floor(cumulative_return * 1e9 + 0.5000001) / 1e9 AS cumulative_return,
+        floor(min_return * 1e9 + 0.5000001) / 1e9 AS min_return,
+        floor(total_trade_cost * 1e9 + 0.5000001) / 1e9 AS total_trade_cost
+    FROM performance_windows
+),
+hourly AS (
     SELECT
         time_bucket(INTERVAL '1 hour', window_end - INTERVAL 1 MICROSECOND) AS bucket,
         SUM(cumulative_return) AS cumulative_return_sum,
@@ -158,7 +174,7 @@ def _streaming_rollup_oracle() -> str:
         SUM(sample_size) AS sample_size_sum,
         SUM(total_trade_cost) AS total_trade_cost_sum,
         COUNT(*) AS n_windows
-    FROM performance_windows
+    FROM metrics_rounded_s
     GROUP BY 1
 ),
 wm AS (SELECT max(event_time) - INTERVAL 5 SECOND AS w FROM ticks)
