@@ -260,6 +260,7 @@ metrics_enriched AS (
         pw.volatility AS volatility,
         COALESCE(sc.trades_executed, 0) AS trades_executed,
         pw.avg_notional_exposure AS avg_exposure_notional,
+        pw.avg_unit_exposure,
         pw.total_trade_cost, pw.total_transaction_cost, pw.total_slippage_cost,
         pw.sample_size, pw.negative_samples
     FROM performance_windows pw

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from spark_signals import oracle
 from spark_signals.config import EngineConfig
 from spark_signals.io.sources import load_ticks
+from spark_signals.pipeline.jsonfmt import sql_fmt_fixed
 from spark_signals.pipeline import metrics as M
 from spark_signals.pipeline import normalize as N
 from spark_signals.pipeline import positions as P
@@ -109,15 +110,29 @@ FROM crossover_signals"""
 def q_signals_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
     sig = S.crossover_signals_enriched(enriched, CFG)
-    dec = S.signals_decisions(sig).drop("metadata")
+    # metadata is hash-gated (P11): the library emits it with canonical
+    # fixed-precision numerics (pipeline.jsonfmt), byte-identical to the
+    # oracle's concat-built JSON below.
+    dec = S.signals_decisions(sig)
     return _round_cols(dec, {"confidence": DP})
 
+
+_META_SIGNALS = (
+    """'{"fast_sma":"' || """
+    + sql_fmt_fixed("fast_sma", 6)
+    + """ || '","slow_sma":"' || """
+    + sql_fmt_fixed("slow_sma", 6)
+    + """ || '","spread":"' || """
+    + sql_fmt_fixed("spread", 6)
+    + f""" || '","confirmation_window":"{CFG.confirmation}","execution_mode":"{CFG.execution_mode}"}}'"""
+)
 
 SQL_SIGNALS_DECISIONS = (
     oracle.with_chain(CFG, upto="signals")
     + f"""
 SELECT strategy_run_id, instrument_id, signal_time, signal_type, position,
-       floor((confidence) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence
+       floor((confidence) * 1e{DP} + 0.5000001) / 1e{DP} AS confidence,
+       {_META_SIGNALS} AS metadata
 FROM crossover_signals WHERE signal_type <> 'HOLD'"""
 )
 
@@ -191,11 +206,17 @@ FROM positions_costs"""
 
 
 def q_executions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = P.executions(_costs(spark, sf_dir), CFG).drop("metadata")
+    ex = P.executions(_costs(spark, sf_dir), CFG)
     return _round_cols(
         ex, {"execution_price": DP, "transaction_cost": DP_PNL, "slippage_cost": DP_PNL}
     )
 
+
+_META_EXECUTIONS = (
+    """'{"fill_latency_ms":"' || CAST(fill_latency_ms AS VARCHAR) || '","slippage_rate":"' || """
+    + sql_fmt_fixed("slippage_rate", 9)
+    + f""" || '","execution_mode":"{CFG.execution_mode}"}}'"""
+)
 
 SQL_EXECUTIONS = (
     oracle.with_chain(CFG, upto="positions")
@@ -204,6 +225,7 @@ SELECT '{CFG.strategy_run_id}' AS strategy_run_id, product_id, sequence,
        event_time AS signal_time,
        event_time + to_milliseconds(fill_latency_ms) AS execution_time,
        position_change,
+       {_META_EXECUTIONS} AS metadata,
        floor((CASE WHEN position_change > 0 THEN mid_price * (1 + slippage_rate)
                   WHEN position_change < 0 THEN mid_price * (1 - slippage_rate)
                   ELSE mid_price END) * 1e{DP} + 0.5000001) / 1e{DP} AS execution_price,
@@ -215,17 +237,26 @@ FROM positions_costs WHERE position_change <> 0"""
 
 
 def q_position_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = P.position_transitions(_costs(spark, sf_dir), CFG).drop("metadata")
+    tr = P.position_transitions(_costs(spark, sf_dir), CFG)
     return _round_cols(
         tr, {"transaction_cost": DP_PNL, "slippage_cost": DP_PNL, "trade_cost": DP_PNL}
     )
 
+
+_META_TRANSITIONS = (
+    """'{"prev_position":"' || """
+    + sql_fmt_fixed("COALESCE(prev_position, CAST(0.0 AS DOUBLE))", 1)
+    + f""" || '","transaction_cost_bps":"{CFG.transaction_cost_bps}","slippage_bps":"{CFG.slippage_bps}","effective_slippage_rate":"' || """
+    + sql_fmt_fixed("slippage_rate", 9)
+    + f""" || '","execution_mode":"{CFG.execution_mode}"}}'"""
+)
 
 SQL_POSITION_TRANSITIONS = (
     oracle.with_chain(CFG, upto="positions")
     + f"""
 SELECT '{CFG.strategy_run_id}' AS strategy_run_id, product_id, event_time, sequence,
        position, position_change,
+       {_META_TRANSITIONS} AS metadata,
        floor((ABS(position_change) * mid_price * transaction_cost_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL}
            AS transaction_cost,
        floor((ABS(position_change) * mid_price * slippage_rate) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS slippage_cost,
@@ -344,14 +375,29 @@ _METRICS_ROUND = {
 
 def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf, counts = _metrics_chain(spark, sf_dir)
-    metr = M.metrics_enriched(perf, counts, CFG).drop("metadata")
+    metr = M.metrics_enriched(perf, counts, CFG)
     return _round_cols(metr, _METRICS_ROUND)
 
+
+_META_METRICS = (
+    """'{"sample_size":"' || CAST(sample_size AS VARCHAR)
+    || '","negative_samples":"' || CAST(negative_samples AS VARCHAR)
+    || '","average_unit_exposure":"' || """
+    + sql_fmt_fixed("avg_unit_exposure", 6)
+    + """ || '","total_trade_cost":"' || """
+    + sql_fmt_fixed("total_trade_cost", 9)
+    + """ || '","total_transaction_cost":"' || """
+    + sql_fmt_fixed("total_transaction_cost", 9)
+    + """ || '","total_slippage_cost":"' || """
+    + sql_fmt_fixed("total_slippage_cost", 9)
+    + f""" || '","execution_mode":"{CFG.execution_mode}"}}'"""
+)
 
 SQL_METRICS = (
     oracle.with_chain(CFG, upto="metrics")
     + f"""
 SELECT strategy_run_id, window_start, metric_time, window_label,
+       {_META_METRICS} AS metadata,
        floor((sharpe_ratio) * 1e{DP} + 0.5000001) / 1e{DP} AS sharpe_ratio,
        floor((sortino_ratio) * 1e{DP} + 0.5000001) / 1e{DP} AS sortino_ratio,
        floor((cumulative_return) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS cumulative_return,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
+from spark_signals.pipeline import jsonfmt as J
 
 
 def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -128,10 +129,10 @@ def metrics_enriched(
         F.struct(
             F.col("sample_size").cast("string").alias("sample_size"),
             F.col("negative_samples").cast("string").alias("negative_samples"),
-            F.col("avg_unit_exposure").cast("string").alias("average_unit_exposure"),
-            F.col("total_trade_cost").cast("string").alias("total_trade_cost"),
-            F.col("total_transaction_cost").cast("string").alias("total_transaction_cost"),
-            F.col("total_slippage_cost").cast("string").alias("total_slippage_cost"),
+            J.fmt_fixed(F.col("avg_unit_exposure"), 6).alias("average_unit_exposure"),
+            J.fmt_fixed(F.col("total_trade_cost"), 9).alias("total_trade_cost"),
+            J.fmt_fixed(F.col("total_transaction_cost"), 9).alias("total_transaction_cost"),
+            J.fmt_fixed(F.col("total_slippage_cost"), 9).alias("total_slippage_cost"),
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_signals.config import EngineConfig
+from spark_signals.pipeline import jsonfmt as J
 from spark_signals.pipeline.normalize import tick_window
 
 
@@ -202,7 +203,7 @@ def executions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     metadata = F.to_json(
         F.struct(
             F.col("fill_latency_ms").cast("string").alias("fill_latency_ms"),
-            F.col("slippage_rate").cast("string").alias("slippage_rate"),
+            J.fmt_fixed(F.col("slippage_rate"), 9).alias("slippage_rate"),
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
     )
@@ -231,10 +232,10 @@ def position_transitions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     chg = F.col("position_change")
     metadata = F.to_json(
         F.struct(
-            F.coalesce(F.col("prev_position"), F.lit(0.0)).cast("string").alias("prev_position"),
+            J.fmt_fixed(F.coalesce(F.col("prev_position"), F.lit(0.0)), 1).alias("prev_position"),
             F.lit(str(cfg.transaction_cost_bps)).alias("transaction_cost_bps"),
             F.lit(str(cfg.slippage_bps)).alias("slippage_bps"),
-            F.col("slippage_rate").cast("string").alias("effective_slippage_rate"),
+            J.fmt_fixed(F.col("slippage_rate"), 9).alias("effective_slippage_rate"),
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
     )

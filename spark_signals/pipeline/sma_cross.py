@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
+from spark_signals.pipeline import jsonfmt as J
 from spark_signals.pipeline.normalize import tick_window
 
 
@@ -52,12 +53,13 @@ def crossover_signals(sma: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.when(long_cond, F.lit(1.0)).when(short_cond, F.lit(-1.0)).otherwise(F.lit(0.0))
     )
     # JSON_OBJECT key order (reference: sma_cross.py:166-172) is preserved by
-    # struct field order inside to_json.
+    # struct field order inside to_json; numeric fields use the canonical
+    # fixed-precision serialization (jsonfmt) so the string is hash-gateable.
     metadata = F.to_json(
         F.struct(
-            F.col("fast_sma").cast("string").alias("fast_sma"),
-            F.col("slow_sma").cast("string").alias("slow_sma"),
-            F.col("spread").cast("string").alias("spread"),
+            J.fmt_fixed(F.col("fast_sma"), 6).alias("fast_sma"),
+            J.fmt_fixed(F.col("slow_sma"), 6).alias("slow_sma"),
+            J.fmt_fixed(F.col("spread"), 6).alias("spread"),
             F.lit(str(cfg.confirmation)).alias("confirmation_window"),
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
@@ -92,9 +94,9 @@ def crossover_signals_enriched(enriched: DataFrame, cfg: EngineConfig) -> DataFr
     )
     metadata = F.to_json(
         F.struct(
-            F.col("fast_sma").cast("string").alias("fast_sma"),
-            F.col("slow_sma").cast("string").alias("slow_sma"),
-            F.col("sig_spread").cast("string").alias("spread"),
+            J.fmt_fixed(F.col("fast_sma"), 6).alias("fast_sma"),
+            J.fmt_fixed(F.col("slow_sma"), 6).alias("slow_sma"),
+            J.fmt_fixed(F.col("sig_spread"), 6).alias("spread"),
             F.lit(str(cfg.confirmation)).alias("confirmation_window"),
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
