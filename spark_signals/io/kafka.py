@@ -18,6 +18,48 @@ from pyspark.sql import functions as F
 from spark_signals.config import EngineConfig
 from spark_signals.io.sources import PRICES_RAW_SCHEMA
 
+# The wire contract for every JSON topic: ISO-8601 timestamps, microsecond
+# precision, explicit UTC 'Z' (reference __main__.py:80-94,
+# json.timestamp-format.standard=ISO-8601). Spark's default JSON
+# timestampFormat truncates to milliseconds, which would silently lose the
+# microsecond component of tick event times on a broker round-trip — so the
+# format is pinned here and used by BOTH the sink encoder and the source
+# decoder. tests/test_kafka_contract.py holds parse(encode(x)) == x and
+# golden bytes against this contract.
+ISO8601_US = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_JSON_OPTS = {"timestampFormat": ISO8601_US}
+
+
+def encode_json_value(df: DataFrame, key_column: str | None = "product_id") -> DataFrame:
+    """The exact (key, value) projection every Kafka sink writes: value is
+    the row as a JSON object (field order = column order, null fields
+    omitted), key is the optional partitioning column as bytes."""
+    cols = [
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]), _JSON_OPTS).alias("value")
+    ]
+    if key_column and key_column in df.columns:
+        cols.insert(0, F.col(key_column).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def decode_tick_payloads(payloads: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """The exact decode the Kafka tick source applies to `value` bytes:
+    schema-enforced from_json (malformed payloads null out), NOT NULL
+    contract columns filtered — reproducing the reference's
+    `json.ignore-parse-errors=true` drop semantics (__main__.py:51-74)."""
+    cfg = cfg or EngineConfig()
+    parsed = payloads.select(
+        F.from_json(F.col("value").cast("string"), PRICES_RAW_SCHEMA, _JSON_OPTS).alias("r")
+    ).select("r.*")
+    out = parsed.filter(
+        F.col("product_id").isNotNull()
+        & F.col("price").isNotNull()
+        & F.col("event_time").isNotNull()
+    )
+    if out.isStreaming:
+        out = out.withWatermark("event_time", cfg.watermark_delay)
+    return out
+
 
 def read_kafka_ticks(
     spark: SparkSession,
@@ -46,14 +88,7 @@ def read_kafka_ticks(
     else:
         reader = reader.option("startingOffsets", starting_offsets)
     raw = reader.load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), PRICES_RAW_SCHEMA).alias("r")
-    ).select("r.*")
-    return parsed.filter(
-        F.col("product_id").isNotNull()
-        & F.col("price").isNotNull()
-        & F.col("event_time").isNotNull()
-    ).withWatermark("event_time", cfg.watermark_delay)
+    return decode_tick_payloads(raw, cfg)
 
 
 def kafka_json_sink(
@@ -63,13 +98,10 @@ def kafka_json_sink(
     checkpoint: str,
     key_column: str | None = "product_id",
 ):
-    """S2-S4 — JSON-encoded Kafka sink writer (ISO-8601 timestamps come free
-    from to_json's default timestamp formatting)."""
-    cols = [F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")]
-    if key_column and key_column in df.columns:
-        cols.insert(0, F.col(key_column).cast("string").alias("key"))
+    """S2-S4 — JSON-encoded Kafka sink writer (pinned ISO-8601 µs timestamp
+    contract; see encode_json_value / ISO8601_US)."""
     return (
-        df.select(*cols)
+        encode_json_value(df, key_column)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
