@@ -46,6 +46,22 @@ def normalized_base(ticks: DataFrame) -> DataFrame:
     )
 
 
+def _rolling_features(w, cfg: EngineConfig):
+    """The shared rolling-feature expressions over a window spec ``w`` —
+    factored so the single-key plan (enriched_ticks) and the skew-re-keyed
+    plan (enriched_ticks_rekeyed) compute literally the same expressions."""
+    prev_mid = F.lag("mid_price").over(w)
+    vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
+    returns = (
+        F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
+        .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
+    )
+    volatility = F.stddev_pop("mid_price").over(vol_frame)
+    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
+    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
+    return returns, volatility, fast, slow
+
+
 def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """All per-tick window-derived columns in ONE window stage.
 
@@ -58,10 +74,7 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """
     w = tick_window(cfg)
     base = normalized_base(ticks)
-    prev_mid = F.lag("mid_price").over(w)
-    vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
-    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
-    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
+    returns, volatility, fast, slow = _rolling_features(w, cfg)
     df = base.select(
         "product_id",
         "event_time",
@@ -69,15 +82,99 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
         "mid_price",
         "best_bid",
         "best_ask",
-        F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
-        .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
-        .alias("returns"),
-        F.stddev_pop("mid_price").over(vol_frame).alias("volatility"),
+        returns.alias("returns"),
+        volatility.alias("volatility"),
         fast.alias("fast_sma"),
         slow.alias("slow_sma"),
     )
     df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
     return df.withColumn("prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w))
+
+
+def lookback_rows(cfg: EngineConfig) -> int:
+    """Rows of history any feature in the stage can reach: the confirmation
+    lag chains onto the deepest rolling frame."""
+    return cfg.confirmation + max(cfg.volatility_window, cfg.sma_slow_window)
+
+
+def enriched_ticks_rekeyed(
+    ticks: DataFrame, cfg: EngineConfig, bucket: str = "DAY"
+) -> DataFrame:
+    """The hot-key scale lever: enriched_ticks re-keyed on (product_id,
+    time-bucket) with lookback carry, so one pathological instrument (BTC)
+    no longer serializes on a single task.
+
+    The per-key window stage is sequential by semantics (Flink shares the
+    property), so parallelism is bounded by key cardinality. Re-keying on
+    symbol×day multiplies the key space by the day count; to keep rolling
+    frames exact across bucket boundaries, the last ``lookback_rows(cfg)``
+    rows of each key's bucket are replicated into that key's NEXT bucket
+    (skipping empty buckets), features are computed on the finer key, and
+    the carry rows are dropped after. Every frame then sees the identical
+    ordered predecessor rows as the global plan, so the output is
+    bit-identical — asserted by tests/test_skew_rekey.py.
+
+    Contract: each (product_id, bucket) with a successor must hold at least
+    ``lookback_rows(cfg)`` rows (one bucket of carry is chained, not a
+    recursive history). That always holds in the hot-key regime this lever
+    exists for; sparse keys should stay on the single-key plan — at scale
+    you route keys by observed cardinality.
+
+    Cost: one extra shuffle of the tiny tail relation (≤ L rows per
+    key-bucket) plus the bucket-list window; the body shuffles once on the
+    finer key, same as the single-key plan shuffles once on the coarse key.
+    """
+    L = lookback_rows(cfg)
+    base = normalized_base(ticks).withColumn(
+        "bucket_ts", F.date_trunc(bucket, F.col("event_time"))
+    )
+
+    # last L rows of each (product, bucket), candidates to carry forward
+    w_desc = Window.partitionBy("product_id", "bucket_ts").orderBy(
+        F.desc("event_time"), F.desc("sequence")
+    )
+    tail = (
+        base.withColumn("_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rn") <= L)
+        .drop("_rn")
+    )
+    # route each bucket's tail to the key's next non-empty bucket
+    buckets = base.select("product_id", "bucket_ts").distinct()
+    w_next = Window.partitionBy("product_id").orderBy("bucket_ts")
+    nxt = buckets.withColumn("_next", F.lead("bucket_ts").over(w_next)).filter(
+        F.col("_next").isNotNull()
+    )
+    carry = (
+        tail.join(nxt, ["product_id", "bucket_ts"], "inner")
+        .withColumn("bucket_ts", F.col("_next"))
+        .drop("_next")
+        .withColumn("_carry", F.lit(1))
+    )
+
+    allrows = base.withColumn("_carry", F.lit(0)).unionByName(carry)
+    w_fine = Window.partitionBy("product_id", "bucket_ts").orderBy(
+        "event_time", "sequence"
+    )
+    returns, volatility, fast, slow = _rolling_features(w_fine, cfg)
+    df = allrows.select(
+        "product_id",
+        "event_time",
+        "sequence",
+        "mid_price",
+        "best_bid",
+        "best_ask",
+        returns.alias("returns"),
+        volatility.alias("volatility"),
+        fast.alias("fast_sma"),
+        slow.alias("slow_sma"),
+        "bucket_ts",
+        "_carry",
+    )
+    df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
+    df = df.withColumn(
+        "prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w_fine)
+    )
+    return df.filter(F.col("_carry") == 0).drop("_carry", "bucket_ts")
 
 
 def normalized_prices(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
