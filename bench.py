@@ -53,20 +53,28 @@ def main() -> None:
     # measure the plan, not executor spin-up
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # two passes per query, report the best: pass 1 absorbs JIT/codegen/
-    # shuffle-file warmup (and most of this host's noisy-neighbor variance),
-    # pass 2 measures steady-state throughput
+    # N passes per query: pass 1 absorbs JIT/codegen/shuffle-file warmup,
+    # later passes measure steady state. Report best (the throughput claim)
+    # AND median + a noise ratio, so a single noisy-neighbor spike on this
+    # host (same query measured 3s..46s across runs) is visible as noise
+    # instead of masquerading as a regression.
+    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(passes):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
+    noise = round((total_median - total) / total, 3) if total else 0.0
     print(
         json.dumps(
             {
@@ -74,6 +82,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "suite_median": total_median,
+                "noise_ratio": noise,
+                "passes": passes,
                 "sf": float(sf),
             }
         )

@@ -263,8 +263,10 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_USER_SESSIONS = """
 WITH g AS (
   SELECT user_id, ts, value,
+    -- >= not >: Spark session windows are half-open [t, t+gap), so an event
+    -- arriving exactly gap-after the previous one starts a NEW session
     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_s
   FROM events
 ), s AS (

@@ -63,7 +63,9 @@ def _ewma_signals(pdf: pd.DataFrame) -> pd.DataFrame:
         v = (1.0 - ALPHA) * (v + ALPHA * d * d)
         mean[i] = m
         var[i] = v
-    z = np.where(var > 0, (x - mean) / np.sqrt(var), 0.0)
+    z = np.zeros(n)
+    ok = var > 0
+    np.divide(x - mean, np.sqrt(var, where=ok, out=np.ones(n)), where=ok, out=z)
     prev_z = np.concatenate(([0.0], z[:-1]))
     sig = np.full(n, np.nan)
     sig[(z > Z_ENTER) & (prev_z <= Z_ENTER)] = -1.0

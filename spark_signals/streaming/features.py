@@ -174,7 +174,12 @@ def prepare_batch(batch: pd.DataFrame, watermark_ms: int) -> pd.DataFrame:
     """
     if watermark_ms > 0:
         batch = batch[batch["event_time"].astype("int64") // 1_000_000 >= watermark_ms]
-    return batch.sort_values(["event_time", "sequence"], kind="mergesort")
+    # na_position='first' matches the batch window spec's ascending NULLS
+    # FIRST ordering — a null-sequence tick must replay in the same slot as
+    # the batch plan or every downstream accumulator diverges
+    return batch.sort_values(
+        ["event_time", "sequence"], kind="mergesort", na_position="first"
+    )
 
 
 def replay_batch(

@@ -157,8 +157,17 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_signals.pipeline import positions as P
+
         batch_df.persist()
         try:
+            # the feature stream is positions_costs-shaped, so the batch sink
+            # projections apply verbatim — streaming and batch modes write
+            # the SAME schema to the shared sink names (executions and
+            # transitions include the P11 metadata). One deliberate gap:
+            # streaming signals_decisions carries no metadata column —
+            # the SMA values it would embed are rule-internal accumulator
+            # state, not part of the feature-stream contract.
             sinks = {
                 "prices_normalized": batch_df.select(
                     "product_id", "event_time", "sequence", "mid_price",
@@ -171,15 +180,11 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
                     F.col("product_id").alias("instrument_id"),
                     F.col("event_time").alias("signal_time"),
                     "signal_type",
+                    F.col("position"),
                     "confidence",
                 ),
-                "strategy_positions": batch_df.filter(
-                    F.col("prev_position").isNull()
-                    | (F.col("position") != F.col("prev_position"))
-                ).select(
-                    "product_id", "event_time", "position", "position_change",
-                    "mid_price", "slippage_rate", "trade_cost_rate",
-                ),
+                "strategy_executions": P.executions(batch_df, cfg),
+                "strategy_positions": P.position_transitions(batch_df, cfg),
             }
             for name, df in sinks.items():
                 # partition by batch id + dynamic partition overwrite: a

@@ -204,3 +204,27 @@ def test_dedup_clusters_collapses_transitive_pairs(spark):
     assert by_id[4].cluster_id == 4 and by_id[4].cluster_size == 1
     assert [r.doc_id for r in out if r.is_canonical and r.cluster_id == 1] == [1]
     assert by_id[1].cluster_size == 3
+
+
+def test_dedup_releases_shared_caches(spark):
+    """The shared shingle/signature relations are pinned only for the
+    duration of the call: the leak class (r01 verdict) was persist() entries
+    that stayed pinned as long as the caller held the result DataFrame,
+    accumulating executor memory across calls in a long-lived session. With
+    the eager-materialize-then-unpersist lifecycle, the CacheManager must be
+    empty the moment the operator returns — even while results are alive and
+    re-consumable. (The checkpoint backing the result is RDD-level storage,
+    GC-managed by the ContextCleaner, and never registers here.)"""
+    spark.catalog.clearCache()  # isolate from other tests' session caches
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+
+    texts = [f"tok{i} " * 30 + ("shared suffix words " * 5) for i in range(40)]
+    df = docs_df(spark, texts)
+    results = []
+    for fn in (D.dedup_minhash_lsh, D.dedup_ngram_jaccard):
+        res = fn(df)
+        results.append(res)
+        assert cache_mgr.isEmpty(), fn.__name__
+    # results stay correct and re-consumable after the caches are gone
+    for res in results:
+        assert res.count() == res.count()
