@@ -29,6 +29,7 @@ HEADLINE = [
     # relational
     "pricing_summary_q1",
     "segment_revenue_3way_join",
+    "segment_revenue_bucketed",
     "runs_listing_join_topn",
     # data-pipeline
     "text_stats_quality",

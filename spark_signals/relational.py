@@ -198,6 +198,50 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderstatus"""
 
 
+def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
+    """Build-once bucketed copies of the two fact tables, co-located on the
+    order key (write-once, join-many amortization — io.sinks.write_bucketed).
+    Rebuilt only when absent from the session catalog; the data lives under
+    the system temp dir keyed by scale factor."""
+    import os
+    import tempfile
+
+    from spark_signals.io.sinks import write_bucketed
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_t, od_t = f"lineitem_bkt_{key}", f"orders_bkt_{key}"
+    if not (spark.catalog.tableExists(li_t) and spark.catalog.tableExists(od_t)):
+        base = os.path.join(tempfile.gettempdir(), f"spark_signals_bkt_{key}")
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem"), li_t,
+            os.path.join(base, "lineitem"), key="l_orderkey",
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "orders"), od_t,
+            os.path.join(base, "orders"), key="o_orderkey",
+        )
+    return spark.table(li_t), spark.table(od_t)
+
+
+def q_segment_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment_revenue over co-located bucketed fact tables: the fact⋈fact
+    join runs with ZERO exchanges (both sides pre-hashed on the order key;
+    tests/test_plans.py asserts it), leaving the group-by as the query's
+    only shuffle. This is the nightly-join shape at 100 TB: pay the bucket
+    shuffle once at ingest, join shuffle-free forever after. Same oracle as
+    the scan-based form — identical results, different physical plan."""
+    li, orders = _bucketed_order_tables(spark, sf_dir)
+    customer = read_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return agg.withColumn("revenue", sround(F.col("revenue"), 2))
+
+
 def q_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-chained snowflake join: supplier ⋈ nation ⋈ region with
     grouped account-balance stats (A6-style control-plane counting)."""
@@ -351,6 +395,7 @@ RELATIONAL_QUERIES = {
     "topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "pricing_summary_q1": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "segment_revenue_3way_join": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "segment_revenue_bucketed": (q_segment_revenue_bucketed, SQL_SEGMENT_REVENUE),
     "nation_region_rollup": (q_nation_region_rollup, SQL_NATION_REGION_ROLLUP),
     "session_window_per_user": (q_user_sessions, SQL_USER_SESSIONS),
     "value_percentiles_exact": (q_value_percentiles, SQL_VALUE_PERCENTILES),

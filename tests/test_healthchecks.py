@@ -53,3 +53,61 @@ def test_producer_thresholds(hb_age, queue, healthy):
 
 def test_producer_requires_heartbeat():
     assert evaluate_producer(None, 0, now=NOW).healthy is False
+
+
+def test_monitor_sweeps_live_query(spark, tmp_path):
+    """End-to-end: a live StreamingQuery registered with the monitor reports
+    healthy while running, unhealthy after stop — the cron-script loop the
+    reference runs, wired to real query handles."""
+    import time
+
+    from spark_signals.control.monitor import StreamingHealthMonitor
+
+    alerts = []
+    mon = StreamingHealthMonitor(
+        interval_sec=0.2, on_unhealthy=lambda n, h: alerts.append((n, h.reason))
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("health_probe_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        mon.register("ticks", q)
+        # wait for first progress so the probe has a timestamp
+        deadline = time.time() + 30
+        while not q.lastProgress and time.time() < deadline:
+            time.sleep(0.2)
+        res = mon.check_once()
+        assert res["ticks"].healthy, res["ticks"].reason
+
+        # the periodic thread populates history on its own cadence
+        mon.start()
+        time.sleep(1.0)
+        mon.stop()
+        assert len(mon.history) >= 2
+    finally:
+        q.stop()
+
+    res = mon.check_once()
+    assert not res["ticks"].healthy
+    assert alerts and alerts[-1][0] == "ticks"
+
+
+def test_monitor_survives_dead_handle():
+    from spark_signals.control.monitor import StreamingHealthMonitor
+
+    class Broken:
+        @property
+        def isActive(self):
+            raise RuntimeError("gateway gone")
+
+    mon = StreamingHealthMonitor()
+    mon.register("broken", Broken())
+    res = mon.check_once()
+    assert not res["broken"].healthy
+    assert "probe failed" in res["broken"].reason

@@ -158,3 +158,23 @@ def test_breakout_strategy_preserves_single_window_stage(spark):
     p = plan_str(out.positions_costs)
     assert count_op(p, "Exchange") == 1
     assert count_op(p, "Sort") == 1
+
+
+def test_segment_revenue_bucketed_fact_join_no_exchange(spark):
+    """The bucketed fact-fact join must not shuffle either side: the only
+    Exchange in the plan is the group-by aggregation. At test scale Spark
+    would happily broadcast the orders fact (hiding the bucket path), so
+    auto-broadcast is disabled to surface the plan the join takes when both
+    facts are 100 TB-big; the customer dim stays an explicit broadcast()."""
+    from spark_signals.relational import q_segment_revenue_bucketed
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_segment_revenue_bucketed(spark, SF)
+        p = plan_str(df)
+        assert count_op(p, "SortMergeJoin") == 1  # the fact-fact zipper
+        assert count_op(p, "Exchange") == 1  # final agg only
+        assert count_op(p, "BroadcastExchange") == 1  # customer dim
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
