@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_signals.datapipe import dedup as D
+from spark_signals.datapipe import sampling as SMP
 from spark_signals.datapipe import similarity as SIM
 from spark_signals.datapipe import text as T
 from spark_signals.io.sources import read_table
@@ -118,6 +119,18 @@ DATAPIPE_QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
     "ann_lsh_hyperplane_pairs": (q_ann_lsh, SIM.SQL_ANN_LSH),
+    "sample_stratified_hash": (
+        lambda spark, sf_dir: SMP.sample_stratified(_docs(spark, sf_dir)),
+        SMP.sql_sample_stratified(),
+    ),
+    "tfidf_top_terms": (
+        lambda spark, sf_dir: T.tfidf_top_terms(_docs(spark, sf_dir)),
+        T.SQL_TFIDF(),
+    ),
+    "length_band_filter": (
+        lambda spark, sf_dir: T.length_band(_docs(spark, sf_dir)),
+        T.SQL_LENGTH_BAND(),
+    ),
     "multimodal_features": (q_media_features, _SQL_MEDIA_FEATURES),
     "ewma_zscore_strategy": (
         lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),

@@ -189,3 +189,123 @@ s AS (
 SELECT doc_id, len(shingles) AS n_shingles,
        list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
 FROM s"""
+
+
+# ------------------------------------------------------------------- tf-idf
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic salient-term signal for
+    corpus curation (topic clustering, template detection, near-dup triage).
+
+    Shape at scale: one explode + two hash aggregations (doc×term counts,
+    per-term document frequency) + a broadcast of the 1-row corpus count,
+    then a per-doc top-k window. All shuffles key on (doc_id, word) or
+    (word) — no global sort. The idf log runs on both engines' libm (not
+    correctly-rounded by IEEE), so the score is grid-rounded before the
+    rank order and the output gate; ranking ties break on the word itself.
+    """
+    from spark_signals.datapipe.util import spread_small_input
+    from pyspark.sql import Window
+
+    words = (
+        spread_small_input(docs)
+        .select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))
+            ),
+        )
+    )
+    # deterministic cross-engine rounding before ordering (see jsonfmt/sround)
+    grid = F.floor(F.col("tfidf") * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("word"))
+    return (
+        scored.withColumn("tfidf_r", grid)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "word", "tf", "doc_freq",
+            F.col("tfidf_r").alias("tfidf"), "rank",
+        )
+    )
+
+
+def SQL_TFIDF(k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+),
+nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.doc_freq,
+         floor((tf.tf * ln((nd.n_docs + CAST(1.0 AS DOUBLE)) / (dfreq.doc_freq + CAST(1.0 AS DOUBLE))))
+               * 1e6 + 0.5000001) / 1e6 AS tfidf_r
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, doc_freq, tfidf_r AS tfidf, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+# --------------------------------------------------- length-percentile gate
+LENGTH_BAND_LO = 0.05
+LENGTH_BAND_HI = 0.95
+
+
+def length_band(
+    docs: DataFrame, lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+) -> DataFrame:
+    """Per-language document-length quality gate: keep docs whose length
+    percentile (cume_dist within their language) lies in (lo, hi] — the
+    standard trim of truncated fragments and boilerplate megadocs before
+    training.
+
+    cume_dist = rank/count over integers is exactly representable and
+    ANSI-identical across engines, so the filter is deterministic with no
+    rounding gate. One shuffle on lang (the stratum key); at 100 TB swap
+    the exact window for percentile_approx thresholds per lang — same
+    call site, sketch-based, no per-stratum sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cd = F.cume_dist().over(w)
+    return (
+        docs.withColumn("length_pct", cd)
+        .filter((F.col("length_pct") > lo) & (F.col("length_pct") <= hi))
+        .select("doc_id", "lang", "n_chars", "length_pct")
+    )
+
+
+def SQL_LENGTH_BAND(lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, n_chars,
+         cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS length_pct
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, length_pct
+FROM g WHERE length_pct > CAST({lo!r} AS DOUBLE) AND length_pct <= CAST({hi!r} AS DOUBLE)"""

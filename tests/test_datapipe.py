@@ -228,3 +228,43 @@ def test_dedup_releases_shared_caches(spark):
     # results stay correct and re-consumable after the caches are gone
     for res in results:
         assert res.count() == res.count()
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    from spark_signals.datapipe.sampling import sample_stratified
+
+    rows = [(i, f"doc body {i}", "en" if i % 2 == 0 else "xx", "s", 10) for i in range(400)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    a = {r.doc_id for r in sample_stratified(df).collect()}
+    b = {r.doc_id for r in sample_stratified(df).collect()}
+    assert a == b  # content-hash gate: same sample every run
+    en = sum(1 for i in a if i % 2 == 0)
+    xx = len(a) - en
+    # en keeps ~50%, unknown langs ~12.5% — allow generous binomial slack
+    assert 60 <= en <= 140
+    assert 5 <= xx <= 55
+    assert en > xx
+
+
+def test_tfidf_surfaces_distinctive_terms(spark):
+    from spark_signals.datapipe.text import tfidf_top_terms
+
+    common = "the quick brown fox "
+    df = docs_df(
+        spark,
+        [common + "zebra zebra zebra", common + "yak yak", common * 2],
+    )
+    top = {
+        r.doc_id: r.word
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    assert top[0] == "zebra" and top[1] == "yak"
+
+
+def test_length_band_trims_extremes_per_lang(spark):
+    from spark_signals.datapipe.text import length_band
+
+    rows = [(i, "x" * (i + 1), "en", "s", i + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    kept = {r.n_chars for r in length_band(df).collect()}
+    assert min(kept) == 6 and max(kept) == 95  # (5%, 95%] of 1..100
