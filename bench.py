@@ -33,6 +33,7 @@ HEADLINE = [
     "runs_listing_join_topn",
     # data-pipeline
     "text_stats_quality",
+    "tfidf_top_terms",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
