@@ -46,6 +46,12 @@ def _registry():
         merged.update(SERVING_QUERIES)
     except ImportError:
         pass
+    try:
+        from spark_signals.temporal import TEMPORAL_QUERIES
+
+        merged.update(TEMPORAL_QUERIES)
+    except ImportError:
+        pass
     return merged
 
 
