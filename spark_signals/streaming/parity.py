@@ -16,6 +16,8 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from spark_signals.config import EngineConfig
 from spark_signals.io.sources import load_ticks
 from spark_signals.parity import (
@@ -189,8 +191,71 @@ WHERE bucket + INTERVAL '1 hour' <= wm.w"""
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the Flink interval-join analog): a
+    trades stream joins a quotes stream on product within a trailing 1-day
+    event-time bound. Both sides carry watermarks, so Spark bounds the join
+    state buffers — the stream-stream join pattern a live deployment uses to
+    re-attach enrichment topics. availableNow drain makes it deterministic;
+    the oracle is the identical batch join."""
+    src = _materialize_tick_files(spark, sf_dir)
+    trades = (
+        read_tick_stream(spark, src)
+        .filter(F.col("sequence") % 2 == 1)
+        .select(
+            F.col("product_id"),
+            F.col("event_time").alias("t_time"),
+            F.col("sequence").alias("t_seq"),
+            F.col("price").alias("t_price"),
+        )
+        .withWatermark("t_time", CFG.watermark_delay)
+    )
+    quotes = (
+        read_tick_stream(spark, src)
+        .filter((F.col("sequence") % 2 == 0) & F.col("best_bid").isNotNull())
+        .select(
+            F.col("product_id").alias("q_product"),
+            F.col("event_time").alias("q_time"),
+            F.col("sequence").alias("q_seq"),
+            F.col("best_bid").alias("q_bid"),
+        )
+        .withWatermark("q_time", CFG.watermark_delay)
+    )
+    joined = trades.join(
+        quotes,
+        F.expr(
+            "product_id = q_product AND "
+            "q_time >= t_time - INTERVAL 1 DAY AND q_time < t_time"
+        ),
+        "inner",
+    ).select("product_id", "t_time", "t_seq", "t_price", "q_time", "q_seq", "q_bid")
+    return _run_stream_to_table(spark, joined, "stream_ivjoin", "append")
+
+
+def _streaming_interval_join_oracle() -> str:
+    from spark_signals import oracle
+
+    return (
+        "WITH "
+        + oracle.ticks_cte().strip()
+        + """
+SELECT t.product_id, t.event_time AS t_time, t.sequence AS t_seq, t.price AS t_price,
+       q.event_time AS q_time, q.sequence AS q_seq, q.best_bid AS q_bid
+FROM ticks t
+JOIN ticks q
+  ON q.product_id = t.product_id
+ AND q.event_time >= t.event_time - INTERVAL 1 DAY
+ AND q.event_time < t.event_time
+WHERE t.sequence % 2 = 1 AND q.sequence % 2 = 0 AND q.best_bid IS NOT NULL"""
+    )
+
+
 STREAMING_QUERIES = {
     "streaming_positions_costs": (q_streaming_positions_costs, SQL_POSITIONS_COSTS),
     "streaming_metrics_5m": (q_streaming_metrics, _streaming_metrics_oracle()),
     "streaming_hourly_rollup_chained": (q_streaming_hourly_rollup, _streaming_rollup_oracle()),
+    "streaming_interval_join": (
+        q_streaming_interval_join,
+        _streaming_interval_join_oracle(),
+    ),
 }
