@@ -18,40 +18,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registry():
+    # Import failures must propagate: a registry that silently shrinks turns
+    # implemented-and-tested operators into unverifiable ones (4 queries
+    # vanished from CORRECTNESS_r02 this way with zero signal).
+    from spark_signals.datapipe.parity import DATAPIPE_QUERIES
     from spark_signals.parity import PIPELINE_QUERIES
+    from spark_signals.relational import RELATIONAL_QUERIES
+    from spark_signals.serving import SERVING_QUERIES
+    from spark_signals.streaming.parity import STREAMING_QUERIES
+    from spark_signals.temporal import TEMPORAL_QUERIES
 
     merged: dict = {}
-    merged.update(PIPELINE_QUERIES)
-    try:
-        from spark_signals.datapipe.parity import DATAPIPE_QUERIES
-
-        merged.update(DATAPIPE_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from spark_signals.relational import RELATIONAL_QUERIES
-
-        merged.update(RELATIONAL_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from spark_signals.streaming.parity import STREAMING_QUERIES
-
-        merged.update(STREAMING_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from spark_signals.serving import SERVING_QUERIES
-
-        merged.update(SERVING_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from spark_signals.temporal import TEMPORAL_QUERIES
-
-        merged.update(TEMPORAL_QUERIES)
-    except ImportError:
-        pass
+    for part in (
+        PIPELINE_QUERIES,
+        DATAPIPE_QUERIES,
+        RELATIONAL_QUERIES,
+        STREAMING_QUERIES,
+        SERVING_QUERIES,
+        TEMPORAL_QUERIES,
+    ):
+        overlap = merged.keys() & part.keys()
+        if overlap:
+            raise RuntimeError(f"duplicate query names across registries: {sorted(overlap)}")
+        merged.update(part)
     return merged
 
 

@@ -270,21 +270,22 @@ metrics_enriched AS (
 
 
 def rollup_cte(cfg: EngineConfig) -> str:
-    # Round-before-aggregate parity doctrine: the inputs to the hourly
-    # AVG/MAX are themselves outputs of multi-row aggregates (sharpe built
-    # from avg/stddev of pnl), so they carry cross-engine ulp drift. Rounding
-    # them to the metrics-gate grid (dp=6 sharpe/sortino, dp=9 pnl-scale;
-    # parity.DP / parity.DP_PNL) BEFORE the outer aggregate makes both
-    # engines aggregate bit-identical grid values, and the 0.5000001 nudge in
-    # the outer rounding then absorbs sum-order drift. The Spark side of this
-    # pre-rounding lives in parity.q_hourly_rollup.
+    # Order-independent parity doctrine (v2 — v1's grid-then-AVG still
+    # flipped the outer floor at driver cadence, CORRECTNESS r01+r02): the
+    # AVG inputs are gridded to exact BIGINT micro-units (floor nudge absorbs
+    # cross-engine ulp drift in sharpe/sortino), SUMmed as integers (exact,
+    # associative — summation order cannot matter), and divided ONCE at the
+    # end. IEEE division of identical integers is exactly rounded, so both
+    # engines produce bit-identical doubles. max_by/MAX operate on gridded
+    # doubles (order-independent given unique metric_time per group). The
+    # Spark twin is pipeline.rollup.hourly_rollup_exact.
     assert cfg.rollup_window == "1 hour"
     return """
 metrics_rounded AS (
     SELECT
         strategy_run_id, window_label, metric_time, trades_executed,
-        floor(sharpe_ratio * 1e6 + 0.5000001) / 1e6 AS sharpe_ratio,
-        floor(sortino_ratio * 1e6 + 0.5000001) / 1e6 AS sortino_ratio,
+        CAST(floor(sharpe_ratio * 1e6 + 0.5000001) AS BIGINT) AS sharpe_u,
+        CAST(floor(sortino_ratio * 1e6 + 0.5000001) AS BIGINT) AS sortino_u,
         floor(cumulative_return * 1e9 + 0.5000001) / 1e9 AS cumulative_return,
         floor(drawdown * 1e9 + 0.5000001) / 1e9 AS drawdown
     FROM metrics_enriched
@@ -293,8 +294,8 @@ hourly_rollup AS (
     SELECT
         strategy_run_id, window_label,
         time_bucket(INTERVAL '1 hour', metric_time) AS bucket,
-        AVG(sharpe_ratio) AS sharpe_avg,
-        AVG(sortino_ratio) AS sortino_avg,
+        (CAST(SUM(sharpe_u) AS DOUBLE) / CAST(COUNT(sharpe_u) AS DOUBLE)) / 1e6 AS sharpe_avg,
+        (CAST(SUM(sortino_u) AS DOUBLE) / CAST(COUNT(sortino_u) AS DOUBLE)) / 1e6 AS sortino_avg,
         arg_max(cumulative_return, metric_time) AS cumulative_return_last,
         MAX(drawdown) AS max_drawdown,
         SUM(trades_executed) AS trades_executed_sum

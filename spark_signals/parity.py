@@ -416,39 +416,19 @@ FROM metrics_enriched"""
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf, counts = _metrics_chain(spark, sf_dir)
     metr = M.metrics_enriched(perf, counts, CFG)
-    # Round-before-aggregate: the rollup AVG/MAX must consume the same
-    # dp-gridded values on both engines, else a ~ulp cross-engine drift in
-    # sharpe/sortino occasionally flips the outer rounding (the r01 flake).
-    # Mirrors oracle.rollup_cte's metrics_rounded CTE.
-    metr = _round_cols(
-        metr,
-        {
-            "sharpe_ratio": DP,
-            "sortino_ratio": DP,
-            "cumulative_return": DP_PNL,
-            "drawdown": DP_PNL,
-        },
-    )
-    roll = R.hourly_rollup(metr, CFG)
-    return _round_cols(
-        roll,
-        {
-            "sharpe_avg": DP,
-            "sortino_avg": DP,
-            "cumulative_return_last": DP_PNL,
-            "max_drawdown": DP_PNL,
-        },
-    )
+    # Order-independent parity (r01+r02 driver flake, post-mortem in
+    # hourly_rollup_exact): AVG inputs become exact BIGINT micro-units summed
+    # associatively, with one division at the end; max_by/MAX consume
+    # dp-gridded values. Identical expressions in oracle.rollup_cte.
+    metr = _round_cols(metr, {"cumulative_return": DP_PNL, "drawdown": DP_PNL})
+    return R.hourly_rollup_exact(metr, CFG, avg_dp=DP)
 
 
 SQL_HOURLY_ROLLUP = (
     oracle.with_chain(CFG, upto="rollup")
-    + f"""
+    + """
 SELECT strategy_run_id, window_label, bucket,
-       floor((sharpe_avg) * 1e{DP} + 0.5000001) / 1e{DP} AS sharpe_avg,
-       floor((sortino_avg) * 1e{DP} + 0.5000001) / 1e{DP} AS sortino_avg,
-       floor((cumulative_return_last) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS cumulative_return_last,
-       floor((max_drawdown) * 1e{DP_PNL} + 0.5000001) / 1e{DP_PNL} AS max_drawdown,
+       sharpe_avg, sortino_avg, cumulative_return_last, max_drawdown,
        trades_executed_sum
 FROM hourly_rollup"""
 )

@@ -15,6 +15,40 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
+EXPECTED_QUERIES = frozenset({
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_hyperplane_pairs",
+    "anti_join_parts_never_shipped", "asof_join_trade_quote",
+    "breakout_band_signals", "dedup_clusters_canonical", "dedup_exact_hash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_fingerprint_minhash1", "embedding_cosine_neardup",
+    "ewma_zscore_strategy", "executions", "j1_signal_rejoin",
+    "lang_id_heuristic", "latest_price_per_instrument", "length_band_filter",
+    "metrics_hourly_rollup", "multimodal_features", "nation_region_rollup",
+    "normalized_prices", "performance_windows_5m", "position_returns",
+    "position_transitions", "positions_costs", "positions_forward_fill",
+    "pricing_summary_q1", "range_join_tick_stats",
+    "recent_ticks_per_instrument", "replay_backtest_window",
+    "runs_listing_join_topn", "sample_stratified_hash",
+    "segment_revenue_3way_join", "segment_revenue_bucketed",
+    "semi_join_has_lineitems", "session_window_per_user", "signal_counts_5m",
+    "signals_decisions", "sliding_window_counts", "sma_crossover_signals",
+    "strategy_metrics", "strategy_summary_filter_agg",
+    "streaming_hourly_rollup_chained", "streaming_interval_join",
+    "streaming_metrics_5m", "streaming_positions_costs", "text_stats_quality",
+    "tfidf_top_terms", "ticks_source", "topk_events", "union_live_replay",
+    "value_percentiles_exact",
+})
+
+
+def test_registry_is_complete_and_cannot_silently_shrink():
+    """CORRECTNESS_r02 lost 4 queries to a swallowed ImportError; the registry
+    must now contain every known query or fail loudly (superset allows growth)."""
+    qs = entrymod.queries()
+    missing = EXPECTED_QUERIES - set(qs)
+    assert not missing, f"registry silently lost queries: {sorted(missing)}"
+    assert len(qs) >= len(EXPECTED_QUERIES)
+
+
 def test_every_query_has_callable_and_oracle_alignment():
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
