@@ -60,14 +60,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def utc_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    The driver's parquet has shipped as both int64-ns and timestamp-µs
+    (isAdjustedToUTC=false); the latter surfaces as TIMESTAMP_NTZ, which
+    `unix_micros` and streaming `withWatermark` both reject. Event-time
+    semantics are defined in UTC (SURVEY.md §1.3) and the session TZ is
+    pinned to UTC, so the cast is an exact reinterpretation — every consumer
+    sees ONE type regardless of which parquet flavor was generated.
+    """
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet timestamp[ns]; nanosAsLong surfaces the raw int64 —
-    # truncate to µs exactly as DuckDB does reading the same file.
+    # events.ts is parquet timestamp[ns] in some driver generations;
+    # nanosAsLong surfaces the raw int64 — truncate to µs exactly as DuckDB
+    # does reading the same file.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return utc_timestamps(df)
 
 
 def load_ticks(
@@ -102,10 +119,16 @@ def load_ticks(
             ev = ev.filter(F.col("ts") <= F.lit(_ns(end_ts) + 999))
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
+        # timestamp-µs parquet: bounds are cast to the RAW column's own type
+        # (TIMESTAMP_NTZ in that flavor) so the comparison sits directly on
+        # the scanned column and reaches the scan as PushedFilters; the
+        # NTZ→LTZ normalization happens in the projection above them.
+        ts_type = dict(ev.dtypes)["ts"]
         if start_ts is not None:
-            ev = ev.filter(F.col("ts") >= F.lit(start_ts))
+            ev = ev.filter(F.col("ts") >= F.lit(start_ts).cast(ts_type))
         if end_ts is not None:
-            ev = ev.filter(F.col("ts") <= F.lit(end_ts))
+            ev = ev.filter(F.col("ts") <= F.lit(end_ts).cast(ts_type))
+        ev = utc_timestamps(ev)
     quoted = F.col("event_type") != F.lit("error")
     return ev.select(
         F.concat(F.lit("P-"), F.col("user_id").cast("string")).alias("product_id"),

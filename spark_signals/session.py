@@ -35,9 +35,10 @@ def get_spark(app_name: str = "spark-signals", shuffle_partitions: int | None = 
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.schemaInference", "false")
-        # the driver's events.parquet stores timestamp[ns]; Spark reads the
-        # raw int64 and io.sources converts ns → µs (DuckDB-equivalent
-        # truncation)
+        # the driver's events.parquet has shipped as both timestamp[ns]
+        # (read as raw int64 via nanosAsLong, converted ns → µs in
+        # io.sources) and timestamp[µs] NTZ (cast to TIMESTAMP in
+        # io.sources.utc_timestamps); either flavor normalizes to one type
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

@@ -112,8 +112,11 @@ def range_join_agg(
             "second": 1, "minute": 60, "hour": 3600, "day": 86400,
         }[unit.rstrip("s")]
     span = F.lit(int(window_seconds) * 1_000_000)
-    lb = F.floor(F.unix_micros(F.col(left_time)) / span)
-    rb = F.floor(F.unix_micros(F.col(right_time)) / span)
+    # cast-to-timestamp is a no-op for TIMESTAMP inputs and makes NTZ inputs
+    # (e.g. frames built straight off timestamp-µs parquet) legal for
+    # unix_micros — exact under the pinned UTC session TZ
+    lb = F.floor(F.unix_micros(F.col(left_time).cast("timestamp")) / span)
+    rb = F.floor(F.unix_micros(F.col(right_time).cast("timestamp")) / span)
 
     lkeys = left.select(
         on, F.col(left_time), *[c for c in left.columns if c not in (on, left_time)]
