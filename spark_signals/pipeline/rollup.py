@@ -24,17 +24,25 @@ def micro_units(col, dp: int):
 
     Same grid + nudge as parity.sround, but materialized as an integer so
     downstream SUM/AVG is exact and associative — summation order (partition
-    count, AQE coalescing, engine) cannot change the result by even 1 ulp.
+    count, AQE coalescing, micro-batch boundaries, engine) cannot change the
+    result by even 1 ulp. (Spark's floor(double) already returns LongType;
+    no cast needed.)
+
+    Precondition for the bit-identical claim: |Σ micro-units| per group must
+    stay < 2^53 so the BIGINT→DOUBLE cast in the final division is exact.
+    Holds with huge margin here (dp≤9 over sub-unit-magnitude values,
+    ≤~10^4 rows/bucket ⇒ |Σ| ≲ 10^13 ≪ 2^53 ≈ 9·10^15); re-check before
+    reusing at higher dp or group sizes.
     """
-    return F.floor(col * F.lit(float(10**dp)) + F.lit(0.5000001)).cast("bigint")
+    return F.floor(col * F.lit(float(10**dp)) + F.lit(0.5000001))
 
 
 def exact_avg(sum_col, count_col, dp: int):
     """(Σ micro-units / n) / 10^dp with one IEEE-exact division chain.
 
-    Both operands are exact integers, so every engine computes bit-identical
-    doubles (IEEE division is exactly rounded). NULL-safe: an all-NULL group
-    yields SUM=NULL → NULL."""
+    Both operands are exact integers (< 2^53 — see micro_units), so every
+    engine computes bit-identical doubles (IEEE division is exactly
+    rounded). NULL-safe: an all-NULL group yields SUM=NULL → NULL."""
     return (sum_col.cast("double") / count_col.cast("double")) / F.lit(float(10**dp))
 
 

@@ -120,23 +120,33 @@ def streaming_hourly_rollup(metrics5: DataFrame, cfg: EngineConfig) -> DataFrame
     Chaining requires ``window_time(window)`` (window.end − 1µs) as the
     event-time column of the upstream aggregate so the watermark propagates;
     an hourly window finalizes only when every 5-minute child has finalized.
+
+    The float SUMs use the same order-independent arithmetic as the batch
+    rollup (pipeline.rollup.hourly_rollup_exact): inputs are expected
+    pre-gridded at dp=9, recovered as exact BIGINT micro-units, summed as
+    integers (exact + associative — micro-batch boundaries, partition count,
+    and engine cannot move the result by even 1 ulp), with ONE division at
+    the end. MIN/SUM(int)/COUNT are already order-independent.
     """
+    from spark_signals.pipeline.rollup import micro_units
+
     w = F.window(F.window_time("window"), cfg.rollup_window).alias("w")
+    scale = F.lit(1e9)
     return (
         metrics5.groupBy(w)
         .agg(
-            F.sum("cumulative_return").alias("cumulative_return_sum"),
+            F.sum(micro_units(F.col("cumulative_return"), 9)).alias("cr_sum_u"),
             F.min("min_return").alias("min_return"),
             F.sum("sample_size").alias("sample_size_sum"),
-            F.sum("total_trade_cost").alias("total_trade_cost_sum"),
+            F.sum(micro_units(F.col("total_trade_cost"), 9)).alias("tc_sum_u"),
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select(
             F.col("w.start").alias("bucket"),
-            "cumulative_return_sum",
+            (F.col("cr_sum_u").cast("double") / scale).alias("cumulative_return_sum"),
             "min_return",
             "sample_size_sum",
-            "total_trade_cost_sum",
+            (F.col("tc_sum_u").cast("double") / scale).alias("total_trade_cost_sum"),
             "n_windows",
         )
     )

@@ -127,10 +127,13 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = stateful_features(
         ticks.withWatermark("event_time", CFG.watermark_delay), CFG
     )
-    # Round-before-aggregate (same doctrine as parity.q_hourly_rollup): the
+    # Round-before-aggregate + exact integer re-aggregation (same doctrine
+    # as parity.q_hourly_rollup / pipeline.rollup.hourly_rollup_exact): the
     # 5-minute sums carry cross-engine ulp drift from partial-agg sum order,
-    # so grid them at dp=9 before the hourly SUM/MIN on BOTH engines — the
-    # oracle's metrics_rounded_s CTE mirrors this exactly.
+    # so grid them at dp=9 on BOTH engines; streaming_hourly_rollup then
+    # recovers the gridded values as BIGINT micro-units and SUMs integers —
+    # order-independent, so micro-batch boundaries can't flip the outer
+    # rounding. The oracle's metrics_rounded_s/hourly CTEs mirror this.
     metr5 = _round_cols(
         streaming_metrics(feats, CFG),
         {"cumulative_return": 9, "min_return": 9, "total_trade_cost": 9},
@@ -169,12 +172,17 @@ def _streaming_rollup_oracle() -> str:
     FROM performance_windows
 ),
 hourly AS (
+    -- dp=9-gridded inputs recovered as exact BIGINT micro-units, summed as
+    -- integers (order-independent), ONE division at the end — mirrors
+    -- streaming_hourly_rollup's arithmetic bit-for-bit
     SELECT
         time_bucket(INTERVAL '1 hour', window_end - INTERVAL 1 MICROSECOND) AS bucket,
-        SUM(cumulative_return) AS cumulative_return_sum,
+        CAST(SUM(CAST(floor(cumulative_return * 1e9 + 0.5000001) AS BIGINT)) AS DOUBLE) / 1e9
+            AS cumulative_return_sum,
         MIN(min_return) AS min_return,
         SUM(sample_size) AS sample_size_sum,
-        SUM(total_trade_cost) AS total_trade_cost_sum,
+        CAST(SUM(CAST(floor(total_trade_cost * 1e9 + 0.5000001) AS BIGINT)) AS DOUBLE) / 1e9
+            AS total_trade_cost_sum,
         COUNT(*) AS n_windows
     FROM metrics_rounded_s
     GROUP BY 1
