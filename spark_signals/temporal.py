@@ -204,6 +204,80 @@ FROM f WHERE tag = 1"""
     )
 
 
+def q_asof_tolerance(spark, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: same trade→quote attachment, but a
+    quote older than 12 hours is nulled out instead of carried forward — the
+    tolerance guard real tickers need (kdb aj0 + staleness window). At sf0.01
+    (~1 tick / 11 h / instrument) the bound leaves both fresh and stale
+    matches, so both branches are exercised."""
+    from spark_signals.io.sources import load_ticks
+
+    ticks = load_ticks(spark, sf_dir)
+    trades = ticks.filter(F.col("sequence") % 2 == 1).select(
+        "product_id", "event_time", "sequence", "price"
+    )
+    quotes = ticks.filter(
+        (F.col("sequence") % 2 == 0)
+        & F.col("best_bid").isNotNull()
+        & F.col("best_ask").isNotNull()
+    ).select(
+        "product_id",
+        "event_time",
+        F.col("sequence").alias("q_seq"),
+        F.col("best_bid").alias("q_bid"),
+        F.col("best_ask").alias("q_ask"),
+    )
+    return asof_join(
+        trades, quotes, on="product_id",
+        right_values=["q_bid", "q_ask", "q_seq"], tiebreak="q_seq",
+        tolerance="12 hours",
+    )
+
+
+def _sql_asof_tolerance() -> str:
+    from spark_signals import oracle
+
+    return (
+        "WITH "
+        + oracle.ticks_cte().strip()
+        + """,
+trades AS (
+  SELECT product_id, event_time, sequence, price FROM ticks WHERE sequence % 2 = 1
+),
+quotes AS (
+  SELECT product_id, event_time, sequence AS q_seq, best_bid AS q_bid, best_ask AS q_ask
+  FROM ticks
+  WHERE sequence % 2 = 0 AND best_bid IS NOT NULL AND best_ask IS NOT NULL
+),
+u AS (
+  SELECT product_id, event_time, 1 AS tag, sequence, price,
+         CAST(NULL AS TIMESTAMP) AS matched_time,
+         CAST(NULL AS DOUBLE) AS q_bid, CAST(NULL AS DOUBLE) AS q_ask,
+         CAST(NULL AS BIGINT) AS q_seq
+  FROM trades
+  UNION ALL
+  SELECT product_id, event_time, 0, NULL, NULL, event_time, q_bid, q_ask, q_seq
+  FROM quotes
+),
+f AS (
+  SELECT product_id, event_time, tag, sequence, price,
+         last_value(matched_time IGNORE NULLS) OVER w AS matched_time,
+         last_value(q_bid IGNORE NULLS) OVER w AS q_bid,
+         last_value(q_ask IGNORE NULLS) OVER w AS q_ask,
+         last_value(q_seq IGNORE NULLS) OVER w AS q_seq
+  FROM u
+  WINDOW w AS (PARTITION BY product_id ORDER BY event_time, tag, q_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, event_time, sequence, price,
+       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN matched_time END AS matched_time,
+       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_bid END AS q_bid,
+       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_ask END AS q_ask,
+       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_seq END AS q_seq
+FROM f WHERE tag = 1"""
+    )
+
+
 def q_range_tick_stats(spark, sf_dir: str) -> DataFrame:
     """Range join: per trade, count + average price of ALL ticks in the
     trailing day — the rolling-context aggregation kdb's wj/Flink's interval
@@ -254,5 +328,6 @@ GROUP BY t.product_id, t.event_time, t.sequence"""
 
 TEMPORAL_QUERIES = {
     "asof_join_trade_quote": (q_asof_trade_quote, _sql_asof()),
+    "asof_join_tolerance": (q_asof_tolerance, _sql_asof_tolerance()),
     "range_join_tick_stats": (q_range_tick_stats, _sql_range()),
 }
