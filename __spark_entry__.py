@@ -46,6 +46,7 @@ def _registry():
     # Import failures must propagate: a registry that silently shrinks turns
     # implemented-and-tested operators into unverifiable ones (4 queries
     # vanished from CORRECTNESS_r02 this way with zero signal).
+    from spark_signals.control.latency import LATENCY_QUERIES
     from spark_signals.datapipe.parity import DATAPIPE_QUERIES
     from spark_signals.parity import PIPELINE_QUERIES
     from spark_signals.relational import RELATIONAL_QUERIES
@@ -61,6 +62,7 @@ def _registry():
         STREAMING_QUERIES,
         SERVING_QUERIES,
         TEMPORAL_QUERIES,
+        LATENCY_QUERIES,
     ):
         overlap = merged.keys() & part.keys()
         if overlap:

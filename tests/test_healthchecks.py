@@ -111,3 +111,54 @@ def test_monitor_survives_dead_handle():
     res = mon.check_once()
     assert not res["broken"].healthy
     assert "probe failed" in res["broken"].reason
+
+
+def test_latency_telemetry_capture_persist_rollup(spark, tmp_path):
+    """latency_metrics analog end-to-end on a REAL streaming query: progress
+    sweep → typed rows → date-partitioned parquet → hourly rollup."""
+    import time
+
+    from spark_signals.control.latency import (
+        COMPONENTS,
+        latency_rollup,
+        persist_latency,
+        read_latency,
+        sweep_queries,
+    )
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("latency_probe_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while not q.lastProgress and time.time() < deadline:
+            time.sleep(0.2)
+        rows = sweep_queries({"ticks": q}, strategy_run_id="run-1")
+    finally:
+        q.stop()
+
+    assert rows, "no progress captured"
+    comps = {r["component"] for r in rows}
+    assert comps <= set(COMPONENTS) | {"commitOffsets"}
+    assert all(r["value_ms"] >= 0 for r in rows)
+    assert all(r["strategy_run_id"] == "run-1" for r in rows)
+    assert '"batchId"' in rows[0]["metadata"]
+
+    path = str(tmp_path / "latency_metrics")
+    persist_latency(spark, rows, path)
+    persist_latency(spark, rows, path)  # append semantics, second sweep
+    back = read_latency(spark, path)
+    assert back.count() == 2 * len(rows)
+    assert set(back.columns) == {
+        "latency_time", "component", "value_ms", "strategy_run_id", "metadata"
+    }
+
+    roll = latency_rollup(back)
+    out = {r["component"]: r for r in roll.collect()}
+    some = rows[0]
+    assert out[some["component"]]["n_samples"] == 2
+    assert abs(out[some["component"]]["total_ms"] - 2 * round(some["value_ms"], 6)) < 1e-6
