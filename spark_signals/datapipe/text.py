@@ -205,14 +205,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     (word) — no global sort. The idf log runs on both engines' libm (not
     correctly-rounded by IEEE), so the score is grid-rounded before the
     rank order and the output gate; ranking ties break on the word itself.
+
+    Unlike the md5/shingle dedup paths, the input is NOT pre-spread: the
+    per-row work (regex split) is cheap, the heavy relation only exists
+    after the explode — where the tf groupBy shuffle already spreads it —
+    and a repartition here would shuffle full text bytes for nothing
+    (measured 2.5× slower at sf0.1).
     """
-    from spark_signals.datapipe.util import spread_small_input
     from pyspark.sql import Window
 
-    words = (
-        spread_small_input(docs)
-        .select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
-    )
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
