@@ -197,3 +197,82 @@ def test_processor_unit_matches_batch_replay(spark):
     )
     want = pd.DataFrame(want_rows, columns=list(got.columns))
     pd.testing.assert_frame_equal(got, want)
+
+
+@needs_protobuf
+def test_tws_breakout_matches_batch_strategy(spark, tmp_path, rocksdb_state):
+    """Strategy plugging on the Spark-4 state API: stateful_features_tws
+    with strategy='breakout' must be bit-identical to strategies.breakout's
+    batch plan — positions/costs AND the sparse signal set — mirroring the
+    applyInPandasWithState gate in test_streaming."""
+    from spark_signals.strategies import get_strategy_module
+
+    cfg = EngineConfig()
+    src = str(tmp_path / "ticks_bk_tws")
+    load_ticks(spark, SF).orderBy("event_time", "sequence").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(load_ticks(spark, SF).schema).parquet(src)
+    got_df = _drain(stateful_features_tws(stream, cfg, strategy="breakout"), spark)
+    got = _sorted_rows(got_df, CHECK_COLS)
+
+    out = get_strategy_module("breakout").build_pipeline(load_ticks(spark, SF), cfg)
+    want = _sorted_rows(out.positions_costs, CHECK_COLS)
+    assert got == want
+
+    sig_cols = ["sequence", "signal_type", "confidence"]
+    got_sig = [
+        tuple(r)
+        for r in got_df.filter(got_df.signal_type != "HOLD")
+        .select(*sig_cols)
+        .orderBy("sequence")
+        .collect()
+    ]
+    want_sig = [
+        tuple(r)
+        for r in out.crossover_signals.filter("signal_type <> 'HOLD'")
+        .select(*sig_cols)
+        .orderBy("sequence")
+        .collect()
+    ]
+    assert got_sig == want_sig and len(got_sig) > 0
+
+
+def test_processor_unit_breakout_matches_batch_replay(spark):
+    """Processor-level breakout parity (no streaming runtime, runs without
+    protobuf): RollingFeatureProcessor(strategy='breakout') across two
+    micro-batches must equal one replay_batch pass with the breakout rule."""
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+
+    from spark_signals.streaming.features import (
+        FRESH_STATE,
+        STREAMING_RULES,
+        replay_batch,
+    )
+    from spark_signals.streaming.tws_features import RollingFeatureProcessor
+
+    cfg = EngineConfig()
+    pdf = (
+        load_ticks(spark, SF)
+        .filter(F.col("product_id") == "P-12")
+        .orderBy("event_time", "sequence")
+        .toPandas()
+    )
+    assert len(pdf) > 10
+    cut = len(pdf) // 2
+
+    proc = RollingFeatureProcessor(cfg, ttl_ms=None, strategy="breakout")
+    proc.init(_FakeHandle())
+    timers = TimerValues(currentProcessingTimeInMs=0, currentWatermarkInMs=-1)
+    out1 = list(proc.handleInputRows(("P-12",), iter([pdf.iloc[:cut]]), timers))
+    out2 = list(proc.handleInputRows(("P-12",), iter([pdf.iloc[cut:]]), timers))
+    got = pd.concat(out1 + out2, ignore_index=True)
+
+    want_rows, _ = replay_batch(
+        cfg,
+        "P-12",
+        pdf.sort_values(["event_time", "sequence"]),
+        FRESH_STATE,
+        STREAMING_RULES["breakout"](cfg),
+    )
+    want = pd.DataFrame(want_rows, columns=list(got.columns))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.signal_type != "HOLD").any()
