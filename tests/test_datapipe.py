@@ -268,3 +268,47 @@ def test_length_band_trims_extremes_per_lang(spark):
     df = spark.createDataFrame(rows, DOC_SCHEMA)
     kept = {r.n_chars for r in length_band(df).collect()}
     assert min(kept) == 6 and max(kept) == 95  # (5%, 95%] of 1..100
+
+
+def test_multimodal_real_wav_codec_and_stub_fallback(spark):
+    """Codec auto-detection: a genuine WAV payload decodes through the real
+    stdlib `wave` path (true frame count, not stub arithmetic); undecodable
+    audio bytes fall back to the deterministic stub instead of failing."""
+    import io
+    import struct
+    import wave as wavemod
+
+    from spark_signals.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        REAL_CODECS,
+        decode_media,
+        extract_features,
+    )
+
+    assert "audio" in REAL_CODECS  # stdlib wave is always present
+
+    buf = io.BytesIO()
+    n_frames = 480
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{n_frames}h", *([0] * n_frames)))
+    wav_bytes = buf.getvalue()
+
+    assert decode_media(wav_bytes, "audio")["frames"] == n_frames
+    # not a WAV → total fallback to the stub (all-None for audio)
+    assert decode_media(b"plain text", "audio") == {
+        "width": None, "height": None, "frames": None
+    }
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav_bytes), None),
+            (2, "audio", bytearray(b"not a wav"), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].sampled_frames == 8  # min(480, target_frames)
+    assert rows[2].sampled_frames is None  # stub path
