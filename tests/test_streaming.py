@@ -282,3 +282,47 @@ def test_streaming_breakout_rule_matches_batch_strategy(spark, tmp_path):
         .collect()
     ]
     assert got_sig == want_sig and len(got_sig) > 0
+
+
+def test_streaming_hourly_rollup_microbatch_invariant(spark, tmp_path):
+    """The chained rollup's integer micro-unit arithmetic makes the result
+    independent of micro-batch cuts: draining the same ticks as ONE batch vs
+    one-file-per-trigger chunks must produce bit-identical hourly rows (the
+    r01-r03 flake class was exactly a batch-boundary-dependent double SUM)."""
+    from spark_signals.parity import _round_cols
+    from spark_signals.streaming.job import streaming_hourly_rollup, streaming_metrics
+
+    cfg = EngineConfig()
+    ticks = load_ticks(spark, SF).orderBy("event_time", "sequence").collect()
+    schema = load_ticks(spark, SF).schema
+    n = len(ticks)
+
+    one = str(tmp_path / "one")
+    spark.createDataFrame(ticks, schema).coalesce(1).write.parquet(one)
+    chunked = str(tmp_path / "chunked")
+    os.makedirs(chunked)
+    step = n // 4 + 1
+    for i in range(0, n, step):
+        spark.createDataFrame(ticks[i : i + step], schema).coalesce(1).write.parquet(
+            f"{chunked}/part{i:06d}"
+        )
+
+    def run(path, pattern, per_trigger):
+        reader = spark.readStream.schema(schema)
+        if per_trigger:
+            reader = reader.option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        feats = stateful_features(
+            reader.parquet(pattern or path).withWatermark("event_time", cfg.watermark_delay),
+            cfg,
+        )
+        metr5 = _round_cols(
+            streaming_metrics(feats, cfg),
+            {"cumulative_return": 9, "min_return": 9, "total_trade_cost": 9},
+        )
+        roll = streaming_hourly_rollup(metr5, cfg)
+        return sorted(tuple(r) for r in _drain(roll, spark).collect())
+
+    got_one = run(one, None, per_trigger=False)
+    got_chunked = run(chunked, f"{chunked}/part*", per_trigger=True)
+    assert len(got_one) > 10
+    assert got_one == got_chunked  # bit-identical, not approximately equal
