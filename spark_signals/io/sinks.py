@@ -56,7 +56,10 @@ def write_sinks(
             out.write.mode("overwrite").partitionBy("event_date").parquet(path)
             paths[name] = path
             if jdbc_url is not None:
-                # buffered JDBC append (S5-S7); gated — no database in CI
+                # buffered JDBC append (S5-S7): batchsize = the reference's
+                # sink.buffer-flush.max-rows. Exercised end-to-end against
+                # an embedded Derby database (bundled with Spark) in
+                # tests/test_jdbc_sink.py; a Postgres URL drops in unchanged.
                 df.write.format("jdbc").option("url", jdbc_url).option(
                     "dbtable", name
                 ).option("batchsize", jdbc_batchsize).mode("append").save()
