@@ -49,6 +49,7 @@ COMPONENTS = (
     "queryPlanning",
     "addBatch",
     "walCommit",
+    "commitOffsets",
     "triggerExecution",
 )
 

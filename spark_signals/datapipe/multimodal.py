@@ -59,6 +59,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("decoded_height", T.IntegerType(), True),
         T.StructField("sampled_frames", T.IntegerType(), True),
         T.StructField("feature_norm", T.DoubleType(), True),
+        # provenance: 'real' = an actual codec decoded the payload,
+        # 'stub' = deterministic fallback — consumers can filter out
+        # undecodable media instead of trusting fabricated dimensions
+        T.StructField("decode_status", T.StringType(), False),
     ]
 )
 
@@ -109,6 +113,8 @@ def _decode_image_pil(content: bytes) -> dict:
     from PIL import Image
 
     with Image.open(BytesIO(content)) as img:
+        if img.width <= 0 or img.height <= 0:
+            raise ValueError("degenerate image dimensions")
         return {"width": int(img.width), "height": int(img.height), "frames": None}
 
 
@@ -133,11 +139,15 @@ def _decode_video_cv2(content: bytes) -> dict:
         try:
             if not cap.isOpened():
                 raise ValueError("cv2 cannot open payload")
-            return {
-                "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-                "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-                "frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
-            }
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            # some cv2 backends report isOpened()=True for unreadable
+            # payloads but return 0 properties — that's a failed decode,
+            # not a 0×0 video
+            if w <= 0 or h <= 0 or n <= 0:
+                raise ValueError("cv2 opened payload but decoded no frames")
+            return {"width": w, "height": h, "frames": n}
         finally:
             cap.release()
 
@@ -168,16 +178,19 @@ def decode_media(content: bytes, kind: str) -> dict:
     """Real codec when one is detected AND the payload actually decodes;
     deterministic stub otherwise. Fallback (not failure) on undecodable
     bytes keeps the operator total — corrupt media in a 100 TB corpus must
-    degrade to a row, not kill the stage — and keeps the oracle exact for
-    the synthetic text payloads, which no real codec accepts.
+    degrade to a row, not kill the stage — and the returned ``status``
+    ('real'/'stub') records the provenance so consumers can filter rather
+    than trust fabricated dimensions. The broad catch is deliberate for the
+    same reason (codecs raise heterogeneous error types on corrupt bytes);
+    the status column is what keeps the swallowing honest.
     """
     codec = REAL_CODECS.get(kind)
     if codec is not None:
         try:
-            return codec(content)
+            return {**codec(content), "status": "real"}
         except Exception:
             pass
-    return _decode_stub(content, kind)
+    return {**_decode_stub(content, kind), "status": "stub"}
 
 
 def extract_features(media: DataFrame, target_frames: int = 8) -> DataFrame:
@@ -205,6 +218,7 @@ def extract_features(media: DataFrame, target_frames: int = 8) -> DataFrame:
                         "decoded_height": decoded["height"],
                         "sampled_frames": None if frames is None else min(frames, target_frames),
                         "feature_norm": float(sum(content[:32])) / 255.0 if content else 0.0,
+                        "decode_status": decoded["status"],
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -263,9 +277,13 @@ SELECT s.media_id,
        END AS sampled_frames,
        CASE WHEN s.n_bytes > 0
             THEN CAST(COALESCE(c.checksum32, 0) AS DOUBLE) / CAST(255.0 AS DOUBLE)
-            ELSE CAST(0.0 AS DOUBLE) END AS feature_norm
+            ELSE CAST(0.0 AS DOUBLE) END AS feature_norm,
+       'stub' AS decode_status
 FROM sized s LEFT JOIN checks c USING (media_id)
 """
+# ^ decode_status is constant 'stub' in the oracle because the synthetic
+# payloads are UTF-8 text that no real codec accepts (wave needs RIFF magic,
+# PIL/cv2 need container headers) — every row takes the fallback path.
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,13 +137,10 @@ def range_join_agg(
 
 
 # ------------------------------------------------------------ driver queries
-def q_asof_trade_quote(spark, sf_dir: str) -> DataFrame:
-    """As-of join on the tick stream: odd-sequence rows play trades,
-    even-sequence rows with valid quotes play the quote stream; every trade
-    gets the latest at-or-before quote per product."""
-    from spark_signals.io.sources import load_ticks
-
-    ticks = load_ticks(spark, sf_dir)
+def _trades_quotes(ticks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared trade/quote split for the as-of queries: odd-sequence rows
+    play trades, even-sequence rows with valid quotes play the quote
+    stream."""
     trades = ticks.filter(F.col("sequence") % 2 == 1).select(
         "product_id", "event_time", "sequence", "price"
     )
@@ -158,50 +155,24 @@ def q_asof_trade_quote(spark, sf_dir: str) -> DataFrame:
         F.col("best_bid").alias("q_bid"),
         F.col("best_ask").alias("q_ask"),
     )
+    return trades, quotes
+
+
+def _q_asof(spark, sf_dir: str, tolerance: str | None) -> DataFrame:
+    from spark_signals.io.sources import load_ticks
+
+    trades, quotes = _trades_quotes(load_ticks(spark, sf_dir))
     return asof_join(
         trades, quotes, on="product_id",
         right_values=["q_bid", "q_ask", "q_seq"], tiebreak="q_seq",
+        tolerance=tolerance,
     )
 
 
-def _sql_asof() -> str:
-    from spark_signals import oracle
-
-    return (
-        "WITH "
-        + oracle.ticks_cte().strip()
-        + """,
-trades AS (
-  SELECT product_id, event_time, sequence, price FROM ticks WHERE sequence % 2 = 1
-),
-quotes AS (
-  SELECT product_id, event_time, sequence AS q_seq, best_bid AS q_bid, best_ask AS q_ask
-  FROM ticks
-  WHERE sequence % 2 = 0 AND best_bid IS NOT NULL AND best_ask IS NOT NULL
-),
-u AS (
-  SELECT product_id, event_time, 1 AS tag, sequence, price,
-         CAST(NULL AS TIMESTAMP) AS matched_time,
-         CAST(NULL AS DOUBLE) AS q_bid, CAST(NULL AS DOUBLE) AS q_ask,
-         CAST(NULL AS BIGINT) AS q_seq
-  FROM trades
-  UNION ALL
-  SELECT product_id, event_time, 0, NULL, NULL, event_time, q_bid, q_ask, q_seq
-  FROM quotes
-),
-f AS (
-  SELECT product_id, event_time, tag, sequence, price,
-         last_value(matched_time IGNORE NULLS) OVER w AS matched_time,
-         last_value(q_bid IGNORE NULLS) OVER w AS q_bid,
-         last_value(q_ask IGNORE NULLS) OVER w AS q_ask,
-         last_value(q_seq IGNORE NULLS) OVER w AS q_seq
-  FROM u
-  WINDOW w AS (PARTITION BY product_id ORDER BY event_time, tag, q_seq
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT product_id, event_time, sequence, price, matched_time, q_bid, q_ask, q_seq
-FROM f WHERE tag = 1"""
-    )
+def q_asof_trade_quote(spark, sf_dir: str) -> DataFrame:
+    """As-of join on the tick stream: every trade gets the latest
+    at-or-before quote per product."""
+    return _q_asof(spark, sf_dir, tolerance=None)
 
 
 def q_asof_tolerance(spark, sf_dir: str) -> DataFrame:
@@ -210,33 +181,26 @@ def q_asof_tolerance(spark, sf_dir: str) -> DataFrame:
     tolerance guard real tickers need (kdb aj0 + staleness window). At sf0.01
     (~1 tick / 11 h / instrument) the bound leaves both fresh and stale
     matches, so both branches are exercised."""
-    from spark_signals.io.sources import load_ticks
-
-    ticks = load_ticks(spark, sf_dir)
-    trades = ticks.filter(F.col("sequence") % 2 == 1).select(
-        "product_id", "event_time", "sequence", "price"
-    )
-    quotes = ticks.filter(
-        (F.col("sequence") % 2 == 0)
-        & F.col("best_bid").isNotNull()
-        & F.col("best_ask").isNotNull()
-    ).select(
-        "product_id",
-        "event_time",
-        F.col("sequence").alias("q_seq"),
-        F.col("best_bid").alias("q_bid"),
-        F.col("best_ask").alias("q_ask"),
-    )
-    return asof_join(
-        trades, quotes, on="product_id",
-        right_values=["q_bid", "q_ask", "q_seq"], tiebreak="q_seq",
-        tolerance="12 hours",
-    )
+    return _q_asof(spark, sf_dir, tolerance="12 hours")
 
 
-def _sql_asof_tolerance() -> str:
+def _sql_asof(tolerance_sql: str | None = None) -> str:
+    """DuckDB oracle for the as-of queries; ``tolerance_sql`` (e.g.
+    ``"INTERVAL 12 HOUR"``) adds the staleness nulling projection. One
+    builder for both variants so the shared union+window CTE cannot drift."""
     from spark_signals import oracle
 
+    if tolerance_sql is None:
+        final = "SELECT product_id, event_time, sequence, price, matched_time, q_bid, q_ask, q_seq"
+    else:
+        fresh = f"matched_time >= event_time - {tolerance_sql}"
+        final = (
+            "SELECT product_id, event_time, sequence, price,\n"
+            + ",\n".join(
+                f"       CASE WHEN {fresh} THEN {c} END AS {c}"
+                for c in ("matched_time", "q_bid", "q_ask", "q_seq")
+            )
+        )
     return (
         "WITH "
         + oracle.ticks_cte().strip()
@@ -269,12 +233,9 @@ f AS (
   WINDOW w AS (PARTITION BY product_id ORDER BY event_time, tag, q_seq
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT product_id, event_time, sequence, price,
-       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN matched_time END AS matched_time,
-       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_bid END AS q_bid,
-       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_ask END AS q_ask,
-       CASE WHEN matched_time >= event_time - INTERVAL 12 HOUR THEN q_seq END AS q_seq
-FROM f WHERE tag = 1"""
+"""
+        + final
+        + "\nFROM f WHERE tag = 1"
     )
 
 
@@ -328,6 +289,6 @@ GROUP BY t.product_id, t.event_time, t.sequence"""
 
 TEMPORAL_QUERIES = {
     "asof_join_trade_quote": (q_asof_trade_quote, _sql_asof()),
-    "asof_join_tolerance": (q_asof_tolerance, _sql_asof_tolerance()),
+    "asof_join_tolerance": (q_asof_tolerance, _sql_asof("INTERVAL 12 HOUR")),
     "range_join_tick_stats": (q_range_tick_stats, _sql_range()),
 }

@@ -296,10 +296,11 @@ def test_multimodal_real_wav_codec_and_stub_fallback(spark):
         w.writeframes(struct.pack(f"<{n_frames}h", *([0] * n_frames)))
     wav_bytes = buf.getvalue()
 
-    assert decode_media(wav_bytes, "audio")["frames"] == n_frames
+    real = decode_media(wav_bytes, "audio")
+    assert real["frames"] == n_frames and real["status"] == "real"
     # not a WAV → total fallback to the stub (all-None for audio)
     assert decode_media(b"plain text", "audio") == {
-        "width": None, "height": None, "frames": None
+        "width": None, "height": None, "frames": None, "status": "stub"
     }
 
     media = spark.createDataFrame(
@@ -311,4 +312,6 @@ def test_multimodal_real_wav_codec_and_stub_fallback(spark):
     )
     rows = {r.media_id: r for r in extract_features(media).collect()}
     assert rows[1].sampled_frames == 8  # min(480, target_frames)
+    assert rows[1].decode_status == "real"
     assert rows[2].sampled_frames is None  # stub path
+    assert rows[2].decode_status == "stub"

@@ -143,7 +143,7 @@ def test_latency_telemetry_capture_persist_rollup(spark, tmp_path):
 
     assert rows, "no progress captured"
     comps = {r["component"] for r in rows}
-    assert comps <= set(COMPONENTS) | {"commitOffsets"}
+    assert comps <= set(COMPONENTS)
     assert all(r["value_ms"] >= 0 for r in rows)
     assert all(r["strategy_run_id"] == "run-1" for r in rows)
     assert '"batchId"' in rows[0]["metadata"]

@@ -64,16 +64,17 @@ def test_jdbc_roundtrip_values_exact(spark, derby_fanout):
 def test_jdbc_append_is_append(spark, derby_fanout, tmp_path):
     """mode('append') must accumulate — the redelivery/idempotency contract
     lives in the streaming writer's batch-id partitioning, NOT in the JDBC
-    layer, so a second fan-out doubles the rows."""
+    layer. Uses a scratch table so the shared fan-out tables stay pristine
+    for the count-parity test regardless of execution order."""
     url, _ = derby_fanout
-    before = _jdbc(spark, url, "signals_decisions").count()
     df = _jdbc(spark, url, "signals_decisions").limit(7)
-    (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "signals_decisions")
-        .option("batchsize", 3)
-        .mode("append")
-        .save()
-    )
-    assert _jdbc(spark, url, "signals_decisions").count() == before + 7
+    for expected in (7, 14):
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "append_probe")
+            .option("batchsize", 3)
+            .mode("append")
+            .save()
+        )
+        assert _jdbc(spark, url, "append_probe").count() == expected
