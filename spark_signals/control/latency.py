@@ -96,6 +96,72 @@ def sweep_queries(queries: dict[str, object], strategy_run_id: str | None = None
     return rows
 
 
+class LatencyListener:
+    """Push-based capture: a ``StreamingQueryListener`` that buffers one set
+    of latency rows per micro-batch progress event — the always-on analog of
+    the reference's cron-cadence healthcheck scrape.
+
+    Rows are buffered in memory (thread-safe) and drained by the caller
+    (monitor loop, shutdown hook, scheduled flush) into ``persist_latency``;
+    the listener itself never runs Spark actions, since listener callbacks
+    execute on the event bus thread. Register/unregister with
+    ``spark.streams.addListener(l)`` / ``removeListener(l)``.
+    """
+
+    def __init__(self, strategy_run_id: str | None = None, max_buffer: int = 100_000):
+        import threading
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self._run_id = strategy_run_id
+        self._max = max_buffer
+        self._rows: list[dict] = []
+        self._dropped = 0
+        self._lock = threading.Lock()
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                import json as _json
+
+                try:
+                    progress = _json.loads(event.progress.json)
+                except Exception:
+                    return
+                rows = progress_to_rows(progress, outer._run_id)
+                with outer._lock:
+                    space = outer._max - len(outer._rows)
+                    if space < len(rows):
+                        outer._dropped += len(rows) - max(0, space)
+                    outer._rows.extend(rows[: max(0, space)])
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.listener = _L()
+
+    def drain(self) -> list[dict]:
+        """Return and clear the buffered rows (plus a loud marker if the
+        bounded buffer overflowed between drains)."""
+        with self._lock:
+            rows, self._rows = self._rows, []
+            dropped, self._dropped = self._dropped, 0
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LatencyListener dropped %d rows (buffer cap %d exceeded between drains)",
+                dropped, self._max,
+            )
+        return rows
+
+
 def persist_latency(spark: SparkSession, rows: list[dict], path: str) -> None:
     """Append latency rows to the date-partitioned telemetry table."""
     if not rows:

@@ -162,3 +162,47 @@ def test_latency_telemetry_capture_persist_rollup(spark, tmp_path):
     some = rows[0]
     assert out[some["component"]]["n_samples"] == 2
     assert abs(out[some["component"]]["total_ms"] - 2 * round(some["value_ms"], 6)) < 1e-6
+
+
+def test_latency_listener_push_capture(spark, tmp_path):
+    """Push path: a registered StreamingQueryListener buffers latency rows
+    for every micro-batch progress event; drain → persist → rollup."""
+    import time
+
+    from spark_signals.control.latency import (
+        COMPONENTS,
+        LatencyListener,
+        latency_rollup,
+        persist_latency,
+        read_latency,
+    )
+
+    cap = LatencyListener(strategy_run_id="run-push")
+    spark.streams.addListener(cap.listener)
+    try:
+        stream = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("latency_listener_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            while not q.lastProgress and time.time() < deadline:
+                time.sleep(0.2)
+            time.sleep(1.0)  # let the event bus deliver the progress event
+        finally:
+            q.stop()
+        rows = cap.drain()
+    finally:
+        spark.streams.removeListener(cap.listener)
+
+    assert rows, "listener captured no progress rows"
+    assert {r["component"] for r in rows} <= set(COMPONENTS)
+    assert all(r["strategy_run_id"] == "run-push" for r in rows)
+    assert cap.drain() == []  # drain clears
+
+    path = str(tmp_path / "latency_push")
+    persist_latency(spark, rows, path)
+    assert latency_rollup(read_latency(spark, path)).count() >= 1
