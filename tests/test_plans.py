@@ -178,3 +178,15 @@ def test_segment_revenue_bucketed_fact_join_no_exchange(spark):
         assert count_op(p, "BroadcastExchange") == 1  # customer dim
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_latency_rollup_single_exchange_partial_agg(spark):
+    """Telemetry rollup: one hash aggregation keyed (component, hour) —
+    exactly one Exchange, partial aggregation map-side (the integer
+    micro-unit sums combine before the shuffle), zero Python stages."""
+    from spark_signals.control.latency import q_latency_rollup
+
+    p = plan_str(q_latency_rollup(spark, SF))
+    assert count_op(p, "Exchange") == 1
+    assert "partial_sum(FLOOR(" in p and "partial_count(value_ms" in p
+    assert "EvalPython" not in p
