@@ -41,9 +41,20 @@ _COST_COLS = [
 def _materialize_tick_files(spark: SparkSession, sf_dir: str) -> str:
     """Write the adapted tick stream as a single sorted parquet file so the
     file source replays it as one in-order micro-batch (the deterministic-
-    backtest mode, T7; multi-batch replay is exercised in tests)."""
+    backtest mode, T7; multi-batch replay is exercised in tests).
+
+    The cache key includes the source's mtime+size: the driver has
+    regenerated the testdata in place between rounds (even switching
+    parquet timestamp flavor), and a path-only key would silently replay
+    STALE ticks against a freshly-generated oracle."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        token = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        token = "nosrc"
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_signals_ticks_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"spark_signals_ticks_{key}_{token}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         ticks = load_ticks(spark, sf_dir).orderBy("event_time", "sequence")
