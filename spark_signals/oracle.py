@@ -96,10 +96,17 @@ sma_enriched AS (
     FROM normalized_prices
 ),
 sma_spread AS (
+    -- _spread_r: dp=9 decision grid (mirrors pipeline.sma_cross
+    -- SPREAD_DECISION_DP) so the crossover comparison cannot flip on the
+    -- window-AVG's summation-order ulp
     SELECT *, fast_sma - slow_sma AS spread,
+           floor((fast_sma - slow_sma) * 1e9 + 0.5000001) / 1e9 AS _spread_r,
            LAG(fast_sma - slow_sma, {cfg.confirmation}) OVER (
                PARTITION BY product_id ORDER BY event_time, sequence
-           ) AS prev_spread
+           ) AS prev_spread,
+           LAG(floor((fast_sma - slow_sma) * 1e9 + 0.5000001) / 1e9, {cfg.confirmation}) OVER (
+               PARTITION BY product_id ORDER BY event_time, sequence
+           ) AS _prev_spread_r
     FROM sma_enriched
 ),
 crossover_signals AS (
@@ -108,11 +115,11 @@ crossover_signals AS (
         product_id AS instrument_id,
         sequence,
         event_time AS signal_time,
-        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 'LONG'
-             WHEN spread < 0 AND prev_spread >= 0 THEN 'SHORT'
+        CASE WHEN _spread_r > 0 AND _prev_spread_r <= 0 THEN 'LONG'
+             WHEN _spread_r < 0 AND _prev_spread_r >= 0 THEN 'SHORT'
              ELSE 'HOLD' END AS signal_type,
-        CASE WHEN spread > 0 AND prev_spread <= 0 THEN CAST(1.0 AS DOUBLE)
-             WHEN spread < 0 AND prev_spread >= 0 THEN CAST(-1.0 AS DOUBLE)
+        CASE WHEN _spread_r > 0 AND _prev_spread_r <= 0 THEN CAST(1.0 AS DOUBLE)
+             WHEN _spread_r < 0 AND _prev_spread_r >= 0 THEN CAST(-1.0 AS DOUBLE)
              ELSE CAST(0.0 AS DOUBLE) END AS position,
         ABS(spread) AS confidence,
         fast_sma, slow_sma, spread, prev_spread
@@ -127,9 +134,11 @@ def positions_cte(cfg: EngineConfig) -> str:
         f"{_fmt(cfg.slippage_volatility_multiplier)} + spread_ratio * "
         f"{_fmt(cfg.slippage_spread_multiplier)}"
     )
+    # inner dp=6 grid before the floor: the raw product sits 1 ulp apart
+    # across engines and can straddle an integer (424.999... vs 425.000...)
     lat_raw = (
-        f"{cfg.fill_latency_ms} + CAST(floor({_fmt(float(cfg.fill_latency_volatility_ms))}"
-        f" * volatility_ratio) AS BIGINT)"
+        f"{cfg.fill_latency_ms} + CAST(floor(floor({_fmt(float(cfg.fill_latency_volatility_ms))}"
+        f" * volatility_ratio * 1e6 + 0.5000001) / 1e6) AS BIGINT)"
     )
     return f"""
 positions_base AS (

@@ -37,22 +37,9 @@ DP = 6
 DP_PNL = 9  # realized-pnl magnitudes are ~1e-4; keep more signal
 
 
-def sround(col, dp: int):
-    """Cross-engine-deterministic rounding: floor(x*10^dp + 0.5000001)/10^dp.
-
-    Built from IEEE-exact primitives (multiply, add, floor, divide) so Spark
-    and DuckDB produce bit-identical results — engine-native round
-    implementations disagree on half-way doubles (Spark rounds the exact
-    decimal expansion HALF_UP; DuckDB rounds x*10^dp in float space).
-
-    The offset is 0.5 + 1e-7, not 0.5: input prices have 2-decimal structure,
-    so frame averages land *exactly* on half-way boundaries where a 1-ulp
-    cross-engine difference in the aggregate flips the rounded digit. The
-    nudge moves the decision boundary to an unstructured point whose
-    neighborhood (±ulp) real data essentially never hits.
-    """
-    scale = F.lit(float(10 ** dp))
-    return F.floor(col * scale + F.lit(0.5000001)) / scale
+# re-exported for the many call sites; lives in spark_signals.rounding so
+# pipeline stages can grid decision boundaries without a circular import
+from spark_signals.rounding import sround  # noqa: E402,F401
 
 
 def _round_cols(df: DataFrame, cols: dict[str, int]) -> DataFrame:

@@ -156,8 +156,15 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     # latency increment truncates toward zero (Flink CAST DOUBLE→BIGINT;
     # volatility_ratio ≥ 0 so floor ≡ trunc), then clamps to
-    # [base, base + jitter] (sma_cross.py:276-288)
-    lat_inc = F.floor(F.lit(float(cfg.fill_latency_volatility_ms)) * F.col("volatility_ratio")).cast("long")
+    # [base, base + jitter] (sma_cross.py:276-288). The product is gridded
+    # at dp=6 before the floor: its raw last ulp is engine-dependent and can
+    # straddle an integer (observed 424 vs 425 at sf0.1) — the oracle grids
+    # identically.
+    from spark_signals.rounding import sround
+
+    lat_inc = F.floor(
+        sround(F.lit(float(cfg.fill_latency_volatility_ms)) * F.col("volatility_ratio"), 6)
+    ).cast("long")
     lat_raw = F.lit(cfg.fill_latency_ms) + lat_inc
     lat_hi = cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
     latency = (

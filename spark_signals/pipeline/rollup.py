@@ -19,31 +19,9 @@ from pyspark.sql import functions as F
 from spark_signals.config import EngineConfig
 
 
-def micro_units(col, dp: int):
-    """Exact integer grid units: floor(x·10^dp + 0.5000001) as BIGINT.
-
-    Same grid + nudge as parity.sround, but materialized as an integer so
-    downstream SUM/AVG is exact and associative — summation order (partition
-    count, AQE coalescing, micro-batch boundaries, engine) cannot change the
-    result by even 1 ulp. (Spark's floor(double) already returns LongType;
-    no cast needed.)
-
-    Precondition for the bit-identical claim: |Σ micro-units| per group must
-    stay < 2^53 so the BIGINT→DOUBLE cast in the final division is exact.
-    Holds with huge margin here (dp≤9 over sub-unit-magnitude values,
-    ≤~10^4 rows/bucket ⇒ |Σ| ≲ 10^13 ≪ 2^53 ≈ 9·10^15); re-check before
-    reusing at higher dp or group sizes.
-    """
-    return F.floor(col * F.lit(float(10**dp)) + F.lit(0.5000001))
-
-
-def exact_avg(sum_col, count_col, dp: int):
-    """(Σ micro-units / n) / 10^dp with one IEEE-exact division chain.
-
-    Both operands are exact integers (< 2^53 — see micro_units), so every
-    engine computes bit-identical doubles (IEEE division is exactly
-    rounded). NULL-safe: an all-NULL group yields SUM=NULL → NULL."""
-    return (sum_col.cast("double") / count_col.cast("double")) / F.lit(float(10**dp))
+# re-exported from spark_signals.rounding (shared with the telemetry rollup
+# and the streaming chained rollup)
+from spark_signals.rounding import exact_avg, micro_units  # noqa: E402,F401
 
 
 def hourly_rollup_exact(metrics: DataFrame, cfg: EngineConfig, *, avg_dp: int = 6) -> DataFrame:

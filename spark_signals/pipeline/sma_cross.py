@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
 from spark_signals.pipeline.normalize import tick_window
+from spark_signals.rounding import sround
+
+# decision-boundary grid: the crossover compares window-AVG outputs, whose
+# last ulp is summation-order-dependent — a raw `spread > 0` can flip
+# between engines (and between partitionings) exactly at a crossing, where
+# it matters. Both engines grid the spread at dp=9 before comparing, so a
+# flip would need a ~1e-9 cross-engine difference instead of 1 ulp.
+SPREAD_DECISION_DP = 9
 
 
 def sma_enriched(norm: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -41,11 +49,14 @@ def crossover_signals(sma: DataFrame, cfg: EngineConfig) -> DataFrame:
     (reference: sma_cross.py:148-184)."""
     w = tick_window(cfg)
     spread = F.col("fast_sma") - F.col("slow_sma")
-    enriched = sma.withColumn("spread", spread).withColumn(
-        "prev_spread", F.lag("spread", cfg.confirmation).over(w)
+    enriched = (
+        sma.withColumn("spread", spread)
+        .withColumn("_spread_r", sround(F.col("spread"), SPREAD_DECISION_DP))
+        .withColumn("prev_spread", F.lag("spread", cfg.confirmation).over(w))
+        .withColumn("_prev_spread_r", F.lag("_spread_r", cfg.confirmation).over(w))
     )
-    long_cond = (F.col("spread") > 0) & (F.col("prev_spread") <= 0)
-    short_cond = (F.col("spread") < 0) & (F.col("prev_spread") >= 0)
+    long_cond = (F.col("_spread_r") > 0) & (F.col("_prev_spread_r") <= 0)
+    short_cond = (F.col("_spread_r") < 0) & (F.col("_prev_spread_r") >= 0)
     signal_type = (
         F.when(long_cond, F.lit("LONG")).when(short_cond, F.lit("SHORT")).otherwise(F.lit("HOLD"))
     )

@@ -118,17 +118,24 @@ def sma_rule(cfg: EngineConfig):
     confirmation = cfg.confirmation
 
     def step(mid, fast_sma, slow_sma, volatility, rule_state):
+        from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
+        from spark_signals.rounding import sround_py
+
         sig_spread = fast_sma - slow_sma
+        # decisions compare the dp=9-gridded spread (the batch plan's
+        # _spread_r — sma_cross.SPREAD_DECISION_DP); rule_state carries the
+        # gridded values so the lagged comparison matches bit-for-bit
+        spread_r = sround_py(sig_spread, SPREAD_DECISION_DP)
         prev_spread = rule_state[-confirmation] if len(rule_state) >= confirmation else None
-        rule_state = rule_state + [sig_spread]
+        rule_state = rule_state + [spread_r]
         if len(rule_state) > confirmation:
             rule_state = rule_state[-confirmation:]
         signal_type = "HOLD"
         signal_position = None
         if prev_spread is not None:
-            if sig_spread > 0 and prev_spread <= 0:
+            if spread_r > 0 and prev_spread <= 0:
                 signal_type, signal_position = "LONG", 1.0
-            elif sig_spread < 0 and prev_spread >= 0:
+            elif spread_r < 0 and prev_spread >= 0:
                 signal_type, signal_position = "SHORT", -1.0
         return signal_type, signal_position, abs(sig_spread), rule_state
 
@@ -247,7 +254,8 @@ def replay_batch(
 
         slip_raw = slip_base + volatility_ratio * vol_mult + spread_ratio * spread_mult
         slippage_rate = 0.0 if slip_raw < 0 else (slip_max if slip_raw > slip_max else slip_raw)
-        lat_raw = lat_base + int(math.floor(lat_vol * volatility_ratio))
+        # same inner dp=6 grid as the batch plan (positions.py latency)
+        lat_raw = lat_base + int(math.floor(math.floor(lat_vol * volatility_ratio * 1e6 + 0.5000001) / 1e6))
         fill_latency = lat_base if lat_raw < lat_base else (lat_hi if lat_raw > lat_hi else lat_raw)
 
         out_rows.append(
