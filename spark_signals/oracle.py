@@ -228,8 +228,9 @@ performance_windows AS (
         AVG(realized_pnl) AS avg_return,
         STDDEV_POP(realized_pnl) AS volatility,
         SUM(realized_pnl) AS cumulative_return,
-        SUM(CASE WHEN realized_pnl < 0 THEN realized_pnl * realized_pnl
-                 ELSE CAST(0.0 AS DOUBLE) END) AS downside_sum,
+        CAST(SUM(CASE WHEN realized_pnl < 0
+                      THEN CAST(floor(realized_pnl * realized_pnl * 1e6 + 0.5000001) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) / 1e6 AS downside_sum,
         COUNT(realized_pnl) AS sample_size,
         COUNT(CASE WHEN realized_pnl < 0 THEN 1 END) AS negative_samples,
         MIN(realized_pnl) AS min_return,

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
+from spark_signals.rounding import micro_units as _micro
 
 
 def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -65,7 +66,14 @@ def performance_windows(returns: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.avg(pnl).alias("avg_return"),
             F.stddev_pop(pnl).alias("volatility"),
             F.sum(pnl).alias("cumulative_return"),
-            F.sum(F.when(pnl < 0, pnl * pnl).otherwise(F.lit(0.0))).alias("downside_sum"),
+            # exact integer micro-unit sum (see rounding.micro_units): p² is
+            # per-row-deterministic, but a raw double SUM is summation-order
+            # -dependent and at ~1e8 magnitude its ulp straddles the dp=6
+            # output grid (observed at sf0.1)
+            (
+                F.sum(F.when(pnl < 0, _micro(pnl * pnl, 6)).otherwise(F.lit(0)))
+                .cast("double") / F.lit(1e6)
+            ).alias("downside_sum"),
             F.count(pnl).alias("sample_size"),
             F.count(F.when(pnl < 0, F.lit(1))).alias("negative_samples"),
             F.min(pnl).alias("min_return"),

@@ -178,19 +178,36 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment", "o_orderstatus")
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(_revenue_sum_u().alias("revenue_u"), F.count(F.lit(1)).alias("n_items"))
     )
-    return agg.withColumn("revenue", sround(F.col("revenue"), 2))
+    return agg.select(
+        "c_mktsegment", "o_orderstatus",
+        sround(F.col("revenue_u").cast("double") / F.lit(1e4), 2).alias("revenue"),
+        "n_items",
+    )
+
+
+def _revenue_sum_u():
+    """Σ revenue as exact dp=4 integer micro-units: the per-row term
+    l_extendedprice·(1−l_discount) has exactly 4 decimals (2+2), so the
+    grid recovers it exactly and the BIGINT SUM is order-independent — a
+    raw double SUM at ~1e9 magnitude carries a summation-order ulp that
+    straddled the dp=2 output grid at sf0.1."""
+    from spark_signals.rounding import micro_units
+
+    return F.sum(
+        micro_units(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    )
 
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment, o_orderstatus,
-       floor((SUM(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5000001) / 1e2 AS revenue,
+       floor((CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5000001) AS BIGINT)) AS DOUBLE) / 1e4)
+             * 1e2 + 0.5000001) / 1e2 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -232,14 +249,17 @@ def q_segment_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan-based form — identical results, different physical plan."""
     li, orders = _bucketed_order_tables(spark, sf_dir)
     customer = read_table(spark, sf_dir, "customer")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
         .groupBy("c_mktsegment", "o_orderstatus")
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(_revenue_sum_u().alias("revenue_u"), F.count(F.lit(1)).alias("n_items"))
     )
-    return agg.withColumn("revenue", sround(F.col("revenue"), 2))
+    return agg.select(
+        "c_mktsegment", "o_orderstatus",
+        sround(F.col("revenue_u").cast("double") / F.lit(1e4), 2).alias("revenue"),
+        "n_items",
+    )
 
 
 def q_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

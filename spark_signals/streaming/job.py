@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
 from spark_signals.io.sources import PRICES_RAW_SCHEMA, ensure_session_confs
+from spark_signals.rounding import micro_units
 from spark_signals.streaming.features import stateful_features
 
 
@@ -88,7 +89,12 @@ def streaming_metrics(features: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.avg(p).alias("avg_return"),
             F.stddev_pop(p).alias("volatility"),
             F.sum(p).alias("cumulative_return"),
-            F.sum(F.when(p < 0, p * p).otherwise(F.lit(0.0))).alias("downside_sum"),
+            # exact integer micro-unit sum — mirrors pipeline.metrics (the
+            # raw double SUM's ulp straddled the dp=6 output grid at sf0.1)
+            (
+                F.sum(F.when(p < 0, micro_units(p * p, 6)).otherwise(F.lit(0)))
+                .cast("double") / F.lit(1e6)
+            ).alias("downside_sum"),
             F.count(p).alias("sample_size"),
             F.count(F.when(p < 0, F.lit(1))).alias("negative_samples"),
             F.min(p).alias("min_return"),
@@ -128,8 +134,6 @@ def streaming_hourly_rollup(metrics5: DataFrame, cfg: EngineConfig) -> DataFrame
     and engine cannot move the result by even 1 ulp), with ONE division at
     the end. MIN/SUM(int)/COUNT are already order-independent.
     """
-    from spark_signals.pipeline.rollup import micro_units
-
     w = F.window(F.window_time("window"), cfg.rollup_window).alias("w")
     scale = F.lit(1e9)
     return (
