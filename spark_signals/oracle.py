@@ -67,16 +67,32 @@ normalized_lag AS (
               AS prev_mid_price
     FROM normalized_base
 ),
+normalized_vol AS (
+    -- exact BIGINT window sums of dp=5 mid micro-units: bit-identical
+    -- rolling variance on every engine (mirrors normalize.VOL_DP; native
+    -- STDDEV_POP's last ulp is accumulation-order-dependent)
+    SELECT *,
+        SUM(CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m1,
+        SUM(CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)
+            * CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m2,
+        COUNT(mid_price) OVER w_vol AS _vol_n
+    FROM normalized_lag
+    WINDOW w_vol AS (
+        PARTITION BY product_id ORDER BY event_time, sequence
+        ROWS BETWEEN {cfg.volatility_window - 1} PRECEDING AND CURRENT ROW
+    )
+),
 normalized_prices AS (
     SELECT
         product_id, event_time, sequence, mid_price, best_bid, best_ask,
         CASE WHEN prev_mid_price IS NULL OR prev_mid_price = 0 THEN NULL
              ELSE (mid_price - prev_mid_price) / prev_mid_price END AS returns,
-        STDDEV_POP(mid_price) OVER (
-            PARTITION BY product_id ORDER BY event_time, sequence
-            ROWS BETWEEN {cfg.volatility_window - 1} PRECEDING AND CURRENT ROW
-        ) AS volatility
-    FROM normalized_lag
+        sqrt(greatest(
+            CAST(_vol_m2 AS DOUBLE) / CAST(_vol_n AS DOUBLE)
+            - (CAST(_vol_m1 AS DOUBLE) / CAST(_vol_n AS DOUBLE))
+              * (CAST(_vol_m1 AS DOUBLE) / CAST(_vol_n AS DOUBLE)),
+            0.0)) / 1e5 AS volatility
+    FROM normalized_vol
 )"""
 
 

@@ -46,17 +46,37 @@ def normalized_base(ticks: DataFrame) -> DataFrame:
     )
 
 
+# Volatility decision grid: mids are recovered as exact dp=5 integer
+# micro-units and the rolling variance is computed from BIGINT window sums
+# (Σu, Σu²) — exact int64 arithmetic on both engines, so the stddev is
+# bit-identical regardless of accumulation order. Native STDDEV_POP's
+# last ulp is order- and engine-dependent, which flipped a dp=9-rounded
+# volatility_ratio cell at sf0.1 (and would flip breakout band decisions).
+# Precondition: frame_rows · (max_mid · 10^dp)² < 2^63 — at dp=5 that
+# allows mids up to ~4e4 over a 60-row frame; re-derive dp for markets
+# with larger quote magnitudes.
+VOL_DP = 5
+
+
 def _rolling_features(w, cfg: EngineConfig):
     """The shared rolling-feature expressions over a window spec ``w`` —
     factored so the single-key plan (enriched_ticks) and the skew-re-keyed
     plan (enriched_ticks_rekeyed) compute literally the same expressions."""
+    from spark_signals.rounding import micro_units
+
     prev_mid = F.lag("mid_price").over(w)
     vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
     returns = (
         F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
         .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
     )
-    volatility = F.stddev_pop("mid_price").over(vol_frame)
+    u = micro_units(F.col("mid_price"), VOL_DP)
+    m1 = F.sum(u).over(vol_frame).cast("double")
+    m2 = F.sum(u * u).over(vol_frame).cast("double")
+    n = F.count("mid_price").over(vol_frame).cast("double")
+    mean_u = m1 / n
+    var_u = m2 / n - mean_u * mean_u
+    volatility = F.sqrt(F.greatest(var_u, F.lit(0.0))) / F.lit(float(10**VOL_DP))
     fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
     slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
     return returns, volatility, fast, slow

@@ -85,19 +85,18 @@ def _running_avg(values: list[float]) -> float:
 
 
 def _stddev_pop(values: list[float]) -> float:
-    """Spark `CentralMomentAgg` (Welford) replay in ascending frame order,
-    matching the exact FP operation order of its updateExpressions:
-    deltaN = delta/newN; m2 += delta * (delta - deltaN)."""
-    n = 0.0
-    mean = 0.0
-    m2 = 0.0
-    for v in values:
-        n += 1.0
-        delta = v - mean
-        delta_n = delta / n
-        mean += delta_n
-        m2 += delta * (delta - delta_n)
-    return math.sqrt(m2 / n)
+    """Replay of the batch plan's exact-integer rolling stddev
+    (pipeline.normalize.VOL_DP): mids → dp=5 BIGINT micro-units, exact
+    integer Σu/Σu², one deterministic IEEE division/sqrt chain — identical
+    to the Spark expression bit-for-bit, and order-independent (the
+    previous Welford replay had to mirror Spark's accumulation order)."""
+    us = [math.floor(v * 1e5 + 0.5000001) for v in values]
+    n = float(len(us))
+    m1 = float(sum(us))
+    m2 = float(sum(u * u for u in us))
+    mean_u = m1 / n
+    var_u = m2 / n - mean_u * mean_u
+    return math.sqrt(var_u if var_u > 0.0 else 0.0) / 1e5
 
 
 FRESH_STATE: tuple = ([], [], 0.0, False, 0.0, False)
