@@ -1,0 +1,43 @@
+"""Partition-count invariance — the 1000-executor determinism claim.
+
+The oracle suite pins Spark vs DuckDB; this pins Spark vs ITSELF under
+different parallelism: with exact-integer aggregation and gridded decision
+boundaries, changing `spark.sql.shuffle.partitions` (the local stand-in
+for cluster size) must not move any result by even 1 ulp. Raw
+double SUM/AVG would fail this — partial-aggregate trees change shape with
+partition count.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+CASES = [
+    "metrics_hourly_rollup",
+    "performance_windows_5m",
+    "strategy_metrics",
+    "segment_revenue_3way_join",
+    "latency_metrics_rollup",
+    "sma_crossover_signals",
+]
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_results_identical_across_shuffle_partition_counts(spark, name):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = fn(spark, SF)
+            results[parts] = sorted(
+                tuple(r) for r in df.collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["3"] == results["32"]  # bit-identical, not approximately
