@@ -127,11 +127,15 @@ class LatencyListener:
             def onQueryProgress(self, event):
                 import json as _json
 
+                # the whole handler is guarded: an exception escaping a
+                # listener callback kills further event delivery silently —
+                # a malformed progress payload must drop one sample, not
+                # the capture
                 try:
                     progress = _json.loads(event.progress.json)
+                    rows = progress_to_rows(progress, outer._run_id)
                 except Exception:
                     return
-                rows = progress_to_rows(progress, outer._run_id)
                 with outer._lock:
                     space = outer._max - len(outer._rows)
                     if space < len(rows):

@@ -499,9 +499,12 @@ bk AS (
   FROM normalized_prices
 ),
 bks AS (
+  -- dp=9-gridded band differences (mirrors strategies.breakout)
   SELECT *,
-    CASE WHEN mid_price > {_BK_UPPER} THEN CAST(1.0 AS DOUBLE)
-         WHEN mid_price < {_BK_LOWER} THEN CAST(-1.0 AS DOUBLE)
+    CASE WHEN floor((mid_price - ({_BK_UPPER})) * 1e9 + 0.5000001) / 1e9 > 0
+              THEN CAST(1.0 AS DOUBLE)
+         WHEN floor((mid_price - ({_BK_LOWER})) * 1e9 + 0.5000001) / 1e9 < 0
+              THEN CAST(-1.0 AS DOUBLE)
          ELSE CAST(0.0 AS DOUBLE) END AS state
   FROM bk
 ),

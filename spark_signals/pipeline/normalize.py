@@ -52,9 +52,10 @@ def normalized_base(ticks: DataFrame) -> DataFrame:
 # bit-identical regardless of accumulation order. Native STDDEV_POP's
 # last ulp is order- and engine-dependent, which flipped a dp=9-rounded
 # volatility_ratio cell at sf0.1 (and would flip breakout band decisions).
-# Precondition: frame_rows · (max_mid · 10^dp)² < 2^63 — at dp=5 that
-# allows mids up to ~4e4 over a 60-row frame; re-derive dp for markets
-# with larger quote magnitudes.
+# Precondition: frame_rows · (max_mid · 10^dp)² < 2^63, i.e. at dp=5 over a
+# 60-row frame max_mid ≲ 3.9e3 (driver data tops out at ~560 — 7× margin;
+# a single u² already overflows int64 at mid ≈ 3e4). For larger quote
+# magnitudes re-derive dp: dp=3 allows mids to ~3.9e5.
 VOL_DP = 5
 
 

@@ -41,9 +41,16 @@ def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     signals (sma_cross.py:186-208) but reuses the shared window stage — no
     join, no second shuffle.
     """
+    from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
+    from spark_signals.rounding import sround
+
     df = enriched
-    long_cond = (F.col("sig_spread") > 0) & (F.col("prev_sig_spread") <= 0)
-    short_cond = (F.col("sig_spread") < 0) & (F.col("prev_sig_spread") >= 0)
+    # same dp=9 decision grid as every other crossover implementation
+    # (sround∘lag ≡ lag∘sround, so this matches the join variant exactly)
+    spread_r = sround(F.col("sig_spread"), SPREAD_DECISION_DP)
+    prev_r = sround(F.col("prev_sig_spread"), SPREAD_DECISION_DP)
+    long_cond = (spread_r > 0) & (prev_r <= 0)
+    short_cond = (spread_r < 0) & (prev_r >= 0)
     quote_spread = F.when(
         F.col("best_bid").isNotNull() & F.col("best_ask").isNotNull(),
         F.col("best_ask") - F.col("best_bid"),

@@ -94,9 +94,15 @@ def crossover_signals(sma: DataFrame, cfg: EngineConfig) -> DataFrame:
 def crossover_signals_enriched(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     """crossover_signals as a pure projection off normalize.enriched_ticks
     (sig_spread / prev_sig_spread already computed in the shared window
-    stage) — same output as ``crossover_signals``, zero extra shuffles."""
-    long_cond = (F.col("sig_spread") > 0) & (F.col("prev_sig_spread") <= 0)
-    short_cond = (F.col("sig_spread") < 0) & (F.col("prev_sig_spread") >= 0)
+    stage) — same output as ``crossover_signals``, zero extra shuffles.
+
+    The decision grids inline (sround∘lag ≡ lag∘sround, so gridding the
+    lagged raw spread here equals the join variant's lag of the gridded
+    spread bit-for-bit)."""
+    spread_r = sround(F.col("sig_spread"), SPREAD_DECISION_DP)
+    prev_r = sround(F.col("prev_sig_spread"), SPREAD_DECISION_DP)
+    long_cond = (spread_r > 0) & (prev_r <= 0)
+    short_cond = (spread_r < 0) & (prev_r >= 0)
     signal_type = (
         F.when(long_cond, F.lit("LONG")).when(short_cond, F.lit("SHORT")).otherwise(F.lit("HOLD"))
     )

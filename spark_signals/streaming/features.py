@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from spark_signals.config import EngineConfig
+from spark_signals.pipeline.normalize import VOL_DP as _VOL_DP
 
 STATE_SCHEMA = T.StructType(
     [
@@ -86,17 +87,20 @@ def _running_avg(values: list[float]) -> float:
 
 def _stddev_pop(values: list[float]) -> float:
     """Replay of the batch plan's exact-integer rolling stddev
-    (pipeline.normalize.VOL_DP): mids → dp=5 BIGINT micro-units, exact
-    integer Σu/Σu², one deterministic IEEE division/sqrt chain — identical
-    to the Spark expression bit-for-bit, and order-independent (the
-    previous Welford replay had to mirror Spark's accumulation order)."""
-    us = [math.floor(v * 1e5 + 0.5000001) for v in values]
+    (pipeline.normalize.VOL_DP): mids → BIGINT micro-units, exact integer
+    Σu/Σu², one deterministic IEEE division/sqrt chain — identical to the
+    Spark expression bit-for-bit, and order-independent (the previous
+    Welford replay had to mirror Spark's accumulation order). The scale is
+    derived from VOL_DP so a batch re-derivation can't silently decouple
+    the replay."""
+    scale = float(10**_VOL_DP)
+    us = [math.floor(v * scale + 0.5000001) for v in values]
     n = float(len(us))
     m1 = float(sum(us))
     m2 = float(sum(u * u for u in us))
     mean_u = m1 / n
     var_u = m2 / n - mean_u * mean_u
-    return math.sqrt(var_u if var_u > 0.0 else 0.0) / 1e5
+    return math.sqrt(var_u if var_u > 0.0 else 0.0) / scale
 
 
 FRESH_STATE: tuple = ([], [], 0.0, False, 0.0, False)
@@ -114,12 +118,12 @@ FRESH_STATE: tuple = ([], [], 0.0, False, 0.0, False)
 def sma_rule(cfg: EngineConfig):
     """Debounced SMA crossover (pipeline.sma_cross) — rule_state is the
     trailing ``confirmation`` spread deque (W5's lag)."""
+    from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
+    from spark_signals.rounding import sround_py
+
     confirmation = cfg.confirmation
 
     def step(mid, fast_sma, slow_sma, volatility, rule_state):
-        from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
-        from spark_signals.rounding import sround_py
-
         sig_spread = fast_sma - slow_sma
         # decisions compare the dp=9-gridded spread (the batch plan's
         # _spread_r — sma_cross.SPREAD_DECISION_DP); rule_state carries the
@@ -144,12 +148,17 @@ def sma_rule(cfg: EngineConfig):
 def breakout_rule(cfg: EngineConfig):
     """Bollinger-band breakout (strategies.breakout) — rule_state is the
     single previous band state [-1, 0, +1]."""
+    from spark_signals.rounding import sround_py
     from spark_signals.strategies.breakout import K_BANDS
 
     def step(mid, fast_sma, slow_sma, volatility, rule_state):
         upper = slow_sma + K_BANDS * volatility
         lower = slow_sma - K_BANDS * volatility
-        state = 1.0 if mid > upper else (-1.0 if mid < lower else 0.0)
+        # dp=9-gridded band differences — matches strategies.breakout
+        state = (
+            1.0 if sround_py(mid - upper, 9) > 0
+            else (-1.0 if sround_py(mid - lower, 9) < 0 else 0.0)
+        )
         prev = rule_state[0] if rule_state else 0.0
         entering = state != 0.0 and prev != state
         if entering:

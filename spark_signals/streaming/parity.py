@@ -50,7 +50,9 @@ def _materialize_tick_files(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        token = f"{int(st.st_mtime)}_{st.st_size}"
+        # nanosecond mtime: a same-second regeneration with equal byte size
+        # must still invalidate
+        token = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         token = "nosrc"
     key = sf_dir.strip("/").replace("/", "_")
