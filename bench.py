@@ -49,7 +49,10 @@ def main() -> None:
     from spark_signals.session import get_spark
 
     spark = get_spark("spark-signals-bench")
-    qs = entrymod.queries()
+    # extended_queries holds entries retired from the driver's correctness
+    # contract (redundant with checked siblings) that stay benchmarked here
+    # (segment_revenue_3way_join is the non-bucketed plan variant).
+    qs = {**entrymod.queries(), **entrymod.extended_queries()}
 
     # warm the JVM/session on the smallest table so first-query numbers
     # measure the plan, not executor spin-up
@@ -65,9 +68,12 @@ def main() -> None:
     passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        colds[name] = round(time.time() - t0, 3)
         runs = []
         for _ in range(passes):
             t0 = time.time()
@@ -91,6 +97,14 @@ def main() -> None:
                 "suite_median": total_median,
                 "noise_ratio": noise,
                 "passes": passes,
+                # Methodology markers (added r04/r05): timed passes run AFTER
+                # one untimed warm pass per query, so `value` excludes
+                # cold-run cost — r01-r03 artifacts did NOT warm and are not
+                # directly comparable. The cold first-run cost is reported
+                # separately so consumers can see both.
+                "warm_pass": True,
+                "queries_cold": colds,
+                "suite_cold": round(sum(colds.values()), 3),
                 "sf": float(sf),
             }
         )

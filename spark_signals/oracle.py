@@ -324,7 +324,10 @@ hourly_rollup AS (
         (CAST(SUM(sortino_u) AS DOUBLE) / CAST(COUNT(sortino_u) AS DOUBLE)) / 1e6 AS sortino_avg,
         arg_max(cumulative_return, metric_time) AS cumulative_return_last,
         MAX(drawdown) AS max_drawdown,
-        SUM(trades_executed) AS trades_executed_sum
+        -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas materializes
+        -- as float64; Spark's sum(long) stays int64. The driver's value hash
+        -- distinguishes 5 from 5.0, so pin the oracle back to BIGINT.
+        CAST(SUM(trades_executed) AS BIGINT) AS trades_executed_sum
     FROM metrics_rounded
     GROUP BY 1, 2, 3
 )"""

@@ -193,7 +193,9 @@ hourly AS (
         CAST(SUM(CAST(floor(cumulative_return * 1e9 + 0.5000001) AS BIGINT)) AS DOUBLE) / 1e9
             AS cumulative_return_sum,
         MIN(min_return) AS min_return,
-        SUM(sample_size) AS sample_size_sum,
+        -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64, but Spark's
+        -- sum(long) stays int64; the driver hash sees 5.0 vs 5. Pin to BIGINT.
+        CAST(SUM(sample_size) AS BIGINT) AS sample_size_sum,
         CAST(SUM(CAST(floor(total_trade_cost * 1e9 + 0.5000001) AS BIGINT)) AS DOUBLE) / 1e9
             AS total_trade_cost_sum,
         COUNT(*) AS n_windows

@@ -28,7 +28,7 @@ CASES = [
 def test_results_identical_across_shuffle_partition_counts(spark, name):
     import __spark_entry__ as entrymod
 
-    fn = entrymod.queries()[name]
+    fn = {**entrymod.queries(), **entrymod.extended_queries()}[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:

@@ -4,7 +4,11 @@ Runs every __spark_entry__ query at a given scale factor, runs its oracle SQL
 in DuckDB over the same parquet tables, and compares row count, column names,
 and exact cell values (after sorting columns by name and rows by all columns).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--extended] [sf_dir] [query ...]
+
+--extended also sweeps the queries RETIRED from the driver contract
+(redundant with checked siblings; see __spark_entry__.RETIRED) so they keep
+the same value-level verification the driver would have given them.
 """
 
 from __future__ import annotations
@@ -61,6 +65,21 @@ def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
     bad = []
     for c in sp.columns:
         a, b = sp[c], du[c]
+        # The driver hashes raw cell values, so int64 5 vs float64 5.0 is a
+        # red even when every value is numerically equal. Flag dtype-kind
+        # drift (int vs float) as a failure instead of silently coercing —
+        # this is exactly the laxness that hid the SUM(BIGINT)->HUGEINT->
+        # float64 oracle bug for three rounds.
+        a_num = pd.api.types.is_numeric_dtype(a) and not pd.api.types.is_bool_dtype(a)
+        b_num = pd.api.types.is_numeric_dtype(b) and not pd.api.types.is_bool_dtype(b)
+        if a_num and b_num and (
+            pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b)
+        ):
+            bad.append(
+                f"{c}: dtype-kind mismatch spark={a.dtype} duck={b.dtype} "
+                f"(driver hash distinguishes int from float)"
+            )
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa = a.astype(float).to_numpy()
             bb = b.astype(float).to_numpy()
@@ -81,8 +100,12 @@ def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    extended = "--extended" in argv
+    if extended:
+        argv.remove("--extended")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from spark_signals.session import get_spark
@@ -91,6 +114,9 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
+    if extended:
+        qs = {**qs, **entrymod.extended_queries()}
+        oq = {**oq, **entrymod.extended_oracle_sql()}
 
     failures = 0
     for name, fn in qs.items():
