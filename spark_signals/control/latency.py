@@ -184,7 +184,12 @@ def read_latency(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("latency_date")
 
 
-def latency_rollup(lat: DataFrame, avg_dp: int = 6) -> DataFrame:
+# Micro-unit grid for the latency rollup — shared by the Spark expressions
+# and the oracle SQL below so bumping it cannot desynchronize the two sides.
+LATENCY_AVG_DP = 6
+
+
+def latency_rollup(lat: DataFrame, avg_dp: int = LATENCY_AVG_DP) -> DataFrame:
     """Hourly per-component latency rollup (the Grafana latency panel).
 
     AVG/SUM use exact BIGINT micro-units (see pipeline.rollup) so the result
@@ -247,15 +252,15 @@ WITH lat AS (
 hourly AS (
     SELECT component,
            time_bucket(INTERVAL '1 hour', latency_time) AS bucket,
-           SUM(CAST(floor(value_ms * 1e6 + 0.5000001) AS BIGINT)) AS sum_u,
+           SUM(CAST(floor(value_ms * 1e{LATENCY_AVG_DP} + 0.5000001) AS BIGINT)) AS sum_u,
            COUNT(value_ms) AS n_samples,
            MAX(value_ms) AS max_ms
     FROM lat
     GROUP BY 1, 2
 )
 SELECT component, bucket,
-       (CAST(sum_u AS DOUBLE) / CAST(n_samples AS DOUBLE)) / 1e6 AS avg_ms,
-       CAST(sum_u AS DOUBLE) / 1e6 AS total_ms,
+       (CAST(sum_u AS DOUBLE) / CAST(n_samples AS DOUBLE)) / 1e{LATENCY_AVG_DP} AS avg_ms,
+       CAST(sum_u AS DOUBLE) / 1e{LATENCY_AVG_DP} AS total_ms,
        max_ms, n_samples
 FROM hourly"""
 

@@ -174,7 +174,7 @@ def _detect_codecs() -> dict:
 REAL_CODECS = _detect_codecs()
 
 
-def decode_media(content: bytes, kind: str) -> dict:
+def decode_media(content: bytes, kind: str, *, force_stub: bool = False) -> dict:
     """Real codec when one is detected AND the payload actually decodes;
     deterministic stub otherwise. Fallback (not failure) on undecodable
     bytes keeps the operator total — corrupt media in a 100 TB corpus must
@@ -184,7 +184,7 @@ def decode_media(content: bytes, kind: str) -> dict:
     same reason (codecs raise heterogeneous error types on corrupt bytes);
     the status column is what keeps the swallowing honest.
     """
-    codec = REAL_CODECS.get(kind)
+    codec = None if force_stub else REAL_CODECS.get(kind)
     if codec is not None:
         try:
             return {**codec(content), "status": "real"}
@@ -193,11 +193,20 @@ def decode_media(content: bytes, kind: str) -> dict:
     return {**_decode_stub(content, kind), "status": "stub"}
 
 
-def extract_features(media: DataFrame, target_frames: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, target_frames: int = 8, *, force_stub: bool = False
+) -> DataFrame:
     """Decode → resize → frame-sample → featurize as one mapInPandas stage.
 
     One Arrow batch in, one batch out; no shuffle — this chains onto the
     scan. Frame sampling keeps min(n_frames, target_frames).
+
+    ``force_stub=True`` pins every row to the deterministic stub decoder
+    regardless of which real codecs this process can import — required for
+    any oracle-compared path, because REAL_CODECS is probed per-process and
+    the DuckDB oracle models only the stub arithmetic; without the pin,
+    a payload that happens to decode under an installed codec (or a
+    driver/executor codec-availability skew) silently breaks hash parity.
     """
     import hashlib
 
@@ -206,7 +215,7 @@ def extract_features(media: DataFrame, target_frames: int = 8) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
-                decoded = decode_media(content, row.kind)
+                decoded = decode_media(content, row.kind, force_stub=force_stub)
                 frames = decoded["frames"]
                 out.append(
                     {
@@ -290,4 +299,8 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_signals.io.sources import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    return extract_features(synthesize_media(docs))
+    # force_stub: this is the oracle-compared entry; SQL_MEDIA_FEATURES
+    # models only the stub branch (decode_status='stub'), so real-codec
+    # autodetection must not leak in here. Production feature extraction
+    # should call extract_features() directly without the pin.
+    return extract_features(synthesize_media(docs), force_stub=True)

@@ -19,8 +19,17 @@ numerically identical results. Notes on cross-engine determinism:
 from __future__ import annotations
 
 from spark_signals.config import EngineConfig
+from spark_signals.pipeline.normalize import VOL_DP
+from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
 
 ROUND_DP = 6
+
+# Grid scales interpolated from the SAME named constants the Spark
+# expressions use (normalize.VOL_DP, sma_cross.SPREAD_DECISION_DP) — a
+# hardcoded 1e5/1e9 here would silently desynchronize the two engines the
+# day a constant is bumped. "1eN" parses as DOUBLE in DuckDB.
+_VOL_S = f"1e{VOL_DP}"
+_SPREAD_S = f"1e{SPREAD_DECISION_DP}"
 
 
 def _fmt(x: float) -> str:
@@ -72,9 +81,9 @@ normalized_vol AS (
     -- rolling variance on every engine (mirrors normalize.VOL_DP; native
     -- STDDEV_POP's last ulp is accumulation-order-dependent)
     SELECT *,
-        SUM(CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m1,
-        SUM(CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)
-            * CAST(floor(mid_price * 1e5 + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m2,
+        SUM(CAST(floor(mid_price * {_VOL_S} + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m1,
+        SUM(CAST(floor(mid_price * {_VOL_S} + 0.5000001) AS BIGINT)
+            * CAST(floor(mid_price * {_VOL_S} + 0.5000001) AS BIGINT)) OVER w_vol AS _vol_m2,
         COUNT(mid_price) OVER w_vol AS _vol_n
     FROM normalized_lag
     WINDOW w_vol AS (
@@ -91,7 +100,7 @@ normalized_prices AS (
             CAST(_vol_m2 AS DOUBLE) / CAST(_vol_n AS DOUBLE)
             - (CAST(_vol_m1 AS DOUBLE) / CAST(_vol_n AS DOUBLE))
               * (CAST(_vol_m1 AS DOUBLE) / CAST(_vol_n AS DOUBLE)),
-            0.0)) / 1e5 AS volatility
+            0.0)) / {_VOL_S} AS volatility
     FROM normalized_vol
 )"""
 
@@ -116,11 +125,11 @@ sma_spread AS (
     -- SPREAD_DECISION_DP) so the crossover comparison cannot flip on the
     -- window-AVG's summation-order ulp
     SELECT *, fast_sma - slow_sma AS spread,
-           floor((fast_sma - slow_sma) * 1e9 + 0.5000001) / 1e9 AS _spread_r,
+           floor((fast_sma - slow_sma) * {_SPREAD_S} + 0.5000001) / {_SPREAD_S} AS _spread_r,
            LAG(fast_sma - slow_sma, {cfg.confirmation}) OVER (
                PARTITION BY product_id ORDER BY event_time, sequence
            ) AS prev_spread,
-           LAG(floor((fast_sma - slow_sma) * 1e9 + 0.5000001) / 1e9, {cfg.confirmation}) OVER (
+           LAG(floor((fast_sma - slow_sma) * {_SPREAD_S} + 0.5000001) / {_SPREAD_S}, {cfg.confirmation}) OVER (
                PARTITION BY product_id ORDER BY event_time, sequence
            ) AS _prev_spread_r
     FROM sma_enriched

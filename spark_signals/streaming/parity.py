@@ -59,6 +59,17 @@ def _materialize_tick_files(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(tempfile.gettempdir(), f"spark_signals_ticks_{key}_{token}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        # drop superseded caches for this sf_dir first: each testdata
+        # regeneration changes the token, and without cleanup every
+        # regeneration leaks one full tick copy into the temp dir
+        import glob
+        import shutil
+
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"spark_signals_ticks_{key}_*")
+        ):
+            if stale != out:
+                shutil.rmtree(stale, ignore_errors=True)
         ticks = load_ticks(spark, sf_dir).orderBy("event_time", "sequence")
         ticks.coalesce(1).write.mode("overwrite").parquet(out)
     return out
@@ -88,6 +99,13 @@ def q_streaming_positions_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling streaming metrics drained through an in-memory table.
+
+    ``outputMode("complete")`` is correct ONLY for this availableNow drain
+    harness (one bounded replay, final state read once). It re-emits the
+    full aggregation state every trigger and is NOT the production shape —
+    the production path (``job.run_streaming_job``) uses append mode with
+    watermark-closed windows and foreachBatch sinks."""
     src = _materialize_tick_files(spark, sf_dir)
     ticks = read_tick_stream(spark, src)
     feats = stateful_features(
