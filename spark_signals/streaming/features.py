@@ -73,6 +73,13 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("fill_latency_ms", T.LongType(), True),
         T.StructField("signal_type", T.StringType(), True),
         T.StructField("confidence", T.DoubleType(), True),
+        # SMA accumulator values surfaced so the streaming signals_decisions
+        # sink can emit the same P11 JSON metadata as the batch sink
+        # (reference wires them onto the sink: sma_cross.py:166-172 via
+        # __main__.py:97-115); appended last so positional consumers of the
+        # cost columns are undisturbed.
+        T.StructField("fast_sma", T.DoubleType(), True),
+        T.StructField("slow_sma", T.DoubleType(), True),
     ]
 )
 
@@ -288,6 +295,8 @@ def replay_batch(
                 "fill_latency_ms": fill_latency,
                 "signal_type": signal_type,
                 "confidence": confidence,
+                "fast_sma": fast_sma,
+                "slow_sma": slow_sma,
             }
         )
 

@@ -177,11 +177,25 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
         try:
             # the feature stream is positions_costs-shaped, so the batch sink
             # projections apply verbatim — streaming and batch modes write
-            # the SAME schema to the shared sink names (executions and
-            # transitions include the P11 metadata). One deliberate gap:
-            # streaming signals_decisions carries no metadata column —
-            # the SMA values it would embed are rule-internal accumulator
-            # state, not part of the feature-stream contract.
+            # the SAME schema to the shared sink names, INCLUDING the P11
+            # JSON metadata on signals_decisions: the feature stream
+            # surfaces fast_sma/slow_sma (OUTPUT_SCHEMA) and the metadata is
+            # built with the same jsonfmt canonicalizer and field order as
+            # the batch sink (sma_cross.crossover_signals / reference
+            # sma_cross.py:166-172 via __main__.py:97-115), so a consumer
+            # diffing the two sink schemas sees no gap.
+            from spark_signals.pipeline import jsonfmt as J
+
+            sig_spread = F.col("fast_sma") - F.col("slow_sma")
+            sig_metadata = F.to_json(
+                F.struct(
+                    J.fmt_fixed(F.col("fast_sma"), 6).alias("fast_sma"),
+                    J.fmt_fixed(F.col("slow_sma"), 6).alias("slow_sma"),
+                    J.fmt_fixed(sig_spread, 6).alias("spread"),
+                    F.lit(str(cfg.confirmation)).alias("confirmation_window"),
+                    F.lit(cfg.execution_mode).alias("execution_mode"),
+                )
+            )
             sinks = {
                 "prices_normalized": batch_df.select(
                     "product_id", "event_time", "sequence", "mid_price",
@@ -196,6 +210,7 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
                     "signal_type",
                     F.col("position"),
                     "confidence",
+                    sig_metadata.alias("metadata"),
                 ),
                 "strategy_executions": P.executions(batch_df, cfg),
                 "strategy_positions": P.position_transitions(batch_df, cfg),

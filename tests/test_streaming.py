@@ -4,6 +4,7 @@ fan-out."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -141,6 +142,10 @@ def test_multi_sink_writer_idempotent_on_batch_replay(spark, tmp_path):
             .otherwise(F.lit("HOLD")),
         )
         .withColumn("confidence", F.abs(F.col("position_change")))
+        # the real feature stream surfaces the SMA accumulators
+        # (OUTPUT_SCHEMA); stand-ins suffice for the idempotency property
+        .withColumn("fast_sma", F.col("mid_price"))
+        .withColumn("slow_sma", F.col("mid_price"))
     )
     writer = multi_sink_writer(out, cfg)
     sink_names = [
@@ -185,6 +190,16 @@ def test_run_streaming_job_multi_sink(spark, tmp_path):
         "LONG",
         "SHORT",
     }
+    # the streaming decisions sink must expose the SAME schema as the batch
+    # sink, metadata included (a consumer diffing the two sinks sees no gap)
+    from spark_signals.pipeline.builder import build_pipeline
+
+    batch_sigs = build_pipeline(load_ticks(spark, SF), EngineConfig()).signals_decisions
+    assert [c for c in sigs.columns if c != "_batch_id"] == batch_sigs.columns
+    meta = json.loads(sigs.select("metadata").first()["metadata"])
+    assert list(meta) == [
+        "fast_sma", "slow_sma", "spread", "confirmation_window", "execution_mode",
+    ]
 
 
 def test_streaming_union_live_replay(spark, tmp_path):
