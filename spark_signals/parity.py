@@ -285,14 +285,23 @@ FROM position_returns"""
 )
 
 
-def _metrics_chain(spark: SparkSession, sf_dir: str):
+def _metrics_chain(spark: SparkSession, sf_dir: str, *, fused: bool = False):
+    """perf/counts for the metrics family.
+
+    ``fused=True`` is the single-scan plan: the positions chain keeps the
+    sparse signal marker, performance_windows counts it in the SAME tumbling
+    aggregate, and the returned ``counts`` is None (metrics_enriched skips
+    the window-to-window join). Identical relation, one base scan instead of
+    two. The default join form stays as the J2 witness (strategy_metrics)."""
     enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
-    sig = S.crossover_signals_enriched(enriched, CFG)
     base = P.positions_base_inline(enriched, CFG)
-    stream = P.positions_stream(base, CFG)
+    stream = P.positions_stream(base, CFG, keep_signal_marker=fused)
     costs = P.positions_costs(P.positions_enriched(stream, CFG), CFG)
     returns = M.position_returns(costs, CFG)
     perf = M.performance_windows(returns, CFG)
+    if fused:
+        return perf, None
+    sig = S.crossover_signals_enriched(enriched, CFG)
     counts = M.signal_counts(sig, CFG)
     return perf, counts
 
@@ -401,7 +410,10 @@ FROM metrics_enriched"""
 
 
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    perf, counts = _metrics_chain(spark, sf_dir)
+    # fused single-scan chain: A2's count folds into A1's aggregate (no
+    # second base scan, no window-to-window join) — same relation as the
+    # join form, proved by the unchanged oracle SQL below
+    perf, counts = _metrics_chain(spark, sf_dir, fused=True)
     metr = M.metrics_enriched(perf, counts, CFG)
     # Order-independent parity (r01+r02 driver flake, post-mortem in
     # hourly_rollup_exact): AVG inputs become exact BIGINT micro-units summed

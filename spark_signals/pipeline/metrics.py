@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
+from spark_signals.pipeline.positions import SIGNAL_MARKER as P_SIGNAL_MARKER
 from spark_signals.rounding import micro_units as _micro
 
 
@@ -30,6 +31,9 @@ def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P8 + P9 — per-tick cost and realized-pnl series
     (reference: performance.py:36-61)."""
     chg_notional = F.abs(F.col("position_change")) * F.col("mid_price")
+    # single-pass chains (positions_stream(keep_signal_marker=True)) forward
+    # the sparse signal marker so A2's count fuses into A1's aggregate
+    marker = [F.col(P_SIGNAL_MARKER)] if P_SIGNAL_MARKER in costs.columns else []
     return costs.select(
         "product_id",
         "event_time",
@@ -52,6 +56,7 @@ def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
         ).alias("realized_pnl"),
         (F.abs(F.col("position")) * F.col("mid_price")).alias("notional_exposure"),
         F.abs(F.col("position")).alias("unit_exposure"),
+        *marker,
     )
 
 
@@ -60,9 +65,21 @@ def performance_windows(returns: DataFrame, cfg: EngineConfig) -> DataFrame:
     (reference: performance.py:62-100)."""
     pnl = F.col("realized_pnl")
     win = F.window("event_time", cfg.metrics_window)
+    # fused A2: when the chain carries the sparse signal marker
+    # (non-null exactly on non-HOLD signal rows; signal_time == event_time
+    # by construction), the signal count folds into THIS aggregate —
+    # COUNT(marker) over the same rows equals signal_counts' COUNT(*) over
+    # the filtered signal relation, eliminating a second base-table scan,
+    # its window chain, and the window-to-window join.
+    fused = (
+        [F.count(F.col(P_SIGNAL_MARKER)).alias("trades_executed")]
+        if P_SIGNAL_MARKER in returns.columns
+        else []
+    )
     return (
         returns.groupBy(win.alias("w"))
         .agg(
+            *fused,
             F.avg(pnl).alias("avg_return"),
             F.stddev_pop(pnl).alias("volatility"),
             F.sum(pnl).alias("cumulative_return"),
@@ -86,6 +103,7 @@ def performance_windows(returns: DataFrame, cfg: EngineConfig) -> DataFrame:
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            *(["trades_executed"] if fused else []),
             "avg_return",
             "volatility",
             "cumulative_return",
@@ -119,10 +137,15 @@ def signal_counts(signals: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def metrics_enriched(
-    perf: DataFrame, counts: DataFrame, cfg: EngineConfig
+    perf: DataFrame, counts: DataFrame | None, cfg: EngineConfig
 ) -> DataFrame:
     """A3 + J2 — ratio post-aggregates and the window-to-window left join
-    (reference: performance.py:120-157)."""
+    (reference: performance.py:120-157).
+
+    ``counts=None`` selects the single-pass form: ``perf`` already carries a
+    fused ``trades_executed`` (performance_windows over a marker-bearing
+    chain) and the join is skipped entirely — same relation, one base-table
+    scan instead of two. The join form remains the J2 witness."""
     sharpe = F.when(
         F.col("volatility").isNull() | (F.col("volatility") == 0), F.lit(None).cast("double")
     ).otherwise((F.col("avg_return") / F.col("volatility")) * F.sqrt(F.lit(12.0)))
@@ -144,7 +167,12 @@ def metrics_enriched(
             F.lit(cfg.execution_mode).alias("execution_mode"),
         )
     )
-    joined = perf.join(counts, on=["window_start", "window_end"], how="left")
+    if counts is None:
+        joined = perf
+        trades = F.col("trades_executed")  # fused COUNT — never null
+    else:
+        joined = perf.join(counts, on=["window_start", "window_end"], how="left")
+        trades = F.coalesce(F.col("trades_executed"), F.lit(0))
     return joined.select(
         F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
         F.col("window_start"),
@@ -155,7 +183,7 @@ def metrics_enriched(
         F.col("cumulative_return"),
         F.col("min_return").alias("drawdown"),
         F.col("volatility"),
-        F.coalesce(F.col("trades_executed"), F.lit(0)).alias("trades_executed"),
+        trades.alias("trades_executed"),
         F.col("avg_notional_exposure").alias("avg_exposure_notional"),
         F.col("total_trade_cost"),
         F.col("total_transaction_cost"),

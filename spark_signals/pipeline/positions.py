@@ -111,14 +111,30 @@ def positions_base_join(norm: DataFrame, signals: DataFrame) -> DataFrame:
     )
 
 
-def positions_stream(base: DataFrame, cfg: EngineConfig) -> DataFrame:
+#: Internal sparse marker column: non-null exactly on non-HOLD signal rows.
+#: Lets downstream tumbling aggregates count signals (A2) in the SAME pass
+#: as the performance metrics instead of re-deriving the signal chain from a
+#: second scan and joining window-to-window.
+SIGNAL_MARKER = "_signal_marker"
+
+
+def positions_stream(
+    base: DataFrame, cfg: EngineConfig, *, keep_signal_marker: bool = False
+) -> DataFrame:
     """W6 — ignore-nulls last_value forward-fill, seeded flat
-    (reference: sma_cross.py:211-233)."""
+    (reference: sma_cross.py:211-233).
+
+    ``keep_signal_marker=True`` retains the sparse pre-fill signal column as
+    :data:`SIGNAL_MARKER` for single-pass metric chains; the default drops
+    it so sink-facing relations keep the reference schema."""
     w = tick_window(cfg).rowsBetween(Window.unboundedPreceding, 0)
     position = F.coalesce(
         F.last("signal_position", ignorenulls=True).over(w), F.lit(0.0)
     )
-    return base.withColumn("position", position).drop("signal_position")
+    filled = base.withColumn("position", position)
+    if keep_signal_marker:
+        return filled.withColumnRenamed("signal_position", SIGNAL_MARKER)
+    return filled.drop("signal_position")
 
 
 def positions_enriched(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -180,6 +196,9 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
         .otherwise(lat_raw)
         .cast("long")
     )
+    # marker-bearing chains (positions_stream(keep_signal_marker=True))
+    # forward the sparse signal column for the fused A1+A2 aggregate
+    marker = [F.col(SIGNAL_MARKER)] if SIGNAL_MARKER in enriched.columns else []
     return enriched.select(
         "product_id",
         "event_time",
@@ -201,6 +220,7 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.lit(cfg.transaction_cost_rate).alias("transaction_cost_rate"),
         (slippage + F.lit(cfg.transaction_cost_rate)).alias("trade_cost_rate"),
         latency.alias("fill_latency_ms"),
+        *marker,
     )
 
 

@@ -101,6 +101,22 @@ def test_metrics_dag_bounded_shuffles(spark):
     assert "partial_avg(realized_pnl" in p and "partial_count(1)" in p
 
 
+def test_fused_rollup_single_scan_no_join(spark):
+    """The fused metrics chain (A2's signal count folded into A1's tumbling
+    aggregate via the sparse signal marker) must stay a single-scan,
+    join-free plan: one base FileScan, one per-key sort feeding the shared
+    window stage, and exactly 3 exchanges (product_id for windows, tumbling
+    window key, rollup bucket key). The unfused J2 join form is pinned by
+    test_metrics_dag_bounded_shuffles above."""
+    from spark_signals.parity import q_hourly_rollup
+
+    p = plan_str(q_hourly_rollup(spark, SF))
+    assert count_op(p, "Scan parquet") == 1
+    assert "Join" not in p
+    assert count_op(p, "Exchange") <= 3
+    assert count_op(p, "Sort") <= 1
+
+
 @pytest.mark.parametrize(
     "build",
     [
