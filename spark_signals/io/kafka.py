@@ -8,6 +8,27 @@ path. The options mirror the reference DDLs:
   * source: latest-offset startup, JSON with parse errors dropped, 5s
     watermark (reference __main__.py:51-74)
   * sinks: JSON value with ISO-8601 timestamps (reference __main__.py:76-142)
+
+DEPLOY-TIME CHECKLIST (the parts this sandbox cannot test end-to-end;
+run these against a real broker before going live):
+
+1. Classpath: submit with
+   ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``
+   (the connector is not bundled with pyspark).
+2. Smoke the wire contract live: produce one tick via
+   ``tick_sink_query``, consume it via ``tick_source``, and assert the
+   event_time microseconds survive the round trip — the same property
+   tests/test_kafka_contract.py pins broker-less with golden bytes.
+3. Checkpointing: every sink query needs a durable
+   ``checkpointLocation`` (object store, not local disk); resuming from it
+   gives the at-least-once redelivery the foreachBatch dynamic-partition
+   overwrite dedupes (streaming/job.py T5).
+4. Topic provisioning: create DEFAULT_TOPICS with production partition
+   counts (source parallelism = topic partitions) and a retention matching
+   the replay window you want replayable.
+5. Offsets: production uses ``startingOffsets=latest`` (reference
+   parity); backfills/replays should switch to ``earliest`` or explicit
+   per-partition offsets plus the replay window bounds (replay.py S10).
 """
 
 from __future__ import annotations
