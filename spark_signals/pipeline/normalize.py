@@ -198,6 +198,60 @@ def enriched_ticks_rekeyed(
     return df.filter(F.col("_carry") == 0).drop("_carry", "bucket_ts")
 
 
+# Default hot-key threshold for auto-routing: rows one task can sort +
+# window-scan inside a comfortable memory/latency envelope. A window-stage
+# task over k rows is O(k log k) sort + O(k) scan of ~6 numeric columns
+# (~80 B/row → 10M rows ≈ 800 MB spill-managed sort, minutes of task time).
+# Beyond that a single pathological key (BTC) serializes the stage; below
+# it the extra carry shuffle of the re-keyed plan is pure overhead.
+HOT_KEY_ROWS_DEFAULT = 10_000_000
+
+
+def choose_tick_plan(
+    ticks: DataFrame, cfg: EngineConfig, hot_key_rows: int = HOT_KEY_ROWS_DEFAULT
+) -> str:
+    """Decide 'single' vs 'rekeyed' from the OBSERVED hottest-key row count.
+
+    SCALE.md documents the routing policy ("at scale you route keys by
+    observed cardinality"); this makes the policy executable instead of
+    leaving the choice to every caller. The statistic is one cheap
+    partial-aggregated job — a per-key count (map-side combined, shuffles
+    #keys rows) reduced to a single max on the driver, the same shape of
+    stats collection AQE itself performs. It reads only ``product_id``
+    (column-pruned scan), so at 100 TB the stats pass touches one thin
+    column, not the tick payload.
+
+    Deliberately a scalar ``.first()`` — NOT a ``.collect()`` loop over
+    data; tests/test_plans.py's no-driver-side-iteration audit stays valid.
+    """
+    row = (
+        ticks.groupBy("product_id")
+        .count()
+        .agg(F.max("count").alias("max_rows"))
+        .first()
+    )
+    hottest = row["max_rows"] or 0
+    return "rekeyed" if hottest > hot_key_rows else "single"
+
+
+def enriched_ticks_auto(
+    ticks: DataFrame,
+    cfg: EngineConfig,
+    hot_key_rows: int = HOT_KEY_ROWS_DEFAULT,
+    bucket: str = "DAY",
+) -> DataFrame:
+    """enriched_ticks with the hot-key lever engaged automatically.
+
+    Routes to :func:`enriched_ticks_rekeyed` when the hottest instrument
+    exceeds ``hot_key_rows`` rows, else the cheaper single-key plan. Both
+    plans are bit-identical in output (tests/test_skew_rekey.py), so the
+    route changes only the physical shape, never the result.
+    """
+    if choose_tick_plan(ticks, cfg, hot_key_rows) == "rekeyed":
+        return enriched_ticks_rekeyed(ticks, cfg, bucket=bucket)
+    return enriched_ticks(ticks, cfg)
+
+
 def normalized_prices(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P2 + W1 + W2 — returns and rolling volatility
     (reference: sma_cross.py:76-105)."""

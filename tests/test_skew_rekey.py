@@ -111,3 +111,34 @@ def test_rekeyed_plan_partitions_on_finer_key(spark):
     assert any(
         "bucket_ts" in line and "hashpartitioning" in line for line in p.splitlines()
     )
+
+
+def test_auto_route_engages_above_threshold(spark):
+    """choose_tick_plan routes by the OBSERVED hottest-key count: skewed
+    input above the threshold takes the re-keyed plan, uniform input below
+    it stays on the single-key plan (SCALE.md routing policy, executable)."""
+    from spark_signals.pipeline.normalize import (
+        choose_tick_plan,
+        enriched_ticks_auto,
+    )
+
+    L = lookback_rows(CFG)
+    skewed = _make_days(
+        spark,
+        [("BTC-USD", d, 4 * L) for d in range(2)] + [("ALT-USD", 0, L + 5)],
+    )
+    uniform = _make_days(spark, [("A-USD", 0, L + 5), ("B-USD", 0, L + 5)])
+
+    assert choose_tick_plan(skewed, CFG, hot_key_rows=3 * L) == "rekeyed"
+    assert choose_tick_plan(uniform, CFG, hot_key_rows=3 * L) == "single"
+
+    # routed output is bit-identical to the single-key plan either way
+    _assert_identical(
+        enriched_ticks_auto(skewed, CFG, hot_key_rows=3 * L),
+        enriched_ticks(skewed, CFG),
+    )
+    # and the hot route really produced the finer-key physical plan
+    p = plan_str(enriched_ticks_auto(skewed, CFG, hot_key_rows=3 * L))
+    assert "bucket_ts" in p
+    p_single = plan_str(enriched_ticks_auto(uniform, CFG, hot_key_rows=3 * L))
+    assert "bucket_ts" not in p_single
