@@ -69,15 +69,58 @@ FROM h JOIN g USING (content_hash)"""
 
 
 # ------------------------------------------------------------- minhash-lsh
-def _minhash_signature_expr() -> str:
-    """MinHash signature: per permutation i, min md5('i:'||shingle).
+# Kirsch-Mitzenmacher hash family over one md5 per shingle: the hex digest's
+# first two 8-char slices are two independent 32-bit lanes (h1, h2), and
+# permutation i is g_i = (h1 + (i+1)·h2) mod P — pairwise-independent enough
+# for MinHash (Kirsch & Mitzenmacher, "Less Hashing, Same Performance",
+# ESA 2006). vs. the earlier md5('i:'||shingle) scheme this hashes each
+# shingle ONCE instead of NUM_HASHES times (12x less md5 work — the r04
+# bench's dominant cost in this operator) and both engines parse the same
+# hex slices, so signatures stay cross-engine identical.
+MINHASH_P = 4_294_967_291  # largest 32-bit prime; (i+1)·h2 + h1 < 2^36 « 2^63
 
-    Lexicographic min over hex strings is a valid total order shared by both
-    engines, so no hex→int conversion is needed.
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """doc_id → NUM_HASHES minhash values (columns m0..m{N-1}), long-form.
+
+    Shingles are exploded to rows and hashed as plain columns — no
+    higher-order functions, so the md5 + conv stay inside whole-stage
+    codegen and the two identical md5(s) calls are subexpression-eliminated.
+    The per-doc minimums are partial-aggregated before the doc_id shuffle,
+    which therefore carries NUM_HASHES ints per doc per upstream partition —
+    the 100 TB-safe shape (same explode→groupBy pattern as the IVF centroid
+    build in similarity.py).
     """
-    return (
-        f"transform(sequence(0, {NUM_HASHES - 1}), "
-        "i -> array_min(transform(shingles, s -> md5(concat(cast(i as string), ':', s)))))"
+    g = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + F.lit(i + 1) * F.col("h2")) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return g.groupBy("doc_id").agg(*mins)
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """doc_id → (band, k1, k2) LSH bucket keys.
+
+    With BAND_ROWS=2 the band key is the raw pair of 34-bit signature values
+    — two bigints, no digest of the band needed (narrower shuffle keys than
+    the former 32-char band_hash md5, and one less hash pass).
+    """
+    assert BAND_ROWS == 2, "band key layout assumes 2 rows per band"
+    pieces = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"m{2 * b}").alias("k1"),
+            F.col(f"m{2 * b + 1}").alias("k2"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*pieces)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.k1", "bb.k2"
     )
 
 
@@ -89,40 +132,26 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
-    """doc_id → (band, band_hash) bucket keys."""
-    sig = _with_shingles(docs).select(
-        "doc_id", F.expr(_minhash_signature_expr()).alias("sig")
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {NUM_BANDS - 1}), "
-                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}))) as band_hash))"
-            )
-        ).alias("bb"),
-    )
-    return bands.select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    """doc_id → (band, k1, k2) LSH bucket keys (public blocking API)."""
+    return _band_keys(_minhash_sigs(_with_shingles(docs).select("doc_id", "shingles")))
 
 
 def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
     Candidates come from equi-joining band buckets (one shuffle on
-    (band, band_hash)); the exact Jaccard re-check joins shingle sets back
+    (band, k1, k2)); the exact Jaccard re-check joins shingle sets back
     only for candidate pairs.
     """
-    # one shingle pass shared by band generation and Jaccard verification
-    # (the reference StatementSet-style common-subplan reuse, hand-managed).
-    # Lifecycle: the shared relation is pinned only for the duration of this
-    # call — the result is materialized eagerly while the cache is warm,
-    # then the cache is released in the finally (measured 3.4x slower
-    # without the share). The checkpointed result's own storage is freed by
-    # the ContextCleaner when the caller drops the DataFrame; at cluster
-    # scale swap localCheckpoint for a reliable checkpoint dir.
-    sh = _with_shingles(docs).select(
-        "doc_id", "shingles", F.expr(_minhash_signature_expr()).alias("sig")
-    ).persist()
+    # one shingle pass shared by signature generation and Jaccard
+    # verification (the reference StatementSet-style common-subplan reuse,
+    # hand-managed). Lifecycle: the shared relation is pinned only for the
+    # duration of this call — the result is materialized eagerly while the
+    # cache is warm, then the cache is released in the finally (measured
+    # 3.4x slower without the share). The checkpointed result's own storage
+    # is freed by the ContextCleaner when the caller drops the DataFrame; at
+    # cluster scale swap localCheckpoint for a reliable checkpoint dir.
+    sh = _with_shingles(docs).select("doc_id", "shingles").persist()
     try:
         return _minhash_pairs(sh).localCheckpoint(eager=True)
     finally:
@@ -130,19 +159,11 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {NUM_BANDS - 1}), "
-                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}))) as band_hash))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    bands = _band_keys(_minhash_sigs(sh))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
-        a.join(b, ["band", "band_hash"])
+        a.join(b, ["band", "k1", "k2"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -171,22 +192,32 @@ sh AS (
 )"""
 
 
+# mirrors _minhash_sigs/_band_keys: one md5 per shingle, two 32-bit hex
+# lanes, KM family g_i = (h1 + (i+1)·h2) mod P, per-doc min per i, band key
+# = the raw (m_{2b}, m_{2b+1}) pair. '0x'||hex::BIGINT parses the same
+# slices Spark's conv(...,16,10) does, so signatures are engine-identical.
 SQL_DEDUP_MINHASH = f"""
 WITH {_sql_shingle_docs()},
+g AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
 sig AS (
   SELECT doc_id,
-    list_transform(range(0, {NUM_HASHES}),
-      i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)))) AS sig
-  FROM sh
+    {", ".join(f"min((h1 + {i + 1} * h2) % {MINHASH_P}) AS m{i}" for i in range(NUM_HASHES))}
+  FROM g GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, b AS band,
-    md5(array_to_string(list_slice(sig, b * {BAND_ROWS} + 1, b * {BAND_ROWS} + {BAND_ROWS}), '|')) AS band_hash
+         [{", ".join(f"m{2 * b}" for b in range(NUM_BANDS))}][b + 1] AS k1,
+         [{", ".join(f"m{2 * b + 1}" for b in range(NUM_BANDS))}][b + 1] AS k2
   FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
