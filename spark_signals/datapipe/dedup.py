@@ -7,8 +7,10 @@ shuffles once on (band, band_hash) buckets, so candidate generation is
 O(collisions), not O(n²); the verify join re-shuffles only candidate pairs.
 SimHash blocks on signature bytes (pigeonhole: hamming ≤ 3 pairs share at
 least one of 4 bytes). Embedding near-dup blocks on the cluster label
-(IVF-style partitioning). All hashing is md5-based inside codegen'd
-higher-order functions — cross-engine deterministic and UDF-free.
+(IVF-style partitioning). All hashing is md5-based and codegen'd —
+cross-engine deterministic and UDF-free; the MinHash families hash each
+set element ONCE and derive the permutations arithmetically (see
+_km_min_sigs).
 """
 
 from __future__ import annotations
@@ -80,44 +82,47 @@ FROM h JOIN g USING (content_hash)"""
 MINHASH_P = 4_294_967_291  # largest 32-bit prime; (i+1)·h2 + h1 < 2^36 « 2^63
 
 
-def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """doc_id → NUM_HASHES minhash values (columns m0..m{N-1}), long-form.
+def _km_min_sigs(rel: DataFrame, arr: str, n: int) -> DataFrame:
+    """doc_id → n KM-minhash values (columns m0..m{n-1}), long-form.
 
-    Shingles are exploded to rows and hashed as plain columns — no
+    The set elements are exploded to rows and hashed as plain columns — no
     higher-order functions, so the md5 + conv stay inside whole-stage
     codegen and the two identical md5(s) calls are subexpression-eliminated.
     The per-doc minimums are partial-aggregated before the doc_id shuffle,
-    which therefore carries NUM_HASHES ints per doc per upstream partition —
-    the 100 TB-safe shape (same explode→groupBy pattern as the IVF centroid
+    which therefore carries n ints per doc per upstream partition — the
+    100 TB-safe shape (same explode→groupBy pattern as the IVF centroid
     build in similarity.py).
     """
-    g = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+    g = rel.select("doc_id", F.explode(arr).alias("s")).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
     mins = [
         F.min((F.col("h1") + F.lit(i + 1) * F.col("h2")) % F.lit(MINHASH_P)).alias(f"m{i}")
-        for i in range(NUM_HASHES)
+        for i in range(n)
     ]
     return g.groupBy("doc_id").agg(*mins)
 
 
-def _band_keys(sigs: DataFrame) -> DataFrame:
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    return _km_min_sigs(sh, "shingles", NUM_HASHES)
+
+
+def _band_keys(sigs: DataFrame, n_bands: int = NUM_BANDS) -> DataFrame:
     """doc_id → (band, k1, k2) LSH bucket keys.
 
-    With BAND_ROWS=2 the band key is the raw pair of 34-bit signature values
-    — two bigints, no digest of the band needed (narrower shuffle keys than
-    the former 32-char band_hash md5, and one less hash pass).
+    With 2 rows per band the band key is the raw pair of 34-bit signature
+    values — two bigints, no digest of the band needed (narrower shuffle
+    keys than the former 32-char band_hash md5, and one less hash pass).
     """
-    assert BAND_ROWS == 2, "band key layout assumes 2 rows per band"
     pieces = [
         F.struct(
             F.lit(b).alias("band"),
             F.col(f"m{2 * b}").alias("k1"),
             F.col(f"m{2 * b + 1}").alias("k2"),
         )
-        for b in range(NUM_BANDS)
+        for b in range(n_bands)
     ]
     return sigs.select("doc_id", F.explode(F.array(*pieces)).alias("bb")).select(
         "doc_id", "bb.band", "bb.k1", "bb.k2"
@@ -255,7 +260,7 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
     docs); banding K=8 char-gram minhashes into 4 bands of 2 requires TWO
     simultaneous hash agreements per bucket — P(collision)=1-(1-J²)^4, so
     J=0.5 pairs are found with ~66% per-band-set recall while J≈0.1
-    background pairs almost never collide. One shuffle on (band, band_hash),
+    background pairs almost never collide. One shuffle on (band, k1, k2),
     exact Jaccard verification only on candidates.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -268,33 +273,32 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
         .select("doc_id", norm.alias("norm_text"))
         .withColumn("grams", grams)
     )
-    sig = (
-        f"transform(sequence(0, {NGRAM_HASHES - 1}), "
-        "i -> array_min(transform(grams, g -> md5(concat(cast(i as string), ':', g)))))"
-    )
     # same pinned-for-the-call lifecycle as dedup_minhash_lsh: eager result
-    # materialization, cache released in the finally
-    keyed = base.select("doc_id", "grams", F.expr(sig).alias("sig")).persist()
+    # materialization, cache released in the finally. The KM signature
+    # (see _km_min_sigs: one md5 per gram, not NGRAM_HASHES) comes back as
+    # an array column so the downstream agreement pre-filter is unchanged;
+    # the doc_id join that re-attaches it to the grams is a shuffle the
+    # verify stage needed anyway.
+    sh = base.select("doc_id", "grams")
+    sigs = _km_min_sigs(sh, "grams", NGRAM_HASHES)
+    keyed = sh.join(
+        sigs.select(
+            "doc_id", F.array(*[F.col(f"m{i}") for i in range(NGRAM_HASHES)]).alias("sig")
+        ),
+        "doc_id",
+    ).persist()
     try:
-        return _ngram_pairs(keyed).localCheckpoint(eager=True)
+        return _ngram_pairs(keyed, sigs).localCheckpoint(eager=True)
     finally:
         keyed.unpersist()
 
 
-def _ngram_pairs(keyed: DataFrame) -> DataFrame:
-    bands = keyed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {NGRAM_BANDS - 1}), "
-                f"b -> struct(b as band, md5(concat_ws('|', slice(sig, b * {NGRAM_BAND_ROWS} + 1, {NGRAM_BAND_ROWS}))) as band_hash))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_hash")
+def _ngram_pairs(keyed: DataFrame, sigs: DataFrame) -> DataFrame:
+    bands = _band_keys(sigs, NGRAM_BANDS)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
-        a.join(b, ["band", "band_hash"])
+        a.join(b, ["band", "k1", "k2"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -351,20 +355,31 @@ g AS (
       j -> substring(norm_text, j, {CHAR_NGRAM}))) AS grams
   FROM base
 ),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(x), 1, 8))::BIGINT AS h1,
+         ('0x' || substring(md5(x), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(grams) AS x FROM g)
+),
+sig_w AS (
+  SELECT doc_id,
+    {", ".join(f"min((h1 + {i + 1} * h2) % {MINHASH_P}) AS m{i}" for i in range(NGRAM_HASHES))}
+  FROM h GROUP BY doc_id
+),
 sig AS (
-  SELECT doc_id, grams,
-    list_transform(range(0, {NGRAM_HASHES}),
-      i -> list_min(list_transform(grams, x -> md5(i::VARCHAR || ':' || x)))) AS sig
-  FROM g
+  SELECT s.doc_id, g.grams,
+         [{", ".join(f"m{i}" for i in range(NGRAM_HASHES))}] AS sig
+  FROM sig_w s JOIN g ON g.doc_id = s.doc_id
 ),
 bands AS (
   SELECT doc_id, b AS band,
-    md5(array_to_string(list_slice(sig, b * {NGRAM_BAND_ROWS} + 1, b * {NGRAM_BAND_ROWS} + {NGRAM_BAND_ROWS}), '|')) AS band_hash
-  FROM sig, (SELECT unnest(range(0, {NGRAM_BANDS})) AS b)
+         [{", ".join(f"m{2 * b}" for b in range(NGRAM_BANDS))}][b + 1] AS k1,
+         [{", ".join(f"m{2 * b + 1}" for b in range(NGRAM_BANDS))}][b + 1] AS k2
+  FROM sig_w, (SELECT unnest(range(0, {NGRAM_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
   WHERE a.doc_id < b.doc_id
 ),
 surv AS (
