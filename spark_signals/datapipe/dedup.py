@@ -402,93 +402,118 @@ WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
 
 
 # ----------------------------------------------------------------- simhash
-def simhash_docs(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash as a bit *string* (cross-engine: no int hex parsing).
+def _simhash_ints(docs: DataFrame) -> DataFrame:
+    """doc_id → 32-bit SimHash as a BIGINT, long-form.
 
-    Per word, the first 8 md5 hex chars give 32 bits via nibble values; bit j
-    of the signature is 1 iff the sum over words of (2·bit−1) is positive.
+    One md5 per word (exploded rows, plain-column codegen — no interpreted
+    higher-order functions); the digest's first 8 hex chars parse to a
+    32-bit value h, bit j of the signature is 1 iff Σ_words (2·bit_j(h)−1)
+    is positive, where bit_j(h) = (h >> (31−j)) & 1 — the exact big-endian
+    bit order of the former per-nibble string scheme, so signatures are
+    unchanged. Per-doc bit sums partial-aggregate before the doc_id
+    shuffle; wordless docs re-enter via left join with the all-zero
+    signature (matching Σ over an empty set = 0 in the old HOF form).
     """
-    df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
-    df = df.withColumn("whashes", F.expr("transform(words, w -> substring(md5(w), 1, 8))"))
-    # nibble value of hex char c: strpos('0123456789abcdef', c) - 1
-    bit_expr = (
-        "concat_ws('', transform(sequence(0, {nbits}), j -> "
-        "  case when aggregate(whashes, 0L, (acc, h) -> acc + "
-        "    (case when ((instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1)"
-        "      div cast(pow(2, 3 - j % 4) as long)) % 2 = 1 then 1 else -1 end)"
-        "  ) > 0 then '1' else '0' end))"
-    ).format(nbits=SIMHASH_BITS - 1)
-    return df.select("doc_id", F.expr(bit_expr).alias("simhash"))
+    base = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
+    w = base.select("doc_id", F.explode("words").alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), 31 - j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig_int = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.coalesce(F.col(f"s{j}"), F.lit(0)) > 0, F.lit(2 ** (31 - j))).otherwise(
+            F.lit(0)
+        )
+        sig_int = bit if sig_int is None else sig_int + bit
+    return base.select("doc_id").join(sums, "doc_id", "left").select(
+        "doc_id", sig_int.cast("long").alias("sim_int")
+    )
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """doc_id → 32-bit SimHash as a big-endian bit string (public API)."""
+    return _simhash_ints(docs).select(
+        "doc_id", F.lpad(F.bin("sim_int"), SIMHASH_BITS, "0").alias("simhash")
+    )
 
 
 def dedup_simhash(docs: DataFrame) -> DataFrame:
     """SimHash near-dup pairs: block on any equal signature byte (pigeonhole
-    covers hamming ≤ 3 over 4 byte-blocks), verify hamming distance."""
-    sims = simhash_docs(docs)
+    covers hamming ≤ 3 over 4 byte-blocks), verify hamming via popcount."""
+    sims = _simhash_ints(docs)
+    blk_structs = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("sim_int"), 8 * b).bitwiseAND(255).alias("blk_byte"),
+        )
+        for b in range(4)
+    ]
     blocks = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr("transform(sequence(0, 3), b -> struct(b as blk, substring(simhash, b * 8 + 1, 8) as blk_bits))")
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.blk", "bb.blk_bits")
+        "doc_id", "sim_int", F.explode(F.array(*blk_structs)).alias("bb")
+    ).select("doc_id", "sim_int", "bb.blk", "bb.blk_byte")
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
-        a.join(b, ["blk", "blk_bits"])
+        a.join(b, ["blk", "blk_byte"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("a.sim_int").alias("h_a"),
+            F.col("b.sim_int").alias("h_b"),
         )
         .distinct()
     )
-    hamming = F.expr(
-        f"aggregate(sequence(1, {SIMHASH_BITS}), 0, (acc, j) -> "
-        "acc + (case when substring(h_a, j, 1) = substring(h_b, j, 1) then 0 else 1 end))"
-    )
+    hamming = F.expr("bit_count(h_a ^ h_b)")
     return (
-        cand.select("doc_a", "doc_b", "h_a", "h_b", hamming.alias("hamming"))
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
+# mirrors _simhash_ints: one md5 per word, 32-bit h from the first 8 hex
+# chars, bit j = (h >> (31-j)) & 1, per-doc ±1 sums, popcount hamming.
+# (^ is exponent in DuckDB — xor() is the function.)
 SQL_DEDUP_SIMHASH = f"""
 WITH d AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
-wh AS (
-  SELECT doc_id, list_transform(words, w -> substring(md5(w), 1, 8)) AS whashes FROM d
+w AS (
+  SELECT doc_id, ('0x' || substring(md5(x), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(words) AS x FROM d)
+),
+sums AS (
+  SELECT doc_id,
+    {", ".join(f"sum(CASE WHEN (h >> {31 - j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(SIMHASH_BITS))}
+  FROM w GROUP BY doc_id
 ),
 sims AS (
-  SELECT doc_id,
-    array_to_string(list_transform(range(0, {SIMHASH_BITS}), j ->
-      CASE WHEN list_sum(list_transform(whashes, h ->
-        CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
-                   // CAST(pow(2, 3 - j % 4) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END
-      )) > 0 THEN '1' ELSE '0' END), '') AS simhash
-  FROM wh
+  SELECT d.doc_id,
+    ({" + ".join(f"CASE WHEN coalesce(s{j}, 0) > 0 THEN {2 ** (31 - j)}::BIGINT ELSE 0::BIGINT END" for j in range(SIMHASH_BITS))}) AS sim_int
+  FROM d LEFT JOIN sums USING (doc_id)
 ),
 blocks AS (
-  SELECT doc_id, simhash, b AS blk, substring(simhash, b * 8 + 1, 8) AS blk_bits
+  SELECT doc_id, sim_int, b AS blk, (sim_int >> (8 * b)) & 255 AS blk_byte
   FROM sims, (SELECT unnest(range(0, 4)) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS h_a, b.simhash AS h_b
-  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_bits = b.blk_bits
+         a.sim_int AS h_a, b.sim_int AS h_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_byte = b.blk_byte
   WHERE a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT doc_a, doc_b,
-    len(list_filter(range(1, {SIMHASH_BITS + 1}), j -> substring(h_a, j, 1) <> substring(h_b, j, 1))) AS hamming
-  FROM cand
 )
-SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {SIMHASH_MAX_HAMMING}"""
+SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {SIMHASH_MAX_HAMMING}"""
 
 
 # ------------------------------------------------------ embedding near-dup
