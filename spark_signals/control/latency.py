@@ -150,6 +150,12 @@ class LatencyListener:
 
         self.listener = _L()
 
+    def pending(self) -> int:
+        """Buffered row count without draining — lets a monitor (or test)
+        poll for arrival instead of guessing event-bus delivery latency."""
+        with self._lock:
+            return len(self._rows)
+
     def drain(self) -> list[dict]:
         """Return and clear the buffered rows (plus a loud marker if the
         bounded buffer overflowed between drains)."""

@@ -567,6 +567,98 @@ SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
 
 
 # ------------------------------------------------- cluster canonicalization
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): over the *symmetrized* neighborhoods, connect
+    every strictly-larger neighbor of u to m = min(N(u) ∪ {u}).
+
+    One shuffle: symmetrize → groupBy(u) → explode. No joins.
+    """
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.col("u"), F.array_min("nbrs"))
+    return (
+        grouped.select(
+            F.explode(F.filter("nbrs", lambda v: v > F.col("u"))).alias("bigger"),
+            m.alias("head"),
+        )
+        .filter(F.col("bigger") != F.col("head"))
+        .select(F.col("bigger").alias("u"), F.col("head").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge larger→smaller, then connect all
+    smaller-or-equal neighbors of u (and u itself) to m = min(N(u) ∪ {u})."""
+    ordered = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    grouped = ordered.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.col("u"), F.array_min("nbrs"))  # == array_min here (all v < u)
+    return (
+        grouped.select(
+            F.explode(F.array_union("nbrs", F.array("u"))).alias("node"),
+            m.alias("head"),
+        )
+        .filter(F.col("node") != F.col("head"))
+        .select(F.col("node").alias("u"), F.col("head").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds.
+
+    Same contract as :func:`connected_components`: returns (id, comp) with
+    comp = the minimum vertex id in the component. Converges in O(log n)
+    alternating rounds on ANY graph shape — the scale path for adversarial
+    (chain/path) near-dup graphs, where plain label propagation needs
+    O(diameter) rounds. Isolated vertices (no edges) are re-attached from
+    ``vertices`` at the end, each its own component.
+
+    Cost model at 100 TB: each round is one groupBy shuffle over the current
+    edge list (large-star additionally symmetrizes, a map-side union); edges
+    only re-point at ever-smaller labels, so the set shrinks toward one star
+    per component. Lineage is truncated per round (localCheckpoint; swap for
+    a reliable checkpoint dir on a real cluster) so plans don't grow.
+    Convergence = the edge set reaches a fixed point, checked with a single
+    short-circuiting exceptAll ``limit(1)`` probe per round.
+    """
+    cur = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "alternating rounds — at O(log n) convergence this indicates a "
+            "bug or a graph far larger than max_rounds=40 supports"
+        )
+    # Fixed point is a star forest: every non-root points straight at its
+    # component min (the root never appears as u).
+    labels = cur.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("id"), "comp"
+    )
+    return (
+        vertices.select("id")
+        .join(labels, "id", "left")
+        .select(F.col("id"), F.coalesce("comp", "id").alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -611,14 +703,20 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        # partially-propagated labels would silently split one true cluster
-        # into several "canonical" survivors — fail loudly instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing); the graph diameter exceeds "
-            "max_iter — raise it, or switch to the large-star/small-star "
-            "variant documented above"
+        # Partially-propagated labels would silently split one true cluster
+        # into several "canonical" survivors. The graph diameter exceeds
+        # max_iter — delegate to the O(log n) large-star/small-star variant,
+        # which produces the identical min-id labeling on any diameter.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: diameter exceeds max_iter=%d "
+            "(%d labels still changing); delegating to "
+            "connected_components_star (O(log n) rounds)",
+            max_iter,
+            changed,
         )
+        return connected_components_star(edges, vertices)
     return labels
 
 

@@ -101,6 +101,15 @@ def stateful_features_tws(
     "ProcessingTime" matches Flink's processing-time-based
     ``table.exec.state.ttl``. Pass ``state_ttl_ms=None`` with
     ``time_mode="None"`` for unbounded state.
+
+    .. warning:: Do not combine ``timeMode="ProcessingTime"`` with a
+       ``Trigger.AvailableNow`` drain: after the data is exhausted Spark
+       4.1 keeps scheduling empty micro-batches to evaluate processing-time
+       timers, so the query never terminates (observed: >1000 empty batches
+       on a 1000-row drain). Bounded backfills/drains should either pass
+       ``state_ttl_ms=None, time_mode="None"``, or run a ``processingTime``
+       trigger and stop the query once the sink is caught up. The unbounded
+       production topology (``run_streaming_job``) is unaffected.
     """
     return ticks.groupBy("product_id").transformWithStateInPandas(
         statefulProcessor=RollingFeatureProcessor(cfg, state_ttl_ms, strategy),

@@ -1,12 +1,21 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import SparkSession
 
+from spark_signals.compat import pbshim
 from spark_signals.io.sources import PRICES_RAW_SCHEMA
 from spark_signals.session import get_spark
+
+# Must happen before the first SparkSession: worker pythons inherit the
+# driver's env, and vendor/pbshim/sitecustomize.py needs to be on their
+# PYTHONPATH so transformWithState workers can import google.protobuf in
+# this protobuf-less sandbox (no-op wherever real protobuf exists).
+os.environ.update(pbshim.worker_env())
+pbshim.install()
 
 
 @pytest.fixture(scope="session")

@@ -186,6 +186,51 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Star variant must produce the identical min-id labeling as plain
+    propagation on a mixed graph (chain + triangle + singleton)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+    want = {r.id: r.comp for r in D.connected_components(edges, verts).collect()}
+    got = {r.id: r.comp for r in D.connected_components_star(edges, verts).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 64-node path has diameter 63 — propagation's worst case. The star
+    variant must label it in O(log n) alternating rounds (max_rounds=10
+    suffices for 64 nodes; propagation would need >60 iterations)."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.comp for r in D.connected_components_star(edges, verts, max_rounds=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_falls_back_to_star_on_deep_graphs(spark):
+    """With max_iter smaller than the diameter, propagation must not raise
+    and must not silently split the cluster — it delegates to the star
+    variant and still returns the exact labeling."""
+    n = 20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.comp for r in D.connected_components(edges, verts, max_iter=3).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_random_equivalence(spark):
+    """Deterministic pseudo-random graph: both algorithms must agree."""
+    rnd_edges = [((i * 7919) % 50, (i * 104729) % 50) for i in range(60)]
+    rnd_edges = [(a, b) for a, b in rnd_edges if a != b]
+    edges = spark.createDataFrame(rnd_edges, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    want = {r.id: r.comp for r in D.connected_components(edges, verts, max_iter=50).collect()}
+    got = {r.id: r.comp for r in D.connected_components_star(edges, verts).collect()}
+    assert got == want
+
+
 def test_dedup_clusters_collapses_transitive_pairs(spark):
     """A~B and B~C but A!~C pairwise: the cluster must still be {A,B,C}
     with exactly one canonical survivor."""

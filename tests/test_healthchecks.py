@@ -188,10 +188,12 @@ def test_latency_listener_push_capture(spark, tmp_path):
             .start()
         )
         try:
-            deadline = time.time() + 30
-            while not q.lastProgress and time.time() < deadline:
+            # poll the listener buffer itself, not a fixed post-progress
+            # sleep: event-bus delivery can lag several seconds when the
+            # machine is loaded (this test flaked under a concurrent suite)
+            deadline = time.time() + 60
+            while cap.pending() == 0 and time.time() < deadline:
                 time.sleep(0.2)
-            time.sleep(1.0)  # let the event bus deliver the progress event
         finally:
             q.stop()
         rows = cap.drain()

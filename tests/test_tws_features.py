@@ -20,14 +20,12 @@ ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvi
 
 # transformWithStateInPandas's Python worker speaks protobuf to the state
 # server (pyspark.sql.streaming.proto); without the protobuf package the
-# worker crashes. Gate the end-to-end tests; the processor-level unit test
-# below runs everywhere.
-try:
-    import google.protobuf  # noqa: F401
+# worker crashes. compat.pbshim can bridge to the gcloud-vendored
+# pure-python protobuf in this sandbox; gate on the bridge succeeding (the
+# processor-level unit tests below run everywhere regardless).
+from spark_signals.compat.pbshim import install as _pbshim_install
 
-    HAVE_PROTOBUF = True
-except ImportError:
-    HAVE_PROTOBUF = False
+HAVE_PROTOBUF = _pbshim_install()
 
 needs_protobuf = pytest.mark.skipif(
     not HAVE_PROTOBUF, reason="transformWithStateInPandas worker requires protobuf"
@@ -45,13 +43,21 @@ def rocksdb_state(spark):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+# availableNow drains must use time_mode="None": in "ProcessingTime" mode
+# (the TTL path) Spark 4.1 keeps scheduling empty timer micro-batches after
+# the data is drained, so an availableNow query never terminates (observed:
+# 1390 stages of empty batches at sf0.001). The TTL test below uses a
+# processingTime trigger with a manual stop instead.
+NO_TTL = {"state_ttl_ms": None, "time_mode": "None"}
+
+
 @needs_protobuf
 def test_tws_matches_batch(spark, tmp_path, rocksdb_state):
     cfg = EngineConfig()
     src = str(tmp_path / "ticks")
     load_ticks(spark, SF).orderBy("event_time", "sequence").coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(load_ticks(spark, SF).schema).parquet(src)
-    feats = stateful_features_tws(stream, cfg)
+    feats = stateful_features_tws(stream, cfg, **NO_TTL)
     got = _sorted_rows(_drain(feats, spark), CHECK_COLS)
     from spark_signals.parity import _costs
 
@@ -75,7 +81,7 @@ def test_tws_state_carries_across_microbatches(spark, tmp_path, rocksdb_state):
         .option("latestFirst", "false")
         .parquet(f"{src}/part*")
     )
-    got = _sorted_rows(_drain(stateful_features_tws(stream, cfg), spark), CHECK_COLS)
+    got = _sorted_rows(_drain(stateful_features_tws(stream, cfg, **NO_TTL), spark), CHECK_COLS)
     from spark_signals.parity import _costs
 
     want = _sorted_rows(_costs(spark, SF), CHECK_COLS)
@@ -86,7 +92,14 @@ def test_tws_state_carries_across_microbatches(spark, tmp_path, rocksdb_state):
 def test_tws_state_ttl_expires_idle_keys(spark, tmp_path, rocksdb_state):
     """With a tiny TTL, state written by run 1 is expired by run 2 (same
     checkpoint): the frame deques restart, so the first row of run 2 has
-    NULL returns. A control run with long TTL keeps the state."""
+    NULL returns. A control run with long TTL keeps the state.
+
+    TTL requires time_mode="ProcessingTime", whose timer batches make
+    availableNow spin forever (see NO_TTL above) — so each drain uses a
+    processingTime trigger, polls the parquet sink for the expected row
+    count, then stops the query manually. The memory sink can't be used
+    here at all: it rejects checkpoint recovery, which run 2 depends on.
+    """
     import datetime as dt
 
     from tests.conftest import make_ticks
@@ -95,36 +108,48 @@ def test_tws_state_ttl_expires_idle_keys(spark, tmp_path, rocksdb_state):
     t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
     schema = make_ticks(spark, [100.0]).schema
 
+    def drain(ttl_ms: int, src: str, ckpt: str, out: str, expect_rows: int) -> None:
+        stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
+        q = (
+            stateful_features_tws(stream, cfg, state_ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= expect_rows:
+                        break
+                except Exception:
+                    pass  # sink dir not created yet
+                time.sleep(0.5)
+            else:
+                raise AssertionError(f"sink never reached {expect_rows} rows")
+        finally:
+            q.stop()
+            q.awaitTermination()
+
     def run(ttl_ms: int) -> list:
         src = str(tmp_path / f"src_{ttl_ms}")
         ckpt = str(tmp_path / f"ckpt_{ttl_ms}")
+        out = str(tmp_path / f"out_{ttl_ms}")
         os.makedirs(src)
         a = make_ticks(spark, [100.0, 101.0, 102.0], start=t0)
         a.coalesce(1).write.parquet(f"{src}/f0")
-
-        def drain_once():
-            stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
-            q = (
-                stateful_features_tws(stream, cfg, state_ttl_ms=ttl_ms)
-                .writeStream.format("memory")
-                .queryName(f"ttl_{ttl_ms}_{int(time.time() * 1000)}")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return q.name
-
-        drain_once()
-        time.sleep(1.5)
+        drain(ttl_ms, src, ckpt, out, 3)
+        time.sleep(1.5)  # let the 500ms TTL lapse between runs
         b = make_ticks(
             spark, [103.0, 104.0], start=t0 + dt.timedelta(minutes=1)
         ).withColumn("sequence", (F.col("sequence") + 100).cast("long"))
         b.coalesce(1).write.parquet(f"{src}/f1")
-        name = drain_once()
+        drain(ttl_ms, src, ckpt, out, 5)
         rows = (
-            spark.table(name)
+            spark.read.parquet(out)
             .filter("sequence >= 100")
             .orderBy("sequence")
             .select("returns")
@@ -211,7 +236,7 @@ def test_tws_breakout_matches_batch_strategy(spark, tmp_path, rocksdb_state):
     src = str(tmp_path / "ticks_bk_tws")
     load_ticks(spark, SF).orderBy("event_time", "sequence").coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(load_ticks(spark, SF).schema).parquet(src)
-    got_df = _drain(stateful_features_tws(stream, cfg, strategy="breakout"), spark)
+    got_df = _drain(stateful_features_tws(stream, cfg, strategy="breakout", **NO_TTL), spark)
     got = _sorted_rows(got_df, CHECK_COLS)
 
     out = get_strategy_module("breakout").build_pipeline(load_ticks(spark, SF), cfg)
