@@ -58,31 +58,61 @@ def main() -> None:
     # measure the plan, not executor spin-up
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Host-speed canary: a fixed JVM-side computation (no IO, no shuffle
+    # variance) timed before and after the suite. Round-over-round artifact
+    # comparison divides by this to separate "the plans got slower" from
+    # "this round's host is slower" — the r05 host ran the identical r04
+    # test suite 2.4x slower, which would otherwise read as a regression.
+    def canary() -> float:
+        t0 = time.time()
+        # (id*id) % p keeps every element and the 2e8-row sum far below
+        # 2^63 (ANSI overflow-safe)
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum((id * id) % 1000003) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    canary()  # untimed codegen warmup for the canary itself
+    canary_pre = canary()
+
     # One UNTIMED warm pass per query (codegen/JIT/shuffle-file warmup —
     # without it the r03 artifact mis-read a 2.4s steady-state query as a
     # 4.3s regression because best-of-3 caught only warm-up passes), then N
-    # timed passes. Report best (the throughput claim) AND median + a noise
-    # ratio, so a single noisy-neighbor spike on this host (same query
-    # measured 3s..46s across runs) is visible as noise instead of
-    # masquerading as a regression.
-    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    # timed passes. Passes are INTERLEAVED across queries (pass k runs every
+    # query once) rather than back-to-back per query: a multi-second
+    # noisy-neighbor spike on this host then lands in at most one sample per
+    # query instead of all of them, so best-of-N stays a clean plan-cost
+    # estimate. Report best (the throughput claim) AND median + a noise
+    # ratio so host noise is visible instead of masquerading as regression.
+    # 5 passes because this host's noise storms last minutes: with 3 passes
+    # a single storm can cover every sample of the suite (observed r05:
+    # noise_ratio 0.46 with clean canaries on both ends).
+    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     colds: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         colds[name] = round(time.time() - t0, 3)
-        runs = []
-        for _ in range(passes):
+    canary_passes: list[float] = []
+    for _ in range(passes):
+        for name in HEADLINE:
+            fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            samples[name].append(time.time() - t0)
+        # noise timeline: one fixed-work sample per pass, so a consumer can
+        # see WHEN the host was slow, not just that it sometimes was
+        canary_passes.append(canary())
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name, runs in samples.items():
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    canary_post = canary()
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
     noise = round((total_median - total) / total, 3) if total else 0.0
@@ -103,6 +133,14 @@ def main() -> None:
                 # directly comparable. The cold first-run cost is reported
                 # separately so consumers can see both.
                 "warm_pass": True,
+                "interleaved_passes": True,
+                # fixed 2e8-element JVM aggregation; ~1.1s on the r04-class
+                # host. Divide suite totals by (canary / 1.1) to normalize
+                # across differently-provisioned rounds.
+                "canary_sec": min([canary_pre, canary_post, *canary_passes]),
+                "canary_pre": canary_pre,
+                "canary_post": canary_post,
+                "canary_passes": canary_passes,
                 "queries_cold": colds,
                 "suite_cold": round(sum(colds.values()), 3),
                 "sf": float(sf),
