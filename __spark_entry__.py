@@ -47,6 +47,14 @@ RETIRED = {
     # trivial WHERE-band over text_stats columns; superset query
     # text_stats_quality stays checked.
     "length_band_filter": "trivial band filter over checked text_stats_quality columns",
+    # r05 rotation: three 4-round-green queries yield their driver slots to
+    # the three NEW data-pipeline operators (repetition_gopher_quality,
+    # decontam_ngram_overlap, sample_quota_per_source) so new surface gets
+    # independent driver evidence; each rotated-out query keeps a checked
+    # same-family sibling and the local --extended sweep.
+    "doc_fingerprint_minhash1": "r05 rotation; minhash-signature family checked via dedup_minhash_lsh + dedup_ngram_jaccard (green r01-r04)",
+    "position_returns": "r05 rotation; chain projection checked via positions_costs/executions/strategy_metrics (green r01-r04)",
+    "sample_stratified_hash": "r05 rotation; hash-sampling family rotates to new sibling sample_quota_per_source (green r01-r04)",
 }
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_signals.datapipe import decontam as DC
 from spark_signals.datapipe import dedup as D
 from spark_signals.datapipe import sampling as SMP
 from spark_signals.datapipe import similarity as SIM
@@ -81,6 +82,30 @@ def _sql_round_jaccard(sql: str) -> str:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T.repetition_stats(_docs(spark, sf_dir))
+    return df.withColumn(
+        "top_bigram_frac", sround(F.col("top_bigram_frac"), 6)
+    ).withColumn("dup_word_frac", sround(F.col("dup_word_frac"), 6))
+
+
+def _sql_round_repetition(sql: str) -> str:
+    return (
+        "SELECT doc_id, n_words, n_bigrams, distinct_bigrams, top_bigram_count, "
+        "floor((top_bigram_frac) * 1e6 + 0.5000001) / 1e6 AS top_bigram_frac, "
+        "floor((dup_word_frac) * 1e6 + 0.5000001) / 1e6 AS dup_word_frac, "
+        "is_repetitive FROM (" + sql + ") t"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DC.decontaminate(_docs(spark, sf_dir))
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SMP.sample_quota(_docs(spark, sf_dir))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/featurize plumbing (mapInPandas). The stub codec's
     features are deterministic byte arithmetic, so the full output is held
@@ -132,6 +157,12 @@ DATAPIPE_QUERIES = {
         T.SQL_LENGTH_BAND(),
     ),
     "multimodal_features": (q_media_features, _SQL_MEDIA_FEATURES),
+    "repetition_gopher_quality": (
+        q_repetition,
+        _sql_round_repetition(T.SQL_REPETITION()),
+    ),
+    "decontam_ngram_overlap": (q_decontaminate, DC.sql_decontaminate()),
+    "sample_quota_per_source": (q_sample_quota, SMP.sql_sample_quota()),
     "ewma_zscore_strategy": (
         lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),
         _SQL_EWMA_STRATEGY,

@@ -69,3 +69,55 @@ WITH keyed AS (
 SELECT doc_id, lang, source, n_chars, sample_bucket, keep_rate
 FROM keyed
 WHERE sample_bucket < keep_rate * CAST(4294967296.0 AS DOUBLE)"""
+
+
+# ---------------------------------------------------------- per-stratum quota
+QUOTA_K = 20
+
+
+def sample_quota(docs: DataFrame, k: int = QUOTA_K, prefilter_rate: float | None = None) -> DataFrame:
+    """Deterministic per-source quota sample: exactly min(k, |stratum|) docs
+    per source, chosen as the k smallest content-hash keys — the fixed-size
+    counterpart of `sample_stratified`'s fixed-rate gate (data-mixing
+    recipes state quotas per source, not rates).
+
+    Hash-ordered rank is reproducible across runs, engines, and
+    partitionings (same property as the rate gate), and oracle-checkable.
+
+    Scale: rank-within-stratum needs a per-source sort, and a 100 TB corpus
+    with a handful of sources would sort billions of rows per group. The
+    `prefilter_rate` lever bounds that: the same hash-gate predicate used by
+    `sample_stratified` cuts each stratum to ~rate·|stratum| rows BEFORE the
+    sort — keeping hash < rate·2^32 preserves exactly the k smallest hashes
+    whenever ≥ k rows survive, so the result is identical (asserted in
+    tests). Choose rate so rate·|smallest stratum| ≫ k.
+    """
+    from pyspark.sql import Window
+
+    keyed = docs.select("doc_id", "source", _hash_bucket().alias("sample_key"))
+    if prefilter_rate is not None:
+        keyed = keyed.filter(
+            F.col("sample_key") < F.lit(float(prefilter_rate)) * F.lit(_HASH_SPACE)
+        )
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", "sample_key", "sample_rank")
+    )
+
+
+def sql_sample_quota(k: int = QUOTA_K) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS sample_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, sample_key,
+         row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, sample_key, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= {k}"""

@@ -311,3 +311,110 @@ WITH g AS (
 )
 SELECT doc_id, lang, n_chars, length_pct
 FROM g WHERE length_pct > CAST({lo!r} AS DOUBLE) AND length_pct <= CAST({hi!r} AS DOUBLE)"""
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+# Thresholds sit at ≈ the top decile of the synthetic corpus (measured:
+# top-bigram fraction median 0.033 / p90 0.069; dup-word fraction median
+# 0.54 / p90 0.68) so the flag actually separates documents.
+REPETITION_TOP_BIGRAM_FRAC = 0.06
+REPETITION_DUP_WORD_FRAC = 0.65
+# the top-bigram statistic is meaningless on tiny documents (a 5-bigram doc
+# has top_frac >= 0.2 by construction) — the rule only applies above this
+REPETITION_MIN_WORDS = 20
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals for training-data quality filtering
+    (the Gopher/MassiveText rules: Rae et al. 2021, arXiv:2112.11446 §A1.1):
+    most-frequent-bigram mass fraction and duplicate-word fraction, plus the
+    combined `is_repetitive` gate.
+
+    Shape: the dup-word fraction is pure per-row array math (codegen'd, no
+    shuffle); the bigram mode needs per-(doc, gram) counts, so bigrams
+    explode into rows and aggregate twice — the same explode → two hash
+    aggs shape as tf-idf, partial-aggregated map-side before each shuffle.
+    No UDFs, no joins: doc-level constants ride through the first aggregate
+    as MIN() of a per-doc-constant column instead of joining back.
+
+    Flags compare raw IEEE divisions (bit-identical across engines);
+    fractions are rounded only at the parity boundary by the caller.
+    """
+    from spark_signals.datapipe.util import spread_small_input
+
+    df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("words")).cast("double") / F.size("words")
+    )
+    rows = (
+        df.withColumn("bigrams", shingles_col(2))
+        .select(
+            "doc_id",
+            F.size("words").alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            F.explode("bigrams").alias("g"),
+        )
+    )
+    per_gram = rows.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("n_words").alias("n_words"),
+        F.min("dup_word_frac").alias("dup_word_frac"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        F.min("n_words").alias("n_words"),
+        F.min("dup_word_frac").alias("dup_word_frac"),
+    )
+    top_frac = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_bigrams",
+        "distinct_bigrams",
+        "top_bigram_count",
+        top_frac.alias("top_bigram_frac"),
+        "dup_word_frac",
+        (
+            (
+                (F.col("n_words") >= F.lit(REPETITION_MIN_WORDS))
+                & (top_frac > F.lit(REPETITION_TOP_BIGRAM_FRAC))
+            )
+            | (F.col("dup_word_frac") > F.lit(REPETITION_DUP_WORD_FRAC))
+        ).alias("is_repetitive"),
+    )
+
+
+def SQL_REPETITION() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(words) AS n_words,
+         1.0 - len(list_distinct(words))::DOUBLE / len(words) AS dup_word_frac,
+         {SQL_SHINGLES(2)} AS bigrams
+  FROM d
+),
+g AS (SELECT doc_id, n_words, dup_word_frac, unnest(bigrams) AS g FROM s),
+c AS (
+  SELECT doc_id, g, count(*) AS c, min(n_words) AS n_words,
+         min(dup_word_frac) AS dup_word_frac
+  FROM g GROUP BY doc_id, g
+),
+p AS (
+  SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams,
+         count(*) AS distinct_bigrams, min(n_words) AS n_words,
+         min(dup_word_frac) AS dup_word_frac
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_words, CAST(n_bigrams AS BIGINT) AS n_bigrams, distinct_bigrams,
+       top_bigram_count, top_bigram_count::DOUBLE / n_bigrams AS top_bigram_frac,
+       dup_word_frac,
+       ((n_words >= {REPETITION_MIN_WORDS}
+         AND top_bigram_count::DOUBLE / n_bigrams > CAST({REPETITION_TOP_BIGRAM_FRAC!r} AS DOUBLE))
+        OR dup_word_frac > CAST({REPETITION_DUP_WORD_FRAC!r} AS DOUBLE)) AS is_repetitive
+FROM p"""

@@ -360,3 +360,99 @@ def test_multimodal_real_wav_codec_and_stub_fallback(spark):
     assert rows[1].decode_status == "real"
     assert rows[2].sampled_frames is None  # stub path
     assert rows[2].decode_status == "stub"
+
+
+# -------------------------------------------- repetition (Gopher-style)
+def test_repetition_stats_counts_and_flags(spark):
+    # doc 0: "a b" x4 -> bigram "a b" dominates; every word duplicated
+    # doc 1: all-distinct words -> nothing repeats
+    df = docs_df(spark, ["a b a b a b a b", "one two three four five six"])
+    rows = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    rep, uniq = rows[0], rows[1]
+    assert rep.n_words == 8 and rep.n_bigrams == 7
+    assert rep.top_bigram_count == 4  # "a b" at positions 1,3,5,7
+    assert rep.distinct_bigrams == 2  # "a b", "b a"
+    assert abs(rep.dup_word_frac - (1 - 2 / 8)) < 1e-12
+    assert rep.is_repetitive
+    assert uniq.n_bigrams == 5 and uniq.top_bigram_count == 1
+    assert uniq.dup_word_frac == 0.0
+    assert not uniq.is_repetitive
+
+
+def test_repetition_short_doc_single_shingle(spark):
+    # < 2 words: whole text is the one "bigram"; no crash, no repetition
+    rows = TX.repetition_stats(docs_df(spark, ["solo"])).collect()
+    assert rows[0].n_bigrams == 1 and rows[0].top_bigram_count == 1
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    from spark_signals.datapipe.decontam import decontaminate
+
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    rows = [
+        (0, f"{shared} zeta eta", "en", "src0", 10),  # eval doc
+        (1, f"intro words {shared}", "en", "src1", 10),  # contaminated
+        (2, "totally unrelated content here now", "en", "src1", 10),  # clean
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r.doc_id: r for r in decontaminate(df).collect()}
+    assert set(out) == {1, 2}  # eval docs never appear in the report
+    assert out[1].is_contaminated and out[1].n_overlapping_ngrams >= 1
+    assert not out[2].is_contaminated and out[2].n_overlapping_ngrams == 0
+
+
+def test_decontaminate_short_doc_fallback_catches_exact_dup(spark):
+    from spark_signals.datapipe.decontam import decontaminate
+
+    rows = [
+        (0, "tiny eval doc", "en", "src0", 10),
+        (1, "tiny eval doc", "en", "src1", 10),  # exact dup, < 5 words
+        (2, "tiny other doc", "en", "src1", 10),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r.doc_id: r for r in decontaminate(df).collect()}
+    assert out[1].is_contaminated
+    assert not out[2].is_contaminated
+
+
+# ------------------------------------------------------- quota sampling
+def test_sample_quota_exact_sizes_and_determinism(spark):
+    from spark_signals.datapipe.sampling import sample_quota
+
+    rows = [
+        (i, f"body {i}", "en", f"src{i % 3}", 10) for i in range(90)
+    ] + [(1000, "lone doc", "en", "srclone", 8)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = sample_quota(df, k=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "src0": 10, "src1": 10, "src2": 10, "srclone": 1,
+    }
+    for v in by_src.values():  # ranks are 1..n and follow the hash order
+        ranks = sorted(r.sample_rank for r in v)
+        assert ranks == list(range(1, len(v) + 1))
+        keys = [r.sample_key for r in sorted(v, key=lambda r: r.sample_rank)]
+        assert keys == sorted(keys)
+    # partitioning-invariant: same sample from a different layout
+    again = sample_quota(df.repartition(13), k=10).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == {
+        (r.doc_id, r.sample_rank) for r in out
+    }
+
+
+def test_sample_quota_prefilter_preserves_result(spark):
+    from spark_signals.datapipe.sampling import sample_quota
+
+    rows = [(i, f"body {i}", "en", f"src{i % 2}", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    full = {(r.doc_id, r.sample_rank) for r in sample_quota(df, k=5).collect()}
+    pre = {
+        (r.doc_id, r.sample_rank)
+        for r in sample_quota(df, k=5, prefilter_rate=0.5).collect()
+    }
+    # rate 0.5 keeps ~100 rows/stratum >> k=5, so the k smallest hashes all
+    # survive the gate and the two plans agree exactly
+    assert pre == full

@@ -20,16 +20,16 @@ EXPECTED_QUERIES = frozenset({
     "anti_join_parts_never_shipped", "asof_join_trade_quote",
     "breakout_band_signals", "dedup_clusters_canonical", "dedup_exact_hash",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "doc_fingerprint_minhash1", "embedding_cosine_neardup",
+    "decontam_ngram_overlap", "embedding_cosine_neardup",
     "ewma_zscore_strategy", "executions", "j1_signal_rejoin",
     "lang_id_heuristic", "latest_price_per_instrument",
     "metrics_hourly_rollup", "multimodal_features",
-    "normalized_prices", "performance_windows_5m", "position_returns",
+    "normalized_prices", "performance_windows_5m",
     "position_transitions", "positions_costs", "positions_forward_fill",
     "pricing_summary_q1", "range_join_tick_stats",
     "recent_ticks_per_instrument", "replay_backtest_window",
-    "runs_listing_join_topn", "sample_stratified_hash",
-    "segment_revenue_bucketed",
+    "repetition_gopher_quality", "runs_listing_join_topn",
+    "sample_quota_per_source", "segment_revenue_bucketed",
     "semi_join_has_lineitems", "session_window_per_user", "signal_counts_5m",
     "signals_decisions", "sma_crossover_signals",
     "strategy_metrics", "strategy_summary_filter_agg",
@@ -44,6 +44,8 @@ EXPECTED_QUERIES = frozenset({
 EXPECTED_RETIRED = frozenset({
     "ticks_source", "union_live_replay", "nation_region_rollup",
     "segment_revenue_3way_join", "sliding_window_counts", "length_band_filter",
+    # r05 rotation: slots yielded to the three new data-pipeline operators
+    "doc_fingerprint_minhash1", "position_returns", "sample_stratified_hash",
 })
 
 
