@@ -34,9 +34,13 @@ EVAL_SOURCE = "src0"
 
 def _ngram_digests(docs: DataFrame, n: int) -> DataFrame:
     """doc_id → distinct md5 digests of the document's word n-grams."""
+    from spark_signals.datapipe.util import explode_strings
+
     df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
     df = df.withColumn("grams", F.array_distinct(shingles_col(n)))
-    return df.select("doc_id", F.explode("grams").alias("g")).select(
+    # string round-trip explode: one lambda evaluation per document (see
+    # util.explode_strings — the naive Generate re-evaluates per output row)
+    return explode_strings(df, F.col("grams"), "g", "doc_id").select(
         "doc_id", F.md5("g").alias("digest")
     )
 

@@ -93,7 +93,13 @@ def _km_min_sigs(rel: DataFrame, arr: str, n: int) -> DataFrame:
     100 TB-safe shape (same explode→groupBy pattern as the IVF centroid
     build in similarity.py).
     """
-    g = rel.select("doc_id", F.explode(arr).alias("s")).select(
+    from spark_signals.datapipe.util import explode_strings
+
+    # explode through the string round-trip: Generate over a lambda-built
+    # array re-evaluates the construction per output row (see
+    # util.explode_strings) — this keeps the shingle transform at one
+    # evaluation per document even when ``rel`` is not persisted
+    g = explode_strings(rel, F.col(arr), "s", "doc_id").select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),

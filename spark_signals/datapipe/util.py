@@ -19,3 +19,33 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < min(target, 32):
         return df.repartition(min(target, 32))
     return df
+
+
+# separator for the explode round-trip below; never occurs in word/char
+# grams of whitespace-normalized text (regex \s does not match \x01, but
+# split-on-\s+ tokenization would confine it inside a token, not a gram
+# boundary — acceptable for the curation operators this feeds)
+GRAM_SEP = "\x01"
+
+
+def explode_strings(df: DataFrame, arr, alias: str, *keep: str) -> DataFrame:
+    """Explode an array<string> column through a concat_ws → split string
+    round-trip.
+
+    Spark's Generate over an array built by higher-order lambda expressions
+    (transform/zip_with — CodegenFallback) re-evaluates the construction per
+    OUTPUT row, turning an O(elements) projection into O(elements²) string
+    building: measured 13.6 s vs 0.30 s on sf0.1 char-5-grams, 3.5 s vs
+    0.46 s on word bigrams. concat_ws evaluates the lambda chain exactly
+    once per input row inside the Project, and the Generate then consumes a
+    codegen-friendly split of a plain string attribute.
+
+    Caveat: a genuinely EMPTY array yields one empty-string row (split('')
+    = ['']), not zero rows — every current caller guarantees ≥1 element
+    (shingle/char-gram fallbacks emit the whole text as one gram).
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(*keep, F.concat_ws(GRAM_SEP, arr).alias("_gs")).select(
+        *keep, F.explode(F.split("_gs", GRAM_SEP)).alias(alias)
+    )
