@@ -55,6 +55,12 @@ RETIRED = {
     "doc_fingerprint_minhash1": "r05 rotation; minhash-signature family checked via dedup_minhash_lsh + dedup_ngram_jaccard (green r01-r04)",
     "position_returns": "r05 rotation; chain projection checked via positions_costs/executions/strategy_metrics (green r01-r04)",
     "sample_stratified_hash": "r05 rotation; hash-sampling family rotates to new sibling sample_quota_per_source (green r01-r04)",
+    # r05 rotation, wave 2: three more 4-round-green queries yield slots to
+    # the new curation operators (lm_unigram_quality, dedup_passages,
+    # pii_scrub_redact); each keeps a checked same-family sibling.
+    "lang_id_heuristic": "r05 rotation; per-row text scoring family checked via text_stats_quality + repetition_gopher_quality (green r01-r04)",
+    "topk_events": "r05 rotation; top-k family checked via recent_ticks_per_instrument + latest_price_per_instrument + runs_listing_join_topn (green r01-r04)",
+    "position_transitions": "r05 rotation; lag+filter family checked via signals_decisions + positions_forward_fill (green r01-r04)",
 }
 
 

@@ -799,3 +799,92 @@ sizes AS (
 SELECT c.doc_id, c.cluster_id, s.cluster_size,
        c.doc_id = c.cluster_id AS is_canonical
 FROM comp c JOIN sizes s USING (cluster_id)"""
+
+
+# ------------------------------------------------------- passage-level dedup
+# Non-overlapping word windows — the CCNet/RefinedWeb granularity for
+# scrubbing boilerplate passages that repeat across documents without the
+# whole documents being near-duplicates.
+PASSAGE_WORDS = 16
+# dup-heavy gate: > 30% of a doc's passages seen elsewhere in the corpus,
+# compared in exact integer arithmetic (10·dup > 3·total)
+PASSAGE_DUP_NUM = 3
+PASSAGE_DUP_DEN = 10
+
+
+def dedup_passages(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """Passage-granular duplication profile per document.
+
+    Chunks each document into non-overlapping ``k``-word passages (last
+    partial chunk kept), digests each passage, and counts global occurrences
+    of every digest; a passage is *duplicated* when its digest occurs more
+    than once corpus-wide (within-doc repeats count — both are boilerplate
+    signals for curation).
+
+    Shape at scale: explode to (doc_id, passage) → md5 → one hash agg on
+    digest (map-side combined: counts per digest) → equi-join the passage
+    stream back on digest → per-doc hash agg. Two digest-keyed shuffles +
+    one doc-keyed — the blocking shape, never O(n²); passage text itself is
+    dropped before any shuffle (only 32-byte digests move).
+    """
+    from spark_signals.datapipe.util import explode_strings
+
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", words_col(F.col("text")))
+        .filter(F.size("words") > 0)
+    )
+    # sequence over the chunk index; slice() truncates the final partial chunk
+    chunks = F.expr(
+        f"transform(sequence(0, (size(words)-1) div {k}),"
+        f" i -> concat_ws(' ', slice(words, i*{k}+1, {k})))"
+    )
+    passages = explode_strings(
+        base.select("doc_id", chunks.alias("chunks")), F.col("chunks"), "passage", "doc_id"
+    ).select("doc_id", F.md5(F.col("passage")).alias("digest"))
+    occ = passages.groupBy("digest").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        passages.join(occ, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("n_occ") > 1, F.lit(1))).alias("n_dup_passages"),
+        )
+    )
+    dup, tot = F.col("n_dup_passages"), F.col("n_passages")
+    return per_doc.select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        # single int/int double division — correctly rounded per IEEE-754,
+        # so bit-identical across engines with no grid gate
+        (dup.cast("double") / tot).alias("dup_passage_frac"),
+        (dup * F.lit(PASSAGE_DUP_DEN) > tot * F.lit(PASSAGE_DUP_NUM)).alias(
+            "is_dup_heavy"
+        ),
+    )
+
+
+SQL_DEDUP_PASSAGES = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         md5(array_to_string(words[(i*{PASSAGE_WORDS}+1):((i+1)*{PASSAGE_WORDS})], ' ')) AS digest
+  FROM d, unnest(generate_series(0, CAST((len(words)-1) // {PASSAGE_WORDS} AS INT))) AS t(i)
+  WHERE len(words) > 0
+),
+occ AS (SELECT digest, COUNT(*) AS n_occ FROM p GROUP BY 1),
+per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_passages,
+         COUNT(*) FILTER (WHERE occ.n_occ > 1) AS n_dup_passages
+  FROM p JOIN occ USING (digest)
+  GROUP BY 1
+)
+SELECT doc_id, n_passages, n_dup_passages,
+       CAST(n_dup_passages AS DOUBLE) / n_passages AS dup_passage_frac,
+       n_dup_passages * {PASSAGE_DUP_DEN} > n_passages * {PASSAGE_DUP_NUM} AS is_dup_heavy
+FROM per_doc"""

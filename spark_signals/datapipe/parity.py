@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from spark_signals.datapipe import decontam as DC
 from spark_signals.datapipe import dedup as D
 from spark_signals.datapipe import sampling as SMP
+from spark_signals.datapipe import scrub as SCR
 from spark_signals.datapipe import similarity as SIM
 from spark_signals.datapipe import text as T
 from spark_signals.io.sources import read_table
@@ -163,6 +164,18 @@ DATAPIPE_QUERIES = {
     ),
     "decontam_ngram_overlap": (q_decontaminate, DC.sql_decontaminate()),
     "sample_quota_per_source": (q_sample_quota, SMP.sql_sample_quota()),
+    "lm_unigram_quality": (
+        lambda spark, sf_dir: T.unigram_lm_quality(_docs(spark, sf_dir)),
+        T.SQL_UNIGRAM_LM(),
+    ),
+    "dedup_passages": (
+        lambda spark, sf_dir: D.dedup_passages(_docs(spark, sf_dir)),
+        D.SQL_DEDUP_PASSAGES,
+    ),
+    "pii_scrub_redact": (
+        lambda spark, sf_dir: SCR.pii_scrub(_docs(spark, sf_dir)),
+        SCR.sql_pii_scrub(),
+    ),
     "ewma_zscore_strategy": (
         lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),
         _SQL_EWMA_STRATEGY,

@@ -438,3 +438,91 @@ SELECT doc_id, n_words, CAST(n_bigrams AS BIGINT) AS n_bigrams, distinct_bigrams
          AND top_bigram_count::DOUBLE / n_bigrams > CAST({REPETITION_TOP_BIGRAM_FRAC!r} AS DOUBLE))
         OR dup_word_frac > CAST({REPETITION_DUP_WORD_FRAC!r} AS DOUBLE)) AS is_repetitive
 FROM p"""
+
+
+# --------------------------------------------- unigram-LM quality (ppl proxy)
+# Per-word log-probs are gridded to integer 1e-4 units so the per-doc SUM is
+# an associative BIGINT sum — exact under any partitioning and identical
+# across engines (ln itself is libm on both sides, so the grid is the only
+# place a 1-ulp divergence could surface; at DP=4 a flip needs ln to land
+# within 1e-11 of a grid boundary).
+UNIGRAM_DP = 4
+# band cuts at the measured p10/p90 of the synthetic corpus, expressed in
+# grid units so the comparison is pure int64 arithmetic (no float threshold)
+LM_BAND_LOW_U = -34100   # avg logprob -3.4100 (p10) — below = 'low'
+LM_BAND_HIGH_U = -33956  # avg logprob -3.3956 (p90) — above = 'high'
+
+
+def unigram_lm_quality(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram-LM fluency score per document — the cheap perplexity
+    proxy used to quality-filter web text before training (CCNet-style,
+    with the full LM swapped for the corpus's own unigram distribution).
+
+    Shape at scale: explode to (doc_id, word) → one map-side-combined hash
+    agg builds the vocabulary (word, count) → 1-row total broadcast → the
+    token stream equi-joins the vocab relation on word (vocab rows ≪ token
+    rows; AQE broadcasts it while it fits, and the shuffle-join fallback is
+    skew-safe because the build side is one row per word) → per-doc hash
+    agg. Two shuffles total keyed on word / doc_id; the corpus never moves
+    except as (doc_id, word) pairs.
+    """
+    toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("tc"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("wc").cast("double") / F.col("tc").cast("double"))
+            * F.lit(float(10**UNIGRAM_DP))
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("lp_u"),
+    )
+    per_doc = (
+        toks.join(model, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("lp_u").alias("sum_logprob_u"), F.count(F.lit(1)).alias("n_words"))
+    )
+    s, n = F.col("sum_logprob_u"), F.col("n_words")
+    band = (
+        F.when(s > F.lit(LM_BAND_HIGH_U) * n, "high")
+        .when(s >= F.lit(LM_BAND_LOW_U) * n, "mid")
+        .otherwise("low")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "sum_logprob_u",
+        (s.cast("double") / n / F.lit(float(10**UNIGRAM_DP))).alias("avg_logprob"),
+        band.alias("lm_band"),
+    )
+
+
+def SQL_UNIGRAM_LM() -> str:
+    grid = f"1e{UNIGRAM_DP}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1),
+total AS (SELECT CAST(SUM(wc) AS BIGINT) AS tc FROM vocab),
+model AS (
+  SELECT word,
+         CAST(floor(ln(CAST(wc AS DOUBLE) / CAST(tc AS DOUBLE)) * {grid} + 0.5000001) AS BIGINT) AS lp_u
+  FROM vocab CROSS JOIN total
+),
+per_doc AS (
+  SELECT toks.doc_id,
+         CAST(SUM(model.lp_u) AS BIGINT) AS sum_logprob_u,
+         COUNT(*) AS n_words
+  FROM toks JOIN model USING (word)
+  GROUP BY 1
+)
+SELECT doc_id, n_words, sum_logprob_u,
+       CAST(sum_logprob_u AS DOUBLE) / n_words / {grid} AS avg_logprob,
+       CASE WHEN sum_logprob_u > {LM_BAND_HIGH_U} * n_words THEN 'high'
+            WHEN sum_logprob_u >= {LM_BAND_LOW_U} * n_words THEN 'mid'
+            ELSE 'low' END AS lm_band
+FROM per_doc"""

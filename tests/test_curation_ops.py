@@ -1,0 +1,139 @@
+"""Unit tests for the r05 curation operators: unigram-LM quality,
+passage-level dedup, and PII scrub.
+
+The driver's sf0.01 parity run exercises these on synthetic word-salad
+(which contains no PII and no long repeated passages), so the behavioral
+evidence — redaction actually redacts, shared passages actually flag — has
+to come from the crafted fixtures here. The crafted PII fixture is also run
+through the DuckDB oracle SQL to pin cross-engine regex agreement ON
+MATCHING INPUT, which the synthetic corpus never provides.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from spark_signals.datapipe import dedup as D
+from spark_signals.datapipe import scrub as S
+from spark_signals.datapipe import text as T
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+# ------------------------------------------------------------------ PII scrub
+PII_TEXT = [
+    "mail me at Bob.Smith+x@Example.co.uk thanks",
+    "ssn 123-45-6789 phone 415-555-1234 alt 415.555.1234",
+    "server at 10.0.0.1 and 192.168.100.200 ok",
+    "no pii here at all",
+    "a@b.io twice a@b.io and ip 1.2.3.4",
+]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    out = {
+        r["doc_id"]: r
+        for r in S.pii_scrub(_docs(spark, PII_TEXT)).collect()
+    }
+    assert out[0]["n_email"] == 1 and out[0]["text_clean"] == "mail me at <EMAIL> thanks"
+    assert out[1]["n_ssn"] == 1 and out[1]["n_phone"] == 2
+    assert out[1]["text_clean"] == "ssn <SSN> phone <PHONE> alt <PHONE>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_clean"] == "server at <IPV4> and <IPV4> ok"
+    assert out[3]["n_pii_total"] == 0 and not out[3]["has_pii"]
+    assert out[3]["text_clean"] == "no pii here at all"
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1 and out[4]["has_pii"]
+
+
+def test_pii_scrub_cross_engine_on_matching_input(spark):
+    """Java regex (Spark) and RE2 (DuckDB) must agree where patterns MATCH,
+    not just on pass-through text — crafted rows force every category."""
+    sdf = S.pii_scrub(_docs(spark, PII_TEXT)).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(PII_TEXT)),
+                "text": PII_TEXT,
+                "lang": "en",
+                "source": "src",
+                "n_chars": [len(t) for t in PII_TEXT],
+            }
+        ),
+    )
+    ddf = con.execute(S.sql_pii_scrub()).fetchdf()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values("doc_id").reset_index(drop=True)
+    b = ddf[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ----------------------------------------------------------- passage dedup
+def test_dedup_passages_flags_shared_passage(spark):
+    shared = " ".join(f"w{i}" for i in range(D.PASSAGE_WORDS))  # one full chunk
+    uniq_a = " ".join(f"a{i}" for i in range(D.PASSAGE_WORDS))
+    uniq_b = " ".join(f"b{i}" for i in range(D.PASSAGE_WORDS))
+    docs = _docs(
+        spark,
+        [
+            f"{shared} {uniq_a}",  # doc0: chunk1 shared, chunk2 unique
+            f"{shared} {uniq_b}",  # doc1: chunk1 shared, chunk2 unique
+            uniq_a.replace("a", "c"),  # doc2: fully unique single chunk
+        ],
+    )
+    out = {r["doc_id"]: r for r in D.dedup_passages(docs).collect()}
+    assert out[0]["n_passages"] == 2 and out[0]["n_dup_passages"] == 1
+    assert out[1]["n_passages"] == 2 and out[1]["n_dup_passages"] == 1
+    assert out[0]["dup_passage_frac"] == 0.5
+    assert out[2]["n_dup_passages"] == 0 and not out[2]["is_dup_heavy"]
+    # 1/2 > 3/10 → dup-heavy
+    assert out[0]["is_dup_heavy"] and out[1]["is_dup_heavy"]
+
+
+def test_dedup_passages_within_doc_repeat_counts(spark):
+    p = " ".join(f"x{i}" for i in range(D.PASSAGE_WORDS))
+    docs = _docs(spark, [f"{p} {p}"])  # same passage twice in ONE doc
+    row = D.dedup_passages(docs).collect()[0]
+    assert row["n_passages"] == 2 and row["n_dup_passages"] == 2
+    assert row["is_dup_heavy"]
+
+
+def test_dedup_passages_partial_last_chunk(spark):
+    words = " ".join(f"y{i}" for i in range(D.PASSAGE_WORDS + 3))
+    row = D.dedup_passages(_docs(spark, [words])).collect()[0]
+    assert row["n_passages"] == 2  # 16-word chunk + 3-word tail
+
+
+# ------------------------------------------------------------- unigram LM
+def test_unigram_lm_hand_computed(spark):
+    # corpus: 3 'a', 1 'b' → p(a)=3/4, p(b)=1/4
+    docs = _docs(spark, ["a a", "a b"])
+    out = {r["doc_id"]: r for r in T.unigram_lm_quality(docs).collect()}
+    grid = 10**T.UNIGRAM_DP
+    lp_a = math.floor(math.log(3 / 4) * grid + 0.5000001)
+    lp_b = math.floor(math.log(1 / 4) * grid + 0.5000001)
+    assert out[0]["sum_logprob_u"] == 2 * lp_a
+    assert out[1]["sum_logprob_u"] == lp_a + lp_b
+    assert out[0]["n_words"] == 2
+    assert out[0]["avg_logprob"] == pytest.approx(math.log(3 / 4), abs=1e-3)
+    # the all-common-words doc scores strictly higher than the one with the
+    # rare word — the ranking the quality filter relies on
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_unigram_lm_sum_is_int64(spark):
+    docs = _docs(spark, ["a a", "a b"])
+    schema = dict(T.unigram_lm_quality(docs).dtypes)
+    assert schema["sum_logprob_u"] == "bigint"
+    assert schema["n_words"] == "bigint"
