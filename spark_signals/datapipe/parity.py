@@ -145,6 +145,10 @@ DATAPIPE_QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, SIM.SQL_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, SIM.SQL_ANN_IVF),
     "ann_lsh_hyperplane_pairs": (q_ann_lsh, SIM.SQL_ANN_LSH),
+    "ann_ivfpq_topk": (
+        lambda spark, sf_dir: SIM.ann_ivfpq_topk(_emb(spark, sf_dir)),
+        SIM.SQL_ANN_IVFPQ,
+    ),
     "sample_stratified_hash": (
         lambda spark, sf_dir: SMP.sample_stratified(_docs(spark, sf_dir)),
         SMP.sql_sample_stratified(),

@@ -256,3 +256,211 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, match_id, match_label, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ------------------------------------------------------------------- IVF-PQ
+# Product quantization: D=64 dims split into PQ_M subspaces of PQ_SUB dims;
+# each corpus vector stores one codeword id per subspace (M small ints
+# instead of D floats — a 32× memory cut at these parameters, the reason
+# billion-vector ANN fits in RAM at all). Codebooks here are the per-label
+# centroids sliced per subspace — a single deterministic groupBy, so the
+# DuckDB oracle reproduces them exactly; swapping in k-means-trained
+# codebooks changes only the codebook CTE, not the encode/ADC/re-rank
+# pipeline (which is the part that matters at scale).
+PQ_M = 8
+PQ_SUB = 8
+# measured on the near-uniform synthetic embeddings at sf0.01 (where ALL
+# cell-probing ANN is weak — IVF@NPROBE=3 gets recall@10 = 0.41): PQ+re-rank
+# reaches 0.275/0.50/0.625/0.76 at R=30/60/100/150. R=60 (1.2% of the sf0.1
+# corpus) is the smallest pool that beats IVF here; clustered real-world
+# embeddings sharpen both the codebooks and the ADC ordering.
+PQ_RERANK = 60
+
+
+def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
+    """PQ-compressed ANN with asymmetric-distance scoring + exact re-rank.
+
+    Pipeline shape at 100 TB:
+      1. codebook build — one partial-aggregated shuffle on (label, dim);
+         output is tiny (n_codewords × D) and broadcasts everywhere else.
+      2. encode — corpus long-form joins the BROADCAST codebook, one hash
+         agg keyed (vec_id, m, codeword), argmin window per (vec_id, m).
+         The corpus is touched once; codes (M ints/vector) are what you'd
+         persist as the index.
+      3. query LUT — per (query, subspace, codeword) partial dot products;
+         Q × M × K rows, broadcast.
+      4. ADC — codes ⋈ broadcast LUT on (m, codeword), per-(query, vector)
+         sum of M partials: a linear scan of the CODES (not the vectors),
+         which is the whole point of PQ.
+      5. exact re-rank of the top PQ_RERANK by true cosine — the standard
+         two-stage recall fix; only R × Q full vectors are ever re-read.
+
+    Approx and exact scores are both 6-dp-gridded with vec_id tie-breaks,
+    so candidate selection and final ranking are engine-deterministic.
+    """
+    from spark_signals.datapipe.util import spread_small_input
+
+    emb = spread_small_input(embeddings)
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim", "val"))
+    codebook = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("c_val"))
+        .select(
+            F.col("label").alias("cw"),
+            "dim",
+            F.expr(f"dim div {PQ_SUB}").alias("m"),
+            "c_val",
+        )
+    )
+    cb = F.broadcast(codebook)
+
+    # encode: nearest codeword per (vector, subspace), L2 in the subspace
+    enc = (
+        dims.join(cb, "dim")
+        .groupBy("vec_id", "m", "cw")
+        .agg(
+            F.sum(
+                (F.col("val").cast("double") - F.col("c_val"))
+                * (F.col("val").cast("double") - F.col("c_val"))
+            ).alias("d2")
+        )
+        .withColumn("d2_r", sround(F.col("d2"), 6))
+    )
+    # argmin via lexicographic struct-min — a second hash agg instead of a
+    # per-(vec_id, m) row_number window (no sort; same (d2_r asc, cw asc)
+    # tie-break the oracle's row_number spells out)
+    codes = (
+        enc.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2_r", "cw")).alias("best"))
+        .select("vec_id", "m", F.col("best.cw").alias("code"))
+    )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    q_dims = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("dim", "q_val"),
+    )
+    lut = (
+        q_dims.join(cb, "dim")
+        .groupBy("query_id", "m", "cw")
+        .agg(F.sum(F.col("q_val").cast("double") * F.col("c_val")).alias("pdot"))
+    )
+
+    norms = emb.select(F.col("vec_id").alias("n_id"), _norm("embedding").alias("vnorm"))
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cw"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc_dot"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(norms.withColumnRenamed("n_id", "vec_id"), "vec_id")
+        .join(
+            F.broadcast(
+                norms.withColumnRenamed("n_id", "query_id").withColumnRenamed(
+                    "vnorm", "qnorm"
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            sround(F.col("adc_dot") / (F.col("qnorm") * F.col("vnorm")), 6).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("c_rank", F.row_number().over(wr))
+        .filter(F.col("c_rank") <= PQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("match_id"), "approx_cos")
+    )
+
+    corpus = embeddings.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("match_label"),
+    )
+    rer = corpus.join(F.broadcast(cand), "match_id").join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            )
+        ),
+        "query_id",
+    )
+    cos = sround(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        rer.select(
+            "query_id", "match_id", "match_label", "approx_cos", cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "match_label", "approx_cos", "cosine", "rank")
+    )
+
+
+SQL_ANN_IVFPQ = f"""
+WITH dims AS (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+codebook AS (
+  SELECT label AS cw, dim, (dim // {PQ_SUB}) AS m, AVG(val) AS c_val
+  FROM dims GROUP BY label, dim
+),
+enc AS (
+  SELECT d.vec_id, c.m, c.cw,
+         floor(SUM((d.val - c.c_val) * (d.val - c.c_val)) * 1e6 + 0.5000001) / 1e6 AS d2_r
+  FROM dims d JOIN codebook c USING (dim)
+  GROUP BY d.vec_id, c.m, c.cw
+),
+codes AS (
+  SELECT vec_id, m, cw AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_r ASC, cw ASC) AS rn FROM enc)
+  WHERE rn = 1
+),
+q_dims AS (
+  SELECT vec_id AS query_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS q_val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.m, c.cw, SUM(q.q_val * c.c_val) AS pdot
+  FROM q_dims q JOIN codebook c USING (dim)
+  GROUP BY q.query_id, c.m, c.cw
+),
+norms AS (
+  SELECT vec_id AS n_id,
+         sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS vnorm
+  FROM embeddings
+),
+adc AS (
+  SELECT l.query_id, k.vec_id,
+         floor((SUM(l.pdot) / (qn.vnorm * vn.vnorm)) * 1e6 + 0.5000001) / 1e6 AS approx_cos
+  FROM codes k
+  JOIN lut l ON l.m = k.m AND l.cw = k.code
+  JOIN norms vn ON vn.n_id = k.vec_id
+  JOIN norms qn ON qn.n_id = l.query_id
+  WHERE k.vec_id <> l.query_id
+  GROUP BY l.query_id, k.vec_id, qn.vnorm, vn.vnorm
+),
+cand AS (
+  SELECT query_id, vec_id AS match_id, approx_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, vec_id ASC) AS c_rank FROM adc)
+  WHERE c_rank <= {PQ_RERANK}
+),
+rer AS (
+  SELECT p.query_id, p.match_id, c.label AS match_label, p.approx_cos,
+         {_SQL_COS} AS cosine
+  FROM cand p
+  JOIN embeddings c ON c.vec_id = p.match_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT query_id, match_id, match_label, approx_cos, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank FROM rer)
+WHERE rank <= {TOP_K}"""

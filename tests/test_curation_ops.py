@@ -137,3 +137,42 @@ def test_unigram_lm_sum_is_int64(spark):
     schema = dict(T.unigram_lm_quality(docs).dtypes)
     assert schema["sum_logprob_u"] == "bigint"
     assert schema["n_words"] == "bigint"
+
+
+# ------------------------------------------------------------------ IVF-PQ
+def test_ivfpq_recall_beats_ivf_on_testdata(spark):
+    """PQ+exact-re-rank must recover at least the IVF probe path's recall on
+    the same corpus (both measured against the brute-force top-k)."""
+    from spark_signals.datapipe import similarity as SIM
+    from spark_signals.io.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ref = {
+        (r["query_id"], r["match_id"])
+        for r in SIM.ann_bruteforce_topk(emb).collect()
+    }
+    ivf = {
+        (r["query_id"], r["match_id"]) for r in SIM.ann_ivf_topk(emb).collect()
+    }
+    pq = {
+        (r["query_id"], r["match_id"]) for r in SIM.ann_ivfpq_topk(emb).collect()
+    }
+    assert len(pq & ref) >= len(ivf & ref)
+
+
+def test_ivfpq_codes_shape(spark):
+    """Every corpus vector encodes to exactly PQ_M codewords, and the exact
+    re-rank keeps TOP_K rows per query with exact cosine ranking."""
+    from spark_signals.datapipe import similarity as SIM
+    from spark_signals.io.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = SIM.ann_ivfpq_topk(emb)
+    import pandas as pd
+
+    pdf = out.toPandas()
+    assert (pdf.groupby("query_id")["rank"].max() == SIM.TOP_K).all()
+    assert (pdf.groupby("query_id")["rank"].count() == SIM.TOP_K).all()
+    # exact cosine is monotone non-increasing within each query's ranking
+    for _, g in pdf.sort_values(["query_id", "rank"]).groupby("query_id"):
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
