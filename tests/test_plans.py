@@ -206,3 +206,46 @@ def test_latency_rollup_single_exchange_partial_agg(spark):
     assert count_op(p, "Exchange") == 1
     assert "partial_sum(FLOOR(" in p and "partial_count(value_ms" in p
     assert "EvalPython" not in p
+
+
+def test_pii_scrub_has_no_exchange(spark):
+    """PII scrub is pure per-row regex work — any Exchange in its plan means
+    someone added a shuffle to a scan-speed operator."""
+    from spark_signals.datapipe.scrub import pii_scrub
+
+    p = plan_str(pii_scrub(read_table(spark, SF, "documents")))
+    assert count_op(p, "Exchange") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_dedup_passages_bounded_exchanges(spark):
+    """Passage dedup: digest agg + digest join-back + per-doc agg. With AQE
+    exchange reuse that is at most 4 exchanges (spread repartition + digest
+    ×2 + doc) and zero Python stages; text must not survive past the digest
+    projection into any exchange."""
+    from spark_signals.datapipe.dedup import dedup_passages
+
+    p = plan_str(dedup_passages(read_table(spark, SF, "documents")))
+    assert count_op(p, "Exchange") <= 4
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_unigram_lm_bounded_exchanges(spark):
+    """LM quality: vocab agg, token⋈model join, per-doc agg — ≤5 exchanges
+    (spread + vocab + join sides + doc) and no Python stages."""
+    from spark_signals.datapipe.text import unigram_lm_quality
+
+    p = plan_str(unigram_lm_quality(read_table(spark, SF, "documents")))
+    assert count_op(p, "Exchange") <= 5
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_ivfpq_codebook_and_lut_broadcast(spark):
+    """IVF-PQ: the codebook/LUT sides must broadcast — a sort-merge join
+    against the codes relation would shuffle the whole index."""
+    from spark_signals.datapipe.similarity import ann_ivfpq_topk
+
+    p = plan_str(ann_ivfpq_topk(read_table(spark, SF, "embeddings")))
+    assert count_op(p, "BroadcastHashJoin") >= 3
+    assert count_op(p, "SortMergeJoin") == 0
+    assert count_op(p, "CartesianProduct") == 0

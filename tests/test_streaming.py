@@ -341,3 +341,57 @@ def test_streaming_hourly_rollup_microbatch_invariant(spark, tmp_path):
     got_chunked = run(chunked, f"{chunked}/part*", per_trigger=True)
     assert len(got_one) > 10
     assert got_one == got_chunked  # bit-identical, not approximately equal
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery (T5/T7): drain half the stream, stop, add
+    the rest, restart the SAME query against the SAME checkpoint. The sink
+    must hold every row exactly once and the per-key rolling state must
+    resume mid-stream — together equal to the batch truth bit-for-bit.
+    Proves both no-reprocessing (A files skipped on restart) and state
+    restore (B rows continue A's frames, not restart them)."""
+    cfg = EngineConfig()
+    ticks = load_ticks(spark, SF).orderBy("event_time", "sequence").collect()
+    n = len(ticks)
+    schema = load_ticks(spark, SF).schema
+    src = str(tmp_path / "ticks_restart")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("latestFirst", "false")
+            .parquet(f"{src}/part*")
+        )
+        feats = stateful_features(
+            stream.withWatermark("event_time", cfg.watermark_delay), cfg
+        )
+        q = (
+            feats.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(ticks[: n // 2], schema).coalesce(1).write.parquet(
+        f"{src}/part0"
+    )
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert 0 < first < n  # half drained, nothing more
+
+    spark.createDataFrame(ticks[n // 2 :], schema).coalesce(1).write.parquet(
+        f"{src}/part1"
+    )
+    run_once()
+
+    got = _sorted_rows(spark.read.parquet(out), CHECK_COLS)
+    from spark_signals.parity import _costs
+
+    want = _sorted_rows(_costs(spark, SF), CHECK_COLS)
+    assert got == want
