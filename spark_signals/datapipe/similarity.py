@@ -41,6 +41,14 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
 
 
+def _safe_div(num: F.Column, den: F.Column) -> F.Column:
+    """ANSI-safe ratio: Spark 4 default ANSI mode makes x/0 THROW, so one
+    all-zero embedding would kill a whole ANN stage at scale. Zero-norm
+    rows score 0.0 (mirrored as COALESCE(x / NULLIF(d, 0), 0.0) in the
+    oracle SQLs)."""
+    return F.when(den != 0, num / den).otherwise(F.lit(0.0))
+
+
 def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     """Exact cosine top-k for each query vector (the recall=1 baseline)."""
     queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
@@ -55,7 +63,7 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("match_id") != F.col("query_id")
     )
-    cos = sround(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     scored = pairs.select("query_id", "match_id", "match_label", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -66,10 +74,11 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
 
 
 _SQL_COS = """floor((
-      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      COALESCE(list_sum(list_transform(range(1, len(q.embedding) + 1),
         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+      / NULLIF(sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
+      , CAST(0.0 AS DOUBLE))
     ) * 1e6 + 0.5000001) / 1e6"""
 
 SQL_ANN_BRUTEFORCE = f"""
@@ -116,7 +125,7 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "label",
-            sround(F.col("dot") / (F.sqrt("qq") * F.sqrt("cc")), 6).alias("c_cos"),
+            sround(_safe_div(F.col("dot"), F.sqrt("qq") * F.sqrt("cc")), 6).alias("c_cos"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("label"))
@@ -136,7 +145,7 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         ),
         "query_id",
     ).filter(F.col("match_id") != F.col("query_id"))
-    cos = sround(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     scored = cand.select("query_id", "match_id", F.col("label").alias("match_label"), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -181,7 +190,7 @@ def ann_lsh_pairs(embeddings: DataFrame) -> DataFrame:
     b = sigs.alias("b")
     pairs = a.join(b, "bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     cos = sround(
-        _dot("a.embedding", "b.embedding") / (_norm("a.embedding") * _norm("b.embedding")), 6
+        _safe_div(_dot("a.embedding", "b.embedding"), _norm("a.embedding") * _norm("b.embedding")), 6
     )
     return (
         pairs.select(
@@ -207,10 +216,11 @@ WITH sigs AS (
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
     floor((
-      list_sum(list_transform(range(1, len(a.embedding) + 1),
+      COALESCE(list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+      / NULLIF(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
+      , CAST(0.0 AS DOUBLE))
     ) * 1e6 + 0.5000001) / 1e6 AS cosine
   FROM sigs a JOIN sigs b ON a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
@@ -233,7 +243,7 @@ q_dims AS (
 ),
 qc AS (
   SELECT query_id, label,
-    floor((SUM(q_val * c_val) / (sqrt(SUM(q_val * q_val)) * sqrt(SUM(c_val * c_val))))
+    floor((COALESCE(SUM(q_val * c_val) / NULLIF(sqrt(SUM(q_val * q_val)) * sqrt(SUM(c_val * c_val)), 0), CAST(0.0 AS DOUBLE)))
           * 1e6 + 0.5000001) / 1e6 AS c_cos
   FROM q_dims JOIN centroids USING (dim)
   GROUP BY query_id, label
@@ -367,9 +377,9 @@ def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            sround(F.col("adc_dot") / (F.col("qnorm") * F.col("vnorm")), 6).alias(
-                "approx_cos"
-            ),
+            sround(
+                _safe_div(F.col("adc_dot"), F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("approx_cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
@@ -392,7 +402,7 @@ def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
         ),
         "query_id",
     )
-    cos = sround(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
         rer.select(
@@ -441,7 +451,7 @@ norms AS (
 ),
 adc AS (
   SELECT l.query_id, k.vec_id,
-         floor((SUM(l.pdot) / (qn.vnorm * vn.vnorm)) * 1e6 + 0.5000001) / 1e6 AS approx_cos
+         floor((COALESCE(SUM(l.pdot) / NULLIF(qn.vnorm * vn.vnorm, 0), CAST(0.0 AS DOUBLE))) * 1e6 + 0.5000001) / 1e6 AS approx_cos
   FROM codes k
   JOIN lut l ON l.m = k.m AND l.cw = k.code
   JOIN norms vn ON vn.n_id = k.vec_id

@@ -48,8 +48,12 @@ def text_stats(docs: DataFrame) -> DataFrame:
     # non [a-z0-9 space] characters = punctuation-ish
     n_punct = n_chars - F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
     n_stop = _stop_count("en")
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_words
+    # zero-guards: Spark 4 runs ANSI mode by default, where x/0 THROWS — a
+    # single empty or whitespace-only document would fail the whole stage at
+    # 100 TB. Junk docs get ratio 0.0 (and thus quality 0.0), mirrored in
+    # the oracle SQL.
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
     # BPE-ish token count: letter runs, digit runs, single other marks
     bpe_tokens = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
     quality = (
@@ -85,13 +89,15 @@ SELECT doc_id, lang, source,
   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
   length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
   len(list_filter(words, w -> list_contains({en}, w))) AS n_stopwords_en,
-  CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-      / length(text) AS punct_ratio,
-  CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)
-      AS stopword_ratio,
+  CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+  CASE WHEN len(words) > 0 THEN
+    CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)
+    ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
   least(CAST(1.0 AS DOUBLE), CAST(len(words) AS DOUBLE) / CAST(50.0 AS DOUBLE))
-    * (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
-    * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(1.0 AS DOUBLE) - least((CASE WHEN length(text) > 0 THEN (CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CASE WHEN len(words) > 0 THEN (CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
     AS quality_score
 FROM d"""
 
@@ -359,10 +365,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     from spark_signals.datapipe.util import spread_small_input
 
     df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
-    dup_frac = (
+    # zero-guard (ANSI division; see text_stats): token-free docs are 0.0
+    dup_frac = F.when(
+        F.size("words") > 0,
         F.lit(1.0)
-        - F.size(F.array_distinct("words")).cast("double") / F.size("words")
-    )
+        - F.size(F.array_distinct("words")).cast("double") / F.size("words"),
+    ).otherwise(0.0)
     from spark_signals.datapipe.util import explode_strings
 
     pre = df.select(
@@ -415,7 +423,9 @@ WITH d AS (
 ),
 s AS (
   SELECT doc_id, len(words) AS n_words,
-         1.0 - len(list_distinct(words))::DOUBLE / len(words) AS dup_word_frac,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
+              ELSE CAST(0.0 AS DOUBLE) END AS dup_word_frac,
          {SQL_SHINGLES(2)} AS bigrams
   FROM d
 ),

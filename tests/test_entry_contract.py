@@ -16,26 +16,27 @@ def test_entry_returns_rows(spark):
 
 
 EXPECTED_QUERIES = frozenset({
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_hyperplane_pairs",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_hyperplane_pairs",
     "anti_join_parts_never_shipped", "asof_join_trade_quote",
     "breakout_band_signals", "dedup_clusters_canonical", "dedup_exact_hash",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "decontam_ngram_overlap", "embedding_cosine_neardup",
+    "decontam_ngram_overlap", "dedup_passages", "embedding_cosine_neardup",
     "ewma_zscore_strategy", "executions", "j1_signal_rejoin",
-    "lang_id_heuristic", "latest_price_per_instrument",
-    "metrics_hourly_rollup", "multimodal_features",
+    "latest_price_per_instrument",
+    "lm_unigram_quality", "metrics_hourly_rollup", "multimodal_features",
     "normalized_prices", "performance_windows_5m",
-    "position_transitions", "positions_costs", "positions_forward_fill",
-    "pricing_summary_q1", "range_join_tick_stats",
+    "positions_costs", "positions_forward_fill",
+    "pii_scrub_redact", "pricing_summary_q1", "range_join_tick_stats",
     "recent_ticks_per_instrument", "replay_backtest_window",
     "repetition_gopher_quality", "runs_listing_join_topn",
     "sample_quota_per_source", "segment_revenue_bucketed",
-    "semi_join_has_lineitems", "session_window_per_user", "signal_counts_5m",
+    "session_window_per_user", "signal_counts_5m",
     "signals_decisions", "sma_crossover_signals",
     "strategy_metrics", "strategy_summary_filter_agg",
     "streaming_hourly_rollup_chained", "streaming_interval_join",
     "streaming_metrics_5m", "streaming_positions_costs", "text_stats_quality",
-    "tfidf_top_terms", "topk_events",
+    "tfidf_top_terms",
     "value_percentiles_exact",
 })
 
@@ -46,6 +47,9 @@ EXPECTED_RETIRED = frozenset({
     "segment_revenue_3way_join", "sliding_window_counts", "length_band_filter",
     # r05 rotation: slots yielded to the three new data-pipeline operators
     "doc_fingerprint_minhash1", "position_returns", "sample_stratified_hash",
+    # r05 rotation wave 2 + IVF-PQ slot (each keeps a checked family sibling)
+    "lang_id_heuristic", "topk_events", "position_transitions",
+    "semi_join_has_lineitems",
 })
 
 
