@@ -1,0 +1,46 @@
+"""Streaming document curation — the continuous-ingestion face of the batch
+curation operators.
+
+The stateless operators (``pii_scrub``, ``text_stats``, ``dedup_passages``'s
+digest step, language/quality scoring) are pure column transforms, so they
+run UNCHANGED on a ``readStream`` DataFrame — the batch/stream unification
+Spark's API promises, which ``tests/test_streaming_curation.py`` pins by
+draining a stream and diffing against the batch result row-for-row.
+
+The one genuinely stateful step in an ingestion pipeline is redelivery
+dedup: at-least-once upstreams (Kafka, retried file loaders) deliver the
+same document twice, and content-digest dedup needs bounded keyed state.
+``dedup_docs_stream`` mirrors the tick-side ``dedup_tick_stream`` (T5
+hygiene): ``dropDuplicatesWithinWatermark`` on the content digest keeps
+state only for the watermark horizon — bounded memory at any corpus rate,
+the same contract TimescaleDB-era reference jobs got from Kafka offsets +
+primary keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# matches the batch exact-dedup digest (dedup.dedup_exact): md5 over the
+# whitespace-normalized lower-cased content
+def content_digest(text: F.Column) -> F.Column:
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def dedup_docs_stream(
+    stream: DataFrame,
+    *,
+    time_col: str = "ingest_time",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Drop redelivered documents (same content digest) within the watermark
+    horizon. ``time_col`` must be the stream's event/ingest timestamp — the
+    watermark bounds the dedup state, so a duplicate arriving later than
+    ``delay`` after the original is NOT caught (that's the batch exact-dedup
+    pass's job downstream; this stage only de-noises the live feed)."""
+    return (
+        stream.withColumn("digest", content_digest(F.col("text")))
+        .withWatermark(time_col, delay)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -13,7 +13,14 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     of the (small) input unlocks full parallelism. At warehouse scale input
     splits already exceed cores, so this is a no-op there — the condition
     guards against ever *adding* a shuffle to a big scan.
+
+    Streaming inputs pass through untouched (``df.rdd`` is illegal on a
+    streaming DataFrame, and micro-batch parallelism is the source's job) —
+    this is what lets every stateless curation operator run unchanged under
+    ``readStream``.
     """
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min(target, 32):
