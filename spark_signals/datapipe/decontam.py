@@ -85,7 +85,7 @@ def sql_decontaminate(eval_source: str = EVAL_SOURCE, n: int = DECONTAM_NGRAM) -
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 s AS (

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_signals.datapipe.text import SQL_SHINGLES, shingles_col, words_col
+from spark_signals.datapipe.text import SQL_SHINGLES, ascii_lower, shingles_col, words_col
 from spark_signals.datapipe.util import spread_small_input
 
 NUM_HASHES = 12
@@ -38,7 +38,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     shuffle keyed by digest; at warehouse scale this is the standard
     map-side-combined aggregate.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
     hashed = docs.select("doc_id", F.md5(norm).alias("content_hash"))
     groups = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -58,7 +58,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 SQL_DEDUP_EXACT = """
 WITH h AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS content_hash
   FROM documents
 ),
 g AS (
@@ -195,7 +195,7 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
 def _sql_shingle_docs() -> str:
     return f"""
 d AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 sh AS (
@@ -269,7 +269,7 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
     background pairs almost never collide. One shuffle on (band, k1, k2),
     exact Jaccard verification only on candidates.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1)), "
         f"j -> substring(norm_text, j, {CHAR_NGRAM})))"
@@ -352,7 +352,7 @@ def _ngram_pairs(keyed: DataFrame, sigs: DataFrame) -> DataFrame:
 
 SQL_DEDUP_NGRAM = f"""
 WITH base AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+  SELECT doc_id, trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')) AS norm_text
   FROM documents
 ),
 g AS (
@@ -490,7 +490,7 @@ def dedup_simhash(docs: DataFrame) -> DataFrame:
 # (^ is exponent in DuckDB — xor() is the function.)
 SQL_DEDUP_SIMHASH = f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 w AS (
@@ -870,7 +870,7 @@ def dedup_passages(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
 
 SQL_DEDUP_PASSAGES = f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 p AS (

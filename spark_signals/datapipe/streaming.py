@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 # matches the batch exact-dedup digest (dedup.dedup_exact): md5 over the
 # whitespace-normalized lower-cased content
 def content_digest(text: F.Column) -> F.Column:
-    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+    from spark_signals.datapipe.text import ascii_lower
+
+    return F.md5(F.regexp_replace(ascii_lower(text), r"\s+", " "))
 
 
 def dedup_docs_stream(

@@ -23,9 +23,23 @@ STOPWORDS = {
 LANG_ORDER = ["en", "de", "es", "fr"]
 
 
+# ASCII-only case folding. Java's lower() applies full Unicode mappings
+# (e.g. Turkish 'İ' → "i̇", TWO codepoints) while DuckDB applies simple
+# ones ('İ' → 'i') — found by the unicode differential probe; md5-shingle
+# parity would silently break on the first non-ASCII corpus. translate()
+# is a 1:1 codepoint map with IDENTICAL semantics in both engines, and is
+# byte-identical to lower() on ASCII input (all driver test corpora).
+ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(text: Column) -> Column:
+    return F.translate(text, ASCII_UP, ASCII_LO)
+
+
 def words_col(text: Column) -> Column:
-    """Lower-cased whitespace tokens, empties dropped."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    """ASCII-lower-cased whitespace tokens, empties dropped."""
+    return F.filter(F.split(ascii_lower(text), r"\s+"), lambda w: w != "")
 
 
 def _sql_array(values: list[str]) -> str:
@@ -42,7 +56,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     from spark_signals.datapipe.util import spread_small_input
 
     df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
-    lower = F.lower(F.col("text"))
+    lower = ascii_lower(F.col("text"))
     n_words = F.size("words")
     n_chars = F.length("text")
     # non [a-z0-9 space] characters = punctuation-ish
@@ -55,7 +69,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
     # BPE-ish token count: letter runs, digit runs, single other marks
-    bpe_tokens = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    bpe_tokens = F.size(F.expr("regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
     quality = (
         F.least(F.lit(1.0), n_words.cast("double") / F.lit(50.0))
         * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
@@ -80,23 +94,23 @@ def SQL_TEXT_STATS() -> str:
     en = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 )
 SELECT doc_id, lang, source,
   length(text) AS n_chars,
   len(words) AS n_words,
-  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
-  length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+  len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+  length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS n_punct,
   len(list_filter(words, w -> list_contains({en}, w))) AS n_stopwords_en,
   CASE WHEN length(text) > 0 THEN
-    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+    CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
       / length(text) ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
   CASE WHEN len(words) > 0 THEN
     CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)
     ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
   least(CAST(1.0 AS DOUBLE), CAST(len(words) AS DOUBLE) / CAST(50.0 AS DOUBLE))
-    * (CAST(1.0 AS DOUBLE) - least((CASE WHEN length(text) > 0 THEN (CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(1.0 AS DOUBLE) - least((CASE WHEN length(text) > 0 THEN (CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
     * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CASE WHEN len(words) > 0 THEN (CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
     AS quality_score
 FROM d"""
@@ -134,7 +148,7 @@ def SQL_LANG_ID() -> str:
     )
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 c AS (
@@ -202,7 +216,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def SQL_FINGERPRINT() -> str:
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 s AS (
@@ -268,7 +282,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
 def SQL_TFIDF(k: int = TFIDF_TOP_K) -> str:
     return f"""
 WITH words AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS word
   FROM documents
 ),
 tf AS (
@@ -418,7 +432,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 def SQL_REPETITION() -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
   FROM documents
 ),
 s AS (
@@ -513,7 +527,7 @@ def SQL_UNIGRAM_LM() -> str:
     grid = f"1e{UNIGRAM_DP}"
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS word
   FROM documents
 ),
 vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1),
