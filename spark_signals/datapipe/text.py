@@ -196,7 +196,10 @@ def shingles_col(n: int = 3) -> Column:
 def SQL_SHINGLES(n: int = 3) -> str:
     return f"""CASE WHEN len(words) >= {n}
         THEN list_transform(range(1, len(words) - {n - 2}), j -> array_to_string(list_slice(words, j, j + {n - 1}), ' '))
-        ELSE [array_to_string(words, ' ')] END"""
+        ELSE [COALESCE(array_to_string(words, ' '), '')] END"""
+    # ^ COALESCE: DuckDB's array_to_string([]) is NULL while Spark's
+    # concat_ws is '' — without it a token-free doc's fallback shingle
+    # md5-diverges (found by the text-corpus fuzzer, seed 7 #36)
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

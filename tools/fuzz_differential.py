@@ -240,6 +240,74 @@ def gen_join_query(rng: random.Random):
     return f"join[{how}{';filtered' if where_sql else ''}]", build, sql
 
 
+# ------------------------------------------------- text-operator fuzzing
+# Atom pools for generated corpora: plain ASCII, case variety, unicode
+# neighborhoods where engine case/regex semantics could diverge, PII-shaped
+# fragments, and whitespace variety. Every seed builds a fresh corpus and
+# runs one text operator through BOTH engines.
+_WORDS = ["alpha", "beta", "Gamma", "DELTA", "the", "and", "for", "x1", "42"]
+_UNICODE = ["İstanbul", "straße", "FUSS", "naïve", "ΣΙΣΥΦΟΣ", "ＦＵＬＬ", "…"]
+_PII = ["a@b.io", "10.0.0.1", "123-45-6789", "415-555-1234", "not@", "1.2.3"]
+_WS = [" ", "  ", "\t", " "]
+
+
+def _gen_docs(rng: random.Random, n_docs: int = 40) -> list[str]:
+    texts = []
+    for _ in range(n_docs):
+        pool = _WORDS * 4 + _UNICODE + _PII
+        k = rng.randint(0, 30)
+        texts.append(rng.choice(_WS).join(rng.choice(pool) for _ in range(k)))
+    # force duplicates (dedup families need collisions to be meaningful)
+    for _ in range(n_docs // 5):
+        texts.append(texts[rng.randrange(len(texts))])
+    return texts
+
+
+def gen_text_query(rng: random.Random):
+    """Random text operator over a random generated corpus."""
+    from spark_signals.datapipe import dedup as DD
+    from spark_signals.datapipe import scrub as SC
+    from spark_signals.datapipe import text as TX
+
+    ops = [
+        ("text_stats", TX.text_stats, TX.SQL_TEXT_STATS()),
+        ("lang_id", TX.lang_id, TX.SQL_LANG_ID()),
+        ("fingerprint", TX.fingerprint, TX.SQL_FINGERPRINT()),
+        ("unigram_lm", TX.unigram_lm_quality, TX.SQL_UNIGRAM_LM()),
+        ("dedup_exact", DD.dedup_exact, DD.SQL_DEDUP_EXACT),
+        ("dedup_passages", DD.dedup_passages, DD.SQL_DEDUP_PASSAGES),
+        ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
+    ]
+    tag, op, sql = ops[rng.randrange(len(ops))]
+    texts = _gen_docs(rng)
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(
+            spark.createDataFrame(
+                [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+
+    def register(con) -> None:
+        import pandas as pd
+
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(texts)),
+                    "text": texts,
+                    "lang": "en",
+                    "source": [f"src{i % 3}" for i in range(len(texts))],
+                    "n_chars": [len(t) for t in texts],
+                }
+            ),
+        )
+
+    return f"text_{tag}", build, sql, register
+
+
 def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, verbose: bool = True):
     """Run n random differential checks; returns list of (name, message) failures."""
     rng = random.Random(seed)
@@ -247,10 +315,28 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, verbose: bool 
     failures = []
     for i in range(n):
         r = rng.random()
-        gen = gen_window_query if r < 0.4 else (gen_agg_query if r < 0.8 else gen_join_query)
-        name, build, sql = gen(rng)
+        if r < 0.3:
+            gen = gen_window_query
+        elif r < 0.6:
+            gen = gen_agg_query
+        elif r < 0.75:
+            gen = gen_join_query
+        else:
+            gen = gen_text_query
+        out = gen(rng)
+        register = None
+        if len(out) == 4:
+            name, build, sql, register = out
+        else:
+            name, build, sql = out
         try:
-            ok, msg = compare(name, build(spark, sf_dir), sql, con)
+            if register is not None:
+                # generated corpus replaces the parquet-backed documents view
+                c = __import__("duckdb").connect()
+                register(c)
+                ok, msg = compare(name, build(spark, sf_dir), sql, c)
+            else:
+                ok, msg = compare(name, build(spark, sf_dir), sql, con)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         if not ok:
