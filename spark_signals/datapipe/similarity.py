@@ -474,3 +474,157 @@ rer AS (
 SELECT query_id, match_id, match_label, approx_cos, cosine, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank FROM rer)
 WHERE rank <= {TOP_K}"""
+
+
+# ------------------------------------------------------------------ k-means
+# Unsupervised cell/codebook training. The IVF and PQ paths above quantize
+# against the pre-existing `label` column; a raw 100 TB corpus has no such
+# column, so the index build needs a trainer. Lloyd's algorithm with a
+# fixed iteration count and deterministic hash-ordered seeding — every step
+# is a standard long-form DataFrame op (join + partial-aggregated groupBy),
+# and distances grid to 1e-6 before the argmin so assignments are
+# engine-deterministic (same contract as the PQ encoder).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _long_dims(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def kmeans_seeds(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Deterministic seeds: the k vectors with the smallest md5(vec_id) —
+    a hash-ordered sample (uniform, reproducible, engine-identical).
+    TakeOrdered keeps the selection a distributed per-partition heap; the
+    rank window then runs over just k rows."""
+    keyed = embeddings.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("seed_key")
+    ).orderBy("seed_key", "vec_id").limit(k)
+    w = Window.orderBy("seed_key", "vec_id")
+    return keyed.withColumn("cluster_id", F.row_number().over(w) - 1).select(
+        "vec_id", "cluster_id"
+    )
+
+
+def kmeans_assign(dims: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id) — nearest centroid by gridded L2, ties to the
+    lower cluster_id. Centroids broadcast (k × D rows); the corpus never
+    shuffles except as (vec_id, dim) pairs into the per-vector aggregate."""
+    d2 = (
+        dims.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("c_val")) * (F.col("val") - F.col("c_val"))
+            ).alias("d2")
+        )
+        .withColumn("d2_r", sround(F.col("d2"), 6))
+    )
+    return (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2_r", "cluster_id")).alias("best"))
+        .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Centroids (cluster_id, dim, c_val) after ``iters`` Lloyd steps.
+
+    The driver loop builds a fixed-depth lazy plan (no .collect() — the
+    loop only composes DataFrames); a cluster that loses every member
+    keeps its previous centroid (left join + coalesce), so k never decays.
+    For iters beyond ~5, callers should checkpoint between steps to bound
+    lineage; the default 3 steps plan fine.
+    """
+    dims = _long_dims(embeddings)
+    seeds = kmeans_seeds(embeddings, k)
+    centroids = seeds.join(dims, "vec_id").select(
+        "cluster_id", "dim", F.col("val").alias("c_val")
+    )
+    for _ in range(iters):
+        assign = kmeans_assign(dims, centroids)
+        means = (
+            assign.join(dims, "vec_id")
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("val").alias("m_val"))
+        )
+        centroids = (
+            centroids.alias("p")
+            .join(means.alias("m"), ["cluster_id", "dim"], "left")
+            .select(
+                "cluster_id",
+                "dim",
+                F.coalesce(F.col("m.m_val"), F.col("p.c_val")).alias("c_val"),
+            )
+        )
+    return centroids
+
+
+def ann_ivf_trained_topk(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """IVF top-k over TRAINED cells (no label column required): k-means
+    cells replace the label partition, then the same probe-NPROBE-cells
+    flow as ann_ivf_topk. This is the index build a raw corpus needs."""
+    centroids = kmeans_train(embeddings, k, iters)
+    cells = kmeans_assign(_long_dims(embeddings), centroids)
+    relabeled = embeddings.join(cells, "vec_id").select(
+        "vec_id", "embedding", F.col("cluster_id").cast("int").alias("label")
+    )
+    return ann_ivf_topk(relabeled)
+
+
+def sql_kmeans_centroids(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB mirror with the Lloyd loop UNROLLED into CTE chain c0..c{n} —
+    fixed iteration count makes k-means SQL-expressible, so the trainer
+    gets the same cross-engine value-level check as every other operator."""
+    ctes = [
+        """dims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+)""",
+        f"""seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cluster_id
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) <= {k}
+)""",
+        """c0 AS (
+  SELECT s.cluster_id, d.dim, d.val AS c_val
+  FROM seeds s JOIN dims d USING (vec_id)
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2_r ASC, cluster_id ASC) AS rn
+    FROM (
+      SELECT d.vec_id, c.cluster_id,
+             floor(SUM((d.val - c.c_val) * (d.val - c.c_val)) * 1e6 + 0.5000001) / 1e6 AS d2_r
+      FROM dims d JOIN c{i - 1} c USING (dim)
+      GROUP BY d.vec_id, c.cluster_id
+    )
+  ) WHERE rn = 1
+)""")
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.cluster_id, p.dim, COALESCE(m.m_val, p.c_val) AS c_val
+  FROM c{i - 1} p
+  LEFT JOIN (
+    SELECT a.cluster_id, d.dim, AVG(d.val) AS m_val
+    FROM a{i} a JOIN dims d USING (vec_id)
+    GROUP BY a.cluster_id, d.dim
+  ) m ON m.cluster_id = p.cluster_id AND m.dim = p.dim
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster_id, dim, floor(c_val * 1e6 + 0.5000001) / 1e6 AS c_val
+FROM c{iters}"""
+    )

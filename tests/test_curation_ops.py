@@ -176,3 +176,70 @@ def test_ivfpq_codes_shape(spark):
     # exact cosine is monotone non-increasing within each query's ranking
     for _, g in pdf.sort_values(["query_id", "rank"]).groupby("query_id"):
         assert (g["cosine"].diff().dropna() <= 1e-12).all()
+
+
+# ------------------------------------------------------------------ k-means
+def test_kmeans_cross_engine_parity(spark):
+    """Trained centroids must match the unrolled-CTE DuckDB mirror value
+    for value (6-dp grid) — the same check every oracle query gets."""
+    import duckdb
+
+    from spark_signals.datapipe import similarity as SIM
+    from spark_signals.io.sources import read_table
+    from spark_signals.parity import sround
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    emb = read_table(spark, SF, "embeddings")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    a = (
+        SIM.kmeans_train(emb)
+        .withColumn("c_val", sround(F.col("c_val"), 6))
+        .toPandas()
+        .sort_values(["cluster_id", "dim"])
+        .reset_index(drop=True)
+    )
+    b = (
+        con.execute(SIM.sql_kmeans_centroids())
+        .fetchdf()
+        .sort_values(["cluster_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == SIM.KMEANS_K * 64 == len(b)
+    assert a[["cluster_id", "dim", "c_val"]].equals(
+        b[["cluster_id", "dim", "c_val"]].astype(a.dtypes.to_dict())
+    )
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """With more seeds than distinct points, the surplus clusters lose all
+    members after one step — they must keep their previous centroid, so
+    k never silently decays."""
+    from spark_signals.datapipe import similarity as SIM
+
+    rows = [(i, [1.0] * 64, 0) for i in range(5)]  # 5 identical vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = SIM.kmeans_train(emb, k=3, iters=2).toPandas()
+    assert sorted(cents["cluster_id"].unique()) == [0, 1, 2]
+    assert len(cents) == 3 * 64
+
+
+def test_trained_ivf_matches_label_ivf_contract(spark):
+    """Label-free trained-IVF must return the same shaped top-k relation
+    with full rankings per query (recall tracks cluster quality, contract
+    tracks shape + determinism)."""
+    from spark_signals.datapipe import similarity as SIM
+    from spark_signals.io.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = SIM.ann_ivf_trained_topk(emb).toPandas()
+    assert set(out.columns) == {"query_id", "match_id", "match_label", "cosine", "rank"}
+    assert (out.groupby("query_id")["rank"].count() == SIM.TOP_K).all()
+    # deterministic: second run is identical
+    out2 = SIM.ann_ivf_trained_topk(emb).toPandas()
+    assert out.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
