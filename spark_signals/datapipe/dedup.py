@@ -545,9 +545,9 @@ def embedding_neardup(embeddings: DataFrame) -> DataFrame:
     nb = F.sqrt(F.expr("aggregate(b.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
     from spark_signals.parity import sround
 
-    from spark_signals.datapipe.similarity import _safe_div
+    from spark_signals.datapipe.similarity import _cos_div
 
-    cos = sround(_safe_div(dot, na * nb), 6)
+    cos = sround(_cos_div(dot, na * nb), 6)
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
@@ -563,11 +563,10 @@ SQL_EMBEDDING_NEARDUP = f"""
 WITH p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
     floor((
-      COALESCE(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / NULLIF(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
-      , CAST(0.0 AS DOUBLE))
+      / greatest(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-300)
     ) * 1e6 + 0.5000001) / 1e6 AS cosine
   FROM embeddings a JOIN embeddings b ON a.label = b.label
   WHERE a.vec_id < b.vec_id

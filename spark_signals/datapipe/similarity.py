@@ -41,11 +41,27 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
 
 
+# ANSI-safe ratios: Spark 4 default ANSI mode makes x/0 THROW, so one
+# all-zero embedding would kill a whole ANN stage at scale.
+_EPS = 1e-300  # far below any float32 vector norm; greatest(d, eps) == d
+# whenever d is a real norm product, and 0/eps == 0.0 for zero vectors
+
+
+def _cos_div(num: F.Column, den: F.Column) -> F.Column:
+    """For divisions whose numerator is STRUCTURALLY zero when the
+    denominator is (a dot product of a zero-norm vector is 0): divide by
+    greatest(den, eps) — unconditional, so codegen subexpression reuse of
+    the norm aggregates survives (a CASE WHEN here blocked CSE and
+    measurably slowed the IVF path). Mirrored as greatest(d, 1e-300) in
+    the oracle SQLs."""
+    return num / F.greatest(den, F.lit(_EPS))
+
+
 def _safe_div(num: F.Column, den: F.Column) -> F.Column:
-    """ANSI-safe ratio: Spark 4 default ANSI mode makes x/0 THROW, so one
-    all-zero embedding would kill a whole ANN stage at scale. Zero-norm
-    rows score 0.0 (mirrored as COALESCE(x / NULLIF(d, 0), 0.0) in the
-    oracle SQLs)."""
+    """Branching guard for divisions where the numerator can be non-zero
+    with a zero denominator (e.g. PQ's ADC dot against a zero-norm corpus
+    vector): zero-norm rows score 0.0. Mirrored as
+    COALESCE(x / NULLIF(d, 0), 0.0)."""
     return F.when(den != 0, num / den).otherwise(F.lit(0.0))
 
 
@@ -63,7 +79,7 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("match_id") != F.col("query_id")
     )
-    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     scored = pairs.select("query_id", "match_id", "match_label", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -74,11 +90,10 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
 
 
 _SQL_COS = """floor((
-      COALESCE(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      list_sum(list_transform(range(1, len(q.embedding) + 1),
         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-      / NULLIF(sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
-      , CAST(0.0 AS DOUBLE))
+      / greatest(sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-300)
     ) * 1e6 + 0.5000001) / 1e6"""
 
 SQL_ANN_BRUTEFORCE = f"""
@@ -125,7 +140,7 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "label",
-            sround(_safe_div(F.col("dot"), F.sqrt("qq") * F.sqrt("cc")), 6).alias("c_cos"),
+            sround(_cos_div(F.col("dot"), F.sqrt("qq") * F.sqrt("cc")), 6).alias("c_cos"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("label"))
@@ -145,7 +160,7 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         ),
         "query_id",
     ).filter(F.col("match_id") != F.col("query_id"))
-    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     scored = cand.select("query_id", "match_id", F.col("label").alias("match_label"), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -190,7 +205,7 @@ def ann_lsh_pairs(embeddings: DataFrame) -> DataFrame:
     b = sigs.alias("b")
     pairs = a.join(b, "bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     cos = sround(
-        _safe_div(_dot("a.embedding", "b.embedding"), _norm("a.embedding") * _norm("b.embedding")), 6
+        _cos_div(_dot("a.embedding", "b.embedding"), _norm("a.embedding") * _norm("b.embedding")), 6
     )
     return (
         pairs.select(
@@ -216,11 +231,10 @@ WITH sigs AS (
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
     floor((
-      COALESCE(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / NULLIF(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
-      , CAST(0.0 AS DOUBLE))
+      / greatest(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-300)
     ) * 1e6 + 0.5000001) / 1e6 AS cosine
   FROM sigs a JOIN sigs b ON a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
@@ -243,7 +257,7 @@ q_dims AS (
 ),
 qc AS (
   SELECT query_id, label,
-    floor((COALESCE(SUM(q_val * c_val) / NULLIF(sqrt(SUM(q_val * q_val)) * sqrt(SUM(c_val * c_val)), 0), CAST(0.0 AS DOUBLE)))
+    floor((SUM(q_val * c_val) / greatest(sqrt(SUM(q_val * q_val)) * sqrt(SUM(c_val * c_val)), 1e-300))
           * 1e6 + 0.5000001) / 1e6 AS c_cos
   FROM q_dims JOIN centroids USING (dim)
   GROUP BY query_id, label
@@ -402,7 +416,7 @@ def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
         ),
         "query_id",
     )
-    cos = sround(_safe_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
+    cos = sround(_cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
         rer.select(

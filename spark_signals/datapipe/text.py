@@ -64,10 +64,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
     n_stop = _stop_count("en")
     # zero-guards: Spark 4 runs ANSI mode by default, where x/0 THROWS — a
     # single empty or whitespace-only document would fail the whole stage at
-    # 100 TB. Junk docs get ratio 0.0 (and thus quality 0.0), mirrored in
-    # the oracle SQL.
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    # 100 TB. The guard divides by greatest(denom, 1) instead of branching:
+    # the numerator is structurally 0 whenever the denominator is (no chars
+    # → no punct; no words → no stopword hits), so values are identical —
+    # and unlike a CASE WHEN, the unconditional form stays eligible for
+    # codegen subexpression reuse (the branch form re-evaluated the
+    # higher-order stopword filter per reference and doubled this stage).
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
     # BPE-ish token count: letter runs, digit runs, single other marks
     bpe_tokens = F.size(F.expr("regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
     quality = (
@@ -103,15 +107,13 @@ SELECT doc_id, lang, source,
   len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
   length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS n_punct,
   len(list_filter(words, w -> list_contains({en}, w))) AS n_stopwords_en,
-  CASE WHEN length(text) > 0 THEN
-    CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-      / length(text) ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
-  CASE WHEN len(words) > 0 THEN
-    CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)
-    ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+  CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / greatest(len(words), 1)
+      AS stopword_ratio,
   least(CAST(1.0 AS DOUBLE), CAST(len(words) AS DOUBLE) / CAST(50.0 AS DOUBLE))
-    * (CAST(1.0 AS DOUBLE) - least((CASE WHEN length(text) > 0 THEN (CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
-    * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CASE WHEN len(words) > 0 THEN (CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / len(words)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    * (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * least((CAST(len(list_filter(words, w -> list_contains({en}, w))) AS DOUBLE) / greatest(len(words), 1)) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
     AS quality_score
 FROM d"""
 
@@ -382,12 +384,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     from spark_signals.datapipe.util import spread_small_input
 
     df = spread_small_input(docs).withColumn("words", words_col(F.col("text")))
-    # zero-guard (ANSI division; see text_stats): token-free docs are 0.0
-    dup_frac = F.when(
-        F.size("words") > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct("words")).cast("double") / F.size("words"),
-    ).otherwise(0.0)
+    # zero-guard (ANSI division; see text_stats): (n - distinct)/max(n, 1)
+    # — equals 1 - distinct/n exactly (one correctly-rounded division of
+    # exact ints on both engines), and 0.0 for token-free docs with no
+    # CASE branch to defeat codegen subexpression reuse
+    dup_frac = (
+        F.size("words") - F.size(F.array_distinct("words"))
+    ).cast("double") / F.greatest(F.size("words"), F.lit(1))
     from spark_signals.datapipe.util import explode_strings
 
     pre = df.select(
@@ -440,9 +443,8 @@ WITH d AS (
 ),
 s AS (
   SELECT doc_id, len(words) AS n_words,
-         CASE WHEN len(words) > 0
-              THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
-              ELSE CAST(0.0 AS DOUBLE) END AS dup_word_frac,
+         CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+              / greatest(len(words), 1) AS dup_word_frac,
          {SQL_SHINGLES(2)} AS bigrams
   FROM d
 ),
