@@ -60,6 +60,7 @@ RETIRED = {
     # pii_scrub_redact); each keeps a checked same-family sibling.
     "lang_id_heuristic": "r05 rotation; per-row text scoring family checked via text_stats_quality + repetition_gopher_quality (green r01-r04)",
     "semi_join_has_lineitems": "r05 rotation; existence-join twin anti_join_parts_never_shipped stays checked, slot goes to new ann_ivfpq_topk (green r01-r04)",
+    "j1_signal_rejoin": "r05 rotation; the J1 join runs inline inside every checked positions-chain query (positions_costs/executions/strategy_metrics), slot goes to new curate_keep_decision (green r01-r04)",
     "topk_events": "r05 rotation; top-k family checked via recent_ticks_per_instrument + latest_price_per_instrument + runs_listing_join_topn (green r01-r04)",
     "position_transitions": "r05 rotation; lag+filter family checked via signals_decisions + positions_forward_fill (green r01-r04)",
 }

@@ -1,0 +1,143 @@
+"""Composed curation pipeline: one call from raw documents to an audited
+keep/drop decision.
+
+Chains the individual operators — exact dedup, passage-duplication profile,
+Gopher-style repetition stats, unigram-LM fluency band, PII scrub — into a
+single relation keyed by doc_id, with a ``keep`` verdict and a
+``drop_reasons`` array recording WHY a document fell out (the audit trail
+curation pipelines need: silent drops are undiagnosable at 100 TB).
+
+Shape at scale: every component is its own blocking-based DAG (documented
+in SCALE.md); the composition joins their per-doc outputs back on doc_id —
+hash-partitioned equi-joins on the primary key, which AQE plans as
+broadcasts while any side is small and as co-partitioned shuffles beyond.
+The text column rides through ONCE (from the scrub branch, already
+redacted); all other branches contribute only scalar flags.
+
+Drop policy (each reason recorded independently):
+  * ``exact_dup``   — not the canonical copy of its content digest
+  * ``dup_heavy``   — >30% of passages duplicated corpus-wide
+  * ``repetitive``  — Gopher repetition gate
+  * ``low_fluency`` — bottom LM band
+  * ``has_pii``     — PII matched (kept by default: redaction already
+                      applied; listed so downstream can drop if policy
+                      demands — flag-only reason)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_signals.datapipe import dedup as D
+from spark_signals.datapipe import scrub as S
+from spark_signals.datapipe import text as T
+
+# reasons that actually drop a document (has_pii is informational)
+DROP_REASONS = ["exact_dup", "dup_heavy", "repetitive", "low_fluency"]
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    exact = D.dedup_exact(docs).select(
+        "doc_id", F.col("is_duplicate").alias("exact_dup")
+    )
+    # corpus-level passes (passage dup, LM model) run on the EXACT-DEDUPED
+    # corpus: otherwise the canonical copy of a duplicated document is
+    # itself flagged dup_heavy by its own duplicates, and duplicate mass
+    # skews the LM's unigram distribution (the CCNet ordering: dedup first,
+    # model after). Per-doc passes (repetition, PII) see every row.
+    canon = docs.join(
+        exact.filter(~F.col("exact_dup")).select("doc_id"), "doc_id"
+    )
+    passages = D.dedup_passages(canon).select("doc_id", "is_dup_heavy")
+    rep = T.repetition_stats(docs).select("doc_id", "is_repetitive")
+    lm = T.unigram_lm_quality(canon).select(
+        "doc_id", (F.col("lm_band") == "low").alias("low_fluency"), "lm_band"
+    )
+    pii = S.pii_scrub(docs).select("doc_id", "source", "has_pii", "text_clean")
+
+    flags = (
+        pii.join(exact, "doc_id")
+        .join(passages, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("exact_dup"),
+            F.coalesce("is_dup_heavy", F.lit(False)).alias("dup_heavy"),
+            F.coalesce("is_repetitive", F.lit(False)).alias("repetitive"),
+            F.coalesce("low_fluency", F.lit(False)).alias("low_fluency"),
+            "lm_band",
+            "has_pii",
+            "text_clean",
+        )
+    )
+    reason_arr = F.filter(
+        F.array(
+            *[
+                F.when(F.col(r), F.lit(r)).otherwise(F.lit(None))
+                for r in DROP_REASONS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # drop_reasons rides as a comma-joined STRING, not an array — scalar
+    # cells hash identically across the driver's pandas materialization of
+    # both engines, where list cells are representation-fragile
+    return flags.select(
+        "doc_id",
+        "source",
+        "lm_band",
+        "has_pii",
+        F.concat_ws(",", reason_arr).alias("drop_reasons"),
+        (F.size(reason_arr) == 0).alias("keep"),
+        "text_clean",
+    )
+
+
+def sql_curate() -> str:
+    """DuckDB mirror: each component's oracle SQL as a CTE, joined on
+    doc_id with the same reason/keep derivation."""
+    reasons = ", ".join(
+        f"CASE WHEN {r} THEN '{r}' ELSE NULL END" for r in DROP_REASONS
+    )
+    return f"""
+WITH exact AS (
+  SELECT doc_id, is_duplicate AS exact_dup FROM ({D.SQL_DEDUP_EXACT}) t
+),
+canon_documents AS (
+  SELECT d.* FROM documents d JOIN exact e USING (doc_id) WHERE NOT e.exact_dup
+),
+passages AS (
+  SELECT doc_id, is_dup_heavy
+  FROM ({D.SQL_DEDUP_PASSAGES.replace("FROM documents", "FROM canon_documents")}) t
+),
+rep AS (
+  SELECT doc_id, is_repetitive FROM ({T.SQL_REPETITION()}) t
+),
+lm AS (
+  SELECT doc_id, lm_band = 'low' AS low_fluency, lm_band
+  FROM ({T.SQL_UNIGRAM_LM().replace("FROM documents", "FROM canon_documents")}) t
+),
+pii AS (
+  SELECT doc_id, source, has_pii, text_clean FROM ({S.sql_pii_scrub()}) t
+),
+flags AS (
+  SELECT p.doc_id, p.source,
+         e.exact_dup,
+         COALESCE(g.is_dup_heavy, false) AS dup_heavy,
+         COALESCE(r.is_repetitive, false) AS repetitive,
+         COALESCE(l.low_fluency, false) AS low_fluency,
+         l.lm_band, p.has_pii, p.text_clean
+  FROM pii p
+  JOIN exact e USING (doc_id)
+  LEFT JOIN passages g USING (doc_id)
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN lm l USING (doc_id)
+)
+SELECT doc_id, source, lm_band, has_pii,
+       COALESCE(array_to_string(list_filter([{reasons}], x -> x IS NOT NULL), ','), '') AS drop_reasons,
+       len(list_filter([{reasons}], x -> x IS NOT NULL)) = 0 AS keep,
+       text_clean
+FROM flags"""

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_signals.datapipe import curate as CUR
 from spark_signals.datapipe import decontam as DC
 from spark_signals.datapipe import dedup as D
 from spark_signals.datapipe import sampling as SMP
@@ -179,6 +180,10 @@ DATAPIPE_QUERIES = {
     "pii_scrub_redact": (
         lambda spark, sf_dir: SCR.pii_scrub(_docs(spark, sf_dir)),
         SCR.sql_pii_scrub(),
+    ),
+    "curate_keep_decision": (
+        lambda spark, sf_dir: CUR.curate(_docs(spark, sf_dir)),
+        CUR.sql_curate(),
     ),
     "ewma_zscore_strategy": (
         lambda spark, sf_dir: _q_ewma_strategy(spark, sf_dir),

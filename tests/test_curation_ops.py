@@ -243,3 +243,36 @@ def test_trained_ivf_matches_label_ivf_contract(spark):
     assert out.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------ composed curate
+def test_curate_reasons_and_dedup_first_ordering(spark):
+    """Pins the composition semantics: exact dedup runs FIRST, so the
+    canonical copy of a duplicated document is NOT flagged dup_heavy by its
+    own duplicates (quality-band thresholds are corpus-calibrated, so the
+    test asserts reason membership, not absolute keeps)."""
+    from spark_signals.datapipe.curate import curate
+
+    rep = ("spam " * 40).strip()  # duplicate-word repetitive
+    base = " ".join(f"w{i} the and of to a in is for on with" for i in range(6))
+    docs = _docs(
+        spark,
+        [
+            base,               # 0: canonical copy
+            base,               # 1: exact_dup of 0
+            rep,                # 2: repetitive
+            "totally distinct words here x@y.io plus more unique tokens",
+        ],
+    )
+    out = {r["doc_id"]: r for r in curate(docs).collect()}
+    # the dedup-first property: doc0 survives exact dedup AND is not
+    # passage-penalized by its duplicate doc1
+    assert "exact_dup" not in out[0]["drop_reasons"]
+    assert "dup_heavy" not in out[0]["drop_reasons"]
+    assert "exact_dup" in out[1]["drop_reasons"] and not out[1]["keep"]
+    assert "repetitive" in out[2]["drop_reasons"] and not out[2]["keep"]
+    assert out[3]["has_pii"] and "<EMAIL>" in out[3]["text_clean"]
+    # has_pii alone never drops
+    assert "has_pii" not in out[3]["drop_reasons"]
+    for r in out.values():  # keep is exactly "no drop reasons"
+        assert r["keep"] == (r["drop_reasons"] == "")

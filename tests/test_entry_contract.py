@@ -21,8 +21,9 @@ EXPECTED_QUERIES = frozenset({
     "anti_join_parts_never_shipped", "asof_join_trade_quote",
     "breakout_band_signals", "dedup_clusters_canonical", "dedup_exact_hash",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "curate_keep_decision",
     "decontam_ngram_overlap", "dedup_passages", "embedding_cosine_neardup",
-    "ewma_zscore_strategy", "executions", "j1_signal_rejoin",
+    "ewma_zscore_strategy", "executions",
     "latest_price_per_instrument",
     "lm_unigram_quality", "metrics_hourly_rollup", "multimodal_features",
     "normalized_prices", "performance_windows_5m",
@@ -49,7 +50,7 @@ EXPECTED_RETIRED = frozenset({
     "doc_fingerprint_minhash1", "position_returns", "sample_stratified_hash",
     # r05 rotation wave 2 + IVF-PQ slot (each keeps a checked family sibling)
     "lang_id_heuristic", "topk_events", "position_transitions",
-    "semi_join_has_lineitems",
+    "semi_join_has_lineitems", "j1_signal_rejoin",
 })
 
 
