@@ -890,3 +890,56 @@ SELECT doc_id, n_passages, n_dup_passages,
        CAST(n_dup_passages AS DOUBLE) / n_passages AS dup_passage_frac,
        n_dup_passages * {PASSAGE_DUP_DEN} > n_passages * {PASSAGE_DUP_NUM} AS is_dup_heavy
 FROM per_doc"""
+
+
+# ------------------------------------------------------ incremental dedup
+def digest_index(docs: DataFrame) -> DataFrame:
+    """(content_hash, canonical_doc_id) — the persistable exact-dedup index
+    for a corpus snapshot: one row per distinct content digest."""
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame, index: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an incoming batch against an existing digest index WITHOUT
+    touching historical documents — the production shape for a continuously
+    growing corpus (a nightly batch never re-dedups the first 100 TB).
+
+    Returns ``(survivors, index_delta)``:
+
+    * ``survivors`` — rows of ``new_docs`` whose digest is new to both the
+      index AND this batch (within-batch dedup keeps the min doc_id).
+    * ``index_delta`` — the new (content_hash, canonical_doc_id) rows to
+      APPEND to the index. Appending the delta (never rewriting the index)
+      keeps the maintenance write O(batch), not O(corpus).
+
+    Shape at scale: the batch digests map-side; the anti join against the
+    index shuffles on content_hash — store the index bucketed on
+    content_hash (``io.sinks.write_bucketed``) and only the (small) batch
+    side shuffles, the index side reads bucket-local. Idempotent: re-running
+    the same batch against the updated index yields zero survivors and an
+    empty delta.
+    """
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
+    hashed = new_docs.withColumn("content_hash", F.md5(norm))
+    # within-batch canonical first (min doc_id per digest), then anti-join
+    # the historical index
+    batch_canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id")
+    )
+    fresh = batch_canon.join(
+        index.select("content_hash"), "content_hash", "left_anti"
+    )
+    survivors = hashed.join(
+        fresh.select(
+            "content_hash", F.col("canonical_doc_id").alias("_keep_id")
+        ),
+        "content_hash",
+    ).filter(F.col("doc_id") == F.col("_keep_id")).drop("_keep_id", "content_hash")
+    return survivors, fresh

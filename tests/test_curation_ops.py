@@ -276,3 +276,34 @@ def test_curate_reasons_and_dedup_first_ordering(spark):
     assert "has_pii" not in out[3]["drop_reasons"]
     for r in out.values():  # keep is exactly "no drop reasons"
         assert r["keep"] == (r["drop_reasons"] == "")
+
+
+# ------------------------------------------------------- incremental dedup
+def test_dedup_incremental_batches(spark, tmp_path):
+    """Batch 2 dedups against batch 1's persisted index without re-reading
+    batch 1's documents; appending the delta keeps the index current; and
+    replaying a batch is a no-op (idempotent)."""
+    from spark_signals.datapipe.dedup import dedup_incremental, digest_index
+
+    b1 = _docs(spark, ["alpha beta gamma", "delta epsilon zeta", "eta theta"])
+    idx_dir = str(tmp_path / "digest_index")
+    digest_index(b1).write.parquet(idx_dir)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha  beta   GAMMA", "en", "src", 17),  # dup of b1 (ws+case)
+            (11, "brand new content", "en", "src", 17),
+            (12, "brand new content", "en", "src", 17),    # within-batch dup
+            (13, "another new one", "en", "src", 15),
+        ],
+        DOC_SCHEMA,
+    )
+    idx = spark.read.parquet(idx_dir)
+    survivors, delta = dedup_incremental(b2, idx)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 13]
+    assert delta.count() == 2  # two new digests enter the index
+
+    # append the delta, replay the same batch → nothing new
+    delta.write.mode("append").parquet(idx_dir)
+    survivors2, delta2 = dedup_incremental(b2, spark.read.parquet(idx_dir))
+    assert survivors2.count() == 0 and delta2.count() == 0
