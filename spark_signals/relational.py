@@ -376,6 +376,27 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+# t-digest-style sketch accuracy knob for the approx path: Spark documents
+# the relative rank error as <= 1/accuracy, so 10_000 → ±0.01% rank error
+PERCENTILE_APPROX_ACCURACY = 10_000
+
+
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB drop-in for q_value_percentiles: percentile_approx — a
+    map-side-combinable sketch (one partial-aggregated shuffle carrying
+    fixed-size sketches per group, no per-group value sort). Sketch results
+    are engine-specific, so this query is verified against the EXACT form
+    within the sketch's rank-error bound (tests/), not against DuckDB."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = F.lit(PERCENTILE_APPROX_ACCURACY)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.95, acc).alias("p95"),
+        F.percentile_approx("value", 0.99, acc).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 beyond-parity: 2h sliding window, 1h slide — each event lands in
     exactly 2 epoch-aligned windows (Spark native ``window(col, w, s)``;

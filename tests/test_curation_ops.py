@@ -307,3 +307,31 @@ def test_dedup_incremental_batches(spark, tmp_path):
     delta.write.mode("append").parquet(idx_dir)
     survivors2, delta2 = dedup_incremental(b2, spark.read.parquet(idx_dir))
     assert survivors2.count() == 0 and delta2.count() == 0
+
+
+# ---------------------------------------------------- approx percentiles
+def test_percentile_approx_tracks_exact_within_rank_error(spark):
+    """The documented 100 TB quantile path must actually exist and track
+    the exact percentiles: with accuracy=10k on ~10k rows the sketch's
+    selected value must lie within the exact p-1% .. p+1% rank band."""
+    from spark_signals.relational import (
+        q_value_percentiles,
+        q_value_percentiles_approx,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r for r in q_value_percentiles(spark, SF).collect()}
+    approx = {
+        r["event_type"]: r for r in q_value_percentiles_approx(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    from spark_signals.io.sources import read_table
+    import numpy as np
+
+    ev = read_table(spark, SF, "events").select("event_type", "value").toPandas()
+    for et, a in approx.items():
+        vals = np.sort(ev[ev.event_type == et]["value"].values)
+        for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+            lo = vals[max(0, int((p - 0.01) * len(vals)) - 1)]
+            hi = vals[min(len(vals) - 1, int((p + 0.01) * len(vals)))]
+            assert lo <= a[col] <= hi, (et, col, a[col], lo, hi)
