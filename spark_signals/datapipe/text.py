@@ -354,6 +354,30 @@ SELECT doc_id, lang, n_chars, length_pct
 FROM g WHERE length_pct > CAST({lo!r} AS DOUBLE) AND length_pct <= CAST({hi!r} AS DOUBLE)"""
 
 
+def length_band_approx(
+    docs: DataFrame, lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+) -> DataFrame:
+    """The 100 TB form of :func:`length_band`: per-language thresholds from
+    ``percentile_approx`` sketches (one map-side-combinable aggregate over
+    the lang key, k rows out) broadcast back onto the corpus — no
+    per-stratum sort of any document. Emits the gate only (no exact
+    length_pct column: computing it would re-introduce the very sort this
+    path removes); tests hold its selection within the exact gate's ±1%
+    rank neighborhood."""
+    thresholds = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", lo, F.lit(10_000)).alias("lo_chars"),
+        F.percentile_approx("n_chars", hi, F.lit(10_000)).alias("hi_chars"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(
+            (F.col("n_chars") > F.col("lo_chars"))
+            & (F.col("n_chars") <= F.col("hi_chars"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # ------------------------------------------------- repetition (Gopher-style)
 # Thresholds sit at ≈ the top decile of the synthetic corpus (measured:
 # top-bigram fraction median 0.033 / p90 0.069; dup-word fraction median

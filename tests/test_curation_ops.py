@@ -335,3 +335,18 @@ def test_percentile_approx_tracks_exact_within_rank_error(spark):
             lo = vals[max(0, int((p - 0.01) * len(vals)) - 1)]
             hi = vals[min(len(vals) - 1, int((p + 0.01) * len(vals)))]
             assert lo <= a[col] <= hi, (et, col, a[col], lo, hi)
+
+
+def test_length_band_approx_tracks_exact_gate(spark):
+    """The sketch-threshold length gate must select (nearly) the same docs
+    as the exact cume_dist gate: symmetric difference bounded by the ±1%
+    rank error per language stratum."""
+    from spark_signals.datapipe.text import length_band, length_band_approx
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {r["doc_id"] for r in length_band(docs).collect()}
+    approx = {r["doc_id"] for r in length_band_approx(docs).collect()}
+    n = docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    assert len(exact ^ approx) <= max(2, int(0.02 * n)) + 2 * n_langs
