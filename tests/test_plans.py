@@ -249,3 +249,17 @@ def test_ivfpq_codebook_and_lut_broadcast(spark):
     assert count_op(p, "BroadcastHashJoin") >= 3
     assert count_op(p, "SortMergeJoin") == 0
     assert count_op(p, "CartesianProduct") == 0
+
+
+def test_curate_composition_no_python_no_cartesian(spark):
+    """The composed curation pipeline stays JVM-side end to end and joins
+    only on keys — no Python stages, no nested-loop/cartesian joins."""
+    from spark_signals.datapipe.curate import curate
+
+    p = plan_str(curate(read_table(spark, SF, "documents")))
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    # exactly ONE BroadcastNestedLoopJoin is expected: the unigram LM's
+    # 1-row corpus-total scalar broadcast (crossJoin(broadcast(total))) —
+    # a second one means a real join degenerated
+    assert count_op(p, "BroadcastNestedLoopJoin") <= 1
