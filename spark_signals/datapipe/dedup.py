@@ -10,7 +10,7 @@ least one of 4 bytes). Embedding near-dup blocks on the cluster label
 (IVF-style partitioning). All hashing is md5-based and codegen'd —
 cross-engine deterministic and UDF-free; the MinHash families hash each
 set element ONCE and derive the permutations arithmetically (see
-_km_min_sigs).
+_km_row_sigs).
 """
 
 from __future__ import annotations
@@ -82,37 +82,43 @@ FROM h JOIN g USING (content_hash)"""
 MINHASH_P = 4_294_967_291  # largest 32-bit prime; (i+1)·h2 + h1 < 2^36 « 2^63
 
 
-def _km_min_sigs(rel: DataFrame, arr: str, n: int) -> DataFrame:
-    """doc_id → n KM-minhash values (columns m0..m{n-1}), long-form.
+def _km_perm(i: int):
+    """KM permutation i as a transform lambda over (h1, h2) structs.
 
-    The set elements are exploded to rows and hashed as plain columns — no
-    higher-order functions, so the md5 + conv stay inside whole-stage
-    codegen and the two identical md5(s) calls are subexpression-eliminated.
-    The per-doc minimums are partial-aggregated before the doc_id shuffle,
-    which therefore carries n ints per doc per upstream partition — the
-    100 TB-safe shape (same explode→groupBy pattern as the IVF centroid
-    build in similarity.py).
+    Factory function on purpose: a ``lambda x, i=i`` would declare TWO
+    parameters, and pyspark's higher-order-function binding passes the
+    element *index* as the second argument — silently clobbering the
+    closure and collapsing all permutations to one (observed: wrong
+    signatures, 253 vs 256 verified pairs at sf0.1).
     """
-    from spark_signals.datapipe.util import explode_strings
+    return lambda x: (x["h1"] + F.lit(i + 1) * x["h2"]) % F.lit(MINHASH_P)
 
-    # explode through the string round-trip: Generate over a lambda-built
-    # array re-evaluates the construction per output row (see
-    # util.explode_strings) — this keeps the shingle transform at one
-    # evaluation per document even when ``rel`` is not persisted
-    g = explode_strings(rel, F.col(arr), "s", "doc_id").select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+
+def _km_row_sigs(rel: DataFrame, arr: str, n: int, *keep: str) -> DataFrame:
+    """Per-ROW KM-minhash columns m0..m{n-1} — zero-shuffle signature path.
+
+    Two chained Projects: the first materializes one (h1, h2) struct per
+    set element (one md5 per element), the second folds each permutation
+    with array_min. CollapseProject keeps them separate because the hash
+    array is a non-cheap expression referenced n times (verified: 2 md5
+    occurrences in the optimized plan, not 2n), so the md5 really runs
+    once per element. No explode and no doc_id aggregate — signatures never
+    leave their input partition (the r5 long-form explode → 12-min groupBy
+    recomputed its whole pipeline per self-join side; see
+    dedup_minhash_lsh's docstring).
+    """
+    hs = rel.withColumn(
+        "_hs",
+        F.transform(
+            F.col(arr),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        ),
     )
-    mins = [
-        F.min((F.col("h1") + F.lit(i + 1) * F.col("h2")) % F.lit(MINHASH_P)).alias(f"m{i}")
-        for i in range(n)
-    ]
-    return g.groupBy("doc_id").agg(*mins)
-
-
-def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    return _km_min_sigs(sh, "shingles", NUM_HASHES)
+    ms = [F.array_min(F.transform("_hs", _km_perm(i))).alias(f"m{i}") for i in range(n)]
+    return hs.select("doc_id", *keep, *ms)
 
 
 def _band_keys(sigs: DataFrame, n_bands: int = NUM_BANDS) -> DataFrame:
@@ -144,17 +150,29 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """doc_id → (band, k1, k2) LSH bucket keys (public blocking API)."""
-    return _band_keys(_minhash_sigs(_with_shingles(docs).select("doc_id", "shingles")))
+    return _band_keys(
+        _km_row_sigs(_with_shingles(docs).select("doc_id", "shingles"), "shingles", NUM_HASHES)
+    )
 
 
 def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
-    Candidates come from equi-joining band buckets (one shuffle on
-    (band, k1, k2)); the exact Jaccard re-check joins shingle sets back
-    only for candidate pairs.
+    Candidates come from equi-joining band buckets; the exact Jaccard
+    re-check joins shingle sets back only for candidate pairs.
+
+    ONE persisted relation carries (doc_id, shingles, m0..m11): the
+    signatures are computed per-row (``_km_row_sigs`` — no explode, no
+    doc_id shuffle), so band keys on both sides of the self-join and the
+    shingle sets for verification all read from the same cache. The r5
+    long-form signature (explode → 12-min groupBy) recomputed its whole
+    explode+aggregate pipeline once per self-join side because only the
+    shingle relation was cached — the root of the r5 +94% regression; the
+    single-persist per-row shape restored the r4-class time (sf0.1
+    best-of ~1.3 s vs 1.9 s) with signatures bit-identical to the SQL
+    oracle (same KM family over the same md5 hex lanes).
     """
-    # one shingle pass shared by signature generation and Jaccard
+    # one shingle+signature pass shared by band generation and Jaccard
     # verification (the reference StatementSet-style common-subplan reuse,
     # hand-managed). Lifecycle: the shared relation is pinned only for the
     # duration of this call — the result is materialized eagerly while the
@@ -162,7 +180,9 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     # 3.4x slower without the share). The checkpointed result's own storage
     # is freed by the ContextCleaner when the caller drops the DataFrame; at
     # cluster scale swap localCheckpoint for a reliable checkpoint dir.
-    sh = _with_shingles(docs).select("doc_id", "shingles").persist()
+    sh = _km_row_sigs(
+        _with_shingles(docs).select("doc_id", "shingles"), "shingles", NUM_HASHES, "shingles"
+    ).persist()
     try:
         return _minhash_pairs(sh).localCheckpoint(eager=True)
     finally:
@@ -170,7 +190,14 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    bands = _band_keys(_minhash_sigs(sh))
+    """Candidate join + verify over a persisted (doc_id, shingles, m*) rel.
+
+    At sf0.1 all three joins run as broadcast-hash (band sides and the
+    distinct candidate set are tiny); at warehouse scale the same plan
+    degrades gracefully to shuffled hash joins on the band / doc_id keys —
+    still candidate-only verification, never all-pairs.
+    """
+    bands = _band_keys(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -180,8 +207,11 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
         .distinct()
     )
     pairs = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+        ).join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -203,7 +233,7 @@ sh AS (
 )"""
 
 
-# mirrors _minhash_sigs/_band_keys: one md5 per shingle, two 32-bit hex
+# mirrors _km_row_sigs/_band_keys: one md5 per shingle, two 32-bit hex
 # lanes, KM family g_i = (h1 + (i+1)·h2) mod P, per-doc min per i, band key
 # = the raw (m_{2b}, m_{2b+1}) pair. '0x'||hex::BIGINT parses the same
 # slices Spark's conv(...,16,10) does, so signatures are engine-identical.
@@ -279,28 +309,25 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
         .select("doc_id", norm.alias("norm_text"))
         .withColumn("grams", grams)
     )
-    # same pinned-for-the-call lifecycle as dedup_minhash_lsh: eager result
-    # materialization, cache released in the finally. The KM signature
-    # (see _km_min_sigs: one md5 per gram, not NGRAM_HASHES) comes back as
-    # an array column so the downstream agreement pre-filter is unchanged;
-    # the doc_id join that re-attaches it to the grams is a shuffle the
-    # verify stage needed anyway.
+    # same pinned-for-the-call lifecycle as dedup_minhash_lsh: ONE persisted
+    # relation carries grams + the per-row KM signature (``_km_row_sigs``:
+    # one md5 per gram, no explode/groupBy, no rejoin shuffle), so band keys
+    # for both self-join sides and the gram sets for verification all read
+    # from the same cache.
     sh = base.select("doc_id", "grams")
-    sigs = _km_min_sigs(sh, "grams", NGRAM_HASHES)
-    keyed = sh.join(
-        sigs.select(
-            "doc_id", F.array(*[F.col(f"m{i}") for i in range(NGRAM_HASHES)]).alias("sig")
-        ),
-        "doc_id",
-    ).persist()
+    keyed = (
+        _km_row_sigs(sh, "grams", NGRAM_HASHES, "grams")
+        .withColumn("sig", F.array(*[F.col(f"m{i}") for i in range(NGRAM_HASHES)]))
+        .persist()
+    )
     try:
-        return _ngram_pairs(keyed, sigs).localCheckpoint(eager=True)
+        return _ngram_pairs(keyed).localCheckpoint(eager=True)
     finally:
         keyed.unpersist()
 
 
-def _ngram_pairs(keyed: DataFrame, sigs: DataFrame) -> DataFrame:
-    bands = _band_keys(sigs, NGRAM_BANDS)
+def _ngram_pairs(keyed: DataFrame) -> DataFrame:
+    bands = _band_keys(keyed, NGRAM_BANDS)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
