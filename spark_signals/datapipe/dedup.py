@@ -31,6 +31,20 @@ SIMHASH_MAX_HAMMING = 3
 
 
 # ------------------------------------------------------------------ exact
+def content_digest(text) -> F.Column:
+    """THE content identity: md5 over the trimmed, whitespace-collapsed,
+    ascii-lowercased text.
+
+    Single definition shared by batch exact dedup, the incremental digest
+    index, and the streaming redelivery filter
+    (``datapipe.streaming.dedup_docs_stream``) — a document must hash the
+    same in every lane or a redelivery that differs only by padding
+    survives one pass and confuses the next (the r5 streaming digest
+    omitted the trim and did exactly that).
+    """
+    return F.md5(F.trim(F.regexp_replace(ascii_lower(text), r"\s+", " ")))
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on the whitespace-normalized content digest.
 
@@ -38,8 +52,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     shuffle keyed by digest; at warehouse scale this is the standard
     map-side-combined aggregate.
     """
-    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
-    hashed = docs.select("doc_id", F.md5(norm).alias("content_hash"))
+    hashed = docs.select("doc_id", content_digest(F.col("text")).alias("content_hash"))
     groups = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -923,9 +936,8 @@ FROM per_doc"""
 def digest_index(docs: DataFrame) -> DataFrame:
     """(content_hash, canonical_doc_id) — the persistable exact-dedup index
     for a corpus snapshot: one row per distinct content digest."""
-    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
     return (
-        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        docs.select("doc_id", content_digest(F.col("text")).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("canonical_doc_id"))
     )
@@ -953,8 +965,7 @@ def dedup_incremental(
     the same batch against the updated index yields zero survivors and an
     empty delta.
     """
-    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
-    hashed = new_docs.withColumn("content_hash", F.md5(norm))
+    hashed = new_docs.withColumn("content_hash", content_digest(F.col("text")))
     # within-batch canonical first (min doc_id per digest), then anti-join
     # the historical index
     batch_canon = hashed.groupBy("content_hash").agg(

@@ -22,12 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# matches the batch exact-dedup digest (dedup.dedup_exact): md5 over the
-# whitespace-normalized lower-cased content
-def content_digest(text: F.Column) -> F.Column:
-    from spark_signals.datapipe.text import ascii_lower
-
-    return F.md5(F.regexp_replace(ascii_lower(text), r"\s+", " "))
+# THE batch exact-dedup digest, re-exported so streaming callers share one
+# definition with dedup.dedup_exact / digest_index (a padding-only
+# redelivery must hash identically in both lanes — see content_digest's
+# docstring)
+from spark_signals.datapipe.dedup import content_digest  # noqa: E402
 
 
 def dedup_docs_stream(
@@ -45,4 +44,6 @@ def dedup_docs_stream(
         stream.withColumn("digest", content_digest(F.col("text")))
         .withWatermark(time_col, delay)
         .dropDuplicatesWithinWatermark(["digest"])
+        # internal helper column — keep the output schema equal to the input
+        .drop("digest")
     )

@@ -69,6 +69,9 @@ def test_dedup_docs_stream_drops_redelivered(spark, tmp_path):
         (2, "second unique document body", t0 + dt.timedelta(seconds=30)),
         # redelivery of doc 1's content (different doc_id, whitespace noise)
         (3, "first  unique   document body", t0 + dt.timedelta(seconds=60)),
+        # redelivery that differs ONLY by leading/trailing padding — the r5
+        # streaming digest missed the trim and let this one through
+        (5, "  second unique document body \n", t0 + dt.timedelta(seconds=75)),
         (4, "third unique document body", t0 + dt.timedelta(seconds=90)),
     ]
     src = str(tmp_path / "redelivery")
@@ -78,3 +81,28 @@ def test_dedup_docs_stream_drops_redelivered(spark, tmp_path):
     out = _drain(dedup_docs_stream(stream), spark)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 2, 4]
+    # the helper column must not leak into the output schema
+    assert out.columns == ["doc_id", "text", "ingest_time"]
+
+
+def test_stream_and_batch_share_one_content_digest(spark):
+    """A padded redelivery must hash identically in the streaming filter and
+    the batch exact-dedup pass — one shared content_digest definition."""
+    from spark_signals.datapipe import dedup as batch_dedup
+    from spark_signals.datapipe import streaming as stream_dedup
+
+    assert stream_dedup.content_digest is batch_dedup.content_digest
+
+    rows = [(1, "Hello   world"), (2, "  hello WORLD \n"), (3, "other doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    digests = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", batch_dedup.content_digest(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert digests[1] == digests[2] != digests[3]
+    # and the batch pass agrees: docs 1 and 2 are one group
+    groups = batch_dedup.dedup_exact(df)
+    canon = {r["doc_id"]: r["canonical_doc_id"] for r in groups.collect()}
+    assert canon == {1: 1, 2: 1, 3: 3}
