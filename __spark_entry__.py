@@ -30,12 +30,19 @@ from pyspark.sql import DataFrame, SparkSession
 # (tools/oracle_check.py --extended) and exercised by tests/.
 DRIVER_CAP = 50
 
+# ROTATION (standing policy, adopted r06 per the r05 verdict): every RETIRED
+# query rotates back into the checked set at least once every 3 rounds, so
+# no operator's evidence goes stale — each entry below records the round it
+# was retired ("r05 rotation", "r06 rotation"); anything retired in round N
+# must be re-checked no later than round N+3. Rotated back IN this round:
+# j1_signal_rejoin, union_live_replay, sample_stratified_hash (per the r05
+# verdict's ask) and lang_id_heuristic (the advisor flagged that its r05
+# retirement landed in the same diff that changed its tokenization — it
+# returns for a post-change round of independent driver evidence).
 RETIRED = {
     # S1 source adapter: the same ticks adapter feeds ~20 checked queries;
     # a standalone passthrough scan adds no independent signal.
     "ticks_source": "source adapter exercised transitively by ~20 checked queries",
-    # U1 trivial unionByName; the replay path is covered by replay_backtest_window.
-    "union_live_replay": "trivial union; replay semantics checked via replay_backtest_window",
     # dim-dim rollup; join+agg family covered by runs_listing/semi/anti/pricing_summary.
     "nation_region_rollup": "join+agg family covered by 4 checked siblings",
     # identical result relation to segment_revenue_bucketed (which stays checked);
@@ -54,19 +61,28 @@ RETIRED = {
     # same-family sibling and the local --extended sweep.
     "doc_fingerprint_minhash1": "r05 rotation; minhash-signature family checked via dedup_minhash_lsh + dedup_ngram_jaccard (green r01-r04)",
     "position_returns": "r05 rotation; chain projection checked via positions_costs/executions/strategy_metrics (green r01-r04)",
-    "sample_stratified_hash": "r05 rotation; hash-sampling family rotates to new sibling sample_quota_per_source (green r01-r04)",
     # r05 rotation, wave 2: three more 4-round-green queries yield slots to
     # the new curation operators (lm_unigram_quality, dedup_passages,
     # pii_scrub_redact); each keeps a checked same-family sibling.
-    "lang_id_heuristic": "r05 rotation; per-row text scoring family checked via text_stats_quality + repetition_gopher_quality (green r01-r04)",
     "semi_join_has_lineitems": "r05 rotation; existence-join twin anti_join_parts_never_shipped stays checked, slot goes to new ann_ivfpq_topk (green r01-r04)",
-    "j1_signal_rejoin": "r05 rotation; the J1 join runs inline inside every checked positions-chain query (positions_costs/executions/strategy_metrics), slot goes to new curate_keep_decision (green r01-r04)",
-    "topk_events": "r05 rotation; top-k family checked via recent_ticks_per_instrument + latest_price_per_instrument + runs_listing_join_topn (green r01-r04)",
-    "position_transitions": "r05 rotation; lag+filter family checked via signals_decisions + positions_forward_fill (green r01-r04)",
+    "topk_events": "r05 rotation; top-k family checked via recent_ticks_per_instrument + runs_listing_join_topn (green r01-r04)",
+    "position_transitions": "r05 rotation; lag+filter family checked via signals_decisions + positions_costs (green r01-r04)",
+    # r06 rotation: seven 3-to-5-round-green queries yield slots to the
+    # three operators that were evidence-less in r05 (ann_ivf_trained_topk,
+    # dedup_incremental, length_band_approx) and to the four rotating back
+    # in (see ROTATION note above); each retiree keeps a checked same-family
+    # sibling and the local --extended sweep.
+    "sma_crossover_signals": "r06 rotation; the P3 signal CASE runs inline inside checked signals_decisions (its direct non-HOLD projection) and breakout/ewma strategy twins (green r01-r05)",
+    "positions_forward_fill": "r06 rotation; the W-family forward-fill stage runs inline inside every checked positions-chain query (positions_costs/executions/strategy_metrics) (green r01-r05)",
+    "latest_price_per_instrument": "r06 rotation; top-1 serving twin of checked recent_ticks_per_instrument (green r01, r04, r05)",
+    "breakout_band_signals": "r06 rotation; §2.9 strategy-extension sibling of checked ewma_zscore_strategy (green r01-r05)",
+    "value_percentiles_exact": "r06 rotation; percentile family keeps driver evidence via new sibling length_band_approx; exact path stays tested + --extended (green r01-r05)",
+    "embedding_cosine_neardup": "r06 rotation; IVF-cell blocking checked via ann_ivf_topk/ann_ivfpq_topk, exact cosine via ann_bruteforce_topk (green r01-r05)",
+    "streaming_interval_join": "r06 rotation; interval/temporal family checked via asof_join_trade_quote + asof_join_tolerance + range_join_tick_stats (green r02-r05)",
 }
 
 
-def _registry():
+def _merged_registry():
     # Import failures must propagate: a registry that silently shrinks turns
     # implemented-and-tested operators into unverifiable ones (4 queries
     # vanished from CORRECTNESS_r02 this way with zero signal).
@@ -95,7 +111,11 @@ def _registry():
     lost = set(RETIRED) - merged.keys()
     if lost:
         raise RuntimeError(f"RETIRED names unknown queries: {sorted(lost)}")
-    active = {k: v for k, v in merged.items() if k not in RETIRED}
+    return merged
+
+
+def _registry():
+    active = {k: v for k, v in _merged_registry().items() if k not in RETIRED}
     if len(active) > DRIVER_CAP:
         raise RuntimeError(
             f"registry has {len(active)} active queries but the driver checks "
@@ -106,14 +126,7 @@ def _registry():
 
 
 def _retired_registry():
-    from spark_signals.datapipe.parity import DATAPIPE_QUERIES
-    from spark_signals.parity import PIPELINE_QUERIES
-    from spark_signals.relational import RELATIONAL_QUERIES
-
-    merged = {**PIPELINE_QUERIES, **DATAPIPE_QUERIES, **RELATIONAL_QUERIES}
-    missing = set(RETIRED) - merged.keys()
-    if missing:
-        raise RuntimeError(f"RETIRED queries not found: {sorted(missing)}")
+    merged = _merged_registry()
     return {k: merged[k] for k in RETIRED}
 
 

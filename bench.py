@@ -116,6 +116,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
     noise = round((total_median - total) / total, 3) if total else 0.0
+    # Measured normalization base: the r05 artifact's best canary on the r05
+    # judge host (BENCH_r05.json canary_sec = 0.162 — a real measurement, not
+    # an asserted constant). suite_canary_normalized rescales this run's
+    # suite to that host's speed, so round-over-round artifact diffs read as
+    # plan-cost changes, not provisioning drift.
+    canary_base_sec = 0.162
+    canary_best = min([canary_pre, canary_post, *canary_passes])
+    normalized = round(total * canary_base_sec / canary_best, 3) if canary_best else None
     print(
         json.dumps(
             {
@@ -134,10 +142,13 @@ def main() -> None:
                 # separately so consumers can see both.
                 "warm_pass": True,
                 "interleaved_passes": True,
-                # fixed 2e8-element JVM aggregation; ~1.1s on the r04-class
-                # host. Divide suite totals by (canary / 1.1) to normalize
-                # across differently-provisioned rounds.
-                "canary_sec": min([canary_pre, canary_post, *canary_passes]),
+                # fixed 2e8-element JVM aggregation, no IO/shuffle — a pure
+                # host-speed probe. Best-of over pre/post/per-pass samples.
+                "canary_sec": canary_best,
+                "canary_base_sec": canary_base_sec,
+                # suite best-of rescaled to the r05 judge host's measured
+                # canary: suite * canary_base_sec / canary_sec
+                "suite_canary_normalized": normalized,
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
                 "canary_passes": canary_passes,

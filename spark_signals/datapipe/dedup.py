@@ -69,9 +69,16 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-SQL_DEDUP_EXACT = """
+# DuckDB mirror of content_digest() — keep the two in lockstep
+SQL_CONTENT_DIGEST = (
+    "md5(trim(regexp_replace(translate({col}, "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+SQL_DEDUP_EXACT = f"""
 WITH h AS (
-  SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS content_hash
+  SELECT doc_id, {SQL_CONTENT_DIGEST.format(col="text")} AS content_hash
   FROM documents
 ),
 g AS (
@@ -981,3 +988,40 @@ def dedup_incremental(
         "content_hash",
     ).filter(F.col("doc_id") == F.col("_keep_id")).drop("_keep_id", "content_hash")
     return survivors, fresh
+
+
+# Driver-checkable face of the incremental path: a deterministic 80/20
+# snapshot/batch split of `documents` (batch = doc_id % INCR_SPLIT_MOD == 0)
+# stands in for "the first 100 TB" vs "tonight's ingest". The checked result
+# is the batch's survivors — new to both the historical digest index and the
+# batch itself.
+INCR_SPLIT_MOD = 5
+
+
+def dedup_incremental_snapshot(docs: DataFrame) -> DataFrame:
+    index = digest_index(docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0))
+    batch = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    survivors, _delta = dedup_incremental(batch, index)
+    return survivors
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH batch AS (
+  SELECT *, {SQL_CONTENT_DIGEST.format(col="text")} AS content_hash
+  FROM documents WHERE doc_id % {INCR_SPLIT_MOD} = 0
+),
+idx AS (
+  SELECT {SQL_CONTENT_DIGEST.format(col="text")} AS content_hash
+  FROM documents WHERE doc_id % {INCR_SPLIT_MOD} <> 0
+  GROUP BY 1
+),
+canon AS (
+  SELECT content_hash, min(doc_id) AS keep_id FROM batch GROUP BY content_hash
+),
+fresh AS (
+  SELECT c.content_hash, c.keep_id FROM canon c
+  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.content_hash = c.content_hash)
+)
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+FROM batch b JOIN fresh f
+  ON b.content_hash = f.content_hash AND b.doc_id = f.keep_id"""

@@ -162,6 +162,18 @@ DATAPIPE_QUERIES = {
         lambda spark, sf_dir: T.length_band(_docs(spark, sf_dir)),
         T.SQL_LENGTH_BAND(),
     ),
+    "length_band_approx": (
+        lambda spark, sf_dir: T.length_band_approx(_docs(spark, sf_dir)),
+        T.SQL_LENGTH_BAND_APPROX(),
+    ),
+    "dedup_incremental": (
+        lambda spark, sf_dir: D.dedup_incremental_snapshot(_docs(spark, sf_dir)),
+        D.SQL_DEDUP_INCREMENTAL,
+    ),
+    "ann_ivf_trained_topk": (
+        lambda spark, sf_dir: SIM.ann_ivf_trained_topk(_emb(spark, sf_dir)),
+        SIM.sql_ann_ivf_trained(),
+    ),
     "multimodal_features": (q_media_features, _SQL_MEDIA_FEATURES),
     "repetition_gopher_quality": (
         q_repetition,

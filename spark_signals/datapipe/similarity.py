@@ -242,44 +242,68 @@ pairs AS (
 SELECT vec_a, vec_b, bucket, cosine FROM pairs WHERE cosine >= {LSH_COS_THRESHOLD}"""
 
 
-SQL_ANN_IVF = f"""
-WITH dims AS (
+# Long-form expansion, dimension-adaptive: unnest(range(...)) in the inner
+# SELECT replicates the row once per element, so the oracle follows the
+# corpus dimension instead of hardcoding it (a different-dimension corpus
+# previously compared against a silently truncated reference).
+def _sql_dims_rel(source: str) -> str:
+    return f"(SELECT *, unnest(range(1, len(embedding) + 1)) AS i FROM {source})"
+
+
+def _sql_ivf_ctes(source: str) -> list[str]:
+    """The IVF probe/scan flow as composable CTEs reading ``source`` —
+    shared verbatim between the label-cell oracle (source='embeddings')
+    and the k-means-trained oracle (source='relabeled')."""
+    return [
+        f"""ivf_dims AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
-),
-centroids AS (
-  SELECT label, dim, AVG(val) AS c_val FROM dims GROUP BY label, dim
-),
-q_dims AS (
+  FROM {_sql_dims_rel(source)}
+)""",
+        """centroids AS (
+  SELECT label, dim, AVG(val) AS c_val FROM ivf_dims GROUP BY label, dim
+)""",
+        f"""q_dims AS (
   SELECT vec_id AS query_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS q_val
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  FROM {_sql_dims_rel(source)}
   WHERE vec_id < {N_QUERIES}
-),
-qc AS (
+)""",
+        """qc AS (
   SELECT query_id, label,
     floor((SUM(q_val * c_val) / greatest(sqrt(SUM(q_val * q_val)) * sqrt(SUM(c_val * c_val)), 1e-300))
           * 1e6 + 0.5000001) / 1e6 AS c_cos
   FROM q_dims JOIN centroids USING (dim)
   GROUP BY query_id, label
-),
-probes AS (
+)""",
+        f"""probes AS (
   SELECT query_id, label
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, label ASC) AS c_rank FROM qc)
   WHERE c_rank <= {NPROBE}
-),
-scored AS (
+)""",
+        f"""scored AS (
   SELECT p.query_id, c.vec_id AS match_id, c.label AS match_label,
          {_SQL_COS} AS cosine
   FROM probes p
-  JOIN embeddings c ON c.label = p.label
-  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN {source} c ON c.label = p.label
+  JOIN {source} q ON q.vec_id = p.query_id
   WHERE c.vec_id <> p.query_id
-),
-ranked AS (
+)""",
+        """ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
   FROM scored
+)""",
+    ]
+
+
+_SQL_IVF_SELECT = (
+    f"SELECT query_id, match_id, match_label, cosine, rank FROM ranked WHERE rank <= {TOP_K}"
 )
-SELECT query_id, match_id, match_label, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def sql_ann_ivf(source: str = "embeddings") -> str:
+    return "WITH " + ",\n".join(_sql_ivf_ctes(source)) + "\n" + _SQL_IVF_SELECT
+
+
+SQL_ANN_IVF = sql_ann_ivf()
 
 
 # ------------------------------------------------------------------- IVF-PQ
@@ -431,7 +455,7 @@ def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
 SQL_ANN_IVFPQ = f"""
 WITH dims AS (
   SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  FROM {_sql_dims_rel("embeddings")}
 ),
 codebook AS (
   SELECT label AS cw, dim, (dim // {PQ_SUB}) AS m, AVG(val) AS c_val
@@ -450,7 +474,7 @@ codes AS (
 ),
 q_dims AS (
   SELECT vec_id AS query_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS q_val
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  FROM {_sql_dims_rel("embeddings")}
   WHERE vec_id < {N_QUERIES}
 ),
 lut AS (
@@ -592,14 +616,16 @@ def ann_ivf_trained_topk(
     return ann_ivf_topk(relabeled)
 
 
-def sql_kmeans_centroids(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """DuckDB mirror with the Lloyd loop UNROLLED into CTE chain c0..c{n} —
-    fixed iteration count makes k-means SQL-expressible, so the trainer
-    gets the same cross-engine value-level check as every other operator."""
+def _sql_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]:
+    """The Lloyd loop UNROLLED into CTE chain c0..c{iters} — fixed iteration
+    count makes k-means SQL-expressible. Returned as composable CTEs so the
+    centroid check and the trained-IVF oracle share one definition; c{iters}
+    holds the UNROUNDED centroids (rounding happens only at each
+    assignment's gridded distance and at the final parity SELECT)."""
     ctes = [
-        """dims AS (
+        f"""dims AS (
   SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  FROM {_sql_dims_rel("embeddings")}
 )""",
         f"""seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cluster_id
@@ -635,10 +661,46 @@ def sql_kmeans_centroids(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     GROUP BY a.cluster_id, d.dim
   ) m ON m.cluster_id = p.cluster_id AND m.dim = p.dim
 )""")
+    return ctes
+
+
+def sql_kmeans_centroids(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB mirror of :func:`kmeans_train` — cross-engine value-level
+    check of the trainer itself (centroids gridded to 1e-6 for parity)."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_sql_kmeans_ctes(k, iters))
         + f"""
 SELECT cluster_id, dim, floor(c_val * 1e6 + 0.5000001) / 1e6 AS c_val
 FROM c{iters}"""
     )
+
+
+def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB mirror of :func:`ann_ivf_trained_topk`: the unrolled Lloyd
+    CTEs produce c{iters}, a final gridded-distance assignment relabels the
+    corpus, and the shared IVF CTE flow (``_sql_ivf_ctes``) runs over the
+    relabeled relation — the same composition the Spark side performs."""
+    ctes = _sql_kmeans_ctes(k, iters)
+    ctes.append(
+        f"""afin AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2_r ASC, cluster_id ASC) AS rn
+    FROM (
+      SELECT d.vec_id, c.cluster_id,
+             floor(SUM((d.val - c.c_val) * (d.val - c.c_val)) * 1e6 + 0.5000001) / 1e6 AS d2_r
+      FROM dims d JOIN c{iters} c USING (dim)
+      GROUP BY d.vec_id, c.cluster_id
+    )
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """relabeled AS (
+  SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS label
+  FROM embeddings e JOIN afin a USING (vec_id)
+)"""
+    )
+    ctes.extend(_sql_ivf_ctes("relabeled"))
+    return "WITH " + ",\n".join(ctes) + "\n" + _SQL_IVF_SELECT

@@ -365,8 +365,8 @@ def length_band_approx(
     path removes); tests hold its selection within the exact gate's ±1%
     rank neighborhood."""
     thresholds = docs.groupBy("lang").agg(
-        F.percentile_approx("n_chars", lo, F.lit(10_000)).alias("lo_chars"),
-        F.percentile_approx("n_chars", hi, F.lit(10_000)).alias("hi_chars"),
+        F.percentile_approx("n_chars", lo, F.lit(LENGTH_BAND_ACCURACY)).alias("lo_chars"),
+        F.percentile_approx("n_chars", hi, F.lit(LENGTH_BAND_ACCURACY)).alias("hi_chars"),
     )
     return (
         docs.join(F.broadcast(thresholds), "lang")
@@ -376,6 +376,40 @@ def length_band_approx(
         )
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# Greenwald-Khanna accuracy for the sketch thresholds. While every stratum
+# holds fewer than this many rows the sketch retains ALL samples and
+# percentile_approx degenerates to the EXACT discrete quantile "smallest
+# value with row_number >= ceil(p*n)" — which is what makes the operator
+# oracle-checkable at test scale (verified identical to the rank formula at
+# sf0.001/0.01/0.1). At 100 TB strata exceed the accuracy and the result
+# becomes rank-within-εn approximate, by design.
+LENGTH_BAND_ACCURACY = 10_000
+
+
+def SQL_LENGTH_BAND_APPROX(
+    lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+) -> str:
+    """DuckDB mirror of :func:`length_band_approx` in the exact regime: the
+    per-lang thresholds are spelled as the explicit GK exact-case rank
+    formula rather than DuckDB's own (differently-seeded) approx sketch."""
+    return f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+thresholds AS (
+  SELECT lang,
+         min(CASE WHEN rn >= ceil(CAST({lo!r} AS DOUBLE) * n) THEN n_chars END) AS lo_chars,
+         min(CASE WHEN rn >= ceil(CAST({hi!r} AS DOUBLE) * n) THEN n_chars END) AS hi_chars
+  FROM r GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thresholds t USING (lang)
+WHERE d.n_chars > t.lo_chars AND d.n_chars <= t.hi_chars"""
 
 
 # ------------------------------------------------- repetition (Gopher-style)

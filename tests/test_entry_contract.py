@@ -17,40 +17,49 @@ def test_entry_returns_rows(spark):
 
 EXPECTED_QUERIES = frozenset({
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_lsh_hyperplane_pairs",
+    "ann_lsh_hyperplane_pairs", "ann_ivf_trained_topk",
     "anti_join_parts_never_shipped", "asof_join_trade_quote",
-    "breakout_band_signals", "dedup_clusters_canonical", "dedup_exact_hash",
+    "asof_join_tolerance",
+    "dedup_clusters_canonical", "dedup_exact_hash",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_incremental",
     "curate_keep_decision",
-    "decontam_ngram_overlap", "dedup_passages", "embedding_cosine_neardup",
+    "decontam_ngram_overlap", "dedup_passages",
     "ewma_zscore_strategy", "executions",
-    "latest_price_per_instrument",
+    "j1_signal_rejoin", "lang_id_heuristic", "latency_metrics_rollup",
+    "length_band_approx",
     "lm_unigram_quality", "metrics_hourly_rollup", "multimodal_features",
     "normalized_prices", "performance_windows_5m",
-    "positions_costs", "positions_forward_fill",
+    "positions_costs",
     "pii_scrub_redact", "pricing_summary_q1", "range_join_tick_stats",
     "recent_ticks_per_instrument", "replay_backtest_window",
     "repetition_gopher_quality", "runs_listing_join_topn",
-    "sample_quota_per_source", "segment_revenue_bucketed",
+    "sample_quota_per_source", "sample_stratified_hash",
+    "segment_revenue_bucketed",
     "session_window_per_user", "signal_counts_5m",
-    "signals_decisions", "sma_crossover_signals",
+    "signals_decisions",
     "strategy_metrics", "strategy_summary_filter_agg",
-    "streaming_hourly_rollup_chained", "streaming_interval_join",
+    "streaming_hourly_rollup_chained",
     "streaming_metrics_5m", "streaming_positions_costs", "text_stats_quality",
-    "tfidf_top_terms",
-    "value_percentiles_exact",
+    "tfidf_top_terms", "union_live_replay",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    "ticks_source", "union_live_replay", "nation_region_rollup",
+    "ticks_source", "nation_region_rollup",
     "segment_revenue_3way_join", "sliding_window_counts", "length_band_filter",
     # r05 rotation: slots yielded to the three new data-pipeline operators
-    "doc_fingerprint_minhash1", "position_returns", "sample_stratified_hash",
+    "doc_fingerprint_minhash1", "position_returns",
     # r05 rotation wave 2 + IVF-PQ slot (each keeps a checked family sibling)
-    "lang_id_heuristic", "topk_events", "position_transitions",
-    "semi_join_has_lineitems", "j1_signal_rejoin",
+    "topk_events", "position_transitions",
+    "semi_join_has_lineitems",
+    # r06 rotation: slots yielded to ann_ivf_trained_topk / dedup_incremental
+    # / length_band_approx and the four queries rotating back in
+    "sma_crossover_signals", "positions_forward_fill",
+    "latest_price_per_instrument", "breakout_band_signals",
+    "value_percentiles_exact", "embedding_cosine_neardup",
+    "streaming_interval_join",
 })
 
 

@@ -21,8 +21,10 @@ import pytest
 from spark_signals.datapipe.dedup import SQL_DEDUP_EXACT, dedup_exact
 from spark_signals.datapipe.text import (
     SQL_FINGERPRINT,
+    SQL_LANG_ID,
     SQL_TEXT_STATS,
     fingerprint,
+    lang_id,
     text_stats,
 )
 
@@ -67,8 +69,12 @@ def engines(spark):
         (text_stats, SQL_TEXT_STATS()),
         (fingerprint, SQL_FINGERPRINT()),
         (dedup_exact, SQL_DEDUP_EXACT),
+        # lang_id joined the probe in r06: its r05 ascii_lower tokenization
+        # change shipped in the same diff that retired it from the driver
+        # check, so the divergence-prone corpus pins it here permanently
+        (lang_id, SQL_LANG_ID()),
     ],
-    ids=["text_stats", "fingerprint", "dedup_exact"],
+    ids=["text_stats", "fingerprint", "dedup_exact", "lang_id"],
 )
 def test_unicode_text_parity(engines, op, sql):
     docs, con = engines
