@@ -111,14 +111,14 @@ canon_documents AS (
 ),
 passages AS (
   SELECT doc_id, is_dup_heavy
-  FROM ({D.SQL_DEDUP_PASSAGES.replace("FROM documents", "FROM canon_documents")}) t
+  FROM ({D.sql_dedup_passages(source="canon_documents")}) t
 ),
 rep AS (
   SELECT doc_id, is_repetitive FROM ({T.SQL_REPETITION()}) t
 ),
 lm AS (
   SELECT doc_id, lm_band = 'low' AS low_fluency, lm_band
-  FROM ({T.SQL_UNIGRAM_LM().replace("FROM documents", "FROM canon_documents")}) t
+  FROM ({T.SQL_UNIGRAM_LM(source="canon_documents")}) t
 ),
 pii AS (
   SELECT doc_id, source, has_pii, text_clean FROM ({S.sql_pii_scrub()}) t

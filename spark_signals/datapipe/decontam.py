@@ -45,23 +45,29 @@ def _ngram_digests(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-def decontaminate(
-    docs: DataFrame, eval_source: str = EVAL_SOURCE, n: int = DECONTAM_NGRAM
+def decontaminate_against(
+    train: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_NGRAM
 ) -> DataFrame:
-    """Per-training-document contamination report against the eval subset.
+    """Per-training-document contamination report against an ARBITRARY
+    benchmark DataFrame — the production entry point: real eval suites live
+    outside the training corpus, arrive as their own small relation, and
+    broadcast regardless of where they came from.
 
-    Returns every non-eval document with the count of distinct n-gram
-    digests it shares with ANY eval document, and the is_contaminated gate
-    (overlap > 0). Documents shorter than n words hash their whole text as
-    one gram (shingles_col's fallback), so short exact-duplicates of eval
-    docs are still caught.
+    ``eval_docs`` needs only a ``text`` column (a ``doc_id`` is synthesized
+    if absent — the digest set never leaves this function). Returns every
+    training document with the count of distinct n-gram digests it shares
+    with ANY eval document, and the is_contaminated gate (overlap > 0).
+    Documents shorter than n words hash their whole text as one gram
+    (shingles_col's fallback), so short exact-duplicates of eval docs are
+    still caught.
     """
+    if "doc_id" not in eval_docs.columns:
+        eval_docs = eval_docs.withColumn("doc_id", F.monotonically_increasing_id())
     eval_digests = (
-        _ngram_digests(docs.filter(F.col("source") == eval_source), n)
+        _ngram_digests(eval_docs.select("doc_id", "text"), n)
         .select("digest")
         .distinct()
     )
-    train = docs.filter(F.col("source") != eval_source)
     overlaps = (
         _ngram_digests(train, n)
         .join(F.broadcast(eval_digests), "digest")
@@ -78,6 +84,19 @@ def decontaminate(
             n_overlap.alias("n_overlapping_ngrams"),
             (n_overlap > 0).alias("is_contaminated"),
         )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_source: str = EVAL_SOURCE, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Source-predicate convenience split over a single corpus (the driver
+    query's shape: the synthetic corpus has no external eval suite, so
+    source='src0' stands in). Delegates to :func:`decontaminate_against`."""
+    return decontaminate_against(
+        docs.filter(F.col("source") != eval_source),
+        docs.filter(F.col("source") == eval_source),
+        n,
     )
 
 

@@ -914,10 +914,14 @@ def dedup_passages(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     )
 
 
-SQL_DEDUP_PASSAGES = f"""
+def sql_dedup_passages(source: str = "documents") -> str:
+    """Oracle SQL parameterized over the source relation so compositions
+    (curate's canon_documents) pass the relation explicitly instead of
+    string-replacing 'FROM documents' in a sibling's SQL."""
+    return f"""
 WITH d AS (
   SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
-  FROM documents
+  FROM {source}
 ),
 p AS (
   SELECT doc_id,
@@ -937,6 +941,9 @@ SELECT doc_id, n_passages, n_dup_passages,
        CAST(n_dup_passages AS DOUBLE) / n_passages AS dup_passage_frac,
        n_dup_passages * {PASSAGE_DUP_DEN} > n_passages * {PASSAGE_DUP_NUM} AS is_dup_heavy
 FROM per_doc"""
+
+
+SQL_DEDUP_PASSAGES = sql_dedup_passages()
 
 
 # ------------------------------------------------------ incremental dedup

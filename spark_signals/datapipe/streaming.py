@@ -47,3 +47,57 @@ def dedup_docs_stream(
         # internal helper column — keep the output schema equal to the input
         .drop("digest")
     )
+
+
+def ingest_dedup_stream(
+    stream: DataFrame,
+    *,
+    index_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous-ingestion exact dedup: each micro-batch runs
+    :func:`~spark_signals.datapipe.dedup.dedup_incremental` against the
+    PERSISTED digest index, appends the survivors, and appends the index
+    delta — batch N+1 is deduped against everything batch N admitted, and
+    the index write stays O(batch), never O(corpus).
+
+    This is the stateful complement to :func:`dedup_docs_stream`: the
+    watermark filter de-noises redeliveries inside its horizon with bounded
+    keyed state, while this index carries the FULL corpus memory in storage
+    (at warehouse scale: bucketed on content_hash, see
+    ``dedup_incremental``'s docstring). Returns the query handle; callers
+    pick the trigger cadence (tests use ``availableNow`` per ingest drop).
+    """
+    from pyspark.sql import types as T
+
+    from spark_signals.datapipe.dedup import dedup_incremental
+
+    index_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType(), False),
+            T.StructField("canonical_doc_id", T.LongType(), True),
+        ]
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_dir)
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame([], index_schema)
+        survivors, delta = dedup_incremental(batch_df, index)
+        # pin BOTH results before any write: the delta's plan reads
+        # index_dir, which the delta write itself appends to — materialize
+        # first so the read and the append never overlap
+        survivors = survivors.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(survivors_dir)
+        delta.write.mode("append").parquet(index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -586,12 +586,15 @@ def unigram_lm_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def SQL_UNIGRAM_LM() -> str:
+def SQL_UNIGRAM_LM(source: str = "documents") -> str:
+    """Oracle SQL parameterized over the source relation (see
+    dedup.sql_dedup_passages — curate composes these over canon_documents
+    without string surgery)."""
     grid = f"1e{UNIGRAM_DP}"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS word
-  FROM documents
+  FROM {source}
 ),
 vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1),
 total AS (SELECT CAST(SUM(wc) AS BIGINT) AS tc FROM vocab),

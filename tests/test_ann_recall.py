@@ -1,0 +1,51 @@
+"""Recall quality gate for the ANN family.
+
+Every approximate variant is held to a recall@k floor against the
+brute-force exact top-k on the same corpus, at the pinned production
+parameters (NPROBE, KMEANS_K/ITERS, PQ_M/PQ_RERANK). The operators are
+fully deterministic (hash-seeded, gridded distances), so recall at a fixed
+corpus is a constant — any future refactor that silently trades recall for
+speed moves these numbers and trips the floor. Measured values at sf0.001
+when the gate was pinned (r06): ivf_label 0.450, ivf_trained 0.650,
+ivfpq_adc 0.512 (synthetic near-uniform embeddings are the hard case for
+cell probing — clustered real-world embeddings score higher); floors sit a
+few points below as an honest tripwire, not a target.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_signals.datapipe import similarity as SIM
+from spark_signals.io.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+RECALL_FLOORS = [
+    ("ivf_label", SIM.ann_ivf_topk, 0.40),
+    ("ivf_trained", SIM.ann_ivf_trained_topk, 0.55),
+    ("ivfpq_adc", SIM.ann_ivfpq_topk, 0.45),
+]
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    emb = read_table(spark, SF, "embeddings")
+    ref = {
+        (r["query_id"], r["match_id"])
+        for r in SIM.ann_bruteforce_topk(emb).collect()
+    }
+    return emb, ref
+
+
+@pytest.mark.parametrize(
+    "name,op,floor", RECALL_FLOORS, ids=[n for n, _, _ in RECALL_FLOORS]
+)
+def test_ann_recall_floor(exact_topk, name, op, floor):
+    emb, ref = exact_topk
+    got = {(r["query_id"], r["match_id"]) for r in op(emb).collect()}
+    recall = len(got & ref) / len(ref)
+    assert recall >= floor, (
+        f"{name} recall@{SIM.TOP_K} = {recall:.3f} fell below the {floor} "
+        f"floor — a refactor traded recall away (see tools/ann_recall.py)"
+    )

@@ -402,6 +402,30 @@ def test_decontaminate_flags_shared_ngrams_only(spark):
     assert not out[2].is_contaminated and out[2].n_overlapping_ngrams == 0
 
 
+def test_decontaminate_against_external_eval_frame(spark):
+    """Real eval suites are NOT resident in the training corpus — the API
+    must take them as their own DataFrame (text-only schema, no doc_id)."""
+    from spark_signals.datapipe.decontam import decontaminate_against
+
+    shared = "alpha beta gamma delta epsilon"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {shared}", "en", "src1", 10),
+            (2, "totally unrelated content here now", "en", "src1", 10),
+        ],
+        DOC_SCHEMA,
+    )
+    # external benchmark: different schema, no doc_id, never in `train`
+    eval_docs = spark.createDataFrame(
+        [(f"question about {shared} answer",), ("some other benchmark item",)],
+        "text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_against(train, eval_docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].is_contaminated and out[1].n_overlapping_ngrams >= 1
+    assert not out[2].is_contaminated and out[2].n_overlapping_ngrams == 0
+
+
 def test_decontaminate_short_doc_fallback_catches_exact_dup(spark):
     from spark_signals.datapipe.decontam import decontaminate
 

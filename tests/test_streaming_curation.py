@@ -85,6 +85,59 @@ def test_dedup_docs_stream_drops_redelivered(spark, tmp_path):
     assert out.columns == ["doc_id", "text", "ingest_time"]
 
 
+def test_streaming_ingest_then_curate_matches_batch_curate(spark, tmp_path):
+    """The production ingestion story end-to-end: batch N+1 streams in
+    through ingest_dedup_stream against the digest index batch N produced;
+    the full curate() composition over the ACCUMULATED survivors must equal
+    batch curate() over the union, row for row (on the surviving docs)."""
+    from spark_signals.datapipe.curate import curate
+    from spark_signals.datapipe.streaming import ingest_dedup_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    batch_a = docs.filter(F.col("doc_id") <= mid)
+    batch_b = docs.filter(F.col("doc_id") > mid)
+
+    src = str(tmp_path / "ingest")
+    dirs = dict(
+        index_dir=str(tmp_path / "digest_index"),
+        survivors_dir=str(tmp_path / "survivors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # two availableNow runs over one source dir + one checkpoint = two
+    # ordered ingest drops (the nightly-batch shape)
+    for batch in (batch_a, batch_b):
+        batch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = ingest_dedup_stream(stream, **dirs)
+        q.awaitTermination()
+
+    survivors = spark.read.parquet(dirs["survivors_dir"])
+    # exact-dedup ground truth: one survivor per digest, min doc_id overall
+    # (batch A holds the lower ids, so first-seen == global min)
+    from spark_signals.datapipe.dedup import dedup_exact
+
+    want_ids = {
+        r["canonical_doc_id"]
+        for r in dedup_exact(docs).select("canonical_doc_id").distinct().collect()
+    }
+    got_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert got_ids == want_ids
+
+    # curate over the accumulated survivors == batch curate over the union,
+    # restricted to the survivors (the canon corpus is identical, so every
+    # corpus-level stat — passage dup, LM bands — must agree exactly)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in curate(survivors).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in curate(docs).filter(F.col("doc_id").isin(got_ids)).collect()
+    }
+    assert got == want
+
+
 def test_stream_and_batch_share_one_content_digest(spark):
     """A padded redelivery must hash identically in the streaming filter and
     the batch exact-dedup pass — one shared content_digest definition."""
