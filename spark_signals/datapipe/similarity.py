@@ -572,34 +572,47 @@ def kmeans_train(
 ) -> DataFrame:
     """Centroids (cluster_id, dim, c_val) after ``iters`` Lloyd steps.
 
-    The driver loop builds a fixed-depth lazy plan (no .collect() — the
-    loop only composes DataFrames); a cluster that loses every member
-    keeps its previous centroid (left join + coalesce), so k never decays.
-    For iters beyond ~5, callers should checkpoint between steps to bound
-    lineage; the default 3 steps plan fine.
+    Iterative algorithms are where Spark's lazy plans bite: leaving each
+    Lloyd step lazy builds an exponentially-branching plan (every step
+    references the previous centroids TWICE — assign and update — and the
+    trained-IVF consumer references the corpus three more times), which in
+    r05 cost the trained-IVF query ~10 s at sf0.01 on pure plan
+    re-evaluation. The long-form corpus is therefore persisted once and
+    each step's k×D centroid relation is eagerly checkpointed — the
+    standard iterate-materialize shape (same contract as
+    connected_components_star); values are bit-identical, only the lineage
+    is truncated. A cluster that loses every member keeps its previous
+    centroid (left join + coalesce), so k never decays. On a real cluster
+    swap localCheckpoint for a reliable checkpoint dir.
     """
-    dims = _long_dims(embeddings)
-    seeds = kmeans_seeds(embeddings, k)
-    centroids = seeds.join(dims, "vec_id").select(
-        "cluster_id", "dim", F.col("val").alias("c_val")
-    )
-    for _ in range(iters):
-        assign = kmeans_assign(dims, centroids)
-        means = (
-            assign.join(dims, "vec_id")
-            .groupBy("cluster_id", "dim")
-            .agg(F.avg("val").alias("m_val"))
-        )
+    dims = _long_dims(embeddings).persist()
+    try:
+        seeds = kmeans_seeds(embeddings, k)
         centroids = (
-            centroids.alias("p")
-            .join(means.alias("m"), ["cluster_id", "dim"], "left")
-            .select(
-                "cluster_id",
-                "dim",
-                F.coalesce(F.col("m.m_val"), F.col("p.c_val")).alias("c_val"),
-            )
+            seeds.join(dims, "vec_id")
+            .select("cluster_id", "dim", F.col("val").alias("c_val"))
+            .localCheckpoint(eager=True)
         )
-    return centroids
+        for _ in range(iters):
+            assign = kmeans_assign(dims, centroids)
+            means = (
+                assign.join(dims, "vec_id")
+                .groupBy("cluster_id", "dim")
+                .agg(F.avg("val").alias("m_val"))
+            )
+            centroids = (
+                centroids.alias("p")
+                .join(means.alias("m"), ["cluster_id", "dim"], "left")
+                .select(
+                    "cluster_id",
+                    "dim",
+                    F.coalesce(F.col("m.m_val"), F.col("p.c_val")).alias("c_val"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return centroids
+    finally:
+        dims.unpersist()
 
 
 def ann_ivf_trained_topk(
@@ -607,11 +620,20 @@ def ann_ivf_trained_topk(
 ) -> DataFrame:
     """IVF top-k over TRAINED cells (no label column required): k-means
     cells replace the label partition, then the same probe-NPROBE-cells
-    flow as ann_ivf_topk. This is the index build a raw corpus needs."""
+    flow as ann_ivf_topk. This is the index build a raw corpus needs.
+
+    The relabeled corpus is eagerly checkpointed: ann_ivf_topk scans its
+    input three ways (centroid build, query set, cell scan), and pinning
+    the relabel keeps those as cheap re-reads instead of three replays of
+    the train+assign pipeline (with kmeans_train's own checkpoints this
+    took the sf0.01 query from ~10 s to ~2.6 s, values identical).
+    """
     centroids = kmeans_train(embeddings, k, iters)
     cells = kmeans_assign(_long_dims(embeddings), centroids)
-    relabeled = embeddings.join(cells, "vec_id").select(
-        "vec_id", "embedding", F.col("cluster_id").cast("int").alias("label")
+    relabeled = (
+        embeddings.join(cells, "vec_id")
+        .select("vec_id", "embedding", F.col("cluster_id").cast("int").alias("label"))
+        .localCheckpoint(eager=True)
     )
     return ann_ivf_topk(relabeled)
 

@@ -255,7 +255,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    from spark_signals.datapipe.util import explode_strings
+
+    # string round-trip explode, not a bare Generate over the lambda-built
+    # words array — the same quadratic-re-evaluation guard as every other
+    # gram explode (util.explode_strings; measured ~15% faster warm and
+    # 5.4s → 1.0s cold at sf0.1 when applied here in r06)
+    base = docs.select("doc_id", words_col(F.col("text")).alias("words"))
+    # words_col drops empty tokens, so a '' row here can only be the
+    # round-trip's empty-array artifact (split('') = ['']) — filter it to
+    # keep token-free docs contributing zero rows, like a bare explode
+    words = explode_strings(base, F.col("words"), "word", "doc_id").filter(
+        F.col("word") != ""
+    )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
