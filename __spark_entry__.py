@@ -130,6 +130,19 @@ def _retired_registry():
     return {k: merged[k] for k in RETIRED}
 
 
+def _incoming_registry():
+    """Operators implemented this round with local oracle evidence, QUEUED
+    for a driver slot at the next rotation (the cap is full). Kept disjoint
+    from the active registry so the driver's 50 checked slots stay an
+    explicit decision; tools/oracle_check.py --extended sweeps these."""
+    from spark_signals.datapipe.parity import INCOMING_DATAPIPE_QUERIES
+
+    overlap = INCOMING_DATAPIPE_QUERIES.keys() & _merged_registry().keys()
+    if overlap:
+        raise RuntimeError(f"incoming queries shadow registered ones: {sorted(overlap)}")
+    return INCOMING_DATAPIPE_QUERIES
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full signal pipeline —
     tick normalization → rolling features → SMA crossover detection →
@@ -161,5 +174,18 @@ def extended_oracle_sql() -> dict[str, str]:
     return {
         name: spec[1]
         for name, spec in _retired_registry().items()
+        if spec[1] is not None
+    }
+
+
+def incoming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators awaiting a driver slot (see _incoming_registry)."""
+    return {name: spec[0] for name, spec in _incoming_registry().items()}
+
+
+def incoming_oracle_sql() -> dict[str, str]:
+    return {
+        name: spec[1]
+        for name, spec in _incoming_registry().items()
         if spec[1] is not None
     }

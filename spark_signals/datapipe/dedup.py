@@ -621,6 +621,115 @@ WITH p AS (
 SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
 
 
+# ----------------------------------------------------------------- SemDeDup
+# Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication" (arXiv:2303.09540): k-means clusters bound the
+# pairwise cosine comparison (never all-pairs), and within a cluster every
+# vector whose cosine to an already-kept vector exceeds the threshold is a
+# semantic duplicate. The keep rule here is keep-FIRST by vec_id — a local,
+# deterministic predicate (dup ⇔ ∃ lower-id cell-mate with cos ≥ τ) that
+# needs no connected components and matches SemDeDup's one-survivor-per-
+# near-dup-group semantics on pairwise-dup groups.
+SEMDEDUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal
+
+
+def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """Semantic dedup over TRAINED k-means cells (no label column needed).
+
+    Returns every vector with its trained cell, the count of lower-id
+    cell-mates within the cosine threshold, and the is_semdup verdict.
+
+    Shape at 100 TB: the trainer is the checkpointed Lloyd loop
+    (similarity.kmeans_train); the pairwise stage is an equi-join on the
+    cell id, so the comparison cost is Σ|cell|² — bounded by training
+    k ∝ corpus_size / target_cell_size (SemDeDup §3 runs 50k clusters for
+    LAION-scale; the knob is the same here). The relabeled relation is
+    eagerly pinned because the self-join reads it twice.
+    """
+    from spark_signals.datapipe.similarity import (
+        _cos_div,
+        _long_dims,
+        kmeans_assign,
+        kmeans_train,
+    )
+    from spark_signals.parity import sround
+
+    cells = kmeans_assign(_long_dims(embeddings), kmeans_train(embeddings))
+    rel = (
+        embeddings.join(cells, "vec_id")
+        .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    a = rel.alias("a")
+    b = rel.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+    )
+    na = F.sqrt(F.expr("aggregate(a.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+    nb = F.sqrt(F.expr("aggregate(b.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+    cos = sround(_cos_div(dot, na * nb), 6)
+    close = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("b.vec_id") < F.col("a.vec_id"))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_close_lower"))
+    )
+    n_close = F.coalesce(F.col("n_close_lower"), F.lit(0).cast("long"))
+    return (
+        rel.select("vec_id", "cell")
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            n_close.alias("n_close_lower"),
+            (n_close > 0).alias("is_semdup"),
+        )
+    )
+
+
+def sql_semdedup(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    """DuckDB mirror: the shared unrolled-Lloyd CTEs + assignment
+    (similarity._sql_kmeans_ctes / sql_kmeans_assign_cte), then the same
+    keep-first within-cell cosine rule."""
+    from spark_signals.datapipe.similarity import (
+        KMEANS_ITERS,
+        _sql_kmeans_ctes,
+        sql_kmeans_assign_cte,
+    )
+
+    ctes = _sql_kmeans_ctes()
+    ctes.append(sql_kmeans_assign_cte(KMEANS_ITERS))
+    ctes.append(
+        """rel AS (
+  SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS cell
+  FROM embeddings e JOIN afin a USING (vec_id)
+)"""
+    )
+    ctes.append(
+        f"""close AS (
+  SELECT a.vec_id, count(*) AS n_close_lower
+  FROM rel a JOIN rel b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE floor((
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / greatest(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-300)
+    ) * 1e6 + 0.5000001) / 1e6 >= CAST({threshold!r} AS DOUBLE)
+  GROUP BY a.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT r.vec_id, r.cell,
+       CAST(COALESCE(c.n_close_lower, 0) AS BIGINT) AS n_close_lower,
+       COALESCE(c.n_close_lower, 0) > 0 AS is_semdup
+FROM rel r LEFT JOIN close c USING (vec_id)"""
+    )
+
+
 # ------------------------------------------------- cluster canonicalization
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in MapReduce

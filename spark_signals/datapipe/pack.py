@@ -1,0 +1,102 @@
+"""Context-window sequence packing: the manifest that turns a curated
+corpus into fixed-length training windows.
+
+GPT-style pretraining concatenates documents (in a fixed order, with an
+EOS/boundary token between them) and slices the stream into CTX_LEN-token
+windows. The operator below computes, for every document, WHERE it lands
+in that stream — shard, token offset, first/last window index, and whether
+it straddles a window boundary — without materializing the stream itself:
+the manifest is what a downstream tokenizer/writer needs to emit shards in
+parallel.
+
+Shape at 100 TB: a global concatenation order would serialize the world,
+so packing is SHARDED (the universal practice — each worker packs its own
+shard): shard = doc_id mod NUM_SHARDS, and within a shard the order is
+(doc_id) — deterministic, engine-independent. The cumulative token offset
+is one window cumsum per shard (a single hash shuffle on the shard key;
+each shard's window is independent, so 1000 executors pack 1000+ shards
+with zero coordination). All arithmetic is exact int64 — the manifest is
+bit-reproducible and DuckDB-oracle-checkable.
+
+Reference basis: the reference engine has no training-data surface at all
+(flink-signals stops at market analytics); this operator exists for the
+100 TB training-pipeline mandate, mirroring the packed-sequence layout of
+GPT-3 (arXiv:2005.14165 §2.3: "documents are packed into sequences").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_signals.datapipe.text import words_col
+
+CTX_LEN = 64  # tokens per training window (tiny for the synthetic corpus)
+NUM_SHARDS = 8
+# +1: every document is followed by one boundary (EOS) token in the stream
+EOS_TOKENS = 1
+
+
+def pack_sequences(
+    docs: DataFrame, ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+) -> DataFrame:
+    """Per-document packing manifest over the sharded concatenation stream.
+
+    Returns (doc_id, shard, n_tokens, tok_offset, first_window, last_window,
+    spans_boundary): ``tok_offset`` is the document's starting token position
+    inside its shard's stream (documents concatenated in doc_id order,
+    EOS_TOKENS appended to each), ``first_window``/``last_window`` the
+    ctx_len-window indices its tokens touch, and ``spans_boundary`` whether
+    a window boundary cuts through it (the attention-masking decision a
+    trainer makes per document).
+    """
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % num_shards).alias("shard"),
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stride = F.col("n_tokens") + F.lit(EOS_TOKENS)
+    out = toks.withColumn(
+        "tok_offset", F.coalesce(F.sum(stride).over(w), F.lit(0)).cast("bigint")
+    )
+    # last token of the document itself (EOS excluded: a trailing EOS in the
+    # next window does not make the DOCUMENT span windows)
+    last_tok = F.col("tok_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / ctx_len).cast("bigint").alias("first_window"),
+        F.floor(last_tok / ctx_len).cast("bigint").alias("last_window"),
+        (
+            F.floor(F.col("tok_offset") / ctx_len) != F.floor(last_tok / ctx_len)
+        ).alias("spans_boundary"),
+    )
+
+
+def sql_pack_sequences(ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {num_shards} AS shard,
+         len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens + {EOS_TOKENS}) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       CAST(floor(CAST(tok_offset AS DOUBLE) / {ctx_len}) AS BIGINT) AS first_window,
+       CAST(floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS BIGINT) AS last_window,
+       floor(CAST(tok_offset AS DOUBLE) / {ctx_len})
+         <> floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS spans_boundary
+FROM o"""

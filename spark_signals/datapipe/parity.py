@@ -204,6 +204,36 @@ DATAPIPE_QUERIES = {
 }
 
 
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_signals.datapipe.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def _pack_sql() -> str:
+    from spark_signals.datapipe.pack import sql_pack_sequences
+
+    return sql_pack_sequences()
+
+
+# Implemented + locally oracle-verified operators QUEUED for a driver slot
+# at the next rotation (the 50-entry cap is full this round; the r06
+# cadence: new surface ships with tests + local value-level evidence, then
+# rotates into the checked set the following round). Swept by
+# tools/oracle_check.py --extended alongside the retirees.
+INCOMING_DATAPIPE_QUERIES = {
+    "sample_temperature_source": (
+        lambda spark, sf_dir: SMP.sample_temperature(_docs(spark, sf_dir)),
+        SMP.sql_sample_temperature(),
+    ),
+    "pack_sequences_manifest": (_pack, _pack_sql()),
+    "semdedup_cells": (
+        lambda spark, sf_dir: D.semdedup(_emb(spark, sf_dir)),
+        D.sql_semdedup(),
+    ),
+}
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -121,3 +121,99 @@ r AS (
 )
 SELECT doc_id, source, sample_key, CAST(sample_rank AS INTEGER) AS sample_rank
 FROM r WHERE sample_rank <= {k}"""
+
+
+# ------------------------------------------------------ temperature sampling
+# Multilingual/multi-source rebalancing (mC4 / PaLM / NLLB recipe): sample
+# source i with probability ∝ n_i^TAU. TAU < 1 flattens the crawl's head —
+# the keep RATE per source works out to r_i = C · n_i^(TAU-1) (big sources
+# keep a smaller fraction), with C normalizing the expected total to
+# BUDGET_FRAC of the corpus. Rates are capped at 1 and NOT re-normalized
+# after capping (single-pass closed form — the standard recipe; iterative
+# water-filling would re-spread the capped mass).
+TEMPERATURE_TAU = 0.7
+TEMPERATURE_BUDGET_FRAC = 0.5
+
+
+def sample_temperature(
+    docs: DataFrame,
+    tau: float = TEMPERATURE_TAU,
+    budget_frac: float = TEMPERATURE_BUDGET_FRAC,
+) -> DataFrame:
+    """Temperature-based source rebalancing with the same deterministic
+    hash gate as :func:`sample_stratified`.
+
+    Shape at 100 TB: one tiny per-source count aggregate (map-side
+    combined, S rows out) broadcasts back onto the corpus; the keep
+    decision is then a pure per-row integer predicate — no sort, no
+    second corpus shuffle. Determinism across engines: the only float ops
+    (pow for n^TAU) land on a 1e-6 grid as an int64 rate, and the gate
+    compares bucket·1e6 < rate_u·2^32 in exact int64 arithmetic (both
+    sides < 2^63), so the kept set is bit-reproducible and
+    oracle-checkable.
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    # C = budget_frac · N / Σ n_i^tau  →  r_i = C · n_i^(tau-1), capped at 1
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n_source").cast("double"), F.lit(float(tau)))).alias("z"),
+        F.sum("n_source").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_source",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac))
+            * F.col("n_total").cast("double")
+            * F.pow(F.col("n_source").cast("double"), F.lit(float(tau) - 1.0))
+            / F.col("z"),
+        ).alias("keep_rate"),
+    )
+    rates = rates.select(
+        "source",
+        "n_source",
+        (F.floor(F.col("keep_rate") * F.lit(1e6) + F.lit(0.5000001)))
+        .cast("bigint")
+        .alias("keep_rate_u"),
+    )
+    bucket = _hash_bucket()
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("sample_bucket", bucket)
+        # exact int64 gate: bucket/2^32 < rate_u/1e6  ⇔  bucket·1e6 < rate_u·2^32
+        .filter(
+            F.col("sample_bucket") * F.lit(1_000_000)
+            < F.col("keep_rate_u") * F.lit(2**32)
+        )
+        .select("doc_id", "source", "n_source", "keep_rate_u", "sample_bucket")
+    )
+
+
+def sql_sample_temperature(
+    tau: float = TEMPERATURE_TAU, budget_frac: float = TEMPERATURE_BUDGET_FRAC
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+),
+norm AS (
+  SELECT SUM(pow(CAST(n_source AS DOUBLE), CAST({tau!r} AS DOUBLE))) AS z,
+         SUM(n_source) AS n_total
+  FROM counts
+),
+rates AS (
+  SELECT source, n_source,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+             CAST({budget_frac!r} AS DOUBLE) * CAST(n_total AS DOUBLE)
+             * pow(CAST(n_source AS DOUBLE), CAST({tau!r} AS DOUBLE) - 1.0) / z
+           ) * 1e6 + 0.5000001) AS BIGINT) AS keep_rate_u
+  FROM counts CROSS JOIN norm
+),
+keyed AS (
+  SELECT d.doc_id, d.source, r.n_source, r.keep_rate_u,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS sample_bucket
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT doc_id, source, n_source, keep_rate_u, sample_bucket
+FROM keyed
+WHERE sample_bucket * 1000000 < keep_rate_u * 4294967296"""

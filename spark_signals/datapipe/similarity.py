@@ -698,14 +698,10 @@ FROM c{iters}"""
     )
 
 
-def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """DuckDB mirror of :func:`ann_ivf_trained_topk`: the unrolled Lloyd
-    CTEs produce c{iters}, a final gridded-distance assignment relabels the
-    corpus, and the shared IVF CTE flow (``_sql_ivf_ctes``) runs over the
-    relabeled relation — the same composition the Spark side performs."""
-    ctes = _sql_kmeans_ctes(k, iters)
-    ctes.append(
-        f"""afin AS (
+def sql_kmeans_assign_cte(iters: int = KMEANS_ITERS, name: str = "afin") -> str:
+    """Final gridded-distance assignment against c{iters} as a CTE — shared
+    by the trained-IVF oracle and the SemDeDup oracle (dedup.sql_semdedup)."""
+    return f"""{name} AS (
   SELECT vec_id, cluster_id FROM (
     SELECT vec_id, cluster_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2_r ASC, cluster_id ASC) AS rn
@@ -717,7 +713,15 @@ def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     )
   ) WHERE rn = 1
 )"""
-    )
+
+
+def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB mirror of :func:`ann_ivf_trained_topk`: the unrolled Lloyd
+    CTEs produce c{iters}, a final gridded-distance assignment relabels the
+    corpus, and the shared IVF CTE flow (``_sql_ivf_ctes``) runs over the
+    relabeled relation — the same composition the Spark side performs."""
+    ctes = _sql_kmeans_ctes(k, iters)
+    ctes.append(sql_kmeans_assign_cte(iters))
     ctes.append(
         """relabeled AS (
   SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS label

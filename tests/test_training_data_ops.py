@@ -1,0 +1,133 @@
+"""Semantics of the r06 training-data operators: temperature resampling,
+sequence packing, SemDeDup. Cross-engine value parity is covered by the
+--extended oracle sweep (INCOMING registry); these tests pin the operator
+CONTRACTS on hand-built corpora where the right answer is checkable by eye.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+# ------------------------------------------------------ temperature sampling
+def test_temperature_flattens_the_head(spark):
+    """tau < 1 must keep a LARGER fraction of small sources than of big
+    ones, and expected totals must track the budget."""
+    from spark_signals.datapipe.sampling import sample_temperature
+
+    rows = [(i, f"doc {i} text", "en", "big" if i < 900 else "small", 10)
+            for i in range(1000)]
+    out = sample_temperature(_docs(spark, rows), tau=0.5, budget_frac=0.5)
+    rates = {
+        r["source"]: r["keep_rate_u"] / 1e6
+        for r in out.select("source", "keep_rate_u").distinct().collect()
+    }
+    assert rates["small"] > rates["big"]
+    # closed form: r_i = budget * N * n_i^(tau-1) / sum n_j^tau
+    z = 900**0.5 + 100**0.5
+    want_big = 0.5 * 1000 * 900**-0.5 / z
+    assert math.isclose(rates["big"], want_big, abs_tol=1e-6)
+    # the hash gate keeps ~rate of each stratum (tolerance: 1000-doc corpus)
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(kept["big"] / 900 - rates["big"]) < 0.07
+
+
+def test_temperature_rate_caps_at_one(spark):
+    """A tiny source whose closed-form rate exceeds 1 keeps EVERYTHING —
+    capped, not renormalized."""
+    from spark_signals.datapipe.sampling import sample_temperature
+
+    rows = [(i, f"doc {i}", "en", "big" if i < 995 else "tiny", 5)
+            for i in range(1000)]
+    out = sample_temperature(_docs(spark, rows), tau=0.1, budget_frac=0.9)
+    tiny = out.filter(F.col("source") == "tiny")
+    assert tiny.count() == 5
+    assert tiny.select("keep_rate_u").first()["keep_rate_u"] == 1_000_000
+
+
+def test_temperature_is_partition_invariant(spark):
+    from spark_signals.datapipe.sampling import sample_temperature
+
+    rows = [(i, f"document number {i}", "en", f"src{i % 3}", 10) for i in range(300)]
+    base = _docs(spark, rows)
+    a = {r["doc_id"] for r in sample_temperature(base).collect()}
+    b = {r["doc_id"] for r in sample_temperature(base.repartition(13)).collect()}
+    assert a == b and a
+
+
+# --------------------------------------------------------- sequence packing
+def test_pack_offsets_are_contiguous_per_shard(spark):
+    from spark_signals.datapipe.pack import EOS_TOKENS, pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (5 + i % 7)), "en", "s", 10) for i in range(40)]
+    out = pack_sequences(_docs(spark, rows), ctx_len=16, num_shards=4)
+    by_shard: dict[int, list] = {}
+    for r in out.collect():
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in docs:
+            assert r["tok_offset"] == expect, f"gap in shard {shard}"
+            assert r["first_window"] == r["tok_offset"] // 16
+            last_tok = r["tok_offset"] + max(r["n_tokens"] - 1, 0)
+            assert r["last_window"] == last_tok // 16
+            assert r["spans_boundary"] == (r["first_window"] != r["last_window"])
+            expect += r["n_tokens"] + EOS_TOKENS
+
+
+def test_pack_empty_doc_occupies_only_eos(spark):
+    from spark_signals.datapipe.pack import EOS_TOKENS, pack_sequences
+
+    rows = [(0, "one two three", "en", "s", 3), (8, "", "en", "s", 0),
+            (16, "four five", "en", "s", 2)]
+    out = {r["doc_id"]: r for r in
+           pack_sequences(_docs(spark, rows), ctx_len=4, num_shards=8).collect()}
+    # all three land in shard 0 (doc_id % 8 == 0) in doc_id order
+    assert out[8]["tok_offset"] == 3 + EOS_TOKENS
+    assert out[8]["n_tokens"] == 0 and not out[8]["spans_boundary"]
+    assert out[16]["tok_offset"] == 3 + EOS_TOKENS + 0 + EOS_TOKENS
+
+
+# ----------------------------------------------------------------- semdedup
+def test_semdedup_keep_first_within_cell(spark):
+    """Two identical vectors must land in the same trained cell; the
+    lower-id one survives, the higher-id one is flagged."""
+    from spark_signals.datapipe.dedup import semdedup
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    far = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    rows = (
+        [(0, [float(x) for x in base], 0), (1, [float(x) for x in base], 0)]
+        + [(i + 2, [float(x) for x in v], 0) for i, v in enumerate(far)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in semdedup(emb, threshold=0.95).collect()}
+    assert len(out) == 32  # every vector reported
+    assert not out[0]["is_semdup"]
+    assert out[1]["is_semdup"] and out[1]["n_close_lower"] >= 1
+    assert out[0]["cell"] == out[1]["cell"]
+
+
+def test_semdedup_orthogonal_vectors_all_kept(spark):
+    from spark_signals.datapipe.dedup import semdedup
+
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(8)], 0) for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = semdedup(emb, threshold=0.5).collect()
+    assert len(out) == 8
+    assert not any(r["is_semdup"] for r in out)

@@ -8,7 +8,8 @@ Usage: python tools/oracle_check.py [--extended] [sf_dir] [query ...]
 
 --extended also sweeps the queries RETIRED from the driver contract
 (redundant with checked siblings; see __spark_entry__.RETIRED) so they keep
-the same value-level verification the driver would have given them.
+the same value-level verification the driver would have given them, plus
+the INCOMING operators queued for a driver slot at the next rotation.
 """
 
 from __future__ import annotations
@@ -115,8 +116,8 @@ def main() -> int:
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
     if extended:
-        qs = {**qs, **entrymod.extended_queries()}
-        oq = {**oq, **entrymod.extended_oracle_sql()}
+        qs = {**qs, **entrymod.extended_queries(), **entrymod.incoming_queries()}
+        oq = {**oq, **entrymod.extended_oracle_sql(), **entrymod.incoming_oracle_sql()}
 
     failures = 0
     for name, fn in qs.items():
