@@ -263,3 +263,41 @@ def test_curate_composition_no_python_no_cartesian(spark):
     # 1-row corpus-total scalar broadcast (crossJoin(broadcast(total))) —
     # a second one means a real join degenerated
     assert count_op(p, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_temperature_sampling_broadcast_gate(spark):
+    """Temperature resampling: the per-source rates must reach the corpus as
+    a broadcast (one tiny agg out, no corpus re-shuffle), and the gate is a
+    JVM-side integer predicate — no Python, no cartesian, no sort."""
+    from spark_signals.datapipe.sampling import sample_temperature
+
+    p = plan_str(sample_temperature(read_table(spark, SF, "documents")))
+    assert count_op(p, "BroadcastHashJoin") >= 1
+    assert count_op(p, "SortMergeJoin") == 0
+    assert count_op(p, "CartesianProduct") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert count_op(p, "Sort") == 0
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Sequence packing: ONE exchange (the shard-key shuffle feeding the
+    per-shard window cumsum) and one sort inside it — shards must stay
+    independent, so no global sort and no joins at all."""
+    from spark_signals.datapipe.pack import pack_sequences
+
+    p = plan_str(pack_sequences(read_table(spark, SF, "documents")))
+    assert count_op(p, "Exchange") == 1
+    assert "Join" not in p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_semdedup_pairwise_stays_cell_blocked(spark):
+    """SemDeDup: the pairwise cosine stage must be an equi-join on the cell
+    id (never a cartesian/nested-loop over the corpus); Lloyd-loop internals
+    are checkpoint-pinned so the pair plan reads materialized relations."""
+    from spark_signals.datapipe.dedup import semdedup
+
+    p = plan_str(semdedup(read_table(spark, SF, "embeddings")))
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "BroadcastNestedLoopJoin") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
