@@ -15,13 +15,17 @@ The text column rides through ONCE (from the scrub branch, already
 redacted); all other branches contribute only scalar flags.
 
 Drop policy (each reason recorded independently):
-  * ``exact_dup``   — not the canonical copy of its content digest
-  * ``dup_heavy``   — >30% of passages duplicated corpus-wide
-  * ``repetitive``  — Gopher repetition gate
-  * ``low_fluency`` — bottom LM band
-  * ``has_pii``     — PII matched (kept by default: redaction already
-                      applied; listed so downstream can drop if policy
-                      demands — flag-only reason)
+  * ``exact_dup``      — not the canonical copy of its content digest
+  * ``dup_heavy``      — >30% of passages duplicated corpus-wide
+  * ``repetitive``     — Gopher repetition gate
+  * ``low_fluency``    — bottom LM band
+  * ``contaminated``   — shares a long word-n-gram with the eval subset
+                         (GPT-3-style benchmark decontamination; new r6)
+  * ``length_outlier`` — outside the per-language length percentile band
+                         (sketch-threshold path; new r6)
+  * ``has_pii``        — PII matched (kept by default: redaction already
+                         applied; listed so downstream can drop if policy
+                         demands — flag-only reason)
 """
 
 from __future__ import annotations
@@ -29,23 +33,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.datapipe import decontam as DC
 from spark_signals.datapipe import dedup as D
 from spark_signals.datapipe import scrub as S
 from spark_signals.datapipe import text as T
 
 # reasons that actually drop a document (has_pii is informational)
-DROP_REASONS = ["exact_dup", "dup_heavy", "repetitive", "low_fluency"]
+DROP_REASONS = [
+    "exact_dup",
+    "dup_heavy",
+    "repetitive",
+    "low_fluency",
+    "contaminated",
+    "length_outlier",
+]
 
 
 def curate(docs: DataFrame) -> DataFrame:
     exact = D.dedup_exact(docs).select(
         "doc_id", F.col("is_duplicate").alias("exact_dup")
     )
-    # corpus-level passes (passage dup, LM model) run on the EXACT-DEDUPED
-    # corpus: otherwise the canonical copy of a duplicated document is
-    # itself flagged dup_heavy by its own duplicates, and duplicate mass
-    # skews the LM's unigram distribution (the CCNet ordering: dedup first,
-    # model after). Per-doc passes (repetition, PII) see every row.
+    # corpus-level passes (passage dup, LM model, length percentiles,
+    # eval-digest set) run on the EXACT-DEDUPED corpus: otherwise the
+    # canonical copy of a duplicated document is itself flagged dup_heavy
+    # by its own duplicates, duplicate mass skews the LM's unigram
+    # distribution AND the length percentile thresholds (the CCNet
+    # ordering: dedup first, corpus statistics after). Per-doc passes
+    # (repetition, PII) see every row. Non-canonical rows get NULL→false
+    # for the canon-computed flags — they already carry exact_dup.
     canon = docs.join(
         exact.filter(~F.col("exact_dup")).select("doc_id"), "doc_id"
     )
@@ -54,6 +69,11 @@ def curate(docs: DataFrame) -> DataFrame:
     lm = T.unigram_lm_quality(canon).select(
         "doc_id", (F.col("lm_band") == "low").alias("low_fluency"), "lm_band"
     )
+    contam = DC.decontaminate(canon).select("doc_id", "is_contaminated")
+    in_band = T.length_band_approx(canon).select("doc_id", F.lit(True).alias("in_band"))
+    # length_outlier only applies to canonical docs that FAILED the band;
+    # the canon flag distinguishes "outlier" from "not evaluated (dup)"
+    canon_ids = canon.select("doc_id", F.lit(True).alias("is_canon"))
     pii = S.pii_scrub(docs).select("doc_id", "source", "has_pii", "text_clean")
 
     flags = (
@@ -61,6 +81,9 @@ def curate(docs: DataFrame) -> DataFrame:
         .join(passages, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(lm, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(in_band, "doc_id", "left")
+        .join(canon_ids, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -68,6 +91,11 @@ def curate(docs: DataFrame) -> DataFrame:
             F.coalesce("is_dup_heavy", F.lit(False)).alias("dup_heavy"),
             F.coalesce("is_repetitive", F.lit(False)).alias("repetitive"),
             F.coalesce("low_fluency", F.lit(False)).alias("low_fluency"),
+            F.coalesce("is_contaminated", F.lit(False)).alias("contaminated"),
+            (
+                F.coalesce("is_canon", F.lit(False))
+                & ~F.coalesce("in_band", F.lit(False))
+            ).alias("length_outlier"),
             "lm_band",
             "has_pii",
             "text_clean",
@@ -120,6 +148,14 @@ lm AS (
   SELECT doc_id, lm_band = 'low' AS low_fluency, lm_band
   FROM ({T.SQL_UNIGRAM_LM(source="canon_documents")}) t
 ),
+contam AS (
+  SELECT doc_id, is_contaminated
+  FROM ({DC.sql_decontaminate(source="canon_documents")}) t
+),
+band AS (
+  SELECT doc_id, true AS in_band
+  FROM ({T.SQL_LENGTH_BAND_APPROX(source="canon_documents")}) t
+),
 pii AS (
   SELECT doc_id, source, has_pii, text_clean FROM ({S.sql_pii_scrub()}) t
 ),
@@ -129,12 +165,16 @@ flags AS (
          COALESCE(g.is_dup_heavy, false) AS dup_heavy,
          COALESCE(r.is_repetitive, false) AS repetitive,
          COALESCE(l.low_fluency, false) AS low_fluency,
+         COALESCE(c.is_contaminated, false) AS contaminated,
+         (NOT e.exact_dup) AND NOT COALESCE(b.in_band, false) AS length_outlier,
          l.lm_band, p.has_pii, p.text_clean
   FROM pii p
   JOIN exact e USING (doc_id)
   LEFT JOIN passages g USING (doc_id)
   LEFT JOIN rep r USING (doc_id)
   LEFT JOIN lm l USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+  LEFT JOIN band b USING (doc_id)
 )
 SELECT doc_id, source, lm_band, has_pii,
        COALESCE(array_to_string(list_filter([{reasons}], x -> x IS NOT NULL), ','), '') AS drop_reasons,

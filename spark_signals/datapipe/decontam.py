@@ -100,12 +100,16 @@ def decontaminate(
     )
 
 
-def sql_decontaminate(eval_source: str = EVAL_SOURCE, n: int = DECONTAM_NGRAM) -> str:
+def sql_decontaminate(
+    eval_source: str = EVAL_SOURCE, n: int = DECONTAM_NGRAM, source: str = "documents"
+) -> str:
+    """Oracle SQL parameterized over the source relation (curate composes
+    this over canon_documents; see dedup.sql_dedup_passages)."""
     return f"""
 WITH d AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
-  FROM documents
+  FROM {source}
 ),
 s AS (
   SELECT doc_id, source, list_distinct({SQL_SHINGLES(n)}) AS grams FROM d

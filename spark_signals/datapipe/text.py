@@ -401,17 +401,19 @@ LENGTH_BAND_ACCURACY = 10_000
 
 
 def SQL_LENGTH_BAND_APPROX(
-    lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+    lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI, source: str = "documents"
 ) -> str:
     """DuckDB mirror of :func:`length_band_approx` in the exact regime: the
     per-lang thresholds are spelled as the explicit GK exact-case rank
-    formula rather than DuckDB's own (differently-seeded) approx sketch."""
+    formula rather than DuckDB's own (differently-seeded) approx sketch.
+    Parameterized over the source relation (curate composes it over
+    canon_documents)."""
     return f"""
 WITH r AS (
   SELECT lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
          count(*) OVER (PARTITION BY lang) AS n
-  FROM documents
+  FROM {source}
 ),
 thresholds AS (
   SELECT lang,
@@ -420,7 +422,7 @@ thresholds AS (
   FROM r GROUP BY lang
 )
 SELECT d.doc_id, d.lang, d.n_chars
-FROM documents d JOIN thresholds t USING (lang)
+FROM {source} d JOIN thresholds t USING (lang)
 WHERE d.n_chars > t.lo_chars AND d.n_chars <= t.hi_chars"""
 
 

@@ -278,6 +278,43 @@ def test_curate_reasons_and_dedup_first_ordering(spark):
         assert r["keep"] == (r["drop_reasons"] == "")
 
 
+def test_curate_contamination_and_length_reasons(spark):
+    """The r6 reasons: a doc sharing a 5-gram with the src0 (eval stand-in)
+    subset is contaminated; percentile-band outliers are length_outliers —
+    and BOTH are computed on the exact-deduped corpus, so a duplicate copy
+    is never double-penalized (it already carries exact_dup)."""
+    from spark_signals.datapipe.curate import curate
+
+    shared = "alpha beta gamma delta epsilon"
+    mid = " ".join(f"w{i} the and of to in" for i in range(6))
+    rows = []
+    # eval stand-in docs (source=src0)
+    rows.append((0, f"{shared} zeta eta unique eval content", "en", "src0", 40))
+    # contaminated train doc
+    rows.append((1, f"intro words {shared} trailing body", "en", "src1", 40))
+    # a fleet of mid-length clean docs to anchor the percentile band
+    for i in range(2, 22):
+        rows.append((i, f"{mid} filler{i}", "en", "src1", len(mid) + 8))
+    # extreme-length outliers (top/bottom of the per-lang band)
+    rows.append((22, "tiny", "en", "src1", 4))
+    rows.append((23, " ".join(f"long{j}" for j in range(400)), "en", "src1", 2800))
+    # exact duplicate of the tiny outlier: must get exact_dup, NOT
+    # length_outlier (canon-only flag)
+    rows.append((24, "tiny", "en", "src1", 4))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in curate(docs).collect()}
+    assert "contaminated" in out[1]["drop_reasons"] and not out[1]["keep"]
+    assert "contaminated" not in out[0]["drop_reasons"]  # the eval doc itself
+    assert "contaminated" not in out[5]["drop_reasons"]
+    assert "length_outlier" in out[22]["drop_reasons"]
+    assert "length_outlier" in out[23]["drop_reasons"]
+    assert "length_outlier" not in out[5]["drop_reasons"]
+    assert "exact_dup" in out[24]["drop_reasons"]
+    assert "length_outlier" not in out[24]["drop_reasons"]
+
+
 # ------------------------------------------------------- incremental dedup
 def test_dedup_incremental_batches(spark, tmp_path):
     """Batch 2 dedups against batch 1's persisted index without re-reading
