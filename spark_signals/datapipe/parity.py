@@ -231,7 +231,26 @@ INCOMING_DATAPIPE_QUERIES = {
         lambda spark, sf_dir: D.semdedup(_emb(spark, sf_dir)),
         D.sql_semdedup(),
     ),
+    "quality_logreg_score": (
+        lambda spark, sf_dir: _quality_logreg(spark, sf_dir),
+        None,  # filled below to keep the classifier import lazy
+    ),
 }
+
+
+def _quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_signals.datapipe.classifier import quality_logreg
+
+    return quality_logreg(_docs(spark, sf_dir))
+
+
+def _quality_logreg_sql() -> str:
+    from spark_signals.datapipe.classifier import sql_quality_logreg
+
+    return sql_quality_logreg()
+
+
+INCOMING_DATAPIPE_QUERIES["quality_logreg_score"] = (_quality_logreg, _quality_logreg_sql())
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,5 +1,5 @@
 """Semantics of the r06 training-data operators: temperature resampling,
-sequence packing, SemDeDup. Cross-engine value parity is covered by the
+sequence packing, SemDeDup, and the logistic-regression quality classifier. Cross-engine value parity is covered by the
 --extended oracle sweep (INCOMING registry); these tests pin the operator
 CONTRACTS on hand-built corpora where the right answer is checkable by eye.
 """
@@ -131,3 +131,45 @@ def test_semdedup_orthogonal_vectors_all_kept(spark):
     out = semdedup(emb, threshold=0.5).collect()
     assert len(out) == 8
     assert not any(r["is_semdup"] for r in out)
+
+
+# ------------------------------------------------------ quality classifier
+def _separable_corpus(spark, n=120):
+    """Curated (src0) docs: long, stopword-rich prose. Raw (src1): short,
+    stopword-free token soup — linearly separable in the feature space."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            text = " ".join("the and of to a in is for on with word" for _ in range(8))
+            src = "src0"
+        else:
+            text = f"zxq{i} qwv blort k{i}"
+            src = "src1"
+        rows.append((i, text, "en", src, len(text)))
+    return _docs(spark, rows)
+
+
+def test_logreg_learns_a_separable_corpus(spark):
+    from spark_signals.datapipe.classifier import quality_logreg
+
+    out = {r["doc_id"]: r for r in quality_logreg(_separable_corpus(spark)).collect()}
+    curated = [r["quality_prob"] for r in out.values() if r["source"] == "src0"]
+    raw = [r["quality_prob"] for r in out.values() if r["source"] == "src1"]
+    # every curated doc must outscore every raw doc (margin, not just mean)
+    assert min(curated) > max(raw)
+    acc = sum(
+        (r["quality_prob"] > 0.5) == (r["source"] == "src0") for r in out.values()
+    ) / len(out)
+    assert acc >= 0.9
+
+
+def test_logreg_training_is_partition_invariant(spark):
+    """The int64-gridded gradient units make the gradient an EXACT sum, so
+    training must be bit-identical under any repartitioning — the property
+    that makes a distributed float trainer oracle-checkable at all."""
+    from spark_signals.datapipe.classifier import logreg_train
+
+    docs = _separable_corpus(spark)
+    w1 = logreg_train(docs).collect()[0]
+    w2 = logreg_train(docs.repartition(17)).collect()[0]
+    assert tuple(w1) == tuple(w2)
