@@ -174,18 +174,19 @@ N_HYPERPLANES = 8
 LSH_COS_THRESHOLD = 0.2
 
 
-def _hyperplane_sig_expr(dim: int = 64) -> str:
+def _hyperplane_sig_expr() -> str:
     """Random-hyperplane (sign-LSH) signature as a bit string.
 
     Hyperplane components are md5-derived pseudo-randoms (nibble of
     md5('i:d') − 8.5 ∈ [−8.5, 6.5]) — deterministic and identical in both
     engines, like every other hash in this module. sign(v·r_i) gives bit i;
     vectors with small angles share buckets with probability
-    (1 − θ/π)^bits.
+    (1 − θ/π)^bits. The dimension follows size(embedding) — a corpus with a
+    different dimension gets a correct signature, not a truncated one.
     """
     return (
         f"concat_ws('', transform(sequence(0, {N_HYPERPLANES - 1}), i -> "
-        f"case when aggregate(sequence(1, {dim}), 0D, (acc, d) -> "
+        "case when aggregate(sequence(1, size(embedding)), 0D, (acc, d) -> "
         "acc + cast(element_at(embedding, d) as double) * "
         "(cast(instr('0123456789abcdef', substring(md5(concat(cast(i as string), ':', cast(d as string))), 1, 1)) as double) - 8.5)"
         ") > 0 then '1' else '0' end))"
@@ -222,7 +223,7 @@ SQL_ANN_LSH = f"""
 WITH sigs AS (
   SELECT vec_id, embedding,
     array_to_string(list_transform(range(0, {N_HYPERPLANES}), i ->
-      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), d ->
         CAST(embedding[d] AS DOUBLE) *
         (CAST(strpos('0123456789abcdef', substring(md5(i::VARCHAR || ':' || d::VARCHAR), 1, 1)) AS DOUBLE) - 8.5)
       )) > 0 THEN '1' ELSE '0' END), '') AS bucket
