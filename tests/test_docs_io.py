@@ -1,0 +1,56 @@
+"""Document-corpus IO bookends: JSONL ingest (malformed dropped, schema
+enforced) and the size-bounded training-shard writer."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from spark_signals.io.docs import read_documents_jsonl, write_training_shards
+
+
+def test_jsonl_ingest_drops_malformed_and_backfills_n_chars(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}',
+                '{"doc_id": 2, "text": "no n_chars field", "lang": "en", "source": "s1"}',
+                "this is not json at all {{{",
+                '{"doc_id": 3, "lang": "en", "source": "s1"}',  # missing text
+                '{"text": "missing id", "lang": "en", "source": "s1"}',
+                '{"doc_id": 4, "text": "ok", "lang": null, "source": null}',
+            ]
+        )
+    )
+    out = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}  # malformed + missing-required dropped
+    assert rows[2]["n_chars"] == len("no n_chars field")  # backfilled
+    assert rows[1]["n_chars"] == 11  # provided value respected
+    assert out.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    # ingested corpus feeds the curation operators directly
+    from spark_signals.datapipe.dedup import dedup_exact
+
+    assert dedup_exact(out).count() == 3
+
+
+def test_training_shards_bounded_and_partitioned(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", f"src{i % 2}", 10) for i in range(1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, rows_per_shard=100)
+    for src in ("src0", "src1"):
+        files = glob.glob(os.path.join(out, f"source={src}", "*.parquet"))
+        # 500 rows / 100 per shard => exactly 5 full shards, no fragments
+        assert len(files) == 5, files
+        for f in files:
+            assert spark.read.parquet(f).count() <= 100
+    # round-trips with the partition column restored
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select(F.countDistinct("source")).first()[0] == 2
