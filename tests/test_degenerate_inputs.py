@@ -45,8 +45,25 @@ OPS = {
     "pii_scrub": S.pii_scrub,
     "sample_stratified": SMP.sample_stratified,
     "sample_quota": SMP.sample_quota,
+    "sample_temperature": SMP.sample_temperature,
     "decontaminate": DC.decontaminate,
 }
+
+
+def _late_ops():
+    # r06 operators, imported lazily to keep module import errors local
+    from spark_signals.datapipe.classifier import quality_logreg
+    from spark_signals.datapipe.curate import curate
+    from spark_signals.datapipe.pack import pack_sequences
+
+    return {
+        "pack_sequences": pack_sequences,
+        "quality_logreg": quality_logreg,
+        "curate": curate,
+    }
+
+
+OPS.update(_late_ops())
 
 
 @pytest.mark.parametrize("name", sorted(OPS))

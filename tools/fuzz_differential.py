@@ -265,7 +265,11 @@ def _gen_docs(rng: random.Random, n_docs: int = 40) -> list[str]:
 
 def gen_text_query(rng: random.Random):
     """Random text operator over a random generated corpus."""
+    from spark_signals.datapipe import classifier as CL
+    from spark_signals.datapipe import decontam as DC
     from spark_signals.datapipe import dedup as DD
+    from spark_signals.datapipe import pack as PK
+    from spark_signals.datapipe import sampling as SM
     from spark_signals.datapipe import scrub as SC
     from spark_signals.datapipe import text as TX
 
@@ -277,6 +281,10 @@ def gen_text_query(rng: random.Random):
         ("dedup_exact", DD.dedup_exact, DD.SQL_DEDUP_EXACT),
         ("dedup_passages", DD.dedup_passages, DD.SQL_DEDUP_PASSAGES),
         ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
+        ("decontaminate", DC.decontaminate, DC.sql_decontaminate()),
+        ("sample_temperature", SM.sample_temperature, SM.sql_sample_temperature()),
+        ("pack_sequences", PK.pack_sequences, PK.sql_pack_sequences()),
+        ("quality_logreg", CL.quality_logreg, CL.sql_quality_logreg()),
     ]
     tag, op, sql = ops[rng.randrange(len(ops))]
     texts = _gen_docs(rng)
