@@ -80,23 +80,90 @@ def pack_sequences(
     )
 
 
-def sql_pack_sequences(ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS) -> str:
-    return f"""
-WITH toks AS (
+def pack_windows(
+    docs: DataFrame, ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+) -> DataFrame:
+    """The writer's work order: one row per (window, document) slice.
+
+    Explodes each manifest row over the ctx_len windows its tokens touch
+    and reports the document-token span that lands in each window —
+    (shard, window, doc_id, tok_start, tok_end, n_window_tokens), with
+    tok_start/tok_end as positions in the shard stream. A shard writer can
+    then emit window w by concatenating its slices in tok_start order with
+    no further coordination. Documents with zero tokens occupy no window.
+
+    Shape: the manifest's single shard shuffle + one Generate whose output
+    is Σ windows-touched rows (≈ corpus_tokens / ctx_len + n_docs) — no
+    joins, exact int64 arithmetic throughout.
+    """
+    m = pack_sequences(docs, ctx_len, num_shards).filter(F.col("n_tokens") > 0)
+    w = F.explode(F.sequence("first_window", "last_window")).alias("window")
+    last_tok = F.col("tok_offset") + F.col("n_tokens") - 1
+    out = m.select("doc_id", "shard", "tok_offset", "n_tokens", w)
+    tok_start = F.greatest(F.col("tok_offset"), F.col("window") * ctx_len)
+    tok_end = F.least(last_tok, (F.col("window") + 1) * F.lit(ctx_len) - 1)
+    return out.select(
+        "shard",
+        "window",
+        "doc_id",
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        (tok_end - tok_start + 1).alias("n_window_tokens"),
+    )
+
+
+def _sql_pack_ctes(ctx_len: int, num_shards: int) -> list[str]:
+    """The manifest as composable CTEs (toks, o, manifest) — shared by the
+    manifest oracle and the per-window composition oracle."""
+    return [
+        f"""toks AS (
   SELECT doc_id, doc_id % {num_shards} AS shard,
          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS n_tokens
   FROM documents
-),
-o AS (
+)""",
+        f"""o AS (
   SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
          CAST(COALESCE(SUM(n_tokens + {EOS_TOKENS}) OVER (
            PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM toks
-)
-SELECT doc_id, shard, n_tokens, tok_offset,
-       CAST(floor(CAST(tok_offset AS DOUBLE) / {ctx_len}) AS BIGINT) AS first_window,
-       CAST(floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS BIGINT) AS last_window,
-       floor(CAST(tok_offset AS DOUBLE) / {ctx_len})
-         <> floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS spans_boundary
-FROM o"""
+)""",
+        f"""manifest AS (
+  SELECT doc_id, shard, n_tokens, tok_offset,
+         CAST(floor(CAST(tok_offset AS DOUBLE) / {ctx_len}) AS BIGINT) AS first_window,
+         CAST(floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS BIGINT) AS last_window,
+         floor(CAST(tok_offset AS DOUBLE) / {ctx_len})
+           <> floor(CAST(tok_offset + greatest(n_tokens - 1, 0) AS DOUBLE) / {ctx_len}) AS spans_boundary
+  FROM o
+)""",
+    ]
+
+
+def sql_pack_sequences(ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_sql_pack_ctes(ctx_len, num_shards))
+        + "\nSELECT doc_id, shard, n_tokens, tok_offset, first_window, last_window, spans_boundary FROM manifest"
+    )
+
+
+def sql_pack_windows(ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS) -> str:
+    ctes = _sql_pack_ctes(ctx_len, num_shards)
+    ctes.append(
+        """e AS (
+  SELECT shard, doc_id, tok_offset, n_tokens,
+         unnest(range(first_window, last_window + 1)) AS "window"
+  FROM manifest WHERE n_tokens > 0
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT shard, "window", doc_id,
+       greatest(tok_offset, "window" * {ctx_len}) AS tok_start,
+       least(tok_offset + n_tokens - 1, ("window" + 1) * {ctx_len} - 1) AS tok_end,
+       least(tok_offset + n_tokens - 1, ("window" + 1) * {ctx_len} - 1)
+         - greatest(tok_offset, "window" * {ctx_len}) + 1 AS n_window_tokens
+FROM e"""
+    )

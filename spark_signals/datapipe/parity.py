@@ -216,6 +216,18 @@ def _pack_sql() -> str:
     return sql_pack_sequences()
 
 
+def _pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_signals.datapipe.pack import pack_windows
+
+    return pack_windows(_docs(spark, sf_dir))
+
+
+def _pack_windows_sql() -> str:
+    from spark_signals.datapipe.pack import sql_pack_windows
+
+    return sql_pack_windows()
+
+
 # Implemented + locally oracle-verified operators QUEUED for a driver slot
 # at the next rotation (the 50-entry cap is full this round; the r06
 # cadence: new surface ships with tests + local value-level evidence, then
@@ -227,6 +239,7 @@ INCOMING_DATAPIPE_QUERIES = {
         SMP.sql_sample_temperature(),
     ),
     "pack_sequences_manifest": (_pack, _pack_sql()),
+    "pack_windows_composition": (_pack_windows, _pack_windows_sql()),
     "semdedup_cells": (
         lambda spark, sf_dir: D.semdedup(_emb(spark, sf_dir)),
         D.sql_semdedup(),

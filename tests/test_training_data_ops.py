@@ -173,3 +173,38 @@ def test_logreg_training_is_partition_invariant(spark):
     w1 = logreg_train(docs).collect()[0]
     w2 = logreg_train(docs.repartition(17)).collect()[0]
     assert tuple(w1) == tuple(w2)
+
+
+def test_pack_windows_reconstruction_invariants(spark):
+    """The writer's work order must exactly tile the stream: per (shard,
+    window) slices are disjoint and within bounds, each document's slices
+    sum to its token count, and every window's doc-token load fits
+    ctx_len."""
+    from spark_signals.datapipe.pack import pack_sequences, pack_windows
+
+    rows = [(i, " ".join(["tok"] * (3 + (i * 7) % 23)), "en", "s", 10)
+            for i in range(60)]
+    docs = _docs(spark, rows)
+    manifest = {r["doc_id"]: r for r in pack_sequences(docs, 16, 4).collect()}
+    slices = pack_windows(docs, 16, 4).collect()
+
+    per_doc: dict[int, int] = {}
+    per_window: dict[tuple, list] = {}
+    for s in slices:
+        assert s["tok_end"] >= s["tok_start"]
+        assert s["n_window_tokens"] == s["tok_end"] - s["tok_start"] + 1
+        # slice lies inside its window
+        assert s["tok_start"] // 16 == s["window"] and s["tok_end"] // 16 == s["window"]
+        # and inside its document's stream span
+        m = manifest[s["doc_id"]]
+        assert m["tok_offset"] <= s["tok_start"]
+        assert s["tok_end"] <= m["tok_offset"] + m["n_tokens"] - 1
+        per_doc[s["doc_id"]] = per_doc.get(s["doc_id"], 0) + s["n_window_tokens"]
+        per_window.setdefault((s["shard"], s["window"]), []).append(s)
+    for doc_id, total in per_doc.items():
+        assert total == manifest[doc_id]["n_tokens"]
+    for (shard, window), ss in per_window.items():
+        assert sum(s["n_window_tokens"] for s in ss) <= 16
+        spans = sorted((s["tok_start"], s["tok_end"]) for s in ss)
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b < c  # disjoint
