@@ -124,6 +124,44 @@ def curate(docs: DataFrame) -> DataFrame:
     )
 
 
+def curate_stats(docs: DataFrame) -> DataFrame:
+    """Per-source curation audit: document counts, keeps, and one count per
+    drop reason (+ the informational has_pii) — the dashboard row a 100 TB
+    curation run reports per ingest source. One S-row aggregate over the
+    curate() relation; reasons are tested with array membership, never
+    substring matching (reason names could substring-collide)."""
+    c = curate(docs)
+    reasons = F.split(F.col("drop_reasons"), ",")
+    sums = [
+        F.sum(F.array_contains(reasons, r).cast("long")).alias(f"n_{r}")
+        for r in DROP_REASONS
+    ]
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            *sums,
+            F.sum(F.col("has_pii").cast("long")).alias("n_has_pii"),
+        )
+    )
+
+
+def sql_curate_stats() -> str:
+    reason_sums = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN list_contains(string_split(drop_reasons, ','), '{r}') THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}"
+        for r in DROP_REASONS
+    )
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {reason_sums},
+       CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_has_pii
+FROM ({sql_curate()}) t
+GROUP BY source"""
+
+
 def sql_curate() -> str:
     """DuckDB mirror: each component's oracle SQL as a CTE, joined on
     doc_id with the same reason/keep derivation."""

@@ -248,6 +248,14 @@ INCOMING_DATAPIPE_QUERIES = {
         lambda spark, sf_dir: _quality_logreg(spark, sf_dir),
         None,  # filled below to keep the classifier import lazy
     ),
+    "curate_stats_by_source": (
+        lambda spark, sf_dir: CUR.curate_stats(_docs(spark, sf_dir)),
+        CUR.sql_curate_stats(),
+    ),
+    "mixture_manifest_uniform": (
+        lambda spark, sf_dir: SMP.mixture_manifest(_docs(spark, sf_dir)),
+        SMP.sql_mixture_manifest(),
+    ),
 }
 
 

@@ -189,6 +189,72 @@ def sample_temperature(
     )
 
 
+# --------------------------------------------------------- mixture manifest
+MIXTURE_BUDGET_TOKENS = 100_000  # tiny default for the synthetic corpus
+
+
+def mixture_manifest(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+) -> DataFrame:
+    """Data-mixing plan: per source, how many tokens the training mix wants
+    and the repeat factor over what the source has (the 'epochs per source'
+    table every pretraining data card publishes — >1 means the source is
+    seen multiple times, <1 means it is subsampled).
+
+    ``weights`` are target mixture shares (normalized here; default
+    uniform across observed sources). Token supply is approximated by
+    n_chars (exact int64 sum — no tokenizer pass); swap the column for a
+    real token count when one is materialized. One S-row aggregate +
+    closed-form per-row arithmetic; repeat_factor grids to 1e-6 so the
+    manifest is engine-exact.
+    """
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_tokens_available"),
+    )
+    if weights:
+        total_w = float(sum(weights.values()))
+        share = F.lit(0.0)
+        for src, wt in sorted(weights.items()):
+            share = F.when(F.col("source") == src, F.lit(float(wt) / total_w)).otherwise(share)
+        shared = counts.withColumn("target_share", share)
+    else:
+        n_sources = counts.select(F.count(F.lit(1)).alias("s"))
+        shared = counts.crossJoin(F.broadcast(n_sources)).withColumn(
+            "target_share", F.lit(1.0) / F.col("s")
+        ).drop("s")
+    target = F.col("target_share") * F.lit(float(budget_tokens))
+    repeat = F.floor(
+        target / F.col("n_tokens_available") * F.lit(1e6) + F.lit(0.5000001)
+    ) / F.lit(1e6)
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens_available",
+        F.floor(target + F.lit(0.5000001)).cast("bigint").alias("target_tokens"),
+        repeat.alias("repeat_factor"),
+        F.ceil(repeat).cast("bigint").alias("epochs"),
+    )
+
+
+def sql_mixture_manifest(budget_tokens: int = MIXTURE_BUDGET_TOKENS) -> str:
+    """Uniform-share oracle (the default-arguments twin of
+    :func:`mixture_manifest`)."""
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_tokens_available
+  FROM documents GROUP BY source
+),
+s AS (SELECT count(*) AS n_sources FROM counts)
+SELECT source, n_docs, n_tokens_available,
+       CAST(floor((1.0 / n_sources) * {budget_tokens} + 0.5000001) AS BIGINT) AS target_tokens,
+       floor((1.0 / n_sources) * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor,
+       CAST(ceil(floor((1.0 / n_sources) * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6) AS BIGINT) AS epochs
+FROM counts CROSS JOIN s"""
+
+
 def sql_sample_temperature(
     tau: float = TEMPERATURE_TAU, budget_frac: float = TEMPERATURE_BUDGET_FRAC
 ) -> str:

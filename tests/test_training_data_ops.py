@@ -208,3 +208,31 @@ def test_pack_windows_reconstruction_invariants(spark):
         spans = sorted((s["tok_start"], s["tok_end"]) for s in ss)
         for (a, b), (c, d) in zip(spans, spans[1:]):
             assert b < c  # disjoint
+
+
+# ------------------------------------------------------- mixture + audit
+def test_mixture_manifest_explicit_weights(spark):
+    from spark_signals.datapipe.sampling import mixture_manifest
+
+    rows = [(i, f"doc {i}", "en", "web" if i < 80 else "books", 100) for i in range(100)]
+    out = {r["source"]: r for r in mixture_manifest(
+        _docs(spark, rows), weights={"web": 1.0, "books": 3.0}, budget_tokens=8000
+    ).collect()}
+    assert out["books"]["target_tokens"] == 6000 and out["web"]["target_tokens"] == 2000
+    # books has 20 docs x 100 chars = 2000 available -> 3 epochs
+    assert out["books"]["repeat_factor"] == 3.0 and out["books"]["epochs"] == 3
+    # web has 8000 available for a 2000 target -> subsampled
+    assert out["web"]["repeat_factor"] == 0.25 and out["web"]["epochs"] == 1
+
+
+def test_curate_stats_reconciles_with_curate(spark):
+    from spark_signals.datapipe.curate import DROP_REASONS, curate, curate_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = curate(docs).collect()
+    stats = {r["source"]: r for r in curate_stats(docs).collect()}
+    assert sum(r["n_docs"] for r in stats.values()) == len(c)
+    assert sum(r["n_kept"] for r in stats.values()) == sum(r["keep"] for r in c)
+    for reason in DROP_REASONS:
+        want = sum(reason in r["drop_reasons"].split(",") for r in c)
+        assert sum(s[f"n_{reason}"] for s in stats.values()) == want
