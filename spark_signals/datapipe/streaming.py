@@ -49,6 +49,63 @@ def dedup_docs_stream(
     )
 
 
+def trending_terms_stream(
+    stream: DataFrame,
+    *,
+    time_col: str = "ingest_time",
+    delay: str = "10 minutes",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Sliding-window term counts over a live document feed — the
+    ingestion-monitoring face of tf-idf: spikes in a window's term counts
+    surface crawler loops, spam floods, and template bursts while they are
+    happening, not at the nightly batch.
+
+    Stateless tokenization (the same words_col every batch operator uses)
+    feeds a watermarked sliding-window count — state is bounded by
+    (windows in the watermark horizon) × (distinct terms), and late rows
+    drop at the aggregate exactly like the tick-side T1-T3 semantics.
+    Top-k per window is NOT computed here: rank-per-window is not
+    streamable in append mode, and the counts stream is tiny (terms ×
+    windows), so serving ranks at read time — see :func:`top_terms_of`.
+    """
+    from spark_signals.datapipe.text import words_col
+    from spark_signals.datapipe.util import explode_strings
+
+    words = explode_strings(
+        stream.withColumn("words", words_col(F.col("text"))),
+        F.col("words"),
+        "word",
+        time_col,
+    ).filter(F.col("word") != "")
+    return (
+        words.withWatermark(time_col, delay)
+        .groupBy(F.window(time_col, window, slide), "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "word",
+            "n",
+        )
+    )
+
+
+def top_terms_of(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Serving-side rank over a materialized trending-terms table: top-k
+    terms per window (deterministic ties on the word)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start", "window_end").orderBy(
+        F.desc("n"), F.asc("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ingest_dedup_stream(
     stream: DataFrame,
     *,

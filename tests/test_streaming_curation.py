@@ -138,6 +138,87 @@ def test_streaming_ingest_then_curate_matches_batch_curate(spark, tmp_path):
     assert got == want
 
 
+def test_trending_terms_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Sliding-window term counts: the drained stream must equal the same
+    windowed aggregation run as a batch query, late rows must be dropped at
+    the aggregate, and serving-side top-k ranks deterministically."""
+    from spark_signals.datapipe.streaming import top_terms_of, trending_terms_stream
+
+    t0 = dt.datetime(2024, 1, 8, 12, 0, 0)
+    rows = [
+        (1, "alpha beta alpha", t0),
+        (2, "beta gamma", t0 + dt.timedelta(minutes=1)),
+        (3, "alpha alpha", t0 + dt.timedelta(minutes=2)),
+        # watermark driver: pushes the watermark past the late row below
+        (4, "omega", t0 + dt.timedelta(minutes=30)),
+        # LATE: 25 min older than the max event at file order; beyond the
+        # 10-min watermark delay, so the aggregate must drop it
+        (5, "late late late", t0 + dt.timedelta(minutes=1)),
+    ]
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "counts")
+    ck = str(tmp_path / "ck")
+
+    def drain() -> None:
+        # identical query + file sink both runs: the shared checkpoint
+        # carries the watermark forward, so run 2 sees a watermark already
+        # past the late row's window (memory sinks can't recover, hence
+        # parquet)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            trending_terms_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    # two files in arrival order: the late row arrives AFTER the watermark
+    # has advanced past its window
+    spark.createDataFrame(rows[:4], schema).coalesce(1).write.parquet(src)
+    drain()
+    spark.createDataFrame(rows[4:], schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    counts = spark.read.parquet(out)
+    got = {
+        (r["window_start"], r["word"]): r["n"] for r in counts.collect()
+    }
+    # batch reference over the NON-late rows only
+    from spark_signals.datapipe.text import words_col
+    from spark_signals.datapipe.util import explode_strings
+
+    batch = (
+        explode_strings(
+            spark.createDataFrame(rows[:4], schema).withColumn(
+                "words", words_col(F.col("text"))
+            ),
+            F.col("words"),
+            "word",
+            "ingest_time",
+        )
+        .filter(F.col("word") != "")
+        .groupBy(F.window("ingest_time", "5 minutes", "1 minute"), "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # append mode emits a window only once the watermark passes its
+        # END: final watermark = max event (12:30) - 10 min delay = 12:20,
+        # so omega's still-open windows are correctly absent
+        .filter(F.col("window.end") <= t0 + dt.timedelta(minutes=20))
+        .select(F.col("window.start").alias("window_start"), "word", "n")
+    )
+    want = {(r["window_start"], r["word"]): r["n"] for r in batch.collect()}
+    assert got == want
+    assert not any(w == "late" for (_, w) in got)
+    # serving-side rank: alpha dominates every window it appears in
+    ranked = top_terms_of(counts, k=1)
+    for r in ranked.collect():
+        if (r["window_start"], "alpha") in got:
+            assert r["word"] == "alpha"
+
+
 def test_stream_and_batch_share_one_content_digest(spark):
     """A padded redelivery must hash identically in the streaming filter and
     the batch exact-dedup pass — one shared content_digest definition."""
