@@ -256,7 +256,26 @@ INCOMING_DATAPIPE_QUERIES = {
         lambda spark, sf_dir: SMP.mixture_manifest(_docs(spark, sf_dir)),
         SMP.sql_mixture_manifest(),
     ),
+    "chunk_documents_overlap": (
+        lambda spark, sf_dir: _chunk(spark, sf_dir),
+        None,  # filled below (lazy import)
+    ),
 }
+
+
+def _chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_signals.datapipe.chunk import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _chunk_sql() -> str:
+    from spark_signals.datapipe.chunk import sql_chunk_documents
+
+    return sql_chunk_documents()
+
+
+INCOMING_DATAPIPE_QUERIES["chunk_documents_overlap"] = (_chunk, _chunk_sql())
 
 
 def _quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:

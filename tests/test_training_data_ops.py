@@ -236,3 +236,34 @@ def test_curate_stats_reconciles_with_curate(spark):
     for reason in DROP_REASONS:
         want = sum(reason in r["drop_reasons"].split(",") for r in c)
         assert sum(s[f"n_{reason}"] for s in stats.values()) == want
+
+
+# --------------------------------------------------------------- chunking
+def test_chunking_covers_every_word_with_exact_overlap(spark):
+    from spark_signals.datapipe.chunk import chunk_documents
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(25)), "en", "s", 10),  # 3 chunks
+        (1, "short doc", "en", "s", 9),                            # 1 chunk
+        (2, " ".join(f"v{i}" for i in range(10)), "en", "s", 10),  # exact fit
+        (3, "   ", "en", "s", 3),                                  # no chunks
+    ]
+    out = chunk_documents(_docs(spark, rows), chunk_words=10, overlap=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # token-free doc yields nothing
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "short doc"
+    assert len(by_doc[2]) == 1  # n == chunk_words -> a single chunk
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_index"])
+    # starts 0,7,14,21 (stride 7): word 24 is only reachable by a 4th chunk
+    assert len(chunks) == 4
+    covered = set()
+    for c in chunks:
+        assert c["start_word"] == c["chunk_index"] * 7  # stride = 10 - 3
+        words = c["chunk_text"].split(" ")
+        assert words == [f"w{i}" for i in range(c["start_word"], c["start_word"] + c["n_chunk_words"])]
+        covered.update(range(c["start_word"], c["start_word"] + c["n_chunk_words"]))
+    assert covered == set(range(25))  # every word in >= 1 chunk
+    # consecutive chunks share exactly `overlap` words (full chunks)
+    assert chunks[0]["chunk_text"].split(" ")[-3:] == chunks[1]["chunk_text"].split(" ")[:3]
