@@ -278,6 +278,21 @@ def _chunk_sql() -> str:
 INCOMING_DATAPIPE_QUERIES["chunk_documents_overlap"] = (_chunk, _chunk_sql())
 
 
+def _embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_signals.datapipe.embed import embed_chunks
+
+    return embed_chunks(_docs(spark, sf_dir))
+
+
+def _embed_chunks_sql() -> str:
+    from spark_signals.datapipe.embed import sql_embed_chunks
+
+    return sql_embed_chunks()
+
+
+INCOMING_DATAPIPE_QUERIES["embed_chunks_hashed"] = (_embed_chunks, _embed_chunks_sql())
+
+
 def _quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_signals.datapipe.classifier import quality_logreg
 

@@ -267,3 +267,53 @@ def test_chunking_covers_every_word_with_exact_overlap(spark):
     assert covered == set(range(25))  # every word in >= 1 chunk
     # consecutive chunks share exactly `overlap` words (full chunks)
     assert chunks[0]["chunk_text"].split(" ")[-3:] == chunks[1]["chunk_text"].split(" ")[:3]
+
+
+# -------------------------------------------------------- chunk embeddings
+def test_embed_chunks_retrieval_end_to_end(spark):
+    """chunk → hash-embed → cosine retrieval: a perturbed version of a
+    chunk's text must retrieve the original chunk as top-1 — the full
+    text-to-searchable-index path, UDF-free."""
+    from spark_signals.datapipe.embed import hash_embed, embed_chunks
+
+    rows = [
+        (i, " ".join(f"w{i}x{j} common filler token" for j in range(30)), "en", "s", 10)
+        for i in range(12)
+    ]
+    docs = _docs(spark, rows)
+    index = embed_chunks(docs).collect()
+    assert all(len(r["embedding"]) == 64 for r in index)
+    # unit vectors (within the 1e-6 grid)
+    for r in index[:5]:
+        assert abs(sum(v * v for v in r["embedding"]) - 1.0) < 1e-3
+
+    target = index[3]
+    chunk_words = None
+    from spark_signals.datapipe.chunk import chunk_documents
+
+    for c in chunk_documents(docs).collect():
+        if (c["doc_id"], c["chunk_index"]) == (target["doc_id"], target["chunk_index"]):
+            chunk_words = c["chunk_text"].split(" ")
+    assert chunk_words
+    # perturb: drop the last 20% of words
+    query_text = " ".join(chunk_words[: int(len(chunk_words) * 0.8)])
+    q = hash_embed(
+        spark.createDataFrame([(0, query_text)], "qid long, text string"),
+        key_cols=("qid",),
+    ).collect()[0]["embedding"]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))  # both unit vectors
+
+    best = max(index, key=lambda r: cos(q, r["embedding"]))
+    assert (best["doc_id"], best["chunk_index"]) == (
+        target["doc_id"],
+        target["chunk_index"],
+    )
+
+
+def test_embed_chunks_token_free_doc_yields_nothing(spark):
+    from spark_signals.datapipe.embed import embed_chunks
+
+    out = embed_chunks(_docs(spark, [(0, "   ", "en", "s", 3), (1, "real text", "en", "s", 9)])).collect()
+    assert {r["doc_id"] for r in out} == {1}
