@@ -96,6 +96,44 @@ def embed_chunks(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     )
 
 
+def embed_chunks_parity(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Scalar parity projection of :func:`embed_chunks` — the oracle/driver
+    compare hashes CELLS, and array cells are representation-fragile across
+    pandas materializations, so the vector is summarized as exact scalars:
+    an md5 over the gridded integer components (components are k/1e6 on the
+    1e-6 grid; float32 storage round-trips k exactly for |k| ≤ 1e6 ≪ 2^24,
+    so floor(v·1e6 + 0.5) recovers k bit-identically in both engines),
+    plus the nonzero count and the gridded L1 mass."""
+    emb = embed_chunks(docs, dim)
+    comps = F.expr("transform(embedding, v -> cast(floor(v * 1e6 + 0.5D) as bigint))")
+    return emb.select(
+        "vec_id",
+        "doc_id",
+        "chunk_index",
+        F.md5(F.concat_ws(",", comps)).alias("emb_digest"),
+        F.expr("size(filter(embedding, v -> v != 0F))").alias("emb_nnz"),
+        F.expr(
+            "aggregate(transform(embedding, v -> abs(cast(floor(v * 1e6 + 0.5D) as bigint))), 0L, (s, v) -> s + v)"
+        ).alias("emb_l1_u"),
+    )
+
+
+def sql_embed_chunks_parity(dim: int = EMBED_DIM) -> str:
+    return f"""
+WITH e AS ({sql_embed_chunks(dim)}),
+g AS (
+  SELECT vec_id, doc_id, chunk_index,
+         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS comps,
+         embedding
+  FROM e
+)
+SELECT vec_id, doc_id, chunk_index,
+       md5(array_to_string(comps, ',')) AS emb_digest,
+       CAST(len(list_filter(embedding, v -> v <> 0)) AS INT) AS emb_nnz,
+       CAST(list_sum(list_transform(comps, v -> abs(v))) AS BIGINT) AS emb_l1_u
+FROM g"""
+
+
 def sql_embed_chunks(dim: int = EMBED_DIM) -> str:
     from spark_signals.datapipe.chunk import sql_chunk_documents
 

@@ -279,15 +279,17 @@ INCOMING_DATAPIPE_QUERIES["chunk_documents_overlap"] = (_chunk, _chunk_sql())
 
 
 def _embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_signals.datapipe.embed import embed_chunks
+    # parity projection: the compare hashes cells, and array cells are
+    # representation-fragile — see embed.embed_chunks_parity
+    from spark_signals.datapipe.embed import embed_chunks_parity
 
-    return embed_chunks(_docs(spark, sf_dir))
+    return embed_chunks_parity(_docs(spark, sf_dir))
 
 
 def _embed_chunks_sql() -> str:
-    from spark_signals.datapipe.embed import sql_embed_chunks
+    from spark_signals.datapipe.embed import sql_embed_chunks_parity
 
-    return sql_embed_chunks()
+    return sql_embed_chunks_parity()
 
 
 INCOMING_DATAPIPE_QUERIES["embed_chunks_hashed"] = (_embed_chunks, _embed_chunks_sql())
