@@ -10,5 +10,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_random_agg_and_window_queries_match_duckdb(spark):
-    failures = run_fuzz(spark, SF, n=20, seed=2024, verbose=False)
+    # n=30 so the grown text-op pool (11 operators as of r06) still gets
+    # multiple draws per op family per CI run
+    failures = run_fuzz(spark, SF, n=30, seed=2024, verbose=False)
     assert not failures, failures

@@ -62,3 +62,76 @@ def test_out_of_order_input_is_reordered_by_event_time(spark, mids, seed):
     a = build_pipeline(ticks, CFG).positions_costs.orderBy("sequence").collect()
     b = build_pipeline(shuffled, CFG).positions_costs.orderBy("sequence").collect()
     assert a == b
+
+
+# ------------------------------------------------ r06 training-data ops
+_corpus = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab ç€\t\n"),  # tiny alphabet → heavy collisions
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, ctx=st.integers(min_value=2, max_value=9))
+def test_pack_manifest_properties(spark, texts, ctx):
+    """For ANY corpus and ctx size: per-shard offsets are the exact prefix
+    sums of (n_tokens + EOS), and window indices derive from them."""
+    from spark_signals.datapipe.pack import EOS_TOKENS, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = pack_sequences(docs, ctx_len=ctx, num_shards=3).collect()
+    assert len(rows) == len(texts)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off
+            assert r["first_window"] == r["tok_offset"] // ctx
+            assert r["last_window"] == (r["tok_offset"] + max(r["n_tokens"] - 1, 0)) // ctx
+            off += r["n_tokens"] + EOS_TOKENS
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=_corpus,
+    chunk=st.integers(min_value=2, max_value=8),
+    ov=st.integers(min_value=0, max_value=6),
+)
+def test_chunking_properties(spark, texts, chunk, ov):
+    """For ANY corpus and (chunk, overlap): full word coverage, in-bounds
+    slices, exact stride starts."""
+    from hypothesis import assume
+
+    from spark_signals.datapipe.chunk import chunk_documents
+    from spark_signals.datapipe.text import words_col
+
+    assume(ov < chunk)
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(words_col(F.col("text"))).alias("n")).collect()
+    }
+    out = chunk_documents(docs, chunk_words=chunk, overlap=ov).collect()
+    covered: dict[int, set] = {}
+    for r in out:
+        assert r["start_word"] == r["chunk_index"] * (chunk - ov)
+        assert 1 <= r["n_chunk_words"] <= chunk
+        assert r["start_word"] + r["n_chunk_words"] <= n_words[r["doc_id"]]
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["start_word"], r["start_word"] + r["n_chunk_words"])
+        )
+    for doc_id, n in n_words.items():
+        assert covered.get(doc_id, set()) == set(range(n))
