@@ -294,6 +294,11 @@ def _embed_chunks_sql() -> str:
 
 INCOMING_DATAPIPE_QUERIES["embed_chunks_hashed"] = (_embed_chunks, _embed_chunks_sql())
 
+INCOMING_DATAPIPE_QUERIES["lm_bigram_quality"] = (
+    lambda spark, sf_dir: T.bigram_lm_quality(_docs(spark, sf_dir)),
+    T.SQL_BIGRAM_LM(),
+)
+
 
 def _quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_signals.datapipe.classifier import quality_logreg

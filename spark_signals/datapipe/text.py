@@ -426,6 +426,165 @@ FROM {source} d JOIN thresholds t USING (lang)
 WHERE d.n_chars > t.lo_chars AND d.n_chars <= t.hi_chars"""
 
 
+# ---------------------------------------------- bigram-LM quality (ordered)
+# The unigram LM is word-order-blind: a bag-of-words permutation of fluent
+# text scores identically. The bigram LM scores TRANSITIONS —
+# P(w2|w1) = LAMBDA·c(w1w2)/c(w1·) + (1−LAMBDA)·c(w2)/T (Jelinek-Mercer
+# interpolation with the unigram), so shuffled word salad drops below its
+# fluent original. Same determinism contract as the unigram LM: log-probs
+# grid to int64 1e-4 units, per-doc sums are exact.
+BIGRAM_LAMBDA = 0.7
+# model-size lever for 100 TB: hapax bigrams are noise AND the bulk of the
+# model's rows — pruning them bounds the broadcast/join side; pruned
+# transitions fall back to the interpolation's unigram term (a per-word
+# relation, always small). Default 2 so the backoff path is exercised.
+BIGRAM_MIN_COUNT = 2
+LM2_BAND_LOW_U = -34175   # avg transition logprob p10 of the synthetic corpus
+LM2_BAND_HIGH_U = -33566  # p90 — re-measure when the corpus changes
+
+
+def bigram_lm_quality(docs: DataFrame) -> DataFrame:
+    """Interpolated bigram-LM fluency per document, over documents with at
+    least one word transition (single-word / token-free docs are out of
+    scope for an order-sensitive score).
+
+    Shape at scale: one bigram hash agg (map-side combined) builds the
+    transition counts; context totals and the unigram vocabulary are two
+    more small aggs; scoring left-joins the (pruned) model on the bigram
+    key with the per-word backoff join for pruned transitions — every join
+    is key-blocked, the corpus moves only as (doc_id, gram) pairs, and AQE
+    broadcasts the model while it fits.
+    """
+    from spark_signals.datapipe.util import explode_strings, spread_small_input
+
+    grid = float(10**UNIGRAM_DP)
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", words_col(F.col("text")))
+        .filter(F.size("words") >= 2)
+    )
+    toks = explode_strings(
+        base.select("doc_id", "words"), F.col("words"), "word", "doc_id"
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("tc"))
+    uni = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("wc").cast("double") / F.col("tc")).alias("pu")
+    )
+
+    bi = explode_strings(
+        base.select("doc_id", shingles_col(2).alias("bigrams")),
+        F.col("bigrams"),
+        "g",
+        "doc_id",
+    )
+    cb = bi.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    w1 = F.substring_index(F.col("g"), " ", 1)
+    w2 = F.substring_index(F.col("g"), " ", -1)
+    ctx = cb.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cw1"))
+    lam = F.lit(float(BIGRAM_LAMBDA))
+    model = (
+        cb.filter(F.col("cb") >= BIGRAM_MIN_COUNT)
+        .join(ctx, w1 == ctx.w1)
+        .join(uni.select(F.col("word").alias("_w2"), "pu"), w2 == F.col("_w2"))
+        .select(
+            "g",
+            F.floor(
+                F.log(
+                    lam * F.col("cb").cast("double") / F.col("cw1")
+                    + (F.lit(1.0) - lam) * F.col("pu")
+                )
+                * F.lit(grid)
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("lp_u"),
+        )
+    )
+    backoff = uni.select(
+        F.col("word").alias("bw"),
+        F.floor(
+            F.log((F.lit(1.0) - lam) * F.col("pu")) * F.lit(grid) + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("bo_u"),
+    )
+    scored = (
+        bi.join(model, "g", "left")
+        .join(backoff, w2 == F.col("bw"), "left")
+        .select("doc_id", F.coalesce("lp_u", "bo_u").alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("lp").alias("sum_logprob_u"), F.count(F.lit(1)).alias("n_bigrams")
+    )
+    s, n = F.col("sum_logprob_u"), F.col("n_bigrams")
+    band = (
+        F.when(s > F.lit(LM2_BAND_HIGH_U) * n, "high")
+        .when(s >= F.lit(LM2_BAND_LOW_U) * n, "mid")
+        .otherwise("low")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logprob_u",
+        (s.cast("double") / n / F.lit(grid)).alias("avg_logprob"),
+        band.alias("lm2_band"),
+    )
+
+
+def SQL_BIGRAM_LM(source: str = "documents") -> str:
+    grid = f"1e{UNIGRAM_DP}"
+    lam = f"CAST({BIGRAM_LAMBDA!r} AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+d2 AS (SELECT * FROM d WHERE len(words) >= 2),
+toks AS (SELECT doc_id, unnest(words) AS word FROM d2),
+vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1),
+total AS (SELECT CAST(SUM(wc) AS BIGINT) AS tc FROM vocab),
+uni AS (SELECT word, CAST(wc AS DOUBLE) / tc AS pu FROM vocab CROSS JOIN total),
+bi AS (
+  SELECT doc_id, unnest({SQL_SHINGLES(2)}) AS g FROM d2
+),
+cb AS (SELECT g, COUNT(*) AS cb FROM bi GROUP BY 1),
+ctx AS (
+  SELECT string_split(g, ' ')[1] AS w1, CAST(SUM(cb) AS BIGINT) AS cw1
+  FROM cb GROUP BY 1
+),
+model AS (
+  SELECT cb.g,
+         CAST(floor(ln({lam} * CAST(cb.cb AS DOUBLE) / ctx.cw1
+                       + (1.0 - {lam}) * uni.pu) * {grid} + 0.5000001) AS BIGINT) AS lp_u
+  FROM cb
+  JOIN ctx ON ctx.w1 = string_split(cb.g, ' ')[1]
+  JOIN uni ON uni.word = string_split(cb.g, ' ')[-1]
+  WHERE cb.cb >= {BIGRAM_MIN_COUNT}
+),
+backoff AS (
+  SELECT word AS bw,
+         CAST(floor(ln((1.0 - {lam}) * pu) * {grid} + 0.5000001) AS BIGINT) AS bo_u
+  FROM uni
+),
+scored AS (
+  SELECT bi.doc_id, COALESCE(m.lp_u, b.bo_u) AS lp
+  FROM bi
+  LEFT JOIN model m ON m.g = bi.g
+  LEFT JOIN backoff b ON b.bw = string_split(bi.g, ' ')[-1]
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(lp) AS BIGINT) AS sum_logprob_u, COUNT(*) AS n_bigrams
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_logprob_u,
+       CAST(sum_logprob_u AS DOUBLE) / n_bigrams / {grid} AS avg_logprob,
+       CASE WHEN sum_logprob_u > {LM2_BAND_HIGH_U} * n_bigrams THEN 'high'
+            WHEN sum_logprob_u >= {LM2_BAND_LOW_U} * n_bigrams THEN 'mid'
+            ELSE 'low' END AS lm2_band
+FROM per_doc"""
+
+
 # ------------------------------------------------- repetition (Gopher-style)
 # Thresholds sit at ≈ the top decile of the synthetic corpus (measured:
 # top-bigram fraction median 0.033 / p90 0.069; dup-word fraction median

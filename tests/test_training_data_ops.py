@@ -317,3 +317,41 @@ def test_embed_chunks_token_free_doc_yields_nothing(spark):
 
     out = embed_chunks(_docs(spark, [(0, "   ", "en", "s", 3), (1, "real text", "en", "s", 9)])).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+# ------------------------------------------------------------- bigram LM
+def test_bigram_lm_is_order_sensitive(spark):
+    """The whole point over the unigram LM: a word-salad permutation of a
+    fluent document must score LOWER, even though its bag of words (and so
+    its unigram score) is identical."""
+    import random
+
+    from spark_signals.datapipe.text import bigram_lm_quality, unigram_lm_quality
+
+    sent = "the quick brown fox jumps over the lazy dog".split()
+    fluent = " ".join(" ".join(sent) for _ in range(20))
+    words = fluent.split()
+    rng = random.Random(11)
+    shuffled = words[:]
+    rng.shuffle(shuffled)
+    rows = (
+        # a fleet of fluent docs so the model learns the real transitions
+        [(i, fluent, "en", "s", 10) for i in range(10)]
+        + [(99, " ".join(shuffled), "en", "s", 10)]
+    )
+    docs = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in bigram_lm_quality(docs).collect()}
+    assert out[99]["avg_logprob"] < out[0]["avg_logprob"]
+    # while the unigram LM cannot tell them apart (identical bags)
+    uni = {r["doc_id"]: r for r in unigram_lm_quality(docs).collect()}
+    assert uni[99]["sum_logprob_u"] == uni[0]["sum_logprob_u"]
+
+
+def test_bigram_lm_scores_only_docs_with_transitions(spark):
+    from spark_signals.datapipe.text import bigram_lm_quality
+
+    rows = [(0, "single", "en", "s", 6), (1, "", "en", "s", 0),
+            (2, "two words", "en", "s", 9), (3, "two words", "en", "s", 9)]
+    out = {r["doc_id"]: r for r in bigram_lm_quality(_docs(spark, rows)).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["n_bigrams"] == 1
