@@ -37,6 +37,7 @@ OPS = {
     "tfidf": T.tfidf_top_terms,
     "repetition": T.repetition_stats,
     "unigram_lm": T.unigram_lm_quality,
+    "bigram_lm": T.bigram_lm_quality,
     "dedup_exact": D.dedup_exact,
     "dedup_minhash": D.dedup_minhash_lsh,
     "dedup_simhash": D.dedup_simhash,

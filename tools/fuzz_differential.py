@@ -278,6 +278,7 @@ def gen_text_query(rng: random.Random):
         ("lang_id", TX.lang_id, TX.SQL_LANG_ID()),
         ("fingerprint", TX.fingerprint, TX.SQL_FINGERPRINT()),
         ("unigram_lm", TX.unigram_lm_quality, TX.SQL_UNIGRAM_LM()),
+        ("bigram_lm", TX.bigram_lm_quality, TX.SQL_BIGRAM_LM()),
         ("dedup_exact", DD.dedup_exact, DD.SQL_DEDUP_EXACT),
         ("dedup_passages", DD.dedup_passages, DD.SQL_DEDUP_PASSAGES),
         ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
