@@ -49,6 +49,70 @@ def dedup_docs_stream(
     )
 
 
+def quality_monitor_stream(
+    stream: DataFrame,
+    *,
+    time_col: str = "ingest_time",
+    delay: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Per-window ingestion quality report: how much of the live feed is
+    failing the STATELESS curation gates right now (repetition, PII,
+    text-stats quality score). A crawler gone wrong shows up here minutes
+    after it breaks, not at the nightly batch; the corpus-level gates
+    (exact dup, LM bands, length percentiles) need corpus state and stay
+    batch/index-side by design (see ingest_dedup_stream for the dedup
+    half).
+
+    Shape: the flags are inline per-row column expressions over ONE pass of
+    the stream (stream-stream self-joins are not how you compose stateless
+    gates — they would each need their own watermark state), then a single
+    watermarked tumbling aggregate; state is one row per open window. The
+    repetition signal is the per-row half of the Gopher gate (duplicate-
+    word fraction); the bigram-mode half needs a per-doc aggregate and
+    stays batch-side.
+    """
+    from spark_signals.datapipe.scrub import PII_PATTERNS
+    from spark_signals.datapipe.text import (
+        REPETITION_DUP_WORD_FRAC,
+        words_col,
+    )
+
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    dup_frac = (n_words - F.size(F.array_distinct(words))).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1))
+    pii_total = None
+    for pat, _token in PII_PATTERNS.values():
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        pii_total = c if pii_total is None else pii_total + c
+    flagged = stream.select(
+        F.col(time_col),
+        n_words.alias("n_words"),
+        (dup_frac > F.lit(REPETITION_DUP_WORD_FRAC)).alias("is_repetitive"),
+        (pii_total > 0).alias("has_pii"),
+    )
+    return (
+        flagged.withWatermark(time_col, delay)
+        .groupBy(F.window(time_col, window))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_repetitive").cast("long")).alias("n_repetitive"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_pii"),
+            F.avg(F.col("n_words").cast("double")).alias("avg_words"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs",
+            "n_repetitive",
+            "n_pii",
+            "avg_words",
+        )
+    )
+
+
 def trending_terms_stream(
     stream: DataFrame,
     *,

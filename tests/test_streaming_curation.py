@@ -240,3 +240,35 @@ def test_stream_and_batch_share_one_content_digest(spark):
     groups = batch_dedup.dedup_exact(df)
     canon = {r["doc_id"]: r["canonical_doc_id"] for r in groups.collect()}
     assert canon == {1: 1, 2: 1, 3: 3}
+
+
+def test_quality_monitor_stream_counts_gate_failures(spark, tmp_path):
+    from spark_signals.datapipe.streaming import quality_monitor_stream
+
+    t0 = dt.datetime(2024, 1, 8, 12, 0, 0)
+    rep = ("spam " * 40).strip()
+    rows = [
+        (1, "perfectly ordinary clean document body here", t0),
+        (2, rep, t0 + dt.timedelta(minutes=1)),                      # repetitive
+        (3, "contact me at someone@example.com please", t0 + dt.timedelta(minutes=2)),  # pii
+        (4, "watermark driver doc", t0 + dt.timedelta(minutes=30)),
+    ]
+    schema = "doc_id long, text string, ingest_time timestamp"
+    src = str(tmp_path / "qfeed")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        quality_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("qmon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["window_start"]: r for r in spark.table("qmon").collect()}
+    w0 = dt.datetime(2024, 1, 8, 12, 0, 0)
+    assert out[w0]["n_docs"] == 3
+    assert out[w0]["n_repetitive"] == 1
+    assert out[w0]["n_pii"] == 1
+    assert out[w0]["avg_words"] > 0
