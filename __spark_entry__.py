@@ -39,6 +39,22 @@ DRIVER_CAP = 50
 # verdict's ask) and lang_id_heuristic (the advisor flagged that its r05
 # retirement landed in the same diff that changed its tokenization — it
 # returns for a post-change round of independent driver evidence).
+#
+# r07 rotation plan (queued): the ten INCOMING operators
+# (incoming_queries(); all hash-checked locally at sf0.001/0.01/0.1 in r06)
+# take driver slots next round. Slot sources, in priority order:
+# (1) the r05 retirees now due for their ≤3-round re-check
+#     (ticks_source, nation_region_rollup, segment_revenue_3way_join,
+#      sliding_window_counts, length_band_filter, doc_fingerprint_minhash1,
+#      position_returns, semi_join_has_lineitems, topk_events,
+#      position_transitions) must rotate back across r07-r08 — interleave
+#      them with the incoming wave rather than after it;
+# (2) this round's returners (j1_signal_rejoin, union_live_replay,
+#      sample_stratified_hash, lang_id_heuristic) can re-retire after one
+#      green round, freeing four slots;
+# (3) r06 first-time entries that go green in the r06 artifact
+#      (ann_ivf_trained_topk, dedup_incremental, length_band_approx) keep
+#      their slots one more round, then enter normal rotation.
 RETIRED = {
     # S1 source adapter: the same ticks adapter feeds ~20 checked queries;
     # a standalone passthrough scan adds no independent signal.
