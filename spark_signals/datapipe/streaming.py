@@ -189,36 +189,68 @@ def ingest_dedup_stream(
     (at warehouse scale: bucketed on content_hash, see
     ``dedup_incremental``'s docstring). Returns the query handle; callers
     pick the trigger cadence (tests use ``availableNow`` per ingest drop).
+
+    Exactly-once output: ``foreachBatch`` delivers micro-batches
+    at-least-once (a crash between the write and the checkpoint commit
+    replays the batch), so both sinks write by OVERWRITING a deterministic
+    ``batch_id=<id>`` subdirectory — the standard idempotent-by-path
+    pattern; a replay rewrites the same files instead of appending
+    duplicates (pinned by a direct replay test). Readers of either
+    directory see ``batch_id`` as a partition column — useful ingest
+    lineage for free.
     """
-    from pyspark.sql import types as T
 
-    from spark_signals.datapipe.dedup import dedup_incremental
-
-    index_schema = T.StructType(
-        [
-            T.StructField("content_hash", T.StringType(), False),
-            T.StructField("canonical_doc_id", T.LongType(), True),
-        ]
-    )
-
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
-            index = spark.createDataFrame([], index_schema)
-        survivors, delta = dedup_incremental(batch_df, index)
-        # pin BOTH results before any write: the delta's plan reads
-        # index_dir, which the delta write itself appends to — materialize
-        # first so the read and the append never overlap
-        survivors = survivors.localCheckpoint(eager=True)
-        delta = delta.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(survivors_dir)
-        delta.write.mode("append").parquet(index_dir)
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch(
+            batch_df, batch_id, index_dir=index_dir, survivors_dir=survivors_dir
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def process_ingest_batch(
+    batch_df: DataFrame, batch_id: int, *, index_dir: str, survivors_dir: str
+) -> None:
+    """One idempotent ingest step (module-level so replay semantics are
+    directly testable): dedup the batch against every EARLIER batch's index
+    partitions, then overwrite this batch's own partitions."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_signals.datapipe.dedup import dedup_incremental
+
+    spark = batch_df.sparkSession
+    index_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType(), False),
+            T.StructField("canonical_doc_id", T.LongType(), True),
+        ]
+    )
+    try:
+        index = spark.read.parquet(index_dir)
+        # a replayed batch must dedup against the PRE-batch index — its own
+        # (possibly partially written) partition is excluded, which also
+        # keeps the result identical to the first delivery
+        index = index.filter(index["batch_id"] != batch_id).select(
+            "content_hash", "canonical_doc_id"
+        )
+    except Exception:  # first batch: no index yet
+        index = spark.createDataFrame([], index_schema)
+    survivors, delta = dedup_incremental(batch_df, index)
+    # pin BOTH results before any write: the delta's plan reads index_dir,
+    # which the delta write itself replaces — materialize first so the read
+    # and the write never overlap
+    survivors = survivors.localCheckpoint(eager=True)
+    delta = delta.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(survivors_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch_id={batch_id}")
     )

@@ -138,6 +138,41 @@ def test_streaming_ingest_then_curate_matches_batch_curate(spark, tmp_path):
     assert got == want
 
 
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write and
+    the checkpoint commit REPLAYS the micro-batch. Replaying a batch (same
+    batch_id) must leave survivors and index byte-identical — no duplicate
+    rows — and the batch must dedup against the pre-batch index, not its
+    own partial output."""
+    from spark_signals.datapipe.streaming import process_ingest_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    dirs = dict(
+        index_dir=str(tmp_path / "idx"), survivors_dir=str(tmp_path / "sur")
+    )
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    process_ingest_batch(b1, 0, **dirs)
+    process_ingest_batch(b2, 1, **dirs)
+    snap = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(dirs["survivors_dir"]).collect()
+    )
+    idx_snap = sorted(
+        tuple(r) for r in spark.read.parquet(dirs["index_dir"]).collect()
+    )
+    # replay the LAST batch (the only one Spark can replay)
+    process_ingest_batch(b2, 1, **dirs)
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(dirs["survivors_dir"]).collect()
+    ) == snap
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dirs["index_dir"]).collect()
+    ) == idx_snap
+
+
 def test_trending_terms_stream_matches_batch_and_drops_late(spark, tmp_path):
     """Sliding-window term counts: the drained stream must equal the same
     windowed aggregation run as a batch query, late rows must be dropped at
