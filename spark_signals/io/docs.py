@@ -51,6 +51,44 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def decode_document_payloads(payloads: DataFrame) -> DataFrame:
+    """The exact decode a Kafka document source applies to ``value`` bytes:
+    schema-enforced ``from_json`` (malformed payloads null out), rows
+    missing the required fields (doc_id, text) dropped, n_chars backfilled
+    — byte-for-byte the same contract as :func:`read_documents_jsonl`, so a
+    corpus is identical whether it arrived as files or over the wire (the
+    tick-side ``decode_tick_payloads`` twin)."""
+    parsed = payloads.select(
+        F.from_json(F.col("value").cast("string"), DOC_SCHEMA).alias("r")
+    ).select("r.*")
+    return (
+        parsed.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn("n_chars", F.coalesce(F.col("n_chars"), F.length("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def read_kafka_documents(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "documents.raw",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka document source: the ingestion face of the curation pipeline
+    when the corpus arrives as a stream (crawler output, submission queue)
+    instead of files. Decode contract shared with the JSONL reader; chain
+    into ``datapipe.streaming`` (ingest_dedup_stream / quality monitor)
+    after adding an ingest timestamp."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_document_payloads(raw)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -54,3 +54,31 @@ def test_training_shards_bounded_and_partitioned(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.select(F.countDistinct("source")).first()[0] == 2
+
+
+def test_kafka_document_decode_matches_jsonl_contract(spark, tmp_path):
+    """The wire decode and the file reader must admit/drop the SAME rows
+    and produce identical relations — a corpus's content cannot depend on
+    its transport. (No broker in the sandbox: the decode runs on a frame
+    shaped like Kafka's (key, value) output, the same strategy as the tick
+    wire-contract tests.)"""
+    from spark_signals.io.docs import decode_document_payloads, read_documents_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}',
+        '{"doc_id": 2, "text": "no n_chars field", "lang": "en", "source": "s1"}',
+        "this is not json at all {{{",
+        '{"doc_id": 3, "lang": "en", "source": "s1"}',
+        '{"text": "missing id", "lang": "en", "source": "s1"}',
+        '{"doc_id": 4, "text": "ok", "lang": null, "source": null}',
+    ]
+    payloads = spark.createDataFrame(
+        [(None, line.encode()) for line in lines], "key binary, value binary"
+    )
+    via_wire = sorted(tuple(r) for r in decode_document_payloads(payloads).collect())
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines))
+    via_file = sorted(tuple(r) for r in read_documents_jsonl(spark, str(p)).collect())
+    assert via_wire == via_file
+    assert [r[0] for r in via_wire] == [1, 2, 4]
