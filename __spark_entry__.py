@@ -33,43 +33,24 @@ DRIVER_CAP = 50
 # ROTATION (standing policy, adopted r06 per the r05 verdict): every RETIRED
 # query rotates back into the checked set at least once every 3 rounds, so
 # no operator's evidence goes stale — each entry below records the round it
-# was retired ("r05 rotation", "r06 rotation"); anything retired in round N
-# must be re-checked no later than round N+3. Rotated back IN this round:
-# j1_signal_rejoin, union_live_replay, sample_stratified_hash (per the r05
-# verdict's ask) and lang_id_heuristic (the advisor flagged that its r05
-# retirement landed in the same diff that changed its tokenization — it
-# returns for a post-change round of independent driver evidence).
+# was retired ("r05 rotation", "r06 rotation", "r07 rotation"); anything
+# retired in round N must be re-checked no later than round N+3.
 #
-# r07 rotation plan (queued): the ten INCOMING operators
-# (incoming_queries(); all hash-checked locally at sf0.001/0.01/0.1 in r06)
-# take driver slots next round. Slot sources, in priority order:
-# (1) the r05 retirees now due for their ≤3-round re-check
-#     (ticks_source, nation_region_rollup, segment_revenue_3way_join,
-#      sliding_window_counts, length_band_filter, doc_fingerprint_minhash1,
-#      position_returns, semi_join_has_lineitems, topk_events,
-#      position_transitions) must rotate back across r07-r08 — interleave
-#      them with the incoming wave rather than after it;
-# (2) this round's returners (j1_signal_rejoin, union_live_replay,
-#      sample_stratified_hash, lang_id_heuristic) can re-retire after one
-#      green round, freeing four slots;
-# (3) r06 first-time entries that go green in the r06 artifact
-#      (ann_ivf_trained_topk, dedup_incremental, length_band_approx) keep
-#      their slots one more round, then enter normal rotation.
+# r07 rotation (executed this round, per the recorded r06 plan):
+# - IN: the ten r06 INCOMING operators (sample_temperature_source,
+#   pack_sequences_manifest, pack_windows_composition, semdedup_cells,
+#   quality_logreg_score, curate_stats_by_source, mixture_manifest_uniform,
+#   chunk_documents_overlap, embed_chunks_hashed, lm_bigram_quality) —
+#   promoted via datapipe/parity.py.
+# - IN: five overdue retirees for their ≤3-round re-check (ticks_source,
+#   nation_region_rollup, segment_revenue_3way_join, sliding_window_counts,
+#   length_band_filter). The remaining five r05 retirees
+#   (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
+#   topk_events, position_transitions) are due r08.
+# - OUT: the four r06 returners re-retire after their green re-check round,
+#   plus eleven 3-to-6-round-green queries with documented checked siblings
+#   (entries below, tagged "r07 rotation").
 RETIRED = {
-    # S1 source adapter: the same ticks adapter feeds ~20 checked queries;
-    # a standalone passthrough scan adds no independent signal.
-    "ticks_source": "source adapter exercised transitively by ~20 checked queries",
-    # dim-dim rollup; join+agg family covered by runs_listing/semi/anti/pricing_summary.
-    "nation_region_rollup": "join+agg family covered by 4 checked siblings",
-    # identical result relation to segment_revenue_bucketed (which stays checked);
-    # still benchmarked in bench.py as the non-bucketed plan variant.
-    "segment_revenue_3way_join": "same result relation as checked segment_revenue_bucketed",
-    # T6 beyond-reference extra; partner query session_window_per_user stays
-    # checked and the sliding-window frame is tested in tests/.
-    "sliding_window_counts": "beyond-reference T6 twin of checked session_window_per_user",
-    # trivial WHERE-band over text_stats columns; superset query
-    # text_stats_quality stays checked.
-    "length_band_filter": "trivial band filter over checked text_stats_quality columns",
     # r05 rotation: three 4-round-green queries yield their driver slots to
     # the three NEW data-pipeline operators (repetition_gopher_quality,
     # decontam_ngram_overlap, sample_quota_per_source) so new surface gets
@@ -95,6 +76,25 @@ RETIRED = {
     "value_percentiles_exact": "r06 rotation; percentile family keeps driver evidence via new sibling length_band_approx; exact path stays tested + --extended (green r01-r05)",
     "embedding_cosine_neardup": "r06 rotation; IVF-cell blocking checked via ann_ivf_topk/ann_ivfpq_topk, exact cosine via ann_bruteforce_topk (green r01-r05)",
     "streaming_interval_join": "r06 rotation; interval/temporal family checked via asof_join_trade_quote + asof_join_tolerance + range_join_tick_stats (green r02-r05)",
+    # r07 rotation: the four r06 returners re-retire after one green
+    # re-check round (green r01-r04 + r06), per the recorded plan.
+    "j1_signal_rejoin": "r07 rotation; returner re-check green r06; the J1 equi-join stage runs inline in checked positions_costs/executions/strategy_metrics (green r01-r04, r06)",
+    "union_live_replay": "r07 rotation; returner re-check green r06; U1 union feeds checked replay_backtest_window (green r01-r04, r06)",
+    "sample_stratified_hash": "r07 rotation; returner re-check green r06; sampling family checked via sample_quota_per_source + sample_temperature_source (green r01-r04, r06)",
+    "lang_id_heuristic": "r07 rotation; post-tokenization-change re-check green r06; text family checked via repetition_gopher_quality + lm_unigram_quality + lm_bigram_quality (green r01-r06)",
+    # r07 rotation: eleven 3-to-6-round-green queries yield slots to the ten
+    # promoted r06-wave operators and the five returning overdue retirees.
+    "performance_windows_5m": "r07 rotation; the A1 tumble runs inline in checked strategy_metrics (its left input, parity.py:301) and streaming_metrics_5m (green r01-r06)",
+    "signal_counts_5m": "r07 rotation; the A2 count tumble runs inline in checked strategy_metrics (its right join input, parity.py:305) (green r01-r06)",
+    "metrics_hourly_rollup": "r07 rotation; the A4 hourly rollup runs chained inside checked streaming_hourly_rollup_chained (green r01-r06)",
+    "dedup_exact_hash": "r07 rotation; content_digest dedup family checked via dedup_incremental + dedup_passages + curate_keep_decision (digest stage inline) (green r01-r06)",
+    "dedup_ngram_jaccard": "r07 rotation; banded-jaccard family checked via dedup_minhash_lsh (exact-jaccard verification stage) + dedup_simhash (green r01-r06)",
+    "ann_ivf_topk": "r07 rotation; fixed-grid IVF twin of checked ann_ivf_trained_topk (superset: adds Lloyd training) + ann_ivfpq_topk (green r01-r06)",
+    "ann_lsh_hyperplane_pairs": "r07 rotation; ANN blocking family checked via ann_bruteforce_topk + ann_ivfpq_topk + ann_ivf_trained_topk; sign-LSH recall floor gated in tests/test_ann_recall.py (green r01-r06)",
+    "text_stats_quality": "r07 rotation; the text-stats stage runs inline in checked length_band_approx, repetition_gopher_quality, curate_keep_decision and curate_stats_by_source (green r01-r06)",
+    "pricing_summary_q1": "r07 rotation; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed + returning nation_region_rollup (green r01-r06)",
+    "runs_listing_join_topn": "r07 rotation; join+top-n family checked via recent_ticks_per_instrument + anti_join_parts_never_shipped (green r01-r06)",
+    "session_window_per_user": "r07 rotation; T6 twin sliding_window_counts rotates back IN this round, keeping the family checked (green r01-r06)",
 }
 
 

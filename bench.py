@@ -116,14 +116,34 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
     noise = round((total_median - total) / total, 3) if total else 0.0
-    # Measured normalization base: the r05 artifact's best canary on the r05
-    # judge host (BENCH_r05.json canary_sec = 0.162 — a real measurement, not
-    # an asserted constant). suite_canary_normalized rescales this run's
-    # suite to that host's speed, so round-over-round artifact diffs read as
-    # plan-cost changes, not provisioning drift.
-    canary_base_sec = 0.162
+    # Normalization statistic: the MEDIAN of the per-pass canaries, i.e. the
+    # host's speed while the suite was actually running. r06 normalized by a
+    # single post-suite sample (0.115 s) that landed ~3x below the in-suite
+    # median (0.25-0.41 s), so suite_canary_normalized claimed a slowdown the
+    # per-query numbers contradicted. Best/pre/post stay in the artifact as
+    # drift markers only.
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        return round(xs[len(xs) // 2], 3)
+
+    canary_median = _median(canary_passes)
     canary_best = min([canary_pre, canary_post, *canary_passes])
-    normalized = round(total * canary_base_sec / canary_best, 3) if canary_best else None
+    # Normalization base: the r05 judge host's in-suite canary speed, read
+    # from the measurement that produced it (BENCH_r05.json canary_passes
+    # median = 0.307) rather than a hardcoded constant, so the base stays
+    # tied to its artifact. Same statistic on both sides of the division.
+    canary_base_sec = 0.307
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r05.json")) as fh:
+            _tail = json.load(fh)["tail"]
+        _jline = [l for l in _tail.split("\n") if l.startswith('{"metric"')][0]
+        canary_base_sec = _median(json.loads(_jline)["canary_passes"])
+    except (OSError, KeyError, IndexError, ValueError):
+        pass  # artifact absent on a fresh checkout: keep the recorded value
+    normalized = (
+        round(total * canary_base_sec / canary_median, 3) if canary_median else None
+    )
     print(
         json.dumps(
             {
@@ -143,11 +163,14 @@ def main() -> None:
                 "warm_pass": True,
                 "interleaved_passes": True,
                 # fixed 2e8-element JVM aggregation, no IO/shuffle — a pure
-                # host-speed probe. Best-of over pre/post/per-pass samples.
-                "canary_sec": canary_best,
+                # host-speed probe. canary_sec = median of the per-pass
+                # samples (the normalization statistic); canary_best kept as
+                # a drift marker alongside pre/post.
+                "canary_sec": canary_median,
+                "canary_best": canary_best,
                 "canary_base_sec": canary_base_sec,
-                # suite best-of rescaled to the r05 judge host's measured
-                # canary: suite * canary_base_sec / canary_sec
+                # suite best-of rescaled to the r05 judge host's in-suite
+                # canary median: suite * canary_base_sec / median(passes)
                 "suite_canary_normalized": normalized,
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,

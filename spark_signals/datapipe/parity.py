@@ -228,12 +228,11 @@ def _pack_windows_sql() -> str:
     return sql_pack_windows()
 
 
-# Implemented + locally oracle-verified operators QUEUED for a driver slot
-# at the next rotation (the 50-entry cap is full this round; the r06
-# cadence: new surface ships with tests + local value-level evidence, then
-# rotates into the checked set the following round). Swept by
-# tools/oracle_check.py --extended alongside the retirees.
-INCOMING_DATAPIPE_QUERIES = {
+# The r06 wave: shipped round 6 with tests + local value-level evidence,
+# PROMOTED to driver slots in the r07 rotation (merged into
+# DATAPIPE_QUERIES below; the slots came from 15 documented retirements in
+# __spark_entry__.RETIRED).
+_R06_WAVE = {
     "sample_temperature_source": (
         lambda spark, sf_dir: SMP.sample_temperature(_docs(spark, sf_dir)),
         SMP.sql_sample_temperature(),
@@ -275,7 +274,7 @@ def _chunk_sql() -> str:
     return sql_chunk_documents()
 
 
-INCOMING_DATAPIPE_QUERIES["chunk_documents_overlap"] = (_chunk, _chunk_sql())
+_R06_WAVE["chunk_documents_overlap"] = (_chunk, _chunk_sql())
 
 
 def _embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,9 +291,9 @@ def _embed_chunks_sql() -> str:
     return sql_embed_chunks_parity()
 
 
-INCOMING_DATAPIPE_QUERIES["embed_chunks_hashed"] = (_embed_chunks, _embed_chunks_sql())
+_R06_WAVE["embed_chunks_hashed"] = (_embed_chunks, _embed_chunks_sql())
 
-INCOMING_DATAPIPE_QUERIES["lm_bigram_quality"] = (
+_R06_WAVE["lm_bigram_quality"] = (
     lambda spark, sf_dir: T.bigram_lm_quality(_docs(spark, sf_dir)),
     T.SQL_BIGRAM_LM(),
 )
@@ -312,7 +311,16 @@ def _quality_logreg_sql() -> str:
     return sql_quality_logreg()
 
 
-INCOMING_DATAPIPE_QUERIES["quality_logreg_score"] = (_quality_logreg, _quality_logreg_sql())
+_R06_WAVE["quality_logreg_score"] = (_quality_logreg, _quality_logreg_sql())
+
+# r07 rotation: the full r06 wave takes driver slots this round, exactly as
+# queued in the recorded plan (__spark_entry__.py r07 rotation note).
+DATAPIPE_QUERIES.update(_R06_WAVE)
+
+# Operators implemented this round with local oracle evidence, QUEUED for a
+# driver slot at the next rotation (the 50-entry cap is full). Swept by
+# tools/oracle_check.py --extended alongside the retirees.
+INCOMING_DATAPIPE_QUERIES: dict = {}
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
