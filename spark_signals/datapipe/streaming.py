@@ -232,15 +232,31 @@ def process_ingest_batch(
             T.StructField("canonical_doc_id", T.LongType(), True),
         ]
     )
-    try:
-        index = spark.read.parquet(index_dir)
-        # a replayed batch must dedup against the PRE-batch index — its own
-        # (possibly partially written) partition is excluded, which also
-        # keeps the result identical to the first delivery
-        index = index.filter(index["batch_id"] != batch_id).select(
-            "content_hash", "canonical_doc_id"
+    # A replayed batch must dedup against the PRE-batch index, so enumerate
+    # the EARLIER batches' partitions through the JVM FileSystem
+    # (scheme-agnostic) instead of reading the whole directory and catching
+    # errors: the old bare `except` treated ANY read failure — transient FS
+    # fault, corrupt footer, permissions — as "first batch: no index yet",
+    # silently admitting duplicates forever (advisor r06, medium). Now only
+    # a genuinely absent/empty index yields the empty frame; a read error on
+    # a committed partition FAILS the micro-batch so foreachBatch retries.
+    # Listing also skips this batch's own partition by path, so a replay
+    # never trips over its own partially-written files.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    earlier = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("batch_id=") and name != f"batch_id={batch_id}":
+                earlier.append(st.getPath().toString())
+    if earlier:
+        index = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*earlier)
+            .select("content_hash", "canonical_doc_id")
         )
-    except Exception:  # first batch: no index yet
+    else:  # first batch (or batch-0 replay): no earlier index partitions
         index = spark.createDataFrame([], index_schema)
     survivors, delta = dedup_incremental(batch_df, index)
     # pin BOTH results before any write: the delta's plan reads index_dir,

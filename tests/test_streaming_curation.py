@@ -173,6 +173,55 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     ) == idx_snap
 
 
+def test_ingest_batch_fails_loud_on_corrupt_index(spark, tmp_path):
+    """A read error on a COMMITTED index partition must fail the micro-batch
+    (so foreachBatch retries), not be swallowed as 'first batch: no index
+    yet' — the r06 bare-except silently deduped against an empty index and
+    admitted duplicates forever (advisor, medium)."""
+    import pathlib
+
+    import pytest
+
+    from spark_signals.datapipe.streaming import process_ingest_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    dirs = dict(
+        index_dir=str(tmp_path / "idx"), survivors_dir=str(tmp_path / "sur")
+    )
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    process_ingest_batch(b1, 0, **dirs)
+    # corrupt batch 0's committed index partition: truncate every footer
+    part0 = pathlib.Path(dirs["index_dir"]) / "batch_id=0"
+    corrupted = list(part0.glob("*.parquet"))
+    assert corrupted, "expected committed parquet files to corrupt"
+    for f in corrupted:
+        f.write_bytes(b"PAR1 corrupted beyond recovery")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic|corrupt"):
+        process_ingest_batch(b2, 1, **dirs)
+
+
+def test_ingest_batch_zero_replay_ignores_own_partial_partition(spark, tmp_path):
+    """A crash during batch 0's own index write can leave ONLY a partial
+    batch_id=0 partition (uncommitted _temporary files, no parquet). The
+    replay of batch 0 must still treat the index as empty — its own
+    partition is excluded by path — and succeed."""
+    import pathlib
+
+    from spark_signals.datapipe.streaming import process_ingest_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    dirs = dict(
+        index_dir=str(tmp_path / "idx"), survivors_dir=str(tmp_path / "sur")
+    )
+    # simulate the partial first-delivery write: directory exists, no data
+    partial = pathlib.Path(dirs["index_dir"]) / "batch_id=0" / "_temporary"
+    partial.mkdir(parents=True)
+    process_ingest_batch(docs, 0, **dirs)
+    assert spark.read.parquet(dirs["survivors_dir"]).count() > 0
+
+
 def test_trending_terms_stream_matches_batch_and_drops_late(spark, tmp_path):
     """Sliding-window term counts: the drained stream must equal the same
     windowed aggregation run as a batch query, late rows must be dropped at
