@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_signals.datapipe.text import words_col
+from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, n_tokens_col, sql_n_tokens
 
 CTX_LEN = 64  # tokens per training window (tiny for the synthetic corpus)
 NUM_SHARDS = 8
@@ -38,7 +38,10 @@ EOS_TOKENS = 1
 
 
 def pack_sequences(
-    docs: DataFrame, ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
 ) -> DataFrame:
     """Per-document packing manifest over the sharded concatenation stream.
 
@@ -49,11 +52,16 @@ def pack_sequences(
     ctx_len-window indices its tokens touch, and ``spans_boundary`` whether
     a window boundary cuts through it (the attention-masking decision a
     trainer makes per document).
+
+    ``token_counter`` is the shared currency from
+    :func:`spark_signals.datapipe.text.n_tokens_col` — the SAME counter
+    prices the mixing manifest, so Σ manifest tokens reconciles with Σ
+    packing tokens (pinned by a test).
     """
     toks = docs.select(
         "doc_id",
         (F.col("doc_id") % num_shards).alias("shard"),
-        F.size(words_col(F.col("text"))).alias("n_tokens"),
+        n_tokens_col(F.col("text"), token_counter).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -81,7 +89,10 @@ def pack_sequences(
 
 
 def pack_windows(
-    docs: DataFrame, ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
 ) -> DataFrame:
     """The writer's work order: one row per (window, document) slice.
 
@@ -96,7 +107,9 @@ def pack_windows(
     is Σ windows-touched rows (≈ corpus_tokens / ctx_len + n_docs) — no
     joins, exact int64 arithmetic throughout.
     """
-    m = pack_sequences(docs, ctx_len, num_shards).filter(F.col("n_tokens") > 0)
+    m = pack_sequences(docs, ctx_len, num_shards, token_counter).filter(
+        F.col("n_tokens") > 0
+    )
     w = F.explode(F.sequence("first_window", "last_window")).alias("window")
     last_tok = F.col("tok_offset") + F.col("n_tokens") - 1
     out = m.select("doc_id", "shard", "tok_offset", "n_tokens", w)
@@ -112,13 +125,15 @@ def pack_windows(
     )
 
 
-def _sql_pack_ctes(ctx_len: int, num_shards: int) -> list[str]:
+def _sql_pack_ctes(
+    ctx_len: int, num_shards: int, token_counter: str = TOKEN_COUNTER_DEFAULT
+) -> list[str]:
     """The manifest as composable CTEs (toks, o, manifest) — shared by the
     manifest oracle and the per-window composition oracle."""
     return [
         f"""toks AS (
   SELECT doc_id, doc_id % {num_shards} AS shard,
-         len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS n_tokens
+         {sql_n_tokens("text", token_counter)} AS n_tokens
   FROM documents
 )""",
         f"""o AS (

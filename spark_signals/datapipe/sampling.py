@@ -197,29 +197,69 @@ def mixture_manifest(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
     budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+    token_counter: str | None = None,
 ) -> DataFrame:
     """Data-mixing plan: per source, how many tokens the training mix wants
     and the repeat factor over what the source has (the 'epochs per source'
     table every pretraining data card publishes — >1 means the source is
     seen multiple times, <1 means it is subsampled).
 
-    ``weights`` are target mixture shares (normalized here; default
-    uniform across observed sources). Token supply is approximated by
-    n_chars (exact int64 sum — no tokenizer pass); swap the column for a
-    real token count when one is materialized. One S-row aggregate +
-    closed-form per-row arithmetic; repeat_factor grids to 1e-6 so the
+    ``weights`` are target mixture shares (normalized here; default uniform
+    across observed sources). Explicit weights are STRICT: every observed
+    source must have a key and every key must match an observed source — a
+    typo'd name used to silently zero a corpus slice's share (advisor r06);
+    now either side mismatching raises at execution, via a plan-side
+    ``raise_error`` on the full-outer join of weights against observed
+    sources (no driver-side collect — the check is an S-row broadcast
+    join, distributed and lazy like the rest of the plan).
+
+    Token supply is priced by the SAME counter sequence packing uses
+    (:func:`spark_signals.datapipe.text.n_tokens_col`, default whitespace)
+    so Σ ``n_tokens_available`` equals Σ ``pack_sequences().n_tokens`` on
+    the same corpus (pinned by a reconciliation test). One S-row aggregate
+    + closed-form per-row arithmetic; repeat_factor grids to 1e-6 so the
     manifest is engine-exact.
     """
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, n_tokens_col
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_tokens_available"),
+        F.sum(n_tokens_col(F.col("text"), counter)).alias("n_tokens_available"),
     )
     if weights:
         total_w = float(sum(weights.values()))
-        share = F.lit(0.0)
-        for src, wt in sorted(weights.items()):
-            share = F.when(F.col("source") == src, F.lit(float(wt) / total_w)).otherwise(share)
-        shared = counts.withColumn("target_share", share)
+        wdf = docs.sparkSession.createDataFrame(
+            [(s, float(wt) / total_w) for s, wt in sorted(weights.items())],
+            "source string, weight_share double",
+        )
+        joined = counts.join(F.broadcast(wdf), "source", "full_outer")
+        # the error branches are load-bearing inside target_share itself, so
+        # column pruning can never drop the validation
+        share = (
+            F.when(
+                F.col("n_docs").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mixture_manifest: weight key matches no observed source: "
+                        ),
+                        F.col("source"),
+                    )
+                ).cast("double"),
+            )
+            .when(
+                F.col("weight_share").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("mixture_manifest: source missing from weights: "),
+                        F.col("source"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("weight_share"))
+        )
+        shared = joined.withColumn("target_share", share).drop("weight_share")
     else:
         n_sources = counts.select(F.count(F.lit(1)).alias("s"))
         shared = counts.crossJoin(F.broadcast(n_sources)).withColumn(
@@ -239,19 +279,36 @@ def mixture_manifest(
     )
 
 
-def sql_mixture_manifest(budget_tokens: int = MIXTURE_BUDGET_TOKENS) -> str:
-    """Uniform-share oracle (the default-arguments twin of
-    :func:`mixture_manifest`)."""
+def sql_mixture_manifest(
+    budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+    weights: dict[str, float] | None = None,
+) -> str:
+    """Oracle twin of :func:`mixture_manifest`: uniform shares by default,
+    or the normalized explicit-``weights`` shares (validation is a Spark
+    plan behavior; the oracle mirrors the happy path)."""
+    from spark_signals.datapipe.text import sql_n_tokens
+
+    if weights:
+        total_w = float(sum(weights.values()))
+        case = "CASE source "
+        for src, wt in sorted(weights.items()):
+            case += f"WHEN '{src}' THEN CAST({float(wt) / total_w!r} AS DOUBLE) "
+        share = case + "END"
+        shares_cte = "s AS (SELECT 1 AS one)"
+    else:
+        share = "(1.0 / n_sources)"
+        shares_cte = "s AS (SELECT count(*) AS n_sources FROM counts)"
     return f"""
 WITH counts AS (
-  SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_tokens_available
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM({sql_n_tokens("text")}) AS BIGINT) AS n_tokens_available
   FROM documents GROUP BY source
 ),
-s AS (SELECT count(*) AS n_sources FROM counts)
+{shares_cte}
 SELECT source, n_docs, n_tokens_available,
-       CAST(floor((1.0 / n_sources) * {budget_tokens} + 0.5000001) AS BIGINT) AS target_tokens,
-       floor((1.0 / n_sources) * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor,
-       CAST(ceil(floor((1.0 / n_sources) * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6) AS BIGINT) AS epochs
+       CAST(floor({share} * {budget_tokens} + 0.5000001) AS BIGINT) AS target_tokens,
+       floor({share} * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor,
+       CAST(ceil(floor({share} * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6) AS BIGINT) AS epochs
 FROM counts CROSS JOIN s"""
 
 

@@ -42,6 +42,46 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(ascii_lower(text), r"\s+"), lambda w: w != "")
 
 
+# ----------------------------------------------------------- token currency
+# ONE token-count definition for the whole training-data surface. Sequence
+# packing, the data-mixing manifest, and token-based length gates must
+# price documents in the SAME currency, or the "epochs per source" table
+# and the packing manifest silently disagree about corpus size (r06 mixed
+# chars with words). Pluggable counters, one name:
+#   "whitespace" (default) — words_col size; cheap, the packing unit.
+#   "bpe"                  — letter runs + digit runs + single marks
+#                            (text_stats' n_tokens_bpe), a closer proxy for
+#                            subword tokenizers on punctuated text.
+# Both have exact DuckDB twins (sql_n_tokens) so every consumer stays
+# oracle-checkable; swap in a real tokenizer by adding a counter here and
+# every consumer repriced consistently.
+TOKEN_COUNTER_DEFAULT = "whitespace"
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def n_tokens_col(text: Column, counter: str = TOKEN_COUNTER_DEFAULT) -> Column:
+    """The canonical ``n_tokens`` column for a document ``text``."""
+    if counter == "whitespace":
+        return F.size(words_col(text))
+    if counter == "bpe":
+        return F.size(
+            F.regexp_extract_all(ascii_lower(text), F.lit(_BPE_PATTERN), F.lit(0))
+        )
+    raise ValueError(f"unknown token counter: {counter!r}")
+
+
+def sql_n_tokens(expr: str = "text", counter: str = TOKEN_COUNTER_DEFAULT) -> str:
+    """DuckDB twin of :func:`n_tokens_col` over a SQL expression."""
+    lower = f"translate({expr}, '{ASCII_UP}', '{ASCII_LO}')"
+    if counter == "whitespace":
+        return (
+            f"len(list_filter(string_split_regex({lower}, '\\s+'), w -> w <> ''))"
+        )
+    if counter == "bpe":
+        return f"len(regexp_extract_all({lower}, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    raise ValueError(f"unknown token counter: {counter!r}")
+
+
 def _sql_array(values: list[str]) -> str:
     return "array(" + ",".join(f"'{v}'" for v in values) + ")"
 
@@ -73,7 +113,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
     # BPE-ish token count: letter runs, digit runs, single other marks
-    bpe_tokens = F.size(F.expr("regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    bpe_tokens = n_tokens_col(F.col("text"), "bpe")
     quality = (
         F.least(F.lit(1.0), n_words.cast("double") / F.lit(50.0))
         * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
@@ -331,12 +371,19 @@ LENGTH_BAND_HI = 0.95
 
 
 def length_band(
-    docs: DataFrame, lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+    docs: DataFrame,
+    lo: float = LENGTH_BAND_LO,
+    hi: float = LENGTH_BAND_HI,
+    length_col: str = "n_chars",
 ) -> DataFrame:
     """Per-language document-length quality gate: keep docs whose length
     percentile (cume_dist within their language) lies in (lo, hi] — the
     standard trim of truncated fragments and boilerplate megadocs before
     training.
+
+    ``length_col`` picks the currency: the default chars, or a
+    pre-materialized token count (``n_tokens_col``) so the gate prices
+    documents in the same unit as packing/mixing.
 
     cume_dist = rank/count over integers is exactly representable and
     ANSI-identical across engines, so the filter is deterministic with no
@@ -346,12 +393,12 @@ def length_band(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy("n_chars")
+    w = Window.partitionBy("lang").orderBy(length_col)
     cd = F.cume_dist().over(w)
     return (
         docs.withColumn("length_pct", cd)
         .filter((F.col("length_pct") > lo) & (F.col("length_pct") <= hi))
-        .select("doc_id", "lang", "n_chars", "length_pct")
+        .select("doc_id", "lang", length_col, "length_pct")
     )
 
 
@@ -367,7 +414,10 @@ FROM g WHERE length_pct > CAST({lo!r} AS DOUBLE) AND length_pct <= CAST({hi!r} A
 
 
 def length_band_approx(
-    docs: DataFrame, lo: float = LENGTH_BAND_LO, hi: float = LENGTH_BAND_HI
+    docs: DataFrame,
+    lo: float = LENGTH_BAND_LO,
+    hi: float = LENGTH_BAND_HI,
+    length_col: str = "n_chars",
 ) -> DataFrame:
     """The 100 TB form of :func:`length_band`: per-language thresholds from
     ``percentile_approx`` sketches (one map-side-combinable aggregate over
@@ -375,18 +425,18 @@ def length_band_approx(
     per-stratum sort of any document. Emits the gate only (no exact
     length_pct column: computing it would re-introduce the very sort this
     path removes); tests hold its selection within the exact gate's ±1%
-    rank neighborhood."""
+    rank neighborhood. ``length_col`` as in :func:`length_band`."""
     thresholds = docs.groupBy("lang").agg(
-        F.percentile_approx("n_chars", lo, F.lit(LENGTH_BAND_ACCURACY)).alias("lo_chars"),
-        F.percentile_approx("n_chars", hi, F.lit(LENGTH_BAND_ACCURACY)).alias("hi_chars"),
+        F.percentile_approx(length_col, lo, F.lit(LENGTH_BAND_ACCURACY)).alias("lo_chars"),
+        F.percentile_approx(length_col, hi, F.lit(LENGTH_BAND_ACCURACY)).alias("hi_chars"),
     )
     return (
         docs.join(F.broadcast(thresholds), "lang")
         .filter(
-            (F.col("n_chars") > F.col("lo_chars"))
-            & (F.col("n_chars") <= F.col("hi_chars"))
+            (F.col(length_col) > F.col("lo_chars"))
+            & (F.col(length_col) <= F.col("hi_chars"))
         )
-        .select("doc_id", "lang", "n_chars")
+        .select("doc_id", "lang", length_col)
     )
 
 

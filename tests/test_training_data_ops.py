@@ -214,15 +214,100 @@ def test_pack_windows_reconstruction_invariants(spark):
 def test_mixture_manifest_explicit_weights(spark):
     from spark_signals.datapipe.sampling import mixture_manifest
 
+    # "doc {i}" = 2 whitespace tokens per document (the shared currency)
     rows = [(i, f"doc {i}", "en", "web" if i < 80 else "books", 100) for i in range(100)]
     out = {r["source"]: r for r in mixture_manifest(
         _docs(spark, rows), weights={"web": 1.0, "books": 3.0}, budget_tokens=8000
     ).collect()}
     assert out["books"]["target_tokens"] == 6000 and out["web"]["target_tokens"] == 2000
-    # books has 20 docs x 100 chars = 2000 available -> 3 epochs
-    assert out["books"]["repeat_factor"] == 3.0 and out["books"]["epochs"] == 3
-    # web has 8000 available for a 2000 target -> subsampled
-    assert out["web"]["repeat_factor"] == 0.25 and out["web"]["epochs"] == 1
+    # books has 20 docs x 2 tokens = 40 available -> 150 epochs
+    assert out["books"]["n_tokens_available"] == 40
+    assert out["books"]["repeat_factor"] == 150.0 and out["books"]["epochs"] == 150
+    # web has 160 available for a 2000 target -> 12.5 repeats
+    assert out["web"]["n_tokens_available"] == 160
+    assert out["web"]["repeat_factor"] == 12.5 and out["web"]["epochs"] == 13
+
+
+def test_mixture_manifest_rejects_mismatched_weights(spark):
+    """A typo'd weight key or an unlisted corpus source must RAISE, not
+    silently zero a source's mixing share (advisor r06)."""
+    import pytest
+
+    from spark_signals.datapipe.sampling import mixture_manifest
+
+    rows = [(i, f"doc {i}", "en", "web" if i % 2 else "books", 10) for i in range(20)]
+    docs = _docs(spark, rows)
+    # weight key matching no observed source
+    with pytest.raises(Exception, match="matches no observed source: wub"):
+        mixture_manifest(docs, weights={"wub": 1.0, "books": 1.0, "web": 1.0}).collect()
+    # observed source missing from the weights dict
+    with pytest.raises(Exception, match="missing from weights: web"):
+        mixture_manifest(docs, weights={"books": 1.0}).collect()
+
+
+def test_mixture_manifest_explicit_weights_matches_oracle(spark):
+    """Non-uniform weights path held to the DuckDB oracle on the real
+    corpus (the driver checks only the uniform twin)."""
+    import duckdb
+
+    from spark_signals.datapipe.sampling import mixture_manifest, sql_mixture_manifest
+
+    weights = {"web": 4.0, "books": 2.0, "wiki": 1.0, "code": 1.0}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed = {r["source"] for r in docs.select("source").distinct().collect()}
+    weights = {s: w for s, w in weights.items() if s in observed}
+    for s in observed:
+        weights.setdefault(s, 1.0)
+    got = sorted(
+        tuple(r)
+        for r in mixture_manifest(docs, weights=weights, budget_tokens=50_000).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_mixture_manifest(budget_tokens=50_000, weights=weights)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_token_currency_reconciles_mixing_with_packing(spark):
+    """The r06 debt: packing counted words while mixing counted chars, so
+    the two manifests disagreed about corpus size. Both now price in
+    n_tokens_col — Σ mixture n_tokens_available == Σ packing n_tokens."""
+    from spark_signals.datapipe.pack import pack_sequences
+    from spark_signals.datapipe.sampling import mixture_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mix_total = (
+        mixture_manifest(docs)
+        .agg(F.sum("n_tokens_available").alias("t"))
+        .first()["t"]
+    )
+    pack_total = pack_sequences(docs).agg(F.sum("n_tokens").alias("t")).first()["t"]
+    assert mix_total == pack_total
+
+
+def test_length_band_token_currency(spark):
+    """length_band over a materialized n_tokens column gates in the same
+    currency as packing/mixing; per-lang percentile semantics unchanged."""
+    from spark_signals.datapipe.text import length_band, n_tokens_col
+
+    rows = [
+        (i, " ".join(["w"] * (i + 1)), "en", "src", 2 * (i + 1) - 1)
+        for i in range(100)
+    ]
+    docs = _docs(spark, rows).withColumn("n_tokens", n_tokens_col(F.col("text")))
+    out = length_band(docs, lo=0.10, hi=0.90, length_col="n_tokens")
+    kept = sorted(r["n_tokens"] for r in out.collect())
+    # doc i has i+1 tokens; cume_dist = (i+1)/100 -> keep (0.10, 0.90]
+    assert kept == list(range(11, 91))
+    assert out.columns == ["doc_id", "lang", "n_tokens", "length_pct"]
 
 
 def test_curate_stats_reconciles_with_curate(spark):
