@@ -631,9 +631,35 @@ SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
 # needs no connected components and matches SemDeDup's one-survivor-per-
 # near-dup-group semantics on pairwise-dup groups.
 SEMDEDUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal
+# Target MEAN cell size for the derived cluster count: Σ|cell|² ≈ n·target
+# when cells are balanced, so the pairwise stage stays linear in n with a
+# bounded constant. SemDeDup §3 runs 50k clusters at LAION scale — same
+# ratio discipline, n/cell_size.
+SEMDEDUP_TARGET_CELL = 64
 
 
-def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+def semdedup_k(
+    n: int, target_cell_size: int = SEMDEDUP_TARGET_CELL, k_min: int | None = None
+) -> int:
+    """Derived cluster count: k = max(KMEANS_K, ceil(n / target_cell_size)).
+
+    r06 shipped the toy KMEANS_K as the silent default — at real scale a
+    forgotten knob makes Σ|cell|² quadratic. Deriving k from n keeps mean
+    cell size ≤ target however large the corpus grows."""
+    import math
+
+    from spark_signals.datapipe.similarity import KMEANS_K
+
+    k_min = KMEANS_K if k_min is None else k_min
+    return max(k_min, math.ceil(n / max(target_cell_size, 1)))
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int | None = None,
+    target_cell_size: int = SEMDEDUP_TARGET_CELL,
+) -> DataFrame:
     """Semantic dedup over TRAINED k-means cells (no label column needed).
 
     Returns every vector with its trained cell, the count of lower-id
@@ -641,10 +667,13 @@ def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> Da
 
     Shape at 100 TB: the trainer is the checkpointed Lloyd loop
     (similarity.kmeans_train); the pairwise stage is an equi-join on the
-    cell id, so the comparison cost is Σ|cell|² — bounded by training
-    k ∝ corpus_size / target_cell_size (SemDeDup §3 runs 50k clusters for
-    LAION-scale; the knob is the same here). The relabeled relation is
-    eagerly pinned because the self-join reads it twice.
+    cell id, so the comparison cost is Σ|cell|² — bounded because ``k``
+    defaults to :func:`semdedup_k`, DERIVED from a cheap corpus count so
+    mean cell size stays ≤ ``target_cell_size`` as n grows (the same
+    scalar-probe pattern as the hot-key router, normalize.py). Pass ``k``
+    explicitly to pin a fixed cluster count (the oracle twin does, since
+    the unrolled-Lloyd SQL is generated for a static k). The relabeled
+    relation is eagerly pinned because the self-join reads it twice.
     """
     from spark_signals.datapipe.similarity import (
         _cos_div,
@@ -654,7 +683,11 @@ def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> Da
     )
     from spark_signals.parity import sround
 
-    cells = kmeans_assign(_long_dims(embeddings), kmeans_train(embeddings))
+    if k is None:
+        # one scalar count — the documented exception to the no-driver-side-
+        # results discipline (bounded output, like normalize.py's hot-key probe)
+        k = semdedup_k(embeddings.count(), target_cell_size)
+    cells = kmeans_assign(_long_dims(embeddings), kmeans_train(embeddings, k))
     rel = (
         embeddings.join(cells, "vec_id")
         .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))

@@ -239,8 +239,11 @@ _R06_WAVE = {
     ),
     "pack_sequences_manifest": (_pack, _pack_sql()),
     "pack_windows_composition": (_pack_windows, _pack_windows_sql()),
+    # k pinned to the static toy value: the unrolled-Lloyd oracle SQL is
+    # generated for a fixed k, while the library DEFAULT derives k from a
+    # corpus count (semdedup_k — tested in test_training_data_ops).
     "semdedup_cells": (
-        lambda spark, sf_dir: D.semdedup(_emb(spark, sf_dir)),
+        lambda spark, sf_dir: D.semdedup(_emb(spark, sf_dir), k=SIM.KMEANS_K),
         D.sql_semdedup(),
     ),
     "quality_logreg_score": (
