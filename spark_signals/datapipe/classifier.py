@@ -52,8 +52,12 @@ def _grid9(col: F.Column) -> F.Column:
     )
 
 
-def logreg_features(docs: DataFrame) -> DataFrame:
+def logreg_features(docs: DataFrame, label: F.Column | None = None) -> DataFrame:
     """(doc_id, y, f1..f4): per-row, closed-form, engine-identical.
+
+    ``label`` is the positive-class predicate, evaluated over the
+    text_stats projection (doc_id/lang/source + stats columns); the default
+    is the in-corpus ``source = LABEL_SOURCE`` stand-in.
 
     Scaling is FIXED affine (documented constants), not corpus
     standardization — a mean/std pass would reintroduce order-dependent
@@ -62,6 +66,7 @@ def logreg_features(docs: DataFrame) -> DataFrame:
     from spark_signals.datapipe.text import text_stats
 
     st = text_stats(docs)
+    y = (F.col("source") == LABEL_SOURCE) if label is None else label
     mean_len = F.col("n_chars").cast("double") / F.greatest(
         F.col("n_words"), F.lit(1)
     )
@@ -70,7 +75,7 @@ def logreg_features(docs: DataFrame) -> DataFrame:
     ) / F.lit(1e6)
     return st.select(
         "doc_id",
-        (F.col("source") == LABEL_SOURCE).cast("int").alias("y"),
+        y.cast("int").alias("y"),
         F.col("punct_ratio").alias("f1"),
         F.col("stopword_ratio").alias("f2"),
         (mean_len / F.lit(10.0)).alias("f3"),
@@ -83,7 +88,10 @@ def _sigmoid(z: F.Column) -> F.Column:
 
 
 def logreg_train(
-    docs: DataFrame, iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+    docs: DataFrame,
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+    label: F.Column | None = None,
 ) -> DataFrame:
     """One-row DataFrame of trained weights (w0=bias, w1..w4).
 
@@ -92,7 +100,7 @@ def logreg_train(
     aggregate, a weight update — then an eager checkpoint so the plan stays
     fixed-depth (see kmeans_train's rationale; r05 measured the lazy
     alternative at ~10s of pure plan re-evaluation)."""
-    feats = logreg_features(docs).persist()
+    feats = logreg_features(docs, label).persist()
     try:
         w = feats.sparkSession.range(1).select(
             *[F.lit(0.0).alias(f"w{j}") for j in range(5)]
@@ -138,13 +146,10 @@ def logreg_train(
         feats.unpersist()
 
 
-def quality_logreg(
-    docs: DataFrame, iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
-) -> DataFrame:
-    """Per-document curated-likeness score from the trained classifier:
-    (doc_id, source, quality_prob, is_high_quality). Scoring broadcasts the
-    d+1 weights — pure scan-speed."""
-    w = logreg_train(docs, iters, lr)
+def logreg_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Score any corpus with an already-trained 1-row weights frame:
+    (doc_id, source, quality_prob, is_high_quality). Broadcasts the d+1
+    weights — pure scan-speed, no training pass."""
     feats = logreg_features(docs)
     z = (
         F.col("w0")
@@ -159,13 +164,88 @@ def quality_logreg(
     return (
         docs.select("doc_id", "source")
         .join(feats.drop("y"), "doc_id")
-        .crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(weights))
         .select(
             "doc_id",
             "source",
             prob.alias("quality_prob"),
             (prob > F.lit(0.5)).alias("is_high_quality"),
         )
+    )
+
+
+def quality_logreg(
+    docs: DataFrame, iters: int = LOGREG_ITERS, lr: float = LOGREG_LR
+) -> DataFrame:
+    """Per-document curated-likeness score from the in-corpus stand-in
+    label (source = LABEL_SOURCE) — the oracle-checked driver query. For
+    the real GPT-3 recipe (external curated exemplars scoring a crawl),
+    use :func:`quality_logreg_against`."""
+    return logreg_score(docs, logreg_train(docs, iters, lr))
+
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def quality_logreg_against(
+    crawl: DataFrame,
+    curated: DataFrame,
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """The GPT-3 appendix-A recipe shape (mirrors ``decontaminate_against``):
+    train curated-vs-crawl on the UNION of an external curated exemplar set
+    and the crawl, then score the CRAWL with those weights — not the
+    in-sample source stand-in.
+
+    Exemplar rows are re-keyed to negative doc_ids before the union so the
+    two corpora can share ids; the label is simply doc_id < 0. Scale shape
+    is unchanged: ITERS broadcast-join+aggregate passes over
+    |curated| + |crawl| rows, then one scan-speed scoring pass over the
+    crawl."""
+    ext = curated.select(*_DOC_COLS).withColumn(
+        "doc_id", -F.col("doc_id") - F.lit(1).cast("long")
+    )
+    train = ext.unionByName(crawl.select(*_DOC_COLS))
+    w = logreg_train(train, iters, lr, label=F.col("doc_id") < 0)
+    return logreg_score(crawl, w)
+
+
+HOLDOUT_FRAC_DEFAULT = 0.2
+_HASH_SPACE32 = float(2**32)
+
+
+def logreg_holdout_metrics(
+    docs: DataFrame,
+    holdout_frac: float = HOLDOUT_FRAC_DEFAULT,
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Held-out evaluation: deterministic hash split (same md5 gate as the
+    sampling operators — reproducible on any engine/partitioning), train on
+    the keep side, score the held-out side, report one row of
+    (n_train, n_test, n_correct, accuracy). In-sample scoring says nothing
+    about whether the classifier generalizes — this does."""
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") < F.lit(float(holdout_frac)) * F.lit(_HASH_SPACE32)
+    test = docs.filter(gate)
+    train = docs.filter(~gate)
+    w = logreg_train(train, iters, lr)
+    scored = logreg_score(test, w).withColumn(
+        "y", (F.col("source") == LABEL_SOURCE).cast("int")
+    )
+    n_train = train.count()
+    return scored.agg(
+        F.lit(n_train).alias("n_train"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            (F.col("is_high_quality").cast("int") == F.col("y")).cast("long")
+        ).alias("n_correct"),
+        (
+            F.sum((F.col("is_high_quality").cast("int") == F.col("y")).cast("double"))
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
     )
 
 

@@ -206,6 +206,52 @@ def test_logreg_training_is_partition_invariant(spark):
     assert tuple(w1) == tuple(w2)
 
 
+def test_logreg_against_external_curated_set(spark):
+    """The real GPT-3 recipe: train curated-vs-crawl with an EXTERNAL
+    curated exemplar set, score the crawl. The crawl's prose-like docs must
+    outscore its token-soup docs under the externally-trained weights."""
+    from spark_signals.datapipe.classifier import quality_logreg_against
+
+    # curated exemplars: pure prose (ids overlap the crawl's on purpose —
+    # the operator re-keys them)
+    curated = _docs(
+        spark,
+        [
+            (i, " ".join("the and of to a in is for on with word" for _ in range(8)),
+             "en", "books", 100)
+            for i in range(40)
+        ],
+    )
+    # crawl: half prose-like, half soup — NO label column of its own
+    crawl_rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            text = " ".join("the and of to a in is for on with word" for _ in range(8))
+        else:
+            text = f"zxq{i} qwv blort k{i}"
+        crawl_rows.append((i, text, "en", "crawl", len(text)))
+    out = {
+        r["doc_id"]: r
+        for r in quality_logreg_against(_docs(spark, crawl_rows), curated).collect()
+    }
+    assert len(out) == 80 and all(r["source"] == "crawl" for r in out.values())
+    prose = [r["quality_prob"] for i, r in out.items() if i % 2 == 0]
+    soup = [r["quality_prob"] for i, r in out.items() if i % 2 == 1]
+    assert min(prose) > max(soup)
+
+
+def test_logreg_holdout_accuracy(spark):
+    """Generalization, not memorization: accuracy on a deterministic
+    held-out hash split of the separable corpus must stay high."""
+    from spark_signals.datapipe.classifier import logreg_holdout_metrics
+
+    m = logreg_holdout_metrics(_separable_corpus(spark, n=300)).collect()[0]
+    assert m["n_train"] + m["n_test"] == 300
+    assert 0 < m["n_test"] < 300
+    assert m["n_correct"] <= m["n_test"]
+    assert m["accuracy"] >= 0.9
+
+
 def test_pack_windows_reconstruction_invariants(spark):
     """The writer's work order must exactly tile the stream: per (shard,
     window) slices are disjoint and within bounds, each document's slices
