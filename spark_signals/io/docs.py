@@ -52,17 +52,33 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 
 def decode_document_payloads(payloads: DataFrame) -> DataFrame:
-    """The exact decode a Kafka document source applies to ``value`` bytes:
-    schema-enforced ``from_json`` (malformed payloads null out), rows
-    missing the required fields (doc_id, text) dropped, n_chars backfilled
-    — byte-for-byte the same contract as :func:`read_documents_jsonl`, so a
+    """The exact decode a Kafka document source applies to ``value`` bytes —
+    byte-for-byte the same contract as :func:`read_documents_jsonl`, so a
     corpus is identical whether it arrived as files or over the wire (the
-    tick-side ``decode_tick_payloads`` twin)."""
+    tick-side ``decode_tick_payloads`` twin).
+
+    ``from_json`` parses with the SAME ``_corrupt_record`` channel as the
+    file scan: a row whose only defect is a type-mismatched OPTIONAL field
+    (e.g. ``n_chars`` as a string) marks ``_corrupt_record`` and is DROPPED
+    on both transports — plain null-out from_json kept such rows while the
+    file reader dropped them (advisor r06), which would have made corpus
+    content depend on transport."""
+    schema = T.StructType(
+        DOC_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     parsed = payloads.select(
-        F.from_json(F.col("value").cast("string"), DOC_SCHEMA).alias("r")
+        F.from_json(
+            F.col("value").cast("string"),
+            schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
     ).select("r.*")
     return (
-        parsed.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        parsed.filter(
+            F.col("_corrupt_record").isNull()
+            & F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+        )
         .withColumn("n_chars", F.coalesce(F.col("n_chars"), F.length("text")))
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
@@ -87,6 +103,42 @@ def read_kafka_documents(
         .load()
     )
     return decode_document_payloads(raw)
+
+
+def encode_document_payloads(df: DataFrame) -> DataFrame:
+    """The (key, value) projection the document JSON sink writes: value is
+    the row as a JSON object (field order = column order, nulls omitted —
+    the same ``to_json`` contract as the tick sinks), key = doc_id bytes so
+    a topic partitions by document. ``decode_document_payloads`` of this
+    output round-trips exactly (golden-byte pinned in tests)."""
+    from spark_signals.io.kafka import encode_json_value
+
+    return encode_json_value(df.select(*[f.name for f in DOC_SCHEMA.fields]),
+                             key_column="doc_id")
+
+
+def write_kafka_documents(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "documents.raw",
+    checkpoint: str | None = None,
+):
+    """Document JSON Kafka sink builder (streaming when df is a stream,
+    batch ``.write`` otherwise) — the encode bookend of
+    :func:`read_kafka_documents`; same deploy checklist as io.kafka."""
+    enc = encode_document_payloads(df)
+    if df.isStreaming:
+        w = (
+            enc.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+        )
+        return w.option("checkpointLocation", checkpoint) if checkpoint else w
+    return (
+        enc.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
 
 
 def write_training_shards(

@@ -71,6 +71,12 @@ def test_kafka_document_decode_matches_jsonl_contract(spark, tmp_path):
         '{"doc_id": 3, "lang": "en", "source": "s1"}',
         '{"text": "missing id", "lang": "en", "source": "s1"}',
         '{"doc_id": 4, "text": "ok", "lang": null, "source": null}',
+        # type-mismatched OPTIONAL field: must be dropped on BOTH transports
+        # (the r06 wire decode nulled just the field and kept the row while
+        # the file reader dropped it — advisor divergence)
+        '{"doc_id": 5, "text": "bad optional", "lang": "en", "source": "s1", "n_chars": "eleven"}',
+        # type-mismatched REQUIRED field
+        '{"doc_id": "six", "text": "bad id", "lang": "en", "source": "s1"}',
     ]
     payloads = spark.createDataFrame(
         [(None, line.encode()) for line in lines], "key binary, value binary"
@@ -82,3 +88,35 @@ def test_kafka_document_decode_matches_jsonl_contract(spark, tmp_path):
     via_file = sorted(tuple(r) for r in read_documents_jsonl(spark, str(p)).collect())
     assert via_wire == via_file
     assert [r[0] for r in via_wire] == [1, 2, 4]
+
+
+def test_document_sink_golden_bytes_and_round_trip(spark):
+    """The document topic's wire contract, pinned like the tick sinks: the
+    encoder's exact bytes (field order = column order, nulls omitted,
+    doc_id as the partition key) and decode(encode(x)) == x."""
+    from spark_signals.io.docs import (
+        decode_document_payloads,
+        encode_document_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "s1", 11),
+            (4, "ok", None, None, 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["key"]: r["value"] for r in encode_document_payloads(docs).collect()}
+    assert got["1"] == (
+        '{"doc_id":1,"text":"hello world","lang":"en","source":"s1","n_chars":11}'
+    )
+    # nulls omitted, field order preserved
+    assert got["4"] == '{"doc_id":4,"text":"ok","n_chars":2}'
+
+    payloads = encode_document_payloads(docs).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    back = sorted(tuple(r) for r in decode_document_payloads(payloads).collect())
+    want = sorted(tuple(r) for r in docs.collect())
+    assert back == want
