@@ -28,20 +28,25 @@ import os
 import sys
 
 
+def _load_corpus(spark, corpus_path: str):
+    from spark_signals.io.docs import read_documents_jsonl
+
+    if os.path.isdir(corpus_path) and os.path.exists(
+        os.path.join(corpus_path, "documents.parquet")
+    ):
+        return spark.read.parquet(os.path.join(corpus_path, "documents.parquet"))
+    return read_documents_jsonl(spark, corpus_path)
+
+
 def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.curate import curate, curate_stats
     from spark_signals.datapipe.pack import pack_sequences
     from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
-    from spark_signals.io.docs import read_documents_jsonl, write_training_shards
+    from spark_signals.io.docs import write_training_shards
 
-    if os.path.isdir(corpus_path) and os.path.exists(
-        os.path.join(corpus_path, "documents.parquet")
-    ):
-        docs = spark.read.parquet(os.path.join(corpus_path, "documents.parquet"))
-    else:
-        docs = read_documents_jsonl(spark, corpus_path)
+    docs = _load_corpus(spark, corpus_path)
 
     # 1. curation verdicts (audited: drop_reasons says WHY)
     verdicts = curate(docs)
@@ -88,6 +93,51 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     }
 
 
+def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
+    """The CONTINUOUS-ingestion lane of the same production story: the
+    corpus arrives as ordered ingest drops (crawler output / submission
+    queue), each drop streams through ``ingest_dedup_stream`` — exact dedup
+    against the persisted digest index, exactly-once by batch-id partition
+    — and the batch ``curate()`` composition then runs over the ACCUMULATED
+    survivors. Simulated here as two availableNow runs over one source dir
+    + one checkpoint (the nightly-batch shape); point the readStream at a
+    Kafka document topic (io.docs.read_kafka_documents) for the live form.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.curate import curate
+    from spark_signals.datapipe.streaming import ingest_dedup_stream
+
+    docs = _load_corpus(spark, corpus_path)
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    src = os.path.join(out_dir, "ingest_drops")
+    dirs = dict(
+        index_dir=os.path.join(out_dir, "digest_index"),
+        survivors_dir=os.path.join(out_dir, "ingest_survivors"),
+        checkpoint_dir=os.path.join(out_dir, "ingest_ckpt"),
+    )
+    for batch in (
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ):
+        batch.write.mode("append").parquet(src)
+        q = ingest_dedup_stream(
+            spark.readStream.schema(docs.schema).parquet(src), **dirs
+        )
+        q.awaitTermination()
+
+    survivors = spark.read.parquet(dirs["survivors_dir"]).select(*docs.columns)
+    verdicts = curate(survivors)
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stream_curation")
+    )
+    return {
+        "input_docs": docs.count(),
+        "ingested_survivors": survivors.count(),
+        "stream_kept_docs": verdicts.filter(F.col("keep")).count(),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     corpus = argv[0] if argv else "/root/testdata/sf0.001"
@@ -96,10 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     from spark_signals.session import get_spark
 
-    counts = run_pipeline(get_spark("curate-corpus"), corpus, out_dir)
+    spark = get_spark("curate-corpus")
+    counts = run_pipeline(spark, corpus, out_dir)
+    counts.update(run_streaming_ingest(spark, corpus, os.path.join(out_dir, "stream")))
     for k, v in counts.items():
         print(f"{k}: {v}")
-    print(f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ mixture_manifest/")
+    print(
+        f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
+        f"mixture_manifest/ stream/stream_curation/"
+    )
     return 0
 
 

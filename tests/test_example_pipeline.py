@@ -26,3 +26,31 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     assert sum(r["n_kept"] for r in rep.values()) == counts["kept_docs"]
     mix = spark.read.parquet(os.path.join(out, "mixture_manifest"))
     assert mix.count() == shards.select("source").distinct().count()
+
+
+def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
+    """The streaming lane of the example (JSONL-as-stream →
+    ingest_dedup_stream → batch curate over survivors) must admit exactly
+    the documents batch exact-dedup admits on the union of the drops."""
+    from curate_corpus import run_streaming_ingest
+
+    from spark_signals.datapipe.dedup import dedup_exact
+
+    out = str(tmp_path / "stream")
+    counts = run_streaming_ingest(spark, "/root/testdata/sf0.001", out)
+    assert counts["input_docs"] == 500
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want_ids = {
+        r["canonical_doc_id"]
+        for r in dedup_exact(docs).select("canonical_doc_id").distinct().collect()
+    }
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "ingest_survivors")).collect()
+    }
+    assert got_ids == want_ids
+    assert counts["ingested_survivors"] == len(want_ids)
+    cur = spark.read.parquet(os.path.join(out, "stream_curation"))
+    assert cur.count() == len(want_ids)
+    assert 0 < counts["stream_kept_docs"] <= counts["ingested_survivors"]
