@@ -537,14 +537,20 @@ def kmeans_seeds(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     """Deterministic seeds: the k vectors with the smallest md5(vec_id) —
     a hash-ordered sample (uniform, reproducible, engine-identical).
     TakeOrdered keeps the selection a distributed per-partition heap; the
-    rank window then runs over just k rows."""
+    cluster ids then come from sort_array + posexplode over ONE k-element
+    aggregate — same deterministic (seed_key, vec_id) order as a rank
+    window, but window-free: the unpartitioned-WindowExec warning Spark
+    logged on every ANN run (benign here — the data IS k rows — yet
+    alarming to operators reading the logs) is gone structurally."""
     keyed = embeddings.select(
         "vec_id", F.md5(F.col("vec_id").cast("string")).alias("seed_key")
     ).orderBy("seed_key", "vec_id").limit(k)
-    w = Window.orderBy("seed_key", "vec_id")
-    return keyed.withColumn("cluster_id", F.row_number().over(w) - 1).select(
-        "vec_id", "cluster_id"
+    arr = keyed.agg(
+        F.sort_array(F.collect_list(F.struct("seed_key", "vec_id"))).alias("a")
     )
+    return arr.select(
+        F.posexplode("a").alias("cluster_id", "s")
+    ).select(F.col("s.vec_id").alias("vec_id"), "cluster_id")
 
 
 def kmeans_assign(dims: DataFrame, centroids: DataFrame) -> DataFrame:
