@@ -1,0 +1,139 @@
+"""Scale-evidence run: datapipe headliners at sf1-equivalent size.
+
+The driver testdata stops at sf0.1 (5k docs / 2k vectors). This tool
+materializes a 10x corpus ("sf1": 50k docs / 20k vectors) by replicating
+sf0.1 with per-replica re-keyed ids and content perturbation, then times
+the datapipe headliners on it so SCALE.md's 100 TB arguments ride on a
+measured scaling trend, not just plan shapes.
+
+Perturbation design (what makes the scaled corpus FAIR, not degenerate):
+
+* documents: every word in replica r>0 gets an ``_r`` suffix, so replicas
+  share no shingles/digests — cross-replica similarity is zero, and the
+  within-replica near-dup structure (what the dedup operators actually
+  chew on) is reproduced 10x, like an organically larger crawl. A naive
+  verbatim copy would instead hand every doc 9 exact duplicates and blow
+  candidate generation up quadratically in the replica count.
+* embeddings: per-(vec_id, dim) deterministic +-1e-3 jitter — same
+  geometry per replica, no artificial exact-duplicate vectors.
+
+Usage::
+
+    python tools/scale_run.py [--repl 10] [--out /tmp/spark_signals_sf1]
+
+Prints one JSON line {"op": sec, ...} and a build line. Timings are one
+cold pass per operator (these are minutes-long jobs; the bench.py
+interleaved-pass protocol is for the second-scale suite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SF_BASE = "/root/testdata/sf0.1"
+
+
+def build_corpus(spark, out_dir: str, repl: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_BASE}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    doc_parts = []
+    for r in range(repl):
+        part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_docs))
+        if r > 0:
+            part = part.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", rf"$1_{r}")
+            ).withColumn("n_chars", F.length("text"))
+        doc_parts.append(part)
+    big_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb_parts = []
+    for r in range(repl):
+        part = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * n_vecs))
+        if r > 0:
+            jitter = F.expr(
+                f"transform(embedding, (x, i) -> cast(x + ((vec_id * 31 + i + {r}) % 7 - 3) * 0.001 as float))"
+            )
+            part = part.withColumn("embedding", jitter)
+        emb_parts.append(part)
+    big_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        big_emb = big_emb.unionByName(p)
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repl", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/spark_signals_sf1")
+    ap.add_argument("ops", nargs="*", help="subset of operator names")
+    args = ap.parse_args()
+
+    from spark_signals.session import get_spark
+
+    spark = get_spark("scale-run")
+    marker = os.path.join(args.out, "_built")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        build_corpus(spark, args.out, args.repl)
+        open(marker, "w").write(str(args.repl))
+        print(f"built {args.out} (repl={args.repl}) in {time.time() - t0:.1f}s")
+
+    docs = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
+    n_docs, n_vecs = docs.count(), emb.count()
+
+    from spark_signals.datapipe import dedup as D
+    from spark_signals.datapipe.classifier import quality_logreg
+    from spark_signals.datapipe.curate import curate
+    from spark_signals.datapipe.embed import embed_chunks
+    from spark_signals.datapipe.pack import pack_sequences
+
+    OPS = {
+        "dedup_minhash_lsh": lambda: D.dedup_minhash_lsh(docs),
+        "dedup_passages": lambda: D.dedup_passages(docs),
+        "pack_sequences": lambda: pack_sequences(docs),
+        "embed_chunks": lambda: embed_chunks(docs),
+        "quality_logreg": lambda: quality_logreg(docs),
+        "semdedup": lambda: D.semdedup(emb),  # derived k (semdedup_k)
+        "curate": lambda: curate(docs),
+    }
+    names = args.ops or list(OPS)
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        # noop sink materializes every column/operator without output IO —
+        # count() would let Catalyst prune the work being measured
+        OPS[name]().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"[{name}] {timings[name]}s", flush=True)
+    print(
+        json.dumps(
+            {
+                "corpus": {"docs": n_docs, "vectors": n_vecs, "repl": args.repl},
+                "timings_sec": timings,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
