@@ -944,6 +944,53 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_cluster_stats(docs: DataFrame) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup audit artifact
+    (how much duplication, in what clump sizes): per cluster_size,
+    (n_clusters, n_docs, n_duplicates, corpus_frac). ``cluster_size = 1``
+    rows are the unduplicated mass; ``n_duplicates`` counts the docs a
+    canonical-only materialization would drop. corpus_frac grids to 1e-6.
+
+    Scale: two tiny aggregates over the CC output (cluster-count-sized,
+    then histogram-sized) + one broadcast scalar — the O(log n) CC passes
+    in dedup_clusters dominate; this adds no corpus-sized shuffle."""
+    cl = dedup_clusters(docs)
+    by_size = cl.groupBy("cluster_size").agg(
+        F.count_distinct(F.col("cluster_id")).alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = cl.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        by_size.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).alias("n_duplicates"),
+            (
+                F.floor(
+                    F.col("n_docs") / F.col("n_total") * F.lit(1e6) + F.lit(0.5000001)
+                )
+                / F.lit(1e6)
+            ).alias("corpus_frac"),
+        )
+    )
+
+
+def sql_dedup_cluster_stats() -> str:
+    return f"""
+WITH c AS ({SQL_DEDUP_CLUSTERS}),
+by_size AS (
+  SELECT cluster_size, COUNT(DISTINCT cluster_id) AS n_clusters, COUNT(*) AS n_docs
+  FROM c GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_total FROM c)
+SELECT cluster_size, n_clusters, n_docs,
+       CAST(n_docs - n_clusters AS BIGINT) AS n_duplicates,
+       floor(CAST(n_docs AS DOUBLE) / n_total * 1e6 + 0.5000001) / 1e6 AS corpus_frac
+FROM by_size CROSS JOIN total"""
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_sql_shingle_docs()},
 sig AS (

@@ -322,8 +322,38 @@ DATAPIPE_QUERIES.update(_R06_WAVE)
 
 # Operators implemented this round with local oracle evidence, QUEUED for a
 # driver slot at the next rotation (the 50-entry cap is full). Swept by
-# tools/oracle_check.py --extended alongside the retirees.
-INCOMING_DATAPIPE_QUERIES: dict = {}
+# tools/oracle_check.py --extended alongside the retirees. The r07 wave:
+# dataset splitting, markup cleaning, vocab coverage, BM25 retrieval, and
+# the dedup audit histogram.
+def _incoming_r07() -> dict:
+    from spark_signals.datapipe.clean import clean_text, sql_clean_text
+    from spark_signals.datapipe.retrieval import bm25_topk, sql_bm25_topk
+
+    return {
+        "split_train_val_test": (
+            lambda spark, sf_dir: SMP.split_train_val_test(_docs(spark, sf_dir)),
+            SMP.sql_split_train_val_test(),
+        ),
+        "text_clean_markup": (
+            lambda spark, sf_dir: clean_text(_docs(spark, sf_dir)),
+            sql_clean_text(),
+        ),
+        "vocab_coverage_topv": (
+            lambda spark, sf_dir: T.vocab_coverage(_docs(spark, sf_dir)),
+            T.SQL_VOCAB_COVERAGE(),
+        ),
+        "bm25_topk_lexical": (
+            lambda spark, sf_dir: bm25_topk(_docs(spark, sf_dir)),
+            sql_bm25_topk(),
+        ),
+        "dedup_cluster_stats": (
+            lambda spark, sf_dir: D.dedup_cluster_stats(_docs(spark, sf_dir)),
+            D.sql_dedup_cluster_stats(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES: dict = _incoming_r07()
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,6 +312,62 @@ SELECT source, n_docs, n_tokens_available,
 FROM counts CROSS JOIN s"""
 
 
+# ------------------------------------------------------- dataset splitting
+# Held-out evaluation needs train/val/test cuts that are (a) disjoint and
+# exhaustive, (b) stable across runs/engines/partitionings, and (c) safe
+# under incremental corpus growth (a document never migrates between
+# splits when new documents arrive). The same md5 hash gate as the
+# samplers gives all three: the split is a pure function of doc_id.
+SPLIT_VAL_FRAC = 0.05
+SPLIT_TEST_FRAC = 0.05
+
+
+def split_train_val_test(
+    docs: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+) -> DataFrame:
+    """(doc_id, lang, source, n_chars, split): deterministic 3-way split.
+
+    bucket < test·2^32         → 'test'
+    bucket < (test+val)·2^32   → 'val'
+    else                       → 'train'
+
+    Scale: per-row predicate over the hash bucket — no shuffle, no count
+    pass, pushes past the scan; splits stay stable as the corpus grows
+    because membership depends only on the document's own id."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need val_frac, test_frac >= 0 with val+test < 1")
+    bucket = _hash_bucket()
+    split = (
+        F.when(bucket < F.lit(float(test_frac)) * F.lit(_HASH_SPACE), F.lit("test"))
+        .when(
+            bucket < F.lit(float(test_frac + val_frac)) * F.lit(_HASH_SPACE),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", "source", "n_chars", split.alias("split"))
+
+
+def sql_split_train_val_test(
+    val_frac: float = SPLIT_VAL_FRAC, test_frac: float = SPLIT_TEST_FRAC
+) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CASE
+         WHEN bucket < CAST({test_frac!r} AS DOUBLE) * 4294967296.0 THEN 'test'
+         WHEN bucket < CAST({test_frac + val_frac!r} AS DOUBLE) * 4294967296.0 THEN 'val'
+         ELSE 'train'
+       END AS split
+FROM keyed"""
+
+
 def sql_sample_temperature(
     tau: float = TEMPERATURE_TAU, budget_frac: float = TEMPERATURE_BUDGET_FRAC
 ) -> str:

@@ -365,6 +365,89 @@ SELECT doc_id, word, tf, doc_freq, tfidf_r AS tfidf, rank
 FROM ranked WHERE rank <= {k}"""
 
 
+# ----------------------------------------------------------- vocab coverage
+# Tokenizer-design input: how much of the corpus does a V-word vocabulary
+# cover? The coverage curve (cumulative token share of the top-V words)
+# tells you the OOV rate any fixed vocabulary buys — the stat every
+# tokenizer/vocab-size decision starts from (Zipf curves in the GPT-2/
+# SentencePiece papers).
+VOCAB_TOP_V = 200
+
+
+def vocab_coverage(docs: DataFrame, v: int = VOCAB_TOP_V) -> DataFrame:
+    """(rank, word, n_occurrences, frac, cum_frac): the top-``v`` corpus
+    vocabulary by occurrence count (ties break on the word) with each
+    word's token share and the cumulative coverage of the vocabulary up to
+    that rank. Fractions grid to 1e-6 (engine-exact).
+
+    Shape at 100 TB: one explode → one map-side-combined (word) count agg
+    (vocab-sized output), top-V via a distributed TakeOrdered heap, then
+    rank/cumsum over the V-row result through one sort_array aggregate —
+    window-free (see kmeans_seeds), so no global-window warning and no
+    single-partition shuffle of anything bigger than V structs.
+    """
+    from spark_signals.datapipe.util import explode_strings
+
+    base = docs.select("doc_id", words_col(F.col("text")).alias("words"))
+    words = explode_strings(base, F.col("words"), "word", "doc_id").filter(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("n_total"))
+    top = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(v)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_occurrences")).alias("neg_n"),
+                        F.col("word").alias("word"),
+                        F.col("n_occurrences").alias("n"),
+                    )
+                )
+            ).alias("a")
+        )
+    )
+    grid = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)  # noqa: E731
+    exploded = top.select("a", F.posexplode("a").alias("pos", "s"))
+    cum = F.expr("aggregate(slice(a, 1, pos + 1), 0L, (acc, x) -> acc + x.n)")
+    return (
+        exploded.crossJoin(F.broadcast(total))
+        .select(
+            (F.col("pos") + 1).alias("rank"),
+            F.col("s.word").alias("word"),
+            F.col("s.n").alias("n_occurrences"),
+            grid(F.col("s.n") / F.col("n_total")).alias("frac"),
+            grid(cum / F.col("n_total")).alias("cum_frac"),
+        )
+    )
+
+
+def SQL_VOCAB_COVERAGE(v: int = VOCAB_TOP_V) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word, COUNT(*) AS n_occurrences FROM words GROUP BY 1
+),
+total AS (SELECT SUM(n_occurrences) AS n_total FROM counts),
+ranked AS (
+  SELECT word, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, word ASC) AS rank,
+         SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, word ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, word, n_occurrences,
+       floor((CAST(n_occurrences AS DOUBLE) / n_total) * 1e6 + 0.5000001) / 1e6 AS frac,
+       floor((CAST(cum_n AS DOUBLE) / n_total) * 1e6 + 0.5000001) / 1e6 AS cum_frac
+FROM ranked CROSS JOIN total
+WHERE rank <= {v}"""
+
+
 # --------------------------------------------------- length-percentile gate
 LENGTH_BAND_LO = 0.05
 LENGTH_BAND_HI = 0.95

@@ -57,10 +57,19 @@ def _late_ops():
     from spark_signals.datapipe.curate import curate
     from spark_signals.datapipe.pack import pack_sequences
 
+    from spark_signals.datapipe.clean import clean_text
+    from spark_signals.datapipe.retrieval import bm25_topk
+    from spark_signals.datapipe.text import vocab_coverage
+
     return {
         "pack_sequences": pack_sequences,
         "quality_logreg": quality_logreg,
         "curate": curate,
+        # r07 operators
+        "split_train_val_test": SMP.split_train_val_test,
+        "clean_text": clean_text,
+        "vocab_coverage": vocab_coverage,
+        "bm25_topk": bm25_topk,
     }
 
 

@@ -15,51 +15,57 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
+# The r07 checked set: the ten promoted r06-wave operators, the five
+# returning overdue retirees, and the 35 queries that kept their slots.
 EXPECTED_QUERIES = frozenset({
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_lsh_hyperplane_pairs", "ann_ivf_trained_topk",
-    "anti_join_parts_never_shipped", "asof_join_trade_quote",
-    "asof_join_tolerance",
-    "dedup_clusters_canonical", "dedup_exact_hash",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_incremental",
-    "curate_keep_decision",
-    "decontam_ngram_overlap", "dedup_passages",
-    "ewma_zscore_strategy", "executions",
-    "j1_signal_rejoin", "lang_id_heuristic", "latency_metrics_rollup",
-    "length_band_approx",
-    "lm_unigram_quality", "metrics_hourly_rollup", "multimodal_features",
-    "normalized_prices", "performance_windows_5m",
-    "positions_costs",
-    "pii_scrub_redact", "pricing_summary_q1", "range_join_tick_stats",
-    "recent_ticks_per_instrument", "replay_backtest_window",
-    "repetition_gopher_quality", "runs_listing_join_topn",
-    "sample_quota_per_source", "sample_stratified_hash",
-    "segment_revenue_bucketed",
-    "session_window_per_user", "signal_counts_5m",
-    "signals_decisions",
-    "strategy_metrics", "strategy_summary_filter_agg",
+    # pipeline chain
+    "normalized_prices", "signals_decisions", "positions_costs",
+    "executions", "strategy_metrics", "replay_backtest_window",
+    "ewma_zscore_strategy",
+    # relational / serving / temporal
+    "anti_join_parts_never_shipped", "strategy_summary_filter_agg",
+    "segment_revenue_bucketed", "recent_ticks_per_instrument",
+    "asof_join_trade_quote", "asof_join_tolerance", "range_join_tick_stats",
+    "latency_metrics_rollup",
+    # streaming
+    "streaming_positions_costs", "streaming_metrics_5m",
     "streaming_hourly_rollup_chained",
-    "streaming_metrics_5m", "streaming_positions_costs", "text_stats_quality",
-    "tfidf_top_terms", "union_live_replay",
+    # datapipe veterans
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters_canonical",
+    "dedup_passages", "dedup_incremental", "curate_keep_decision",
+    "decontam_ngram_overlap", "pii_scrub_redact", "repetition_gopher_quality",
+    "lm_unigram_quality", "tfidf_top_terms", "length_band_approx",
+    "sample_quota_per_source", "multimodal_features",
+    "ann_bruteforce_topk", "ann_ivfpq_topk", "ann_ivf_trained_topk",
+    # r07 promotions (the r06 INCOMING wave)
+    "sample_temperature_source", "pack_sequences_manifest",
+    "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
+    "curate_stats_by_source", "mixture_manifest_uniform",
+    "chunk_documents_overlap", "embed_chunks_hashed", "lm_bigram_quality",
+    # r07 returners (overdue ≤3-round re-checks)
+    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
+    "sliding_window_counts", "length_band_filter",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    "ticks_source", "nation_region_rollup",
-    "segment_revenue_3way_join", "sliding_window_counts", "length_band_filter",
-    # r05 rotation: slots yielded to the three new data-pipeline operators
+    # r05 rotation (these five rotate back r08 for their ≤3-round re-check)
     "doc_fingerprint_minhash1", "position_returns",
-    # r05 rotation wave 2 + IVF-PQ slot (each keeps a checked family sibling)
-    "topk_events", "position_transitions",
-    "semi_join_has_lineitems",
-    # r06 rotation: slots yielded to ann_ivf_trained_topk / dedup_incremental
-    # / length_band_approx and the four queries rotating back in
+    "topk_events", "position_transitions", "semi_join_has_lineitems",
+    # r06 rotation
     "sma_crossover_signals", "positions_forward_fill",
     "latest_price_per_instrument", "breakout_band_signals",
     "value_percentiles_exact", "embedding_cosine_neardup",
     "streaming_interval_join",
+    # r07 rotation: the four r06 returners re-retired after one green round
+    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
+    "lang_id_heuristic",
+    # r07 rotation: eleven veterans with documented checked siblings
+    "performance_windows_5m", "signal_counts_5m", "metrics_hourly_rollup",
+    "dedup_exact_hash", "dedup_ngram_jaccard", "ann_ivf_topk",
+    "ann_lsh_hyperplane_pairs", "text_stats_quality", "pricing_summary_q1",
+    "runs_listing_join_topn", "session_window_per_user",
 })
 
 
@@ -92,6 +98,15 @@ def test_retired_queries_stay_implemented_and_oracle_backed():
     assert set(entrymod.extended_oracle_sql()) == set(ex)
 
 
+def test_incoming_queries_are_disjoint_and_oracle_backed():
+    inc = entrymod.incoming_queries()
+    assert not set(inc) & set(entrymod.queries())
+    assert not set(inc) & set(entrymod.RETIRED)
+    for name, fn in inc.items():
+        assert callable(fn), name
+    assert set(entrymod.incoming_oracle_sql()) <= set(inc)
+
+
 def test_every_query_has_callable_and_oracle_alignment():
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
@@ -103,7 +118,11 @@ def test_every_query_has_callable_and_oracle_alignment():
 
 
 def test_queries_run_at_smallest_sf(spark):
-    qs = {**entrymod.queries(), **entrymod.extended_queries()}
+    qs = {
+        **entrymod.queries(),
+        **entrymod.extended_queries(),
+        **entrymod.incoming_queries(),
+    }
     sf = "/root/testdata/sf0.001"
     for name, fn in qs.items():
         df = fn(spark, sf)
