@@ -50,6 +50,22 @@ DRIVER_CAP = 50
 # - OUT: the four r06 returners re-retire after their green re-check round,
 #   plus eleven 3-to-6-round-green queries with documented checked siblings
 #   (entries below, tagged "r07 rotation").
+#
+# r08 rotation plan (queued): ten slots needed — the five r07 INCOMING
+# operators (split_train_val_test, text_clean_markup, vocab_coverage_topv,
+# bm25_topk_lexical, dedup_cluster_stats; all hash-checked locally at
+# sf0.01) plus the five remaining r05 retirees due their ≤3-round re-check
+# (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
+# topk_events, position_transitions). Slot sources, in priority order:
+# (1) this round's five returners (ticks_source, nation_region_rollup,
+#     segment_revenue_3way_join, sliding_window_counts, length_band_filter)
+#     re-retire after one green round;
+# (2) five of the ten r07-promoted operators can rotate out after their
+#     first green artifact IF a same-family sibling stays checked (e.g.
+#     pack_windows_composition covers pack_sequences_manifest's stage;
+#     mixture_manifest_uniform and curate_stats_by_source are S-row audit
+#     twins) — prefer retiring older multi-green veterans first if any
+#     remain eligible.
 RETIRED = {
     # r05 rotation: three 4-round-green queries yield their driver slots to
     # the three NEW data-pipeline operators (repetition_gopher_quality,
