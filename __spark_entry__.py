@@ -56,7 +56,10 @@ DRIVER_CAP = 50
 # bm25_topk_lexical, dedup_cluster_stats; all hash-checked locally at
 # sf0.01) plus the five remaining r05 retirees due their ≤3-round re-check
 # (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
-# topk_events, position_transitions). Slot sources, in priority order:
+# topk_events, position_transitions). A SECOND r07 wave (hybrid_rrf_topk,
+# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta — all hash-checked
+# locally at sf0.01) queues behind them for r09 slots. Slot sources, in
+# priority order:
 # (1) this round's five returners (ticks_source, nation_region_rollup,
 #     segment_revenue_3way_join, sliding_window_counts, length_band_filter)
 #     re-retire after one green round;

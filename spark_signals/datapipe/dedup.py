@@ -1135,6 +1135,69 @@ FROM per_doc"""
 SQL_DEDUP_PASSAGES = sql_dedup_passages()
 
 
+def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """Within-document repeated-passage strip — the intra-doc half of the
+    C4/RefinedWeb boilerplate treatment (repeated nav bars, footers, spam
+    blocks INSIDE one page; :func:`dedup_passages` profiles the
+    cross-document half): re-emit each document with every non-overlapping
+    ``k``-word passage that already occurred earlier in the SAME document
+    removed, first occurrence kept, order preserved.
+
+    Returns (doc_id, text_dedup, n_passages, n_kept, was_modified).
+
+    Shape at 100 TB: zero shuffles — one per-row higher-order-function pass
+    (transform → filter-with-index → concat_ws), scan-speed anywhere. The
+    keep test is O(p²) in the document's OWN passage count (p = words/k;
+    a 10k-word doc is ~600 passages → trivial); for megadocs beyond that,
+    the explode → min-passage-index agg → rebuild variant trades the per-row
+    quadratic for two doc_id-keyed shuffles — not worth it below ~10⁴
+    passages per doc.
+    """
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", words_col(F.col("text")))
+        .filter(F.size("words") > 0)
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, (size(words)-1) div {k}),"
+        f" i -> concat_ws(' ', slice(words, i*{k}+1, {k})))"
+    )
+    with_chunks = base.select("doc_id", chunks.alias("chunks"))
+    kept = F.expr("filter(chunks, (p, i) -> NOT array_contains(slice(chunks, 1, i), p))")
+    return with_chunks.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text_dedup"),
+        F.size("chunks").alias("n_passages"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) < F.size("chunks")).alias("was_modified"),
+    )
+
+
+def sql_dedup_intra_doc(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST((len(words)-1) // {k} AS INT) + 1),
+           i -> array_to_string(words[(i*{k}+1):((i+1)*{k})], ' ')) AS chunks
+  FROM d WHERE len(words) > 0
+),
+kc AS (
+  SELECT doc_id, chunks,
+         list_filter(chunks, (p, i) -> NOT list_contains(chunks[1:i-1], p)) AS kept
+  FROM c
+)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS text_dedup,
+       CAST(len(chunks) AS INT) AS n_passages,
+       CAST(len(kept) AS INT) AS n_kept,
+       len(kept) < len(chunks) AS was_modified
+FROM kc"""
+
+
 # ------------------------------------------------------ incremental dedup
 def digest_index(docs: DataFrame) -> DataFrame:
     """(content_hash, canonical_doc_id) — the persistable exact-dedup index

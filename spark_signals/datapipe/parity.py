@@ -353,7 +353,33 @@ def _incoming_r07() -> dict:
     }
 
 
-INCOMING_DATAPIPE_QUERIES: dict = _incoming_r07()
+# Second r07 wave: hybrid retrieval fusion, intra-doc passage strip, CCNet
+# perplexity tertiles, incremental IVF index delta — queued behind the
+# first wave (r09 slots if the r08 rotation fills with the first five).
+def _incoming_r07_wave2() -> dict:
+    from spark_signals.datapipe.retrieval import hybrid_rrf_topk, sql_hybrid_rrf_topk
+
+    return {
+        "hybrid_rrf_topk": (
+            lambda spark, sf_dir: hybrid_rrf_topk(_docs(spark, sf_dir)),
+            sql_hybrid_rrf_topk(),
+        ),
+        "dedup_intra_doc": (
+            lambda spark, sf_dir: D.dedup_intra_doc(_docs(spark, sf_dir)),
+            D.sql_dedup_intra_doc(),
+        ),
+        "ccnet_lm_buckets": (
+            lambda spark, sf_dir: T.ccnet_lm_buckets(_docs(spark, sf_dir)),
+            T.SQL_CCNET_LM_BUCKETS(),
+        ),
+        "ann_index_delta": (
+            lambda spark, sf_dir: SIM.ann_index_delta_snapshot(_emb(spark, sf_dir)),
+            SIM.sql_ann_index_delta(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES: dict = {**_incoming_r07(), **_incoming_r07_wave2()}
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:

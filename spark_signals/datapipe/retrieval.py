@@ -94,27 +94,242 @@ def bm25_topk(
         _grid6(F.sum("w_score")).alias("score"),
         F.count(F.lit(1)).alias("n_matched_terms"),
     )
-    # rank over the ≤k survivors of a TakeOrdered heap (orderBy+limit) via
-    # one sort_array aggregate — window-free (see kmeans_seeds)
     topped = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return _rank_listagg(topped, ["score", "doc_id", "n_matched_terms"]).select(
+        "doc_id", "score", "n_matched_terms", "rank"
+    )
+
+
+def _rank_listagg(topped: DataFrame, cols: list[str]) -> DataFrame:
+    """Rank the ≤k survivors of a TakeOrdered heap (orderBy+limit upstream)
+    via one sort_array aggregate — window-free (see kmeans_seeds). The
+    first column of ``cols`` must be the score (descending), ties break on
+    the second column ascending."""
+    score, tiebreak = cols[0], cols[1]
     agg = topped.agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    (-F.col("score")).alias("neg_s"),
-                    F.col("doc_id").alias("doc_id"),
-                    F.col("score").alias("score"),
-                    F.col("n_matched_terms").alias("n_matched_terms"),
+                    (-F.col(score)).alias("neg_s"),
+                    F.col(tiebreak).alias("tb"),
+                    *[F.col(c).alias(c) for c in cols],
                 )
             )
         ).alias("a")
     )
     return agg.select(F.posexplode("a").alias("pos", "s")).select(
-        F.col("s.doc_id").alias("doc_id"),
-        F.col("s.score").alias("score"),
-        F.col("s.n_matched_terms").alias("n_matched_terms"),
+        *[F.col(f"s.{c}").alias(c) for c in cols],
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+# ------------------------------------------------- hybrid dense+lexical RRF
+RRF_K0 = 60  # the canonical reciprocal-rank-fusion constant (Cormack 2009)
+RRF_TOP_K = 25
+
+
+def _query_vector(terms: tuple[str, ...], dim: int) -> list[float]:
+    """The feature-hashed unit vector of the bag-of-terms query, computed
+    plan-build-side with the EXACT recipe of ``embed.hash_embed`` (first 8
+    md5 hex chars mod dim → bucket, 9th nibble parity → sign, L2-normalize,
+    1e-6 grid). hashlib/Spark/DuckDB md5 agree on ASCII input, so the
+    literal array injected into both plans is the vector hash_embed would
+    produce for the query text."""
+    import hashlib
+    import math
+
+    raw = [0.0] * dim
+    for t in terms:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        raw[int(h[:8], 16) % dim] += sign
+    nrm = math.sqrt(sum(v * v for v in raw))
+    if nrm == 0.0:
+        return raw
+    return [math.floor(v / nrm * 1e6 + 0.5000001) / 1e6 for v in raw]
+
+
+def dense_hash_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+) -> DataFrame:
+    """Dense top-k for the query under the feature-hashed embedder:
+    (doc_id, cosine, rank). The pluggable-embedder contract of
+    datapipe.embed applies — swap hash_embed for a neural encoder and this
+    ranking (and the fusion below) is unchanged.
+
+    Shape at 100 TB: document embeddings come from two int-carrying hash
+    shuffles (hash_embed); the query vector is a CONSTANT literal array, so
+    scoring is a zero-join per-row fold and the top-k is a TakeOrdered
+    heap. Production would swap the scan for the IVF cell-probe
+    (similarity.ann_ivf_trained_topk) — this is the exact baseline.
+    """
+    from spark_signals.datapipe.embed import EMBED_DIM, hash_embed
+    from spark_signals.datapipe.util import spread_small_input
+
+    terms = sorted(set(query_terms))
+    qv = _query_vector(tuple(terms), EMBED_DIM)
+    qarr = F.array(*[F.lit(v) for v in qv])
+    emb = hash_embed(spread_small_input(docs))
+    # embedding and the query literal are both unit vectors → dot = cosine
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = emb.select("doc_id", _grid6(dot).alias("cosine"))
+    topped = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+    return _rank_listagg(topped, ["cosine", "doc_id"]).select(
+        "doc_id", "cosine", "rank"
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical top-k and the dense
+    embedding top-k — the stock hybrid-retrieval recipe (Cormack et al.
+    2009; what every lexical+vector search stack ships):
+    (doc_id, rrf_score, lex_rank, dense_rank, rank).
+
+    rrf = Σ_lists 1/(k0 + rank), summed lexical-then-dense in a fixed
+    order (two IEEE divisions — engine-identical), gridded to 1e-9 before
+    the final rank; ties break on doc_id.
+
+    Shape at 100 TB: both inputs are ≤k-row rank lists, fused via
+    union + one k-row groupBy (no outer join — a full-outer on two tiny
+    relations would force a sort-merge plan); everything downstream of the
+    two TakeOrdered heaps moves O(k) rows.
+    """
+    lex = bm25_topk(docs, query_terms, k).select(
+        "doc_id",
+        F.col("rank").alias("lex_rank"),
+        F.lit(None).cast("int").alias("dense_rank"),
+    )
+    dense = dense_hash_topk(docs, query_terms, k).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("lex_rank"),
+        F.col("rank").alias("dense_rank"),
+    )
+    cand = (
+        lex.unionByName(dense)
+        .groupBy("doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("dense_rank").alias("dense_rank"),
+        )
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k0)) + F.col(c)), F.lit(0.0)
+    )
+    rrf = F.floor(
+        (contrib("lex_rank") + contrib("dense_rank")) * F.lit(1e9)
+        + F.lit(0.5000001)
+    ) / F.lit(1e9)
+    scored = cand.select("doc_id", rrf.alias("rrf_score"), "lex_rank", "dense_rank")
+    topped = scored.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+    return _rank_listagg(
+        topped, ["rrf_score", "doc_id", "lex_rank", "dense_rank"]
+    ).select("doc_id", "rrf_score", "lex_rank", "dense_rank", "rank")
+
+
+def sql_dense_hash_topk(
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of dense_hash_topk: the hash_embed recipe inlined over
+    ``source`` (mirrors embed.sql_embed_chunks, but tokenizing raw text
+    with the shared words_col regex) scored against the same literal query
+    vector."""
+    from spark_signals.datapipe.embed import EMBED_DIM
+
+    terms = sorted(set(query_terms))
+    qv = _query_vector(tuple(terms), EMBED_DIM)
+    qlit = "[" + ", ".join(repr(v) for v in qv) + "]"
+    dim = EMBED_DIM
+    return f"""
+WITH dbase AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+dw AS (SELECT doc_id, unnest(words) AS word FROM dbase),
+dh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(word), 1, 8))::BIGINT % {dim} AS bucket,
+         CASE WHEN ('0x' || substring(md5(word), 9, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM dw
+),
+ds AS (SELECT doc_id, bucket, SUM(sign) AS v FROM dh GROUP BY doc_id, bucket),
+da AS (SELECT doc_id, map_from_entries(list(row(bucket, v))) AS m FROM ds GROUP BY doc_id),
+dr AS (
+  SELECT doc_id,
+         list_transform(range(0, {dim}), d -> CAST(COALESCE(m[d][1], 0) AS DOUBLE)) AS raw
+  FROM da
+),
+dn AS (
+  SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, v -> v * v))) AS nrm FROM dr
+),
+demb AS (
+  SELECT doc_id,
+         list_transform(raw, v -> CAST(floor(v / greatest(nrm, 1e-300) * 1e6 + 0.5000001) / 1e6 AS FLOAT)) AS embedding
+  FROM dn
+),
+dscored AS (
+  SELECT doc_id,
+         floor(list_sum(list_transform(range(1, {dim} + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * ({qlit})[i])) * 1e6 + 0.5000001) / 1e6 AS cosine
+  FROM demb
+),
+dranked AS (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM dscored
+)
+SELECT doc_id, cosine, CAST(rank AS INTEGER) AS rank FROM dranked WHERE rank <= {k}"""
+
+
+def sql_hybrid_rrf_topk(
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    k0: int = RRF_K0,
+    source: str = "documents",
+) -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank FROM ({sql_bm25_topk(query_terms, k, source=source)}) lt
+),
+dense AS (
+  SELECT doc_id, rank AS dense_rank FROM ({sql_dense_hash_topk(query_terms, k, source=source)}) dt
+),
+cand AS (
+  SELECT doc_id,
+         max(lex_rank) AS lex_rank,
+         max(dense_rank) AS dense_rank
+  FROM (
+    SELECT doc_id, lex_rank, CAST(NULL AS INTEGER) AS dense_rank FROM lex
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INTEGER) AS lex_rank, dense_rank FROM dense
+  ) u GROUP BY doc_id
+),
+fscored AS (
+  SELECT doc_id,
+         floor((COALESCE(1.0 / ({k0}.0 + lex_rank), 0.0)
+              + COALESCE(1.0 / ({k0}.0 + dense_rank), 0.0)) * 1e9 + 0.5000001) / 1e9 AS rrf_score,
+         lex_rank, dense_rank
+  FROM cand
+),
+franked AS (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fscored
+)
+SELECT doc_id, rrf_score, lex_rank, dense_rank, CAST(rank AS INTEGER) AS rank
+FROM franked WHERE rank <= {k}"""
 
 
 def sql_bm25_topk(

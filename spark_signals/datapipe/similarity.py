@@ -645,20 +645,24 @@ def ann_ivf_trained_topk(
     return ann_ivf_topk(relabeled)
 
 
-def _sql_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> list[str]:
+def _sql_kmeans_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, source: str = "embeddings"
+) -> list[str]:
     """The Lloyd loop UNROLLED into CTE chain c0..c{iters} — fixed iteration
     count makes k-means SQL-expressible. Returned as composable CTEs so the
     centroid check and the trained-IVF oracle share one definition; c{iters}
     holds the UNROUNDED centroids (rounding happens only at each
-    assignment's gridded distance and at the final parity SELECT)."""
+    assignment's gridded distance and at the final parity SELECT).
+    ``source`` names the training relation (the index-delta oracle trains
+    on a snapshot CTE, not the full table)."""
     ctes = [
         f"""dims AS (
   SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
-  FROM {_sql_dims_rel("embeddings")}
+  FROM {_sql_dims_rel(source)}
 )""",
         f"""seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cluster_id
-  FROM embeddings
+  FROM {source}
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) <= {k}
 )""",
         """c0 AS (
@@ -720,6 +724,70 @@ def sql_kmeans_assign_cte(iters: int = KMEANS_ITERS, name: str = "afin") -> str:
     )
   ) WHERE rn = 1
 )"""
+
+
+# ------------------------------------------------ incremental IVF delta
+# The embedding twin of dedup.dedup_incremental: a nightly vector batch
+# joins the serving index by ASSIGNMENT against the existing trained
+# centroids — never by retraining. Rebuilding cells over the first 100 TB
+# for every append would dwarf the append itself; assignment is O(batch·k)
+# with the k×D centroid relation broadcast. Periodic full retrains remain a
+# scheduled maintenance job (control.maintenance), exactly like compaction.
+ANN_DELTA_MOD = 5  # driver face: vec_id % 5 == 0 stands in for the batch
+
+
+def ann_index_delta(new_vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign a new vector batch to EXISTING trained cells: (vec_id,
+    cell_id) rows to APPEND to the IVF index — O(batch), index unread.
+    ``centroids`` is kmeans_train's (cluster_id, dim, c_val) relation."""
+    return kmeans_assign(_long_dims(new_vectors), centroids).select(
+        "vec_id", F.col("cluster_id").cast("int").alias("cell_id")
+    )
+
+
+def ann_index_delta_snapshot(embeddings: DataFrame) -> DataFrame:
+    """Driver-checkable face: train on the vec_id % MOD != 0 snapshot ("the
+    existing index"), assign the % MOD == 0 batch ("tonight's append") —
+    the same deterministic split convention as dedup_incremental_snapshot.
+    """
+    snap = embeddings.filter(F.col("vec_id") % ANN_DELTA_MOD != 0)
+    batch = embeddings.filter(F.col("vec_id") % ANN_DELTA_MOD == 0)
+    return ann_index_delta(batch, kmeans_train(snap))
+
+
+def sql_ann_index_delta(
+    mod: int = ANN_DELTA_MOD, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    ctes = [
+        f"snap AS (SELECT * FROM embeddings WHERE vec_id % {mod} <> 0)",
+        f"batch AS (SELECT * FROM embeddings WHERE vec_id % {mod} = 0)",
+    ]
+    ctes.extend(_sql_kmeans_ctes(k, iters, source="snap"))
+    ctes.append(
+        f"""bdims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM {_sql_dims_rel("batch")}
+)"""
+    )
+    ctes.append(
+        f"""bassign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2_r ASC, cluster_id ASC) AS rn
+    FROM (
+      SELECT d.vec_id, c.cluster_id,
+             floor(SUM((d.val - c.c_val) * (d.val - c.c_val)) * 1e6 + 0.5000001) / 1e6 AS d2_r
+      FROM bdims d JOIN c{iters} c USING (dim)
+      GROUP BY d.vec_id, c.cluster_id
+    )
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cluster_id AS INT) AS cell_id FROM bassign"
+    )
 
 
 def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:

@@ -718,6 +718,72 @@ SELECT doc_id, n_bigrams, sum_logprob_u,
 FROM per_doc"""
 
 
+# --------------------------------------- CCNet perplexity-tertile partition
+# CCNet (Wenzek et al. 2020) buckets each language's documents into
+# head/middle/tail THIRDS by LM perplexity rank — corpus-relative, unlike
+# lm2_band's absolute thresholds — and trains on the head/middle. The
+# bucket rule is exact integer arithmetic (3·rank vs n), so the partition
+# is engine-identical with no percentile interpolation semantics in play.
+
+
+def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
+    """Per-language perplexity-tertile partition over the bigram-LM score:
+    (doc_id, lang, avg_logprob, lm_rank, n_lang, ppl_bucket) for every doc
+    with at least one word transition (the bigram LM's scope). Rank 1 is
+    the most fluent; head = best third.
+
+    Shape at 100 TB: the LM scoring is bigram_lm_quality's key-blocked
+    joins; the partition adds ONE shuffle on lang + a per-lang sort
+    (row_number + count share the window partitioning — same shape as the
+    length_band cume_dist gate). Language skew is real at web scale (en is
+    ~half of CommonCrawl): CCNet itself shards per-language — run the
+    operator per language shard, or swap the exact rank for the
+    length_band_approx sketch-threshold pattern at the tertile boundaries.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_quality(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    w_lang = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.row_number().over(w_rank).alias("lm_rank"),
+        F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+    )
+    r, n = F.col("lm_rank"), F.col("n_lang")
+    bucket = (
+        F.when(r * 3 <= n, "head").when(r * 3 <= n * 2, "middle").otherwise("tail")
+    )
+    return ranked.withColumn("ppl_bucket", bucket)
+
+
+def SQL_CCNET_LM_BUCKETS(source: str = "documents") -> str:
+    return f"""
+WITH lm AS ({SQL_BIGRAM_LM(source)}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.avg_logprob
+  FROM lm JOIN {source} d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id ASC) AS lm_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM j
+)
+SELECT doc_id, lang, avg_logprob, CAST(lm_rank AS INTEGER) AS lm_rank,
+       CAST(n_lang AS BIGINT) AS n_lang,
+       CASE WHEN lm_rank * 3 <= n_lang THEN 'head'
+            WHEN lm_rank * 3 <= n_lang * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r"""
+
+
 # ------------------------------------------------- repetition (Gopher-style)
 # Thresholds sit at ≈ the top decile of the synthetic corpus (measured:
 # top-bigram fraction median 0.033 / p90 0.069; dup-word fraction median

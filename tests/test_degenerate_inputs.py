@@ -58,8 +58,12 @@ def _late_ops():
     from spark_signals.datapipe.pack import pack_sequences
 
     from spark_signals.datapipe.clean import clean_text
-    from spark_signals.datapipe.retrieval import bm25_topk
-    from spark_signals.datapipe.text import vocab_coverage
+    from spark_signals.datapipe.retrieval import (
+        bm25_topk,
+        dense_hash_topk,
+        hybrid_rrf_topk,
+    )
+    from spark_signals.datapipe.text import ccnet_lm_buckets, vocab_coverage
 
     return {
         "pack_sequences": pack_sequences,
@@ -70,6 +74,11 @@ def _late_ops():
         "clean_text": clean_text,
         "vocab_coverage": vocab_coverage,
         "bm25_topk": bm25_topk,
+        # r07 wave 2
+        "dense_hash_topk": dense_hash_topk,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
+        "dedup_intra_doc": D.dedup_intra_doc,
+        "ccnet_lm_buckets": ccnet_lm_buckets,
     }
 
 

@@ -301,3 +301,44 @@ def test_semdedup_pairwise_stays_cell_blocked(spark):
     assert count_op(p, "CartesianProduct") == 0
     assert count_op(p, "BroadcastNestedLoopJoin") == 0
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_intra_doc_dedup_zero_shuffle(spark):
+    """Intra-doc passage strip is a pure per-row rewrite: no exchange, no
+    join, no Python — scan-speed at any corpus size (the spread_small_input
+    fan-out repartition is the one allowed Exchange on tiny local inputs)."""
+    from spark_signals.datapipe.dedup import dedup_intra_doc
+
+    p = plan_str(dedup_intra_doc(read_table(spark, SF, "documents")))
+    assert "Join" not in p
+    assert count_op(p, "Exchange") <= 1  # only the small-input fan-out
+    assert count_op(p, "Sort") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_hybrid_rrf_fuses_without_outer_sort_merge(spark):
+    """RRF fusion: the two ≤k-row rank lists merge via union + groupBy —
+    a full-outer SortMergeJoin over rank lists (or worse, a cartesian)
+    means the fusion shape regressed."""
+    from spark_signals.datapipe.retrieval import hybrid_rrf_topk
+
+    p = plan_str(hybrid_rrf_topk(read_table(spark, SF, "documents")))
+    assert count_op(p, "CartesianProduct") == 0
+    assert "FullOuter" not in p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_ann_index_delta_broadcasts_centroids(spark):
+    """Incremental IVF delta: the batch joins the k×D centroid relation as
+    a broadcast — a SortMergeJoin against centroids would shuffle the batch
+    corpus by dim (k×D is tiny by construction)."""
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.similarity import ann_index_delta, kmeans_train
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = kmeans_train(emb.filter(F.col("vec_id") % 5 != 0))
+    p = plan_str(ann_index_delta(emb.filter(F.col("vec_id") % 5 == 0), cents))
+    assert count_op(p, "BroadcastHashJoin") >= 1
+    assert count_op(p, "CartesianProduct") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
