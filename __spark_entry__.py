@@ -57,9 +57,10 @@ DRIVER_CAP = 50
 # sf0.01) plus the five remaining r05 retirees due their ≤3-round re-check
 # (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
 # topk_events, position_transitions). A SECOND r07 wave (hybrid_rrf_topk,
-# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta — all hash-checked
-# locally at sf0.01) queues behind them for r09 slots. Slot sources, in
-# priority order:
+# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta) and a THIRD
+# (mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots)
+# — all hash-checked locally at sf0.01 — queue behind them for r09 slots.
+# Slot sources, in priority order:
 # (1) this round's five returners (ticks_source, nation_region_rollup,
 #     segment_revenue_3way_join, sliding_window_counts, length_band_filter)
 #     re-retire after one green round;

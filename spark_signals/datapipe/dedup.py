@@ -1039,6 +1039,75 @@ SELECT c.doc_id, c.cluster_id, s.cluster_size,
 FROM comp c JOIN sizes s USING (cluster_id)"""
 
 
+def dedup_canonical_quality(docs: DataFrame) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the HIGHEST-quality member (ties → min doc_id), not the min-id one —
+    the pipeline refinement every curation stack applies once it has a
+    quality score (near-dup clusters routinely mix a clean original with
+    truncated/boilerplate-wrapped copies; min-id keeps whichever crawled
+    first). Output: (doc_id, cluster_id, cluster_size, quality_u,
+    is_canonical_quality) — filter the flag to materialize the corpus.
+
+    ``quality_u`` is text_stats' quality_score on the exact 1e-6 int64
+    grid, so the argmax (and therefore the kept set) is engine- and
+    partitioning-exact.
+
+    Shape at 100 TB: the O(log n) CC passes dominate; this adds one scan
+    for the quality score (map-side, joins clusters on doc_id), one
+    cluster-keyed agg of a 2-field struct, and one broadcast-or-hash join
+    back — no windows, no sort.
+    """
+    from spark_signals.datapipe.text import text_stats
+
+    clusters = dedup_clusters(docs)
+    qu = (
+        F.floor(F.col("quality_score") * F.lit(1e6) + F.lit(0.5000001))
+        .cast("long")
+        .alias("quality_u")
+    )
+    quality = text_stats(docs).select("doc_id", qu)
+    j = clusters.join(quality, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("quality_u")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("b")
+    ).select("cluster_id", F.col("b.id").alias("best_id"))
+    return j.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality_u",
+        (F.col("doc_id") == F.col("best_id")).alias("is_canonical_quality"),
+    )
+
+
+def sql_dedup_canonical_quality() -> str:
+    from spark_signals.datapipe.text import SQL_TEXT_STATS
+
+    return f"""
+WITH cl AS ({SQL_DEDUP_CLUSTERS}),
+q AS (
+  SELECT doc_id,
+         CAST(floor(quality_score * 1e6 + 0.5000001) AS BIGINT) AS quality_u
+  FROM ({SQL_TEXT_STATS()}) ts
+),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.quality_u
+  FROM cl JOIN q USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS best_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_u DESC, doc_id ASC) AS rn
+    FROM j
+  ) WHERE rn = 1
+)
+SELECT j.doc_id, j.cluster_id, j.cluster_size, j.quality_u,
+       j.doc_id = best.best_id AS is_canonical_quality
+FROM j JOIN best USING (cluster_id)"""
+
+
 # ------------------------------------------------------- passage-level dedup
 # Non-overlapping word windows — the CCNet/RefinedWeb granularity for
 # scrubbing boilerplate passages that repeat across documents without the

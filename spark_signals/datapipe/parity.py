@@ -379,7 +379,37 @@ def _incoming_r07_wave2() -> dict:
     }
 
 
-INCOMING_DATAPIPE_QUERIES: dict = {**_incoming_r07(), **_incoming_r07_wave2()}
+# Third r07 wave: language-keyed mixture, quality-aware canonical
+# selection, corpus snapshot diff.
+def _incoming_r07_wave3() -> dict:
+    from spark_signals.datapipe.versioning import (
+        corpus_diff_snapshot,
+        sql_corpus_diff_snapshot,
+    )
+
+    return {
+        "mixture_manifest_by_lang": (
+            lambda spark, sf_dir: SMP.mixture_manifest(
+                _docs(spark, sf_dir), group_col="lang"
+            ),
+            SMP.sql_mixture_manifest(group_col="lang"),
+        ),
+        "dedup_canonical_quality": (
+            lambda spark, sf_dir: D.dedup_canonical_quality(_docs(spark, sf_dir)),
+            D.sql_dedup_canonical_quality(),
+        ),
+        "corpus_diff_snapshots": (
+            lambda spark, sf_dir: corpus_diff_snapshot(_docs(spark, sf_dir)),
+            sql_corpus_diff_snapshot(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES: dict = {
+    **_incoming_r07(),
+    **_incoming_r07_wave2(),
+    **_incoming_r07_wave3(),
+}
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,6 +198,7 @@ def mixture_manifest(
     weights: dict[str, float] | None = None,
     budget_tokens: int = MIXTURE_BUDGET_TOKENS,
     token_counter: str | None = None,
+    group_col: str = "source",
 ) -> DataFrame:
     """Data-mixing plan: per source, how many tokens the training mix wants
     and the repeat factor over what the source has (the 'epochs per source'
@@ -223,7 +224,7 @@ def mixture_manifest(
     from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, n_tokens_col
 
     counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
-    counts = docs.groupBy("source").agg(
+    counts = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens_col(F.col("text"), counter)).alias("n_tokens_available"),
     )
@@ -231,9 +232,9 @@ def mixture_manifest(
         total_w = float(sum(weights.values()))
         wdf = docs.sparkSession.createDataFrame(
             [(s, float(wt) / total_w) for s, wt in sorted(weights.items())],
-            "source string, weight_share double",
+            f"{group_col} string, weight_share double",
         )
-        joined = counts.join(F.broadcast(wdf), "source", "full_outer")
+        joined = counts.join(F.broadcast(wdf), group_col, "full_outer")
         # the error branches are load-bearing inside target_share itself, so
         # column pruning can never drop the validation
         share = (
@@ -242,9 +243,10 @@ def mixture_manifest(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "mixture_manifest: weight key matches no observed source: "
+                            "mixture_manifest: weight key matches no observed "
                         ),
-                        F.col("source"),
+                        F.lit(group_col + ": "),
+                        F.col(group_col),
                     )
                 ).cast("double"),
             )
@@ -252,8 +254,8 @@ def mixture_manifest(
                 F.col("weight_share").isNull(),
                 F.raise_error(
                     F.concat(
-                        F.lit("mixture_manifest: source missing from weights: "),
-                        F.col("source"),
+                        F.lit("mixture_manifest: group missing from weights: "),
+                        F.col(group_col),
                     )
                 ).cast("double"),
             )
@@ -270,7 +272,7 @@ def mixture_manifest(
         target / F.col("n_tokens_available") * F.lit(1e6) + F.lit(0.5000001)
     ) / F.lit(1e6)
     return shared.select(
-        "source",
+        group_col,
         "n_docs",
         "n_tokens_available",
         F.floor(target + F.lit(0.5000001)).cast("bigint").alias("target_tokens"),
@@ -282,6 +284,7 @@ def mixture_manifest(
 def sql_mixture_manifest(
     budget_tokens: int = MIXTURE_BUDGET_TOKENS,
     weights: dict[str, float] | None = None,
+    group_col: str = "source",
 ) -> str:
     """Oracle twin of :func:`mixture_manifest`: uniform shares by default,
     or the normalized explicit-``weights`` shares (validation is a Spark
@@ -290,7 +293,7 @@ def sql_mixture_manifest(
 
     if weights:
         total_w = float(sum(weights.values()))
-        case = "CASE source "
+        case = f"CASE {group_col} "
         for src, wt in sorted(weights.items()):
             case += f"WHEN '{src}' THEN CAST({float(wt) / total_w!r} AS DOUBLE) "
         share = case + "END"
@@ -300,12 +303,12 @@ def sql_mixture_manifest(
         shares_cte = "s AS (SELECT count(*) AS n_sources FROM counts)"
     return f"""
 WITH counts AS (
-  SELECT source, count(*) AS n_docs,
+  SELECT {group_col}, count(*) AS n_docs,
          CAST(SUM({sql_n_tokens("text")}) AS BIGINT) AS n_tokens_available
-  FROM documents GROUP BY source
+  FROM documents GROUP BY {group_col}
 ),
 {shares_cte}
-SELECT source, n_docs, n_tokens_available,
+SELECT {group_col}, n_docs, n_tokens_available,
        CAST(floor({share} * {budget_tokens} + 0.5000001) AS BIGINT) AS target_tokens,
        floor({share} * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor,
        CAST(ceil(floor({share} * {budget_tokens} / n_tokens_available * 1e6 + 0.5000001) / 1e6) AS BIGINT) AS epochs

@@ -79,7 +79,17 @@ def _late_ops():
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
+        # r07 wave 3
+        "dedup_canonical_quality": D.dedup_canonical_quality,
+        "corpus_diff_snapshot": _corpus_diff_snapshot,
+        "mixture_by_lang": lambda docs: SMP.mixture_manifest(docs, group_col="lang"),
     }
+
+
+def _corpus_diff_snapshot(docs):
+    from spark_signals.datapipe.versioning import corpus_diff_snapshot
+
+    return corpus_diff_snapshot(docs)
 
 
 OPS.update(_late_ops())

@@ -102,9 +102,12 @@ def main() -> int:
 
     from spark_signals.datapipe import dedup as D
     from spark_signals.datapipe.classifier import quality_logreg
+    from spark_signals.datapipe.clean import clean_text
     from spark_signals.datapipe.curate import curate
     from spark_signals.datapipe.embed import embed_chunks
     from spark_signals.datapipe.pack import pack_sequences
+    from spark_signals.datapipe.retrieval import bm25_topk, hybrid_rrf_topk
+    from spark_signals.datapipe.text import ccnet_lm_buckets, vocab_coverage
 
     OPS = {
         "dedup_minhash_lsh": lambda: D.dedup_minhash_lsh(docs),
@@ -114,6 +117,13 @@ def main() -> int:
         "quality_logreg": lambda: quality_logreg(docs),
         "semdedup": lambda: D.semdedup(emb),  # derived k (semdedup_k)
         "curate": lambda: curate(docs),
+        # r07 additions
+        "clean_text": lambda: clean_text(docs),
+        "vocab_coverage": lambda: vocab_coverage(docs),
+        "bm25_topk": lambda: bm25_topk(docs),
+        "hybrid_rrf_topk": lambda: hybrid_rrf_topk(docs),
+        "ccnet_lm_buckets": lambda: ccnet_lm_buckets(docs),
+        "dedup_intra_doc": lambda: D.dedup_intra_doc(docs),
     }
     names = args.ops or list(OPS)
     timings: dict[str, float] = {}
