@@ -40,7 +40,10 @@ def test_stateless_curation_ops_run_unchanged_on_streams(spark, tmp_path):
     batch.write.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
 
-    for op in (pii_scrub, text_stats):
+    from spark_signals.datapipe.clean import clean_text
+    from spark_signals.datapipe.dedup import dedup_intra_doc
+
+    for op in (pii_scrub, text_stats, clean_text, dedup_intra_doc):
         got = _rows(_drain(op(stream), spark))
         want = _rows(op(spark.read.parquet(src)))
         assert got == want, f"{op.__name__} diverges between batch and stream"
