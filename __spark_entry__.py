@@ -58,8 +58,9 @@ DRIVER_CAP = 50
 # (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
 # topk_events, position_transitions). A SECOND r07 wave (hybrid_rrf_topk,
 # dedup_intra_doc, ccnet_lm_buckets, ann_index_delta) and a THIRD
-# (mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots)
-# — all hash-checked locally at sf0.01 — queue behind them for r09 slots.
+# (mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots,
+# tokenize_with_vocab) — all hash-checked locally at sf0.01 — queue behind
+# them for r09 slots.
 # Slot sources, in priority order:
 # (1) this round's five returners (ticks_source, nation_region_rollup,
 #     segment_revenue_3way_join, sliding_window_counts, length_band_filter)

@@ -402,6 +402,10 @@ def _incoming_r07_wave3() -> dict:
             lambda spark, sf_dir: corpus_diff_snapshot(_docs(spark, sf_dir)),
             sql_corpus_diff_snapshot(),
         ),
+        "tokenize_with_vocab": (
+            lambda spark, sf_dir: T.tokenize_with_vocab(_docs(spark, sf_dir)),
+            T.SQL_TOKENIZE_WITH_VOCAB(),
+        ),
     }
 
 

@@ -448,6 +448,91 @@ FROM ranked CROSS JOIN total
 WHERE rank <= {v}"""
 
 
+# ------------------------------------------------------- vocab tokenization
+def tokenize_with_vocab(docs: DataFrame, v: int = VOCAB_TOP_V) -> DataFrame:
+    """Map every document to token IDS under the top-``v`` corpus
+    vocabulary (id = vocab rank, OOV → 0) — the bridge from
+    :func:`vocab_coverage` to the packing/export stage: what a fixed-vocab
+    tokenizer would emit, with the OOV rate the coverage curve predicted.
+    Output per doc with ≥1 word: (doc_id, n_tokens, n_oov, oov_frac,
+    ids_digest) — the id sequence is summarized as an md5 over the
+    comma-joined ids in position order (the array itself is
+    representation-fragile for cell-hash parity; same convention as
+    embed_chunks_parity), so any engine producing a different sequence,
+    order, or OOV decision changes the digest.
+
+    Shape at 100 TB: one explode (via the concat_ws round-trip — the
+    position-carrying twin of explode_strings), one BROADCAST join against
+    the V-row vocab, one doc_id-keyed agg whose sort is an in-group
+    sort_array over that doc's own tokens. The vocab build reuses
+    vocab_coverage's TakeOrdered heap.
+    """
+    from spark_signals.datapipe.util import GRAM_SEP, spread_small_input
+
+    vocab = vocab_coverage(docs, v).select(
+        "word", F.col("rank").alias("token_id")
+    )
+    base = (
+        spread_small_input(docs)
+        .select("doc_id", words_col(F.col("text")).alias("words"))
+        .filter(F.size("words") > 0)
+    )
+    flat = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.concat_ws(GRAM_SEP, "words"), GRAM_SEP)).alias(
+            "pos", "word"
+        ),
+    )
+    mapped = flat.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("id")
+    )
+    agg = mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("id") == 0, F.lit(1))).alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, id))),"
+                    " s -> cast(s.id as string))"
+                ),
+            )
+        ).alias("ids_digest"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+        "ids_digest",
+    )
+
+
+def SQL_TOKENIZE_WITH_VOCAB(v: int = VOCAB_TOP_V) -> str:
+    return f"""
+WITH vc AS ({SQL_VOCAB_COVERAGE(v)}),
+vocab AS (SELECT word, rank AS token_id FROM vc),
+w AS (
+  SELECT doc_id, list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i, words[i] AS word
+  FROM w, unnest(generate_series(1, CAST(len(words) AS INT))) AS t(i)
+  WHERE len(words) > 0
+),
+m AS (
+  SELECT tok.doc_id, tok.i, COALESCE(vocab.token_id, 0) AS id
+  FROM tok LEFT JOIN vocab USING (word)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE id = 0) AS n_oov,
+       CAST(COUNT(*) FILTER (WHERE id = 0) AS DOUBLE) / COUNT(*) AS oov_frac,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_digest
+FROM m GROUP BY doc_id"""
+
+
 # --------------------------------------------------- length-percentile gate
 LENGTH_BAND_LO = 0.05
 LENGTH_BAND_HI = 0.95

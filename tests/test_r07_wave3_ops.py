@@ -125,3 +125,40 @@ def test_corpus_diff_snapshot_summary_consistent(spark):
     assert summary["removed"] == n_union - n_v2
     assert summary["added"] == n_union - n_v1
     assert summary.get("changed", 0) > 0  # the %10 rewrite fires
+
+
+# ------------------------------------------------------ vocab tokenization
+def test_tokenize_with_vocab_ids_and_oov(spark):
+    import hashlib
+
+    from spark_signals.datapipe.text import tokenize_with_vocab
+
+    rows = [
+        (1, "a b c", "en", "s", 0),
+        (2, "c a", "en", "s", 0),
+        (3, "a a a b b", "en", "s", 0),
+        (4, "   ", "en", "s", 0),  # wordless → absent
+    ]
+    out = {r["doc_id"]: r for r in tokenize_with_vocab(_docs(spark, rows), v=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # corpus counts: a x5, b x3, c x2 → vocab a=1, b=2; c is OOV at v=2
+    assert out[1]["ids_digest"] == hashlib.md5(b"1,2,0").hexdigest()
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 1)
+    assert out[2]["ids_digest"] == hashlib.md5(b"0,1").hexdigest()  # order kept
+    assert out[3]["n_oov"] == 0 and out[3]["oov_frac"] == 0.0
+    assert abs(out[1]["oov_frac"] - 1 / 3) < 1e-15
+
+
+def test_tokenize_oov_rate_matches_coverage_complement(spark):
+    """Σ n_oov / Σ n_tokens must equal 1 − cum_frac(top-V) on the same
+    corpus — the tokenizer's realized OOV rate IS the coverage curve's
+    complement (the consistency vocab sizing decisions rely on)."""
+    from spark_signals.datapipe.text import tokenize_with_vocab, vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = 20
+    tok = tokenize_with_vocab(docs, v=v).collect()
+    cov = vocab_coverage(docs, v=v).collect()
+    realized_oov = sum(r["n_oov"] for r in tok) / sum(r["n_tokens"] for r in tok)
+    cum = max(r["cum_frac"] for r in cov)
+    assert abs(realized_oov - (1.0 - cum)) < 1e-5
