@@ -4,6 +4,8 @@ One runnable path through the datapipe surface — the pipeline a user of
 this engine actually assembles:
 
     raw JSONL (or parquet)                      io.docs.read_documents_jsonl
+      → page hygiene: markup clean +            datapipe.clean, datapipe.dedup
+        intra-page repeated-passage strip         .dedup_intra_doc
       → curate: dedup-first gate set            datapipe.curate.curate
         (exact dup, passage dup, repetition,
          LM band, decontamination, length
@@ -12,6 +14,7 @@ this engine actually assembles:
       → packing manifest (ctx windows)          datapipe.pack
       → size-bounded training shards            io.docs.write_training_shards
       + audit artifacts: per-source curation report + mixing manifest
+        + token-id/OOV report (top-V vocab)     datapipe.text.tokenize_with_vocab
 
 Usage::
 
@@ -41,12 +44,32 @@ def _load_corpus(spark, corpus_path: str):
 def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     from pyspark.sql import functions as F
 
+    from spark_signals.datapipe.clean import clean_text
     from spark_signals.datapipe.curate import curate, curate_stats
+    from spark_signals.datapipe.dedup import dedup_intra_doc
     from spark_signals.datapipe.pack import pack_sequences
     from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
+    from spark_signals.datapipe.text import tokenize_with_vocab
     from spark_signals.io.docs import write_training_shards
 
-    docs = _load_corpus(spark, corpus_path)
+    raw = _load_corpus(spark, corpus_path)
+
+    # 0. page hygiene (C4/CCNet order: clean BEFORE any dedup digesting):
+    #    markup/control/whitespace cleanup, then intra-page repeated-passage
+    #    strip. Pure text rewrites — hygiene never DROPS a document (that is
+    #    curation's job); wordless docs pass through with their cleaned text.
+    cleaned = raw.select("doc_id", "lang", "source").join(
+        clean_text(raw).select("doc_id", F.col("text_clean").alias("text")),
+        "doc_id",
+    )
+    docs = (
+        cleaned.join(
+            dedup_intra_doc(cleaned).select("doc_id", "text_dedup"), "doc_id", "left"
+        )
+        .withColumn("text", F.coalesce("text_dedup", "text"))
+        .drop("text_dedup")
+        .withColumn("n_chars", F.length("text"))
+    )
 
     # 1. curation verdicts (audited: drop_reasons says WHY)
     verdicts = curate(docs)
@@ -84,12 +107,21 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     mixture_manifest(sampled).write.mode("overwrite").parquet(
         os.path.join(out_dir, "mixture_manifest")
     )
+    # 5. token-id accounting under the sampled corpus's own top-V vocab —
+    #    the OOV/coverage numbers a tokenizer decision reads, in the same
+    #    whitespace token currency as the packing manifest
+    tokenize_with_vocab(sampled).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "tokens_report")
+    )
 
     return {
         "input_docs": docs.count(),
         "kept_docs": kept.count(),
         "sampled_docs": sampled.count(),
         "packed_docs": spark.read.parquet(os.path.join(out_dir, "pack_manifest")).count(),
+        "tokenized_docs": spark.read.parquet(
+            os.path.join(out_dir, "tokens_report")
+        ).count(),
     }
 
 
@@ -153,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{k}: {v}")
     print(
         f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
-        f"mixture_manifest/ stream/stream_curation/"
+        f"mixture_manifest/ tokens_report/ stream/stream_curation/"
     )
     return 0
 

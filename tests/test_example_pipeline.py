@@ -26,6 +26,14 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     assert sum(r["n_kept"] for r in rep.values()) == counts["kept_docs"]
     mix = spark.read.parquet(os.path.join(out, "mixture_manifest"))
     assert mix.count() == shards.select("source").distinct().count()
+    # token accounting: the tokenizer report and the packing manifest price
+    # the same sampled corpus in the same whitespace currency
+    tok = spark.read.parquet(os.path.join(out, "tokens_report"))
+    assert 0 < counts["tokenized_docs"] <= counts["sampled_docs"]
+    manifest = spark.read.parquet(os.path.join(out, "pack_manifest"))
+    tok_total = tok.agg({"n_tokens": "sum"}).first()[0]
+    pack_total = manifest.agg({"n_tokens": "sum"}).first()[0]
+    assert tok_total == pack_total
 
 
 def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
