@@ -41,28 +41,21 @@ def _load_corpus(spark, corpus_path: str):
     return read_documents_jsonl(spark, corpus_path)
 
 
-def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
+def _hygiene(raw):
+    """Page hygiene (C4/CCNet order: clean BEFORE any dedup digesting):
+    markup/control/whitespace cleanup, then intra-page repeated-passage
+    strip. Pure text rewrites — hygiene never DROPS a document (that is
+    curation's job); wordless docs pass through with their cleaned text."""
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.clean import clean_text
-    from spark_signals.datapipe.curate import curate, curate_stats
     from spark_signals.datapipe.dedup import dedup_intra_doc
-    from spark_signals.datapipe.pack import pack_sequences
-    from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
-    from spark_signals.datapipe.text import tokenize_with_vocab
-    from spark_signals.io.docs import write_training_shards
 
-    raw = _load_corpus(spark, corpus_path)
-
-    # 0. page hygiene (C4/CCNet order: clean BEFORE any dedup digesting):
-    #    markup/control/whitespace cleanup, then intra-page repeated-passage
-    #    strip. Pure text rewrites — hygiene never DROPS a document (that is
-    #    curation's job); wordless docs pass through with their cleaned text.
     cleaned = raw.select("doc_id", "lang", "source").join(
         clean_text(raw).select("doc_id", F.col("text_clean").alias("text")),
         "doc_id",
     )
-    docs = (
+    return (
         cleaned.join(
             dedup_intra_doc(cleaned).select("doc_id", "text_dedup"), "doc_id", "left"
         )
@@ -70,6 +63,18 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
         .drop("text_dedup")
         .withColumn("n_chars", F.length("text"))
     )
+
+
+def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.curate import curate, curate_stats
+    from spark_signals.datapipe.pack import pack_sequences
+    from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
+    from spark_signals.datapipe.text import tokenize_with_vocab
+    from spark_signals.io.docs import write_training_shards
+
+    docs = _hygiene(_load_corpus(spark, corpus_path))
 
     # 1. curation verdicts (audited: drop_reasons says WHY)
     verdicts = curate(docs)
@@ -158,7 +163,12 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
         )
         q.awaitTermination()
 
-    survivors = spark.read.parquet(dirs["survivors_dir"]).select(*docs.columns)
+    # same page-hygiene stage as the batch lane (stateless — it could also
+    # run inside the stream, but ingest dedup keys on the RAW text digest,
+    # so hygiene runs after ingest identity is settled)
+    survivors = _hygiene(
+        spark.read.parquet(dirs["survivors_dir"]).select(*docs.columns)
+    )
     verdicts = curate(survivors)
     verdicts.write.mode("overwrite").parquet(
         os.path.join(out_dir, "stream_curation")
