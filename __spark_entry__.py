@@ -51,40 +51,47 @@ DRIVER_CAP = 50
 #   plus eleven 3-to-6-round-green queries with documented checked siblings
 #   (entries below, tagged "r07 rotation").
 #
-# r08 rotation plan (queued): ten slots needed — the five r07 INCOMING
-# operators (split_train_val_test, text_clean_markup, vocab_coverage_topv,
-# bm25_topk_lexical, dedup_cluster_stats; all hash-checked locally at
-# sf0.01) plus the five remaining r05 retirees due their ≤3-round re-check
-# (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
-# topk_events, position_transitions). A SECOND r07 wave (hybrid_rrf_topk,
-# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta) and a THIRD
-# (mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots,
-# tokenize_with_vocab) — all hash-checked locally at sf0.01 — queue behind
-# them for r09 slots.
-# Slot sources, in priority order:
-# (1) this round's five returners (ticks_source, nation_region_rollup,
-#     segment_revenue_3way_join, sliding_window_counts, length_band_filter)
-#     re-retire after one green round;
-# (2) five of the ten r07-promoted operators can rotate out after their
-#     first green artifact IF a same-family sibling stays checked (e.g.
-#     pack_windows_composition covers pack_sequences_manifest's stage;
-#     mixture_manifest_uniform and curate_stats_by_source are S-row audit
-#     twins) — prefer retiring older multi-green veterans first if any
-#     remain eligible.
+# r08 rotation (executed this round, per the recorded r07 plan):
+# - IN: the five r07-wave-1 INCOMING operators (split_train_val_test,
+#   text_clean_markup, vocab_coverage_topv, bm25_topk_lexical,
+#   dedup_cluster_stats) — promoted via datapipe/parity.py — plus the five
+#   remaining r05 retirees due their ≤3-round re-check
+#   (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
+#   topk_events, position_transitions).
+# - OUT: the five r07 returners re-retire after their green re-check round
+#   (ticks_source, nation_region_rollup, segment_revenue_3way_join,
+#   sliding_window_counts, length_band_filter), and five r07-promoted
+#   operators with checked same-family siblings rotate out after their
+#   first green artifact (sample_temperature_source, pack_sequences_manifest,
+#   curate_stats_by_source, chunk_documents_overlap, lm_bigram_quality).
+#
+# r09 rotation plan (queued): the r07 waves 2-3 (hybrid_rrf_topk,
+# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta,
+# mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots,
+# tokenize_with_vocab — all hash-checked locally at sf0.01) plus any new
+# r08 INCOMING operators. Slot sources, in priority order:
+# (1) this round's five returners (doc_fingerprint_minhash1,
+#     position_returns, semi_join_has_lineitems, topk_events,
+#     position_transitions) re-retire after one green round;
+# (2) r07-promoted operators still checked (pack_windows_composition,
+#     semdedup_cells, quality_logreg_score, mixture_manifest_uniform,
+#     embed_chunks_hashed) become eligible after a 2nd green round where a
+#     same-family sibling stays checked;
+# (3) long-green veterans with documented checked siblings.
+# Due-by ledger (retiree -> latest re-check round): r06 retirees -> r09
+# (sma_crossover_signals, positions_forward_fill,
+# latest_price_per_instrument, breakout_band_signals,
+# value_percentiles_exact, embedding_cosine_neardup,
+# streaming_interval_join); r07 retirees -> r10; r08 retirees -> r11.
 RETIRED = {
     # r05 rotation: three 4-round-green queries yield their driver slots to
     # the three NEW data-pipeline operators (repetition_gopher_quality,
     # decontam_ngram_overlap, sample_quota_per_source) so new surface gets
     # independent driver evidence; each rotated-out query keeps a checked
     # same-family sibling and the local --extended sweep.
-    "doc_fingerprint_minhash1": "r05 rotation; minhash-signature family checked via dedup_minhash_lsh + dedup_ngram_jaccard (green r01-r04)",
-    "position_returns": "r05 rotation; chain projection checked via positions_costs/executions/strategy_metrics (green r01-r04)",
-    # r05 rotation, wave 2: three more 4-round-green queries yield slots to
-    # the new curation operators (lm_unigram_quality, dedup_passages,
-    # pii_scrub_redact); each keeps a checked same-family sibling.
-    "semi_join_has_lineitems": "r05 rotation; existence-join twin anti_join_parts_never_shipped stays checked, slot goes to new ann_ivfpq_topk (green r01-r04)",
-    "topk_events": "r05 rotation; top-k family checked via recent_ticks_per_instrument + runs_listing_join_topn (green r01-r04)",
-    "position_transitions": "r05 rotation; lag+filter family checked via signals_decisions + positions_costs (green r01-r04)",
+    # (r05-retired doc_fingerprint_minhash1, position_returns,
+    # semi_join_has_lineitems, topk_events, position_transitions rotated
+    # back IN for their ≤3-round re-check in the r08 rotation.)
     # r06 rotation: seven 3-to-5-round-green queries yield slots to the
     # three operators that were evidence-less in r05 (ann_ivf_trained_topk,
     # dedup_incremental, length_band_approx) and to the four rotating back
@@ -116,6 +123,21 @@ RETIRED = {
     "pricing_summary_q1": "r07 rotation; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed + returning nation_region_rollup (green r01-r06)",
     "runs_listing_join_topn": "r07 rotation; join+top-n family checked via recent_ticks_per_instrument + anti_join_parts_never_shipped (green r01-r06)",
     "session_window_per_user": "r07 rotation; T6 twin sliding_window_counts rotates back IN this round, keeping the family checked (green r01-r06)",
+    # r08 rotation: the five r07 returners re-retire after their green
+    # re-check round (per the recorded r07 plan), and five of the ten
+    # r07-promoted operators rotate out after their first green artifact —
+    # each with a checked same-family sibling — yielding the ten slots for
+    # the r07-wave-1 promotions and the five overdue r05 retirees.
+    "ticks_source": "r08 rotation; returner re-check green r07; the S1 tick scan feeds ~20 checked queries inline (green r01-r05, r07)",
+    "nation_region_rollup": "r08 rotation; returner re-check green r07; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed (green r01-r05, r07)",
+    "segment_revenue_3way_join": "r08 rotation; returner re-check green r07; multi-join family checked via segment_revenue_bucketed + anti_join_parts_never_shipped (green r01-r05, r07)",
+    "sliding_window_counts": "r08 rotation; returner re-check green r07; windowed-agg family checked via streaming_metrics_5m + streaming_hourly_rollup_chained; T6 session twin due its re-check by r10 (green r01-r05, r07)",
+    "length_band_filter": "r08 rotation; returner re-check green r07; exact twin of checked length_band_approx (green r01-r05, r07)",
+    "sample_temperature_source": "r08 rotation; promoted r07, green r07; broadcast-rate hash-predicate sampling family checked via sample_quota_per_source",
+    "pack_sequences_manifest": "r08 rotation; promoted r07, green r07; checked pack_windows_composition chains the same manifest stage as its input",
+    "curate_stats_by_source": "r08 rotation; promoted r07, green r07; S-row audit over checked curate_keep_decision's relation (its direct input)",
+    "chunk_documents_overlap": "r08 rotation; promoted r07, green r07; checked embed_chunks_hashed chains the chunking stage inline",
+    "lm_bigram_quality": "r08 rotation; promoted r07, green r07; LM-scoring family checked via lm_unigram_quality (shared token/agg stages)",
 }
 
 

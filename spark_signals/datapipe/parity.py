@@ -320,12 +320,12 @@ _R06_WAVE["quality_logreg_score"] = (_quality_logreg, _quality_logreg_sql())
 # queued in the recorded plan (__spark_entry__.py r07 rotation note).
 DATAPIPE_QUERIES.update(_R06_WAVE)
 
-# Operators implemented this round with local oracle evidence, QUEUED for a
-# driver slot at the next rotation (the 50-entry cap is full). Swept by
-# tools/oracle_check.py --extended alongside the retirees. The r07 wave:
-# dataset splitting, markup cleaning, vocab coverage, BM25 retrieval, and
-# the dedup audit histogram.
-def _incoming_r07() -> dict:
+# r08 rotation: the first r07 wave (dataset splitting, markup cleaning,
+# vocab coverage, BM25 retrieval, dedup audit histogram) takes driver slots
+# this round, exactly as queued in the recorded r07 plan
+# (__spark_entry__.py rotation note); slots came from ten documented
+# retirements tagged "r08 rotation".
+def _r07_wave1() -> dict:
     from spark_signals.datapipe.clean import clean_text, sql_clean_text
     from spark_signals.datapipe.retrieval import bm25_topk, sql_bm25_topk
 
@@ -351,6 +351,9 @@ def _incoming_r07() -> dict:
             D.sql_dedup_cluster_stats(),
         ),
     }
+
+
+DATAPIPE_QUERIES.update(_r07_wave1())
 
 
 # Second r07 wave: hybrid retrieval fusion, intra-doc passage strip, CCNet
@@ -410,7 +413,6 @@ def _incoming_r07_wave3() -> dict:
 
 
 INCOMING_DATAPIPE_QUERIES: dict = {
-    **_incoming_r07(),
     **_incoming_r07_wave2(),
     **_incoming_r07_wave3(),
 }

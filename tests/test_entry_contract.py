@@ -15,8 +15,8 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r07 checked set: the ten promoted r06-wave operators, the five
-# returning overdue retirees, and the 35 queries that kept their slots.
+# The r08 checked set: the five promoted r07-wave-1 operators, the five
+# returning overdue r05 retirees, and the 40 queries that kept their slots.
 EXPECTED_QUERIES = frozenset({
     # pipeline chain
     "normalized_prices", "signals_decisions", "positions_costs",
@@ -37,22 +37,20 @@ EXPECTED_QUERIES = frozenset({
     "lm_unigram_quality", "tfidf_top_terms", "length_band_approx",
     "sample_quota_per_source", "multimodal_features",
     "ann_bruteforce_topk", "ann_ivfpq_topk", "ann_ivf_trained_topk",
-    # r07 promotions (the r06 INCOMING wave)
-    "sample_temperature_source", "pack_sequences_manifest",
+    # r07 promotions still holding slots (five re-retired in r08)
     "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
-    "curate_stats_by_source", "mixture_manifest_uniform",
-    "chunk_documents_overlap", "embed_chunks_hashed", "lm_bigram_quality",
-    # r07 returners (overdue ≤3-round re-checks)
-    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
-    "sliding_window_counts", "length_band_filter",
+    "mixture_manifest_uniform", "embed_chunks_hashed",
+    # r08 promotions (the r07-wave-1 INCOMING operators)
+    "split_train_val_test", "text_clean_markup", "vocab_coverage_topv",
+    "bm25_topk_lexical", "dedup_cluster_stats",
+    # r08 returners (the five r05 retirees due their ≤3-round re-check)
+    "doc_fingerprint_minhash1", "position_returns",
+    "semi_join_has_lineitems", "topk_events", "position_transitions",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    # r05 rotation (these five rotate back r08 for their ≤3-round re-check)
-    "doc_fingerprint_minhash1", "position_returns",
-    "topk_events", "position_transitions", "semi_join_has_lineitems",
     # r06 rotation
     "sma_crossover_signals", "positions_forward_fill",
     "latest_price_per_instrument", "breakout_band_signals",
@@ -66,6 +64,12 @@ EXPECTED_RETIRED = frozenset({
     "dedup_exact_hash", "dedup_ngram_jaccard", "ann_ivf_topk",
     "ann_lsh_hyperplane_pairs", "text_stats_quality", "pricing_summary_q1",
     "runs_listing_join_topn", "session_window_per_user",
+    # r08 rotation: five r07 returners re-retired after their green
+    # re-check round, plus five r07-promoted ops with checked siblings
+    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
+    "sliding_window_counts", "length_band_filter",
+    "sample_temperature_source", "pack_sequences_manifest",
+    "curate_stats_by_source", "chunk_documents_overlap", "lm_bigram_quality",
 })
 
 
