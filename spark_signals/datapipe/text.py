@@ -811,44 +811,118 @@ FROM per_doc"""
 # is engine-identical with no percentile interpolation semantics in play.
 
 
-def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
+# tertile boundaries as the same Python doubles the oracle SQL interpolates
+CCNET_P_TAIL = 1.0 / 3.0
+CCNET_P_HEAD = 2.0 / 3.0
+
+
+def ccnet_lm_buckets(docs: DataFrame, exact_rank: bool = False) -> DataFrame:
     """Per-language perplexity-tertile partition over the bigram-LM score:
-    (doc_id, lang, avg_logprob, lm_rank, n_lang, ppl_bucket) for every doc
-    with at least one word transition (the bigram LM's scope). Rank 1 is
-    the most fluent; head = best third.
+    (doc_id, lang, avg_logprob, n_lang, ppl_bucket) for every doc with at
+    least one word transition (the bigram LM's scope); head = most fluent
+    third. ``exact_rank=True`` adds ``lm_rank`` (1 = most fluent) and
+    assigns buckets by the exact integer rank rule 3·rank vs n.
 
-    Shape at 100 TB: the LM scoring is bigram_lm_quality's key-blocked
-    joins; the partition adds ONE shuffle on lang + a per-lang sort
-    (row_number + count share the window partitioning — same shape as the
-    length_band cume_dist gate). Language skew is real at web scale (en is
-    ~half of CommonCrawl): CCNet itself shards per-language — run the
-    operator per language shard, or swap the exact rank for the
-    length_band_approx sketch-threshold pattern at the tertile boundaries.
+    Shape at 100 TB (default): the LM scoring is bigram_lm_quality's
+    key-blocked joins; the partition adds ONE map-side-combinable aggregate
+    on lang (a ``percentile_approx`` sketch yielding both tertile
+    boundaries + the lang count, k rows out) broadcast back onto the scored
+    relation — no per-language sort of any document, so English being ~half
+    of CommonCrawl costs nothing beyond its share of the scoring joins.
+    While a language holds fewer rows than CCNET_ACCURACY the sketch
+    retains all samples and the boundaries are the exact discrete
+    quantiles (the length_band_approx regime, which is what makes the
+    default oracle-checkable at test scale); past that they are
+    rank-within-εn approximate, by design.
+
+    ``exact_rank=True`` is the small-corpus / per-language-shard path: its
+    ``Window.partitionBy(lang)`` sort single-partitions each language, the
+    very shape CCNet avoids by sharding per language (Wenzek et al. 2020
+    run one process per language; pair this flag with a per-lang shard
+    runner, never a whole web corpus).
     """
-    from pyspark.sql import Window
-
     scored = bigram_lm_quality(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     )
-    w_rank = Window.partitionBy("lang").orderBy(
-        F.desc("avg_logprob"), F.asc("doc_id")
+    if exact_rank:
+        from pyspark.sql import Window
+
+        w_rank = Window.partitionBy("lang").orderBy(
+            F.desc("avg_logprob"), F.asc("doc_id")
+        )
+        w_lang = Window.partitionBy("lang")
+        ranked = scored.select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.row_number().over(w_rank).alias("lm_rank"),
+            F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+        )
+        r, n = F.col("lm_rank"), F.col("n_lang")
+        bucket = (
+            F.when(r * 3 <= n, "head")
+            .when(r * 3 <= n * 2, "middle")
+            .otherwise("tail")
+        )
+        return ranked.withColumn("ppl_bucket", bucket)
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "avg_logprob",
+            F.array(F.lit(CCNET_P_TAIL), F.lit(CCNET_P_HEAD)),
+            F.lit(CCNET_ACCURACY),
+        ).alias("ts"),
+        F.count(F.lit(1)).alias("n_lang"),
     )
-    w_lang = Window.partitionBy("lang")
-    ranked = scored.select(
-        "doc_id",
-        "lang",
-        "avg_logprob",
-        F.row_number().over(w_rank).alias("lm_rank"),
-        F.count(F.lit(1)).over(w_lang).alias("n_lang"),
-    )
-    r, n = F.col("lm_rank"), F.col("n_lang")
+    t_tail = F.element_at("ts", 1)
+    t_head = F.element_at("ts", 2)
     bucket = (
-        F.when(r * 3 <= n, "head").when(r * 3 <= n * 2, "middle").otherwise("tail")
+        F.when(F.col("avg_logprob") > t_head, "head")
+        .when(F.col("avg_logprob") > t_tail, "middle")
+        .otherwise("tail")
     )
-    return ranked.withColumn("ppl_bucket", bucket)
+    return scored.join(F.broadcast(thresholds), "lang").select(
+        "doc_id", "lang", "avg_logprob", "n_lang", bucket.alias("ppl_bucket")
+    )
+
+
+# GK accuracy for the tertile-boundary sketches; exact below this many rows
+# per language (same contract as LENGTH_BAND_ACCURACY)
+CCNET_ACCURACY = 10_000
 
 
 def SQL_CCNET_LM_BUCKETS(source: str = "documents") -> str:
+    """DuckDB mirror of the default (sketch-threshold) path in the exact
+    regime: boundaries spelled as the GK exact-case rank formula "smallest
+    value with row_number >= ceil(p*n)" per language (the
+    SQL_LENGTH_BAND_APPROX pattern), buckets value-based."""
+    return f"""
+WITH lm AS ({SQL_BIGRAM_LM(source)}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.avg_logprob
+  FROM lm JOIN {source} d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang ORDER BY avg_logprob ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+thresholds AS (
+  SELECT lang,
+         min(CASE WHEN rn >= ceil(CAST({CCNET_P_TAIL!r} AS DOUBLE) * n) THEN avg_logprob END) AS t_tail,
+         min(CASE WHEN rn >= ceil(CAST({CCNET_P_HEAD!r} AS DOUBLE) * n) THEN avg_logprob END) AS t_head,
+         CAST(max(n) AS BIGINT) AS n_lang
+  FROM r GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.avg_logprob, t.n_lang,
+       CASE WHEN j.avg_logprob > t.t_head THEN 'head'
+            WHEN j.avg_logprob > t.t_tail THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM j JOIN thresholds t USING (lang)"""
+
+
+def SQL_CCNET_LM_BUCKETS_EXACT(source: str = "documents") -> str:
+    """Oracle for the opt-in ``exact_rank=True`` path (integer rank rule)."""
     return f"""
 WITH lm AS ({SQL_BIGRAM_LM(source)}),
 j AS (

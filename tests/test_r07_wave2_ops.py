@@ -121,23 +121,49 @@ def test_intra_doc_drops_wordless_docs(spark):
 def test_ccnet_buckets_split_language_into_exact_thirds(spark):
     from spark_signals.datapipe.text import ccnet_lm_buckets
 
-    # 6 'en' docs (each with >= 2 words) and 3 'de' docs
-    rows = [(i, f"word{i} common word{i} common tail{i}", "en", "s", 0) for i in range(6)]
-    rows += [(10 + i, f"wort{i} und wort{i}", "de", "s", 0) for i in range(3)]
-    out = ccnet_lm_buckets(_docs(spark, rows)).collect()
-    en = [r for r in out if r["lang"] == "en"]
-    de = [r for r in out if r["lang"] == "de"]
-    assert len(en) == 6 and len(de) == 3
+    # 6 'en' docs and 3 'de' docs with DISTINCT per-doc scores: each doc
+    # mixes i+1 copies of a corpus-common bigram with fixed hapax filler,
+    # so the fluent-transition fraction (and hence avg_logprob) varies per
+    # doc; both paths must produce the same exact thirds
+    rows = [
+        (i, "the cat " * (i + 1) + f"u{i} v{i} w{i}", "en", "s", 0)
+        for i in range(6)
+    ]
+    rows += [
+        (10 + i, "wort und " * (i + 1) + f"x{i} y{i}", "de", "s", 0)
+        for i in range(3)
+    ]
     from collections import Counter
 
-    assert Counter(r["ppl_bucket"] for r in en) == {"head": 2, "middle": 2, "tail": 2}
-    assert Counter(r["ppl_bucket"] for r in de) == {"head": 1, "middle": 1, "tail": 1}
-    # ranks are contiguous within language and ordered by avg_logprob desc
-    for grp in (en, de):
-        grp = sorted(grp, key=lambda r: r["lm_rank"])
-        assert [r["lm_rank"] for r in grp] == list(range(1, len(grp) + 1))
+    for exact in (False, True):
+        out = ccnet_lm_buckets(_docs(spark, rows), exact_rank=exact).collect()
+        en = [r for r in out if r["lang"] == "en"]
+        de = [r for r in out if r["lang"] == "de"]
+        assert len(en) == 6 and len(de) == 3
+        assert Counter(r["ppl_bucket"] for r in en) == {"head": 2, "middle": 2, "tail": 2}
+        assert Counter(r["ppl_bucket"] for r in de) == {"head": 1, "middle": 1, "tail": 1}
+        assert all(r["n_lang"] == len(grp) for grp in (en, de) for r in grp)
+    # exact path additionally ranks contiguously by avg_logprob desc
+    out = ccnet_lm_buckets(_docs(spark, rows), exact_rank=True).collect()
+    for lang, n in (("en", 6), ("de", 3)):
+        grp = sorted((r for r in out if r["lang"] == lang), key=lambda r: r["lm_rank"])
+        assert [r["lm_rank"] for r in grp] == list(range(1, n + 1))
         scores = [r["avg_logprob"] for r in grp]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ccnet_default_plan_has_no_per_language_window(spark):
+    """The default path must never sort a whole language in one task (the
+    r7 verdict's scale finding): no Window exchange keyed on lang — the
+    tertile boundaries come from a map-side-combinable sketch aggregate."""
+    from spark_signals.datapipe.text import ccnet_lm_buckets
+
+    rows = [(i, f"w{i} common w{i}", "en", "s", 0) for i in range(4)]
+    plan = ccnet_lm_buckets(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    assert "percentile_approx" in plan
+    exact = ccnet_lm_buckets(_docs(spark, rows), exact_rank=True)
+    assert "row_number" in exact._jdf.queryExecution().executedPlan().toString()
 
 
 def test_ccnet_fluent_doc_outranks_word_salad(spark):
@@ -151,8 +177,13 @@ def test_ccnet_fluent_doc_outranks_word_salad(spark):
         (3, "the cat " * 4 + "zz", "en", "s", 0),
     ]
     out = {r["doc_id"]: r for r in ccnet_lm_buckets(_docs(spark, rows)).collect()}
-    assert out[1]["lm_rank"] < out[2]["lm_rank"]
     assert out[1]["ppl_bucket"] == "head" and out[2]["ppl_bucket"] == "tail"
+    exact = {
+        r["doc_id"]: r
+        for r in ccnet_lm_buckets(_docs(spark, rows), exact_rank=True).collect()
+    }
+    assert exact[1]["lm_rank"] < exact[2]["lm_rank"]
+    assert exact[1]["ppl_bucket"] == "head" and exact[2]["ppl_bucket"] == "tail"
 
 
 def test_ccnet_excludes_docs_without_transitions(spark):
