@@ -55,12 +55,23 @@ def _hygiene(raw):
         clean_text(raw).select("doc_id", F.col("text_clean").alias("text")),
         "doc_id",
     )
+    # substitute the rebuilt text ONLY for pages the strip actually
+    # modified (r7 advisory): untouched documents round-trip
+    # byte-identically — hygiene is a pure cleanup, and even modified
+    # pages keep their casing (dedup_intra_doc rebuilds from
+    # case-preserving tokens)
+    stripped = dedup_intra_doc(cleaned).select(
+        "doc_id", "text_dedup", "was_modified"
+    )
     return (
-        cleaned.join(
-            dedup_intra_doc(cleaned).select("doc_id", "text_dedup"), "doc_id", "left"
+        cleaned.join(stripped, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.coalesce(
+                F.when(F.col("was_modified"), F.col("text_dedup")), F.col("text")
+            ),
         )
-        .withColumn("text", F.coalesce("text_dedup", "text"))
-        .drop("text_dedup")
+        .drop("text_dedup", "was_modified")
         .withColumn("n_chars", F.length("text"))
     )
 

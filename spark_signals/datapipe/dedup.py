@@ -1214,6 +1214,14 @@ def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
 
     Returns (doc_id, text_dedup, n_passages, n_kept, was_modified).
 
+    Passages are COMPARED under the corpus token rule (ASCII-lower) but
+    the surviving text is REBUILT from the original case-preserving
+    whitespace tokens, so hygiene never destroys casing (r7 advisory:
+    C4/CCNet cleaning preserves case; only inter-word whitespace collapses
+    to single spaces). Callers substituting text should still coalesce on
+    ``was_modified`` (see examples/curate_corpus._hygiene) so untouched
+    docs round-trip byte-identically.
+
     Shape at 100 TB: zero shuffles — one per-row higher-order-function pass
     (transform → filter-with-index → concat_ws), scan-speed anywhere. The
     keep test is O(p²) in the document's OWN passage count (p = words/k;
@@ -1222,17 +1230,23 @@ def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     quadratic for two doc_id-keyed shuffles — not worth it below ~10⁴
     passages per doc.
     """
+    raw_words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     base = (
         spread_small_input(docs)
-        .withColumn("words", words_col(F.col("text")))
+        .withColumn("words", raw_words)
         .filter(F.size("words") > 0)
     )
     chunks = F.expr(
         f"transform(sequence(0, (size(words)-1) div {k}),"
         f" i -> concat_ws(' ', slice(words, i*{k}+1, {k})))"
     )
-    with_chunks = base.select("doc_id", chunks.alias("chunks"))
-    kept = F.expr("filter(chunks, (p, i) -> NOT array_contains(slice(chunks, 1, i), p))")
+    with_chunks = base.select("doc_id", chunks.alias("chunks")).withColumn(
+        "cmp", F.transform(F.col("chunks"), ascii_lower)
+    )
+    kept = F.expr(
+        "filter(chunks, (p, i) -> NOT array_contains(slice(cmp, 1, i),"
+        " element_at(cmp, i + 1)))"
+    )
     return with_chunks.select(
         "doc_id",
         F.concat_ws(" ", kept).alias("text_dedup"),
@@ -1245,7 +1259,7 @@ def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
 def sql_dedup_intra_doc(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
   FROM {source}
 ),
 c AS (
@@ -1254,10 +1268,15 @@ c AS (
            i -> array_to_string(words[(i*{k}+1):((i+1)*{k})], ' ')) AS chunks
   FROM d WHERE len(words) > 0
 ),
+cc AS (
+  SELECT doc_id, chunks,
+         list_transform(chunks, p -> translate(p, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS cmp
+  FROM c
+),
 kc AS (
   SELECT doc_id, chunks,
-         list_filter(chunks, (p, i) -> NOT list_contains(chunks[1:i-1], p)) AS kept
-  FROM c
+         list_filter(chunks, (p, i) -> NOT list_contains(cmp[1:i-1], cmp[i])) AS kept
+  FROM cc
 )
 SELECT doc_id,
        array_to_string(kept, ' ') AS text_dedup,

@@ -109,6 +109,47 @@ def test_intra_doc_partial_tail_passage_is_its_own_unit(spark):
     assert (out["n_passages"], out["n_kept"]) == (3, 2)
 
 
+def test_intra_doc_compares_case_insensitively_but_rebuilds_case(spark):
+    from spark_signals.datapipe.dedup import dedup_intra_doc
+
+    # "The Cat" repeats as "the cat" → second occurrence stripped under the
+    # ASCII-lower compare rule, but the SURVIVING text keeps its casing
+    rows = [
+        (1, "The Cat the cat Next Block", "en", "s", 0),
+        (2, "No Repeats Here At All OK", "en", "s", 0),
+    ]
+    out = {r["doc_id"]: r for r in dedup_intra_doc(_docs(spark, rows), k=2).collect()}
+    assert out[1]["text_dedup"] == "The Cat Next Block"
+    assert out[1]["was_modified"]
+    # unmodified docs keep casing too (spacing collapses to single spaces —
+    # callers gate substitution on was_modified for byte-identity)
+    assert out[2]["text_dedup"] == "No Repeats Here At All OK"
+    assert not out[2]["was_modified"]
+
+
+def test_hygiene_preserves_unmodified_docs_byte_identically(spark):
+    """r7 advisory: hygiene is a pure cleanup — a doc with no repeated
+    passages must leave _hygiene with exactly its cleaned text (casing and
+    spacing intact), not a words_col rebuild."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from curate_corpus import _hygiene
+
+    from spark_signals.datapipe.clean import clean_text
+
+    rows = [
+        (1, "Mixed   CASE text,  spaced out — no repeats.", "en", "s", 0),
+        (2, "dup block dup block tail words here", "en", "s", 0),
+    ]
+    docs = _docs(spark, rows)
+    out = {r["doc_id"]: r["text"] for r in _hygiene(docs).collect()}
+    cleaned = {r["doc_id"]: r["text_clean"] for r in clean_text(docs).collect()}
+    assert out[1] == cleaned[1]  # byte-identical through hygiene
+    assert "Mixed" in out[1] and "CASE" in out[1]
+
+
 def test_intra_doc_drops_wordless_docs(spark):
     from spark_signals.datapipe.dedup import dedup_intra_doc
 
