@@ -412,9 +412,26 @@ def _incoming_r07_wave3() -> dict:
     }
 
 
+def _incoming_r08() -> dict:
+    from spark_signals.datapipe.retrieval import (
+        hybrid_rrf_ivf_topk,
+        sql_hybrid_rrf_ivf_topk,
+    )
+
+    return {
+        # the production-shape hybrid: dense arm served by the trained IVF
+        # cell probe instead of the exact full-corpus scan (r7 verdict #3)
+        "hybrid_rrf_ivf_topk": (
+            lambda spark, sf_dir: hybrid_rrf_ivf_topk(_docs(spark, sf_dir)),
+            sql_hybrid_rrf_ivf_topk(),
+        ),
+    }
+
+
 INCOMING_DATAPIPE_QUERIES: dict = {
     **_incoming_r07_wave2(),
     **_incoming_r07_wave3(),
+    **_incoming_r08(),
 }
 
 

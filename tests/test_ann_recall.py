@@ -49,3 +49,21 @@ def test_ann_recall_floor(exact_topk, name, op, floor):
         f"{name} recall@{SIM.TOP_K} = {recall:.3f} fell below the {floor} "
         f"floor — a refactor traded recall away (see tools/ann_recall.py)"
     )
+
+
+def test_dense_ivf_query_recall_floor(spark):
+    """The IVF-probed dense retrieval arm (retrieval.dense_ivf_topk) vs its
+    exact-scan twin on the document corpus: the literal-query cell probe
+    must keep most of the exact top-k (measured 0.80 at sf0.001 / 0.92 at
+    sf0.01 when pinned, r08)."""
+    from spark_signals.datapipe.retrieval import dense_hash_topk, dense_ivf_topk
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, SF, "documents")
+    exact = {r["doc_id"] for r in dense_hash_topk(docs).collect()}
+    ivf = {r["doc_id"] for r in dense_ivf_topk(docs).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.70, (
+        f"dense_ivf_topk recall = {recall:.3f} fell below the 0.70 floor — "
+        "the cell probe traded too much recall away"
+    )

@@ -61,6 +61,8 @@ def _late_ops():
     from spark_signals.datapipe.retrieval import (
         bm25_topk,
         dense_hash_topk,
+        dense_ivf_topk,
+        hybrid_rrf_ivf_topk,
         hybrid_rrf_topk,
     )
     from spark_signals.datapipe.text import ccnet_lm_buckets, vocab_coverage
@@ -77,6 +79,9 @@ def _late_ops():
         # r07 wave 2
         "dense_hash_topk": dense_hash_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
+        # r08: IVF-probed dense arm + its hybrid
+        "dense_ivf_topk": dense_ivf_topk,
+        "hybrid_rrf_ivf_topk": hybrid_rrf_ivf_topk,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
         # r07 wave 3

@@ -316,6 +316,23 @@ def test_intra_doc_dedup_zero_shuffle(spark):
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
+def test_bm25_never_shuffles_unmatched_documents(spark):
+    """BM25 scoring: document length rides the matched (doc_id, term)
+    pairs, so the ONLY joins are against the broadcast q-row df relation
+    and the broadcast 1-row stats — a SortMergeJoin anywhere means a
+    full-corpus relation (the old lens join) crossed a shuffle again, a
+    planner-dependent regression at web scale (r7 verdict #2)."""
+    from spark_signals.datapipe.retrieval import bm25_topk
+
+    p = plan_str(bm25_topk(read_table(spark, SF, "documents")))
+    assert count_op(p, "SortMergeJoin") == 0
+    assert count_op(p, "ShuffledHashJoin") == 0
+    assert count_op(p, "CartesianProduct") == 0
+    # exactly two corpus scans: the 1-row stats agg + the matched explode
+    assert count_op(p, "Scan parquet") <= 2
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
 def test_hybrid_rrf_fuses_without_outer_sort_merge(spark):
     """RRF fusion: the two ≤k-row rank lists merge via union + groupBy —
     a full-outer SortMergeJoin over rank lists (or worse, a cartesian)
@@ -326,6 +343,19 @@ def test_hybrid_rrf_fuses_without_outer_sort_merge(spark):
     assert count_op(p, "CartesianProduct") == 0
     assert "FullOuter" not in p
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_dense_ivf_probe_broadcasts_and_stays_jvm_side(spark):
+    """The IVF-probed dense retrieval arm: probed-cell membership reaches
+    the corpus as a broadcast semi-structure (no SortMergeJoin against the
+    nprobe-row probe list), no cartesian, no Python stage — per-query work
+    is the probed cells only (r7 verdict #3)."""
+    from spark_signals.datapipe.retrieval import dense_ivf_topk
+
+    p = plan_str(dense_ivf_topk(read_table(spark, SF, "documents")))
+    assert count_op(p, "CartesianProduct") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert count_op(p, "BroadcastHashJoin") >= 2  # probe list + cell semi
 
 
 def test_ann_index_delta_broadcasts_centroids(spark):

@@ -144,6 +144,24 @@ def test_bm25_relevance_ordering(spark):
     assert ranks == [1, 2, 3, 4]
 
 
+def test_retrieval_normalizes_query_case_on_both_arms(spark):
+    """r7 advisory: corpus tokens are ASCII-lowered, so an uppercase query
+    term must match its lowercase corpus form identically on the lexical
+    AND dense paths (not silently match nothing)."""
+    from spark_signals.datapipe.retrieval import bm25_topk, dense_hash_topk
+
+    rows = [
+        (1, "hash join spark", "en", "s", 0),
+        (2, "hash join filler filler", "en", "s", 0),
+        (3, "nothing relevant at all", "en", "s", 0),
+    ]
+    docs = _docs(spark, rows)
+    for fn in (bm25_topk, dense_hash_topk):
+        lower = {r["doc_id"]: r for r in fn(docs, ("hash", "join", "spark")).collect()}
+        upper = {r["doc_id"]: r for r in fn(docs, ("Hash", "JOIN", "Spark")).collect()}
+        assert lower and upper == lower
+
+
 # ------------------------------------------------------------ cluster stats
 def test_dedup_cluster_stats_reconciles(spark):
     from spark_signals.datapipe.dedup import dedup_cluster_stats, dedup_clusters
