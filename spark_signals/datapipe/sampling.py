@@ -285,11 +285,17 @@ def sql_mixture_manifest(
     budget_tokens: int = MIXTURE_BUDGET_TOKENS,
     weights: dict[str, float] | None = None,
     group_col: str = "source",
+    token_counter: str | None = None,
 ) -> str:
     """Oracle twin of :func:`mixture_manifest`: uniform shares by default,
     or the normalized explicit-``weights`` shares (validation is a Spark
-    plan behavior; the oracle mirrors the happy path)."""
-    from spark_signals.datapipe.text import sql_n_tokens
+    plan behavior; the oracle mirrors the happy path). ``token_counter``
+    mirrors the Spark side's pluggable pricing currency (r7 advisory: a
+    non-default counter used to silently fall back to whitespace here,
+    breaking oracle parity)."""
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, sql_n_tokens
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
 
     if weights:
         total_w = float(sum(weights.values()))
@@ -304,7 +310,7 @@ def sql_mixture_manifest(
     return f"""
 WITH counts AS (
   SELECT {group_col}, count(*) AS n_docs,
-         CAST(SUM({sql_n_tokens("text")}) AS BIGINT) AS n_tokens_available
+         CAST(SUM({sql_n_tokens("text", counter)}) AS BIGINT) AS n_tokens_available
   FROM documents GROUP BY {group_col}
 ),
 {shares_cte}

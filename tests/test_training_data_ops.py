@@ -353,6 +353,44 @@ def test_mixture_manifest_explicit_weights_matches_oracle(spark):
     assert got == want
 
 
+def test_mixture_manifest_nondefault_counter_matches_oracle(spark):
+    """r7 advisory: sql_mixture_manifest used to ignore the counter and
+    always price in whitespace tokens — a 'bpe'-priced Spark manifest
+    silently lost oracle parity. Both sides now thread token_counter."""
+    import duckdb
+
+    from spark_signals.datapipe.sampling import mixture_manifest, sql_mixture_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        tuple(r) for r in mixture_manifest(docs, token_counter="bpe").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(sql_mixture_manifest(token_counter="bpe")).fetchall()
+    )
+    assert got == want
+    # the synthetic corpus is unpunctuated (bpe == whitespace there), so
+    # prove the counter branch is live on a punctuated doc: both engines
+    # must price it identically AND differently from whitespace
+    pdocs = spark.createDataFrame(
+        [(1, "Hello, world! v2.0 rocks.", "en", "web", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = mixture_manifest(pdocs, token_counter="bpe").collect()[0]
+    con.execute("CREATE VIEW pdocs AS SELECT 1 AS doc_id, 'Hello, world! v2.0 rocks.' AS text, 'en' AS lang, 'web' AS source, 25 AS n_chars")
+    want_p = con.execute(
+        sql_mixture_manifest(token_counter="bpe").replace("FROM documents", "FROM pdocs")
+    ).fetchall()[0]
+    assert tuple(row) == want_p
+    ws_row = mixture_manifest(pdocs).collect()[0]
+    assert row["n_tokens_available"] != ws_row["n_tokens_available"]
+
+
 def test_token_currency_reconciles_mixing_with_packing(spark):
     """The r06 debt: packing counted words while mixing counted chars, so
     the two manifests disagreed about corpus size. Both now price in
