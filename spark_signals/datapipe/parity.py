@@ -413,6 +413,12 @@ def _incoming_r07_wave3() -> dict:
 
 
 def _incoming_r08() -> dict:
+    from spark_signals.datapipe.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        sql_bpe_token_counts,
+        sql_bpe_train,
+    )
     from spark_signals.datapipe.retrieval import (
         hybrid_rrf_ivf_topk,
         sql_hybrid_rrf_ivf_topk,
@@ -424,6 +430,16 @@ def _incoming_r08() -> dict:
         "hybrid_rrf_ivf_topk": (
             lambda spark, sf_dir: hybrid_rrf_ivf_topk(_docs(spark, sf_dir)),
             sql_hybrid_rrf_ivf_topk(),
+        ),
+        # distributed BPE: the merge table is the trained artifact (r7
+        # verdict #3 capstone); token counts are the subword currency
+        "bpe_train_merges": (
+            lambda spark, sf_dir: bpe_train(_docs(spark, sf_dir)),
+            sql_bpe_train(),
+        ),
+        "bpe_token_counts": (
+            lambda spark, sf_dir: bpe_token_counts(_docs(spark, sf_dir)),
+            sql_bpe_token_counts(),
         ),
     }
 

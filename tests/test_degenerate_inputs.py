@@ -79,9 +79,11 @@ def _late_ops():
         # r07 wave 2
         "dense_hash_topk": dense_hash_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
-        # r08: IVF-probed dense arm + its hybrid
+        # r08: IVF-probed dense arm + its hybrid, BPE trainer/tokenizer
         "dense_ivf_topk": dense_ivf_topk,
         "hybrid_rrf_ivf_topk": hybrid_rrf_ivf_topk,
+        "bpe_train": _bpe_train_small,
+        "bpe_token_counts": _bpe_counts_small,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
         # r07 wave 3
@@ -90,6 +92,18 @@ def _late_ops():
         "mixture_by_lang": lambda docs: SMP.mixture_manifest(docs, group_col="lang"),
         "tokenize_with_vocab": T.tokenize_with_vocab,
     }
+
+
+def _bpe_train_small(docs):
+    from spark_signals.datapipe.bpe import bpe_train
+
+    return bpe_train(docs, n_merges=2)  # 2 iterations keep the gate fast
+
+
+def _bpe_counts_small(docs):
+    from spark_signals.datapipe.bpe import bpe_token_counts
+
+    return bpe_token_counts(docs, n_merges=2)
 
 
 def _corpus_diff_snapshot(docs):
