@@ -1372,3 +1372,193 @@ fresh AS (
 SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
 FROM batch b JOIN fresh f
   ON b.content_hash = f.content_hash AND b.doc_id = f.keep_id"""
+
+
+# -------------------------------------------- incremental NEAR-dup dedup
+# The signature-level twin of dedup_incremental (r7 verdict #4): the
+# persisted artifact is the MinHash BAND index — (band, k1, k2, doc_id),
+# appendable exactly like the digest index — so a nightly batch finds its
+# near-dup candidates against the first 100 TB by EQUI-JOINING band keys,
+# never by re-shingling history. Only the candidate historical documents
+# (an O(duplicate-density) set, not O(corpus)) are re-read for the exact
+# Jaccard verification, preserving LSH's candidate-only contract across
+# the incremental boundary.
+
+
+def band_index(docs: DataFrame) -> DataFrame:
+    """(band, k1, k2, doc_id): the persistable MinHash band index of a
+    corpus snapshot — NUM_BANDS rows per document. At warehouse scale
+    store it bucketed on (k1, k2) (io.sinks.write_bucketed) so the batch
+    probe shuffles only the batch side."""
+    return minhash_bands(docs).select("band", "k1", "k2", "doc_id")
+
+
+def dedup_incremental_neardup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    snapshot_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup an incoming batch against a persisted band index without
+    re-processing history. Returns ``(survivors, index_delta)``:
+
+    * ``survivors`` — batch rows that verified against NO historical
+      candidate and NO smaller-id batch document (greedy first-wins, the
+      same deterministic rule either engine derives from the pair list).
+    * ``index_delta`` — the survivors' band rows to APPEND to the index.
+
+    ``snapshot_docs`` is the historical corpus relation; it is touched
+    ONLY via a semi-join on the candidate doc_ids the band probe surfaced
+    — at 100 TB that read is O(candidates) rowgroups of a doc_id-sorted
+    store, not a corpus scan. Shape: batch shingles+signatures persist
+    once (the dedup_minhash_lsh contract); the history probe is one band
+    equi-join against the index; verification joins shingle sets for
+    candidate pairs only. Idempotent like the exact path: replaying an
+    admitted batch against the updated index yields zero survivors."""
+    sh_b = _km_row_sigs(
+        _with_shingles(new_docs).select("doc_id", "shingles"),
+        "shingles",
+        NUM_HASHES,
+        "shingles",
+    ).persist()
+    try:
+        bands_b = _band_keys(sh_b)
+        hist_cand = (
+            bands_b.join(
+                index.select(
+                    "band", "k1", "k2", F.col("doc_id").alias("doc_old")
+                ),
+                ["band", "k1", "k2"],
+            )
+            .select(F.col("doc_id").alias("doc_new"), "doc_old")
+            .distinct()
+        )
+        # shingle ONLY the candidate historical docs (semi-join pushdown)
+        old_sh = _with_shingles(
+            snapshot_docs.join(
+                hist_cand.select(F.col("doc_old").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+        ).select("doc_id", "shingles")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union
+        hist_dups = (
+            hist_cand.join(
+                sh_b.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a")),
+                "doc_new",
+            )
+            .join(
+                old_sh.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b")),
+                "doc_old",
+            )
+            .filter(jac >= F.lit(threshold))
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        # within-batch: greedy first-wins — any doc that verifies against a
+        # smaller-id batch doc drops (doc_b of every verified pair)
+        batch_dups = (
+            _minhash_pairs(sh_b)
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        drops = hist_dups.unionByName(batch_dups).distinct()
+        survivors = new_docs.join(drops, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        delta = (
+            bands_b.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
+            .select("band", "k1", "k2", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        return survivors, delta
+    finally:
+        sh_b.unpersist()
+
+
+def dedup_incr_neardup_snapshot(docs: DataFrame) -> DataFrame:
+    """Driver-checkable face: the same 80/20 snapshot/batch split as the
+    exact incremental path, near-dup flavor — the checked result is the
+    batch's near-dup survivors."""
+    snapshot = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    idx = band_index(snapshot)
+    survivors, _delta = dedup_incremental_neardup(batch, idx, snapshot)
+    return survivors
+
+
+def _sql_minhash_ctes(rel: str, prefix: str) -> str:
+    """Shingle → signature → band CTEs over relation ``rel`` (mirrors
+    _km_row_sigs/_band_keys; same md5 hex lanes and KM family as
+    SQL_DEDUP_MINHASH, scoped with a name ``prefix`` so the snapshot and
+    batch chains compose in one statement)."""
+    p = prefix
+    return f"""{p}d AS (
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  FROM {rel}
+),
+{p}sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES(3)}) AS shingles FROM {p}d
+),
+{p}g AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM {p}sh)
+),
+{p}sig AS (
+  SELECT doc_id,
+    {", ".join(f"min((h1 + {i + 1} * h2) % {MINHASH_P}) AS m{i}" for i in range(NUM_HASHES))}
+  FROM {p}g GROUP BY doc_id
+),
+{p}bands AS (
+  SELECT doc_id, b AS band,
+         [{", ".join(f"m{2 * b}" for b in range(NUM_BANDS))}][b + 1] AS k1,
+         [{", ".join(f"m{2 * b + 1}" for b in range(NUM_BANDS))}][b + 1] AS k2
+  FROM {p}sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
+)"""
+
+
+SQL_DEDUP_INCR_NEARDUP = f"""
+WITH snapd AS (SELECT * FROM documents WHERE doc_id % {INCR_SPLIT_MOD} <> 0),
+batchd AS (SELECT * FROM documents WHERE doc_id % {INCR_SPLIT_MOD} = 0),
+{_sql_minhash_ctes("snapd", "s_")},
+{_sql_minhash_ctes("batchd", "b_")},
+hist_cand AS (
+  SELECT DISTINCT b.doc_id AS doc_new, s.doc_id AS doc_old
+  FROM b_bands b JOIN s_bands s
+    ON b.band = s.band AND b.k1 = s.k1 AND b.k2 = s.k2
+),
+hist_dups AS (
+  SELECT DISTINCT doc_new AS doc_id
+  FROM hist_cand c
+  JOIN b_sh a ON a.doc_id = c.doc_new
+  JOIN s_sh o ON o.doc_id = c.doc_old
+  WHERE CAST(len(list_intersect(a.shingles, o.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(o.shingles) - len(list_intersect(a.shingles, o.shingles)))
+      >= {JACCARD_THRESHOLD}
+),
+batch_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM b_bands a JOIN b_bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+  WHERE a.doc_id < b.doc_id
+),
+batch_dups AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM batch_cand c
+  JOIN b_sh sa ON sa.doc_id = c.doc_a
+  JOIN b_sh sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+      >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM batchd d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hist_dups)
+  AND d.doc_id NOT IN (SELECT doc_id FROM batch_dups)"""

@@ -441,6 +441,15 @@ def _incoming_r08() -> dict:
             lambda spark, sf_dir: bpe_token_counts(_docs(spark, sf_dir)),
             sql_bpe_token_counts(),
         ),
+        # signature-level incremental dedup: batch near-dups found against
+        # the persisted band index, history touched candidates-only (r7
+        # verdict #4)
+        "dedup_incr_neardup": (
+            lambda spark, sf_dir: D.dedup_incr_neardup_snapshot(
+                _docs(spark, sf_dir)
+            ),
+            D.SQL_DEDUP_INCR_NEARDUP,
+        ),
     }
 
 

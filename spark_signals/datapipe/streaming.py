@@ -176,6 +176,7 @@ def ingest_dedup_stream(
     index_dir: str,
     survivors_dir: str,
     checkpoint_dir: str,
+    band_index_dir: str | None = None,
 ):
     """Continuous-ingestion exact dedup: each micro-batch runs
     :func:`~spark_signals.datapipe.dedup.dedup_incremental` against the
@@ -202,7 +203,11 @@ def ingest_dedup_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_ingest_batch(
-            batch_df, batch_id, index_dir=index_dir, survivors_dir=survivors_dir
+            batch_df,
+            batch_id,
+            index_dir=index_dir,
+            survivors_dir=survivors_dir,
+            band_index_dir=band_index_dir,
         )
 
     return (
@@ -213,12 +218,55 @@ def ingest_dedup_stream(
     )
 
 
+def _earlier_batch_partitions(spark, dir_path: str, batch_id: int) -> list[str]:
+    """Paths of COMMITTED ``batch_id=<n>`` partitions earlier than (or other
+    than) this batch, via the Hadoop FileSystem API.
+
+    CLASSIC-DRIVER ONLY: this reaches through ``spark._jvm`` /
+    ``spark._jsc`` (unavailable under Spark Connect) because the ingest
+    lane needs a scheme-agnostic, error-propagating listing — reading the
+    whole directory and catching errors is exactly the silent-dup bug the
+    r06 advisory closed. If Connect support is ever needed, swap this one
+    helper for a listing the Connect client can do (e.g. a metadata-only
+    read of the partition column); every caller goes through here."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    earlier: list[str] = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("batch_id=") and name != f"batch_id={batch_id}":
+                earlier.append(st.getPath().toString())
+    return earlier
+
+
 def process_ingest_batch(
-    batch_df: DataFrame, batch_id: int, *, index_dir: str, survivors_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_dir: str,
+    survivors_dir: str,
+    band_index_dir: str | None = None,
 ) -> None:
     """One idempotent ingest step (module-level so replay semantics are
     directly testable): dedup the batch against every EARLIER batch's index
-    partitions, then overwrite this batch's own partitions."""
+    partitions, then overwrite this batch's own partitions.
+
+    With ``band_index_dir`` set, the exact pass is followed by the
+    signature-level pass (``dedup.dedup_incremental_neardup``): survivors
+    of the digest check probe the persisted MinHash band index, verify
+    only against the candidate historical survivors (read back from
+    earlier ``survivors_dir`` partitions, candidates-only via semi-join),
+    and the admitted documents' band rows land in this batch's
+    ``band_index_dir`` partition — near-dup memory stays O(batch) per
+    ingest exactly like the digest index.
+
+    Earlier-partition enumeration goes through
+    :func:`_earlier_batch_partitions` (classic-driver Hadoop FS listing):
+    only a genuinely absent index yields the empty frame; a read error on
+    a committed partition FAILS the micro-batch so foreachBatch retries
+    (r06 advisory), and a replayed batch never trips over its own
+    partially-written partition (excluded by path)."""
     import os
 
     from pyspark.sql import types as T
@@ -232,24 +280,7 @@ def process_ingest_batch(
             T.StructField("canonical_doc_id", T.LongType(), True),
         ]
     )
-    # A replayed batch must dedup against the PRE-batch index, so enumerate
-    # the EARLIER batches' partitions through the JVM FileSystem
-    # (scheme-agnostic) instead of reading the whole directory and catching
-    # errors: the old bare `except` treated ANY read failure — transient FS
-    # fault, corrupt footer, permissions — as "first batch: no index yet",
-    # silently admitting duplicates forever (advisor r06, medium). Now only
-    # a genuinely absent/empty index yields the empty frame; a read error on
-    # a committed partition FAILS the micro-batch so foreachBatch retries.
-    # Listing also skips this batch's own partition by path, so a replay
-    # never trips over its own partially-written files.
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    earlier = []
-    if fs.exists(jpath):
-        for st in fs.listStatus(jpath):
-            name = st.getPath().getName()
-            if name.startswith("batch_id=") and name != f"batch_id={batch_id}":
-                earlier.append(st.getPath().toString())
+    earlier = _earlier_batch_partitions(spark, index_dir, batch_id)
     if earlier:
         index = (
             spark.read.option("basePath", index_dir)
@@ -259,7 +290,46 @@ def process_ingest_batch(
     else:  # first batch (or batch-0 replay): no earlier index partitions
         index = spark.createDataFrame([], index_schema)
     survivors, delta = dedup_incremental(batch_df, index)
-    # pin BOTH results before any write: the delta's plan reads index_dir,
+    band_delta = None
+    if band_index_dir is not None:
+        from spark_signals.datapipe.dedup import dedup_incremental_neardup
+
+        band_schema = T.StructType(
+            [
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("k1", T.LongType(), True),
+                T.StructField("k2", T.LongType(), True),
+                T.StructField("doc_id", T.LongType(), True),
+            ]
+        )
+        earlier_bands = _earlier_batch_partitions(spark, band_index_dir, batch_id)
+        earlier_docs = _earlier_batch_partitions(spark, survivors_dir, batch_id)
+        if earlier_bands:
+            band_idx = (
+                spark.read.option("basePath", band_index_dir)
+                .parquet(*earlier_bands)
+                .select("band", "k1", "k2", "doc_id")
+            )
+            history = (
+                spark.read.option("basePath", survivors_dir)
+                .parquet(*earlier_docs)
+                .drop("batch_id")
+            )
+        else:
+            band_idx = spark.createDataFrame([], band_schema)
+            history = spark.createDataFrame([], batch_df.schema)
+        survivors, band_delta = dedup_incremental_neardup(
+            survivors, band_idx, history
+        )
+        # the digest delta must only admit digests of documents that
+        # actually survived BOTH passes — a near-dup's digest entering the
+        # index would canonicalize to a dropped doc_id
+        delta = delta.join(
+            survivors.select(F.col("doc_id").alias("canonical_doc_id")),
+            "canonical_doc_id",
+            "left_semi",
+        )
+    # pin results before any write: the delta's plan reads index_dir,
     # which the delta write itself replaces — materialize first so the read
     # and the write never overlap
     survivors = survivors.localCheckpoint(eager=True)
@@ -270,3 +340,7 @@ def process_ingest_batch(
     delta.write.mode("overwrite").parquet(
         os.path.join(index_dir, f"batch_id={batch_id}")
     )
+    if band_delta is not None:
+        band_delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(band_index_dir, f"batch_id={batch_id}")
+        )

@@ -346,6 +346,44 @@ def test_dedup_incremental_batches(spark, tmp_path):
     assert survivors2.count() == 0 and delta2.count() == 0
 
 
+def test_dedup_incremental_neardup_batches(spark, tmp_path):
+    """Signature-level incremental dedup (r7 verdict #4): a batch NEAR-dup
+    (shared shingles, not byte-equal — invisible to the digest index) is
+    caught against the persisted band index; verification touches only
+    candidate history; appending the delta keeps it current; replay is a
+    no-op."""
+    from spark_signals.datapipe.dedup import band_index, dedup_incremental_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = _docs(spark, [base, "completely unrelated first corpus text here"])
+    idx_dir = str(tmp_path / "band_index")
+    band_index(b1).write.parquet(idx_dir)
+
+    b2 = spark.createDataFrame(
+        [
+            # near-dup of history: one word changed, shingle overlap high
+            (10, base.replace("lazy", "sleepy"), "en", "src", 60),
+            (11, "genuinely new material nothing shared at all zero", "en", "src", 49),
+            # near-dup of doc 11 within the batch (first-wins: 12 drops)
+            (12, "genuinely new material nothing shared at all one", "en", "src", 48),
+        ],
+        DOC_SCHEMA,
+    )
+    idx = spark.read.parquet(idx_dir)
+    survivors, delta = dedup_incremental_neardup(b2, idx, b1)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11]
+    # the delta carries only the survivor's band rows
+    assert {r["doc_id"] for r in delta.collect()} == {11}
+
+    delta.write.mode("append").parquet(idx_dir)
+    # replay needs history to include batch-1 docs AND the admitted doc 11
+    history = b1.unionByName(b2.filter("doc_id = 11"))
+    survivors2, delta2 = dedup_incremental_neardup(
+        b2, spark.read.parquet(idx_dir), history
+    )
+    assert survivors2.count() == 0 and delta2.count() == 0
+
+
 # ---------------------------------------------------- approx percentiles
 def test_percentile_approx_tracks_exact_within_rank_error(spark):
     """The documented 100 TB quantile path must actually exist and track

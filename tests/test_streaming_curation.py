@@ -176,6 +176,57 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     ) == idx_snap
 
 
+def test_ingest_batch_neardup_flag_replay_is_idempotent(spark, tmp_path):
+    """The band_index_dir flag turns on the signature-level pass: a batch-2
+    NEAR-dup of a batch-1 survivor (not byte-equal — the digest index
+    cannot see it) is dropped, the admitted docs' band rows land in the
+    batch's band partition, and replaying the batch leaves survivors +
+    both indexes byte-identical."""
+    from spark_signals.datapipe.streaming import process_ingest_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = spark.createDataFrame(
+        [
+            (1, base, "en", "src", 60),
+            (2, "completely unrelated first corpus text here", "en", "src", 43),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("lazy", "sleepy"), "en", "src", 62),  # near-dup of 1
+            (11, "genuinely new material nothing shared at all zero", "en", "src", 49),
+            (12, base, "en", "src", 60),  # EXACT dup of 1 (digest pass catches)
+        ],
+        schema,
+    )
+    dirs = dict(
+        index_dir=str(tmp_path / "idx"),
+        survivors_dir=str(tmp_path / "sur"),
+        band_index_dir=str(tmp_path / "bands"),
+    )
+    process_ingest_batch(b1, 0, **dirs)
+    process_ingest_batch(b2, 1, **dirs)
+    survivors = spark.read.parquet(dirs["survivors_dir"])
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 2, 11]
+    # band index covers exactly the admitted docs, digest index too
+    assert {r["doc_id"] for r in spark.read.parquet(dirs["band_index_dir"]).collect()} == {1, 2, 11}
+    idx = spark.read.parquet(dirs["index_dir"])
+    assert {r["canonical_doc_id"] for r in idx.collect()} == {1, 2, 11}
+
+    snap = sorted((r["doc_id"], r["batch_id"]) for r in survivors.collect())
+    band_snap = sorted(tuple(r) for r in spark.read.parquet(dirs["band_index_dir"]).collect())
+    process_ingest_batch(b2, 1, **dirs)  # replay
+    assert sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(dirs["survivors_dir"]).collect()
+    ) == snap
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dirs["band_index_dir"]).collect()
+    ) == band_snap
+
+
 def test_ingest_batch_fails_loud_on_corrupt_index(spark, tmp_path):
     """A read error on a COMMITTED index partition must fail the micro-batch
     (so foreachBatch retries), not be swallowed as 'first batch: no index
