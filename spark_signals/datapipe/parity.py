@@ -420,7 +420,9 @@ def _incoming_r08() -> dict:
         sql_bpe_train,
     )
     from spark_signals.datapipe.retrieval import (
+        bm25_topk_queries,
         hybrid_rrf_ivf_topk,
+        sql_bm25_topk_queries,
         sql_hybrid_rrf_ivf_topk,
     )
 
@@ -449,6 +451,12 @@ def _incoming_r08() -> dict:
                 _docs(spark, sf_dir)
             ),
             D.SQL_DEDUP_INCR_NEARDUP,
+        ),
+        # many-query lexical scoring in one corpus pass (decontamination /
+        # exemplar sourcing shape), salted window-free per-query top-k
+        "bm25_topk_queries": (
+            lambda spark, sf_dir: bm25_topk_queries(_docs(spark, sf_dir)),
+            sql_bm25_topk_queries(),
         ),
     }
 

@@ -155,6 +155,189 @@ def _rank_listagg(topped: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+BM25_MULTI_DEFAULT: dict[str, tuple[str, ...]] = {
+    # two probe queries over the synthetic corpus; callers pass their own
+    "q_hash": ("hash", "join", "spark"),
+    "q_scan": ("scan", "filter", "sort"),
+}
+TOPK_SALTS = 8  # partial-top-k fanout per query (skew control)
+
+
+def bm25_topk_queries(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]] | DataFrame = None,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_salts: int = TOPK_SALTS,
+) -> DataFrame:
+    """BM25 for MANY queries in ONE corpus pass — the decontamination /
+    exemplar-sourcing shape, where thousands of eval questions each need
+    their lexical top-k: (query_id, doc_id, score, n_matched_terms, rank).
+
+    ``queries`` is a (query_id, term) relation (or a {query_id: terms}
+    dict, normalized with the corpus token rule). The corpus is exploded
+    ONCE; the matched (doc_id, term, dl) tf relation is persisted and
+    reused for document frequencies and all per-query scores — per-query
+    cost after the shared pass is one broadcast join on term.
+
+    Per-query top-k is a salted two-stage heap, window-free and skew-safe:
+    partial top-k per (query_id, salt-of-doc_id) via one sort_array
+    aggregate bounded at k rows out per group, then a final ≤(salts·k)-row
+    merge per query — a common query term never funnels its whole
+    candidate set through one task the way Window.partitionBy(query_id)
+    would (the ccnet_lm_buckets lesson, applied before it ships)."""
+    from spark_signals.datapipe.util import explode_strings
+
+    if queries is None:
+        queries = BM25_MULTI_DEFAULT
+    if isinstance(queries, dict):
+        rows = sorted(
+            {(qid, t) for qid, terms in queries.items() for t in _norm_terms(terms)}
+        )
+        qrel = docs.sparkSession.createDataFrame(
+            rows, "query_id string, term string"
+        )
+    else:
+        qrel = queries.select(
+            "query_id", F.translate("term", ASCII_UP, ASCII_LO).alias("term")
+        ).distinct()
+    base = docs.select(
+        "doc_id", words_col(F.col("text")).alias("words")
+    ).withColumn("dl", F.size("words"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    terms_only = qrel.select(F.col("term").alias("word")).distinct()
+    matched = explode_strings(base, F.col("words"), "word", "doc_id", "dl").join(
+        F.broadcast(terms_only), "word", "left_semi"
+    )
+    tf = (
+        matched.groupBy("doc_id", "word", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    try:
+        dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        per_term = (
+            tf.join(F.broadcast(dfreq), "word")
+            .join(F.broadcast(qrel.withColumnRenamed("term", "word")), "word")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    idf
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+                    )
+                ).alias("w_score"),
+            )
+        )
+        scored = per_term.groupBy("query_id", "doc_id").agg(
+            _grid6(F.sum("w_score")).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        entry = F.struct(
+            (-F.col("score")).alias("neg_s"),
+            F.col("doc_id").alias("tb"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("score").alias("score"),
+            F.col("n_matched_terms").alias("n_matched_terms"),
+        )
+        partial = (
+            scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+            .groupBy("query_id", "salt")
+            .agg(
+                F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top")
+            )
+        )
+        merged = (
+            partial.select("query_id", F.explode("top").alias("s"))
+            .groupBy("query_id")
+            .agg(F.slice(F.sort_array(F.collect_list("s")), 1, k).alias("top"))
+        )
+        out = merged.select(
+            "query_id", F.posexplode("top").alias("pos", "s")
+        ).select(
+            "query_id",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.score").alias("score"),
+            F.col("s.n_matched_terms").alias("n_matched_terms"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+
+
+def sql_bm25_topk_queries(
+    queries: dict[str, tuple[str, ...]] | None = None,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of :func:`bm25_topk_queries` (dict form)."""
+    from spark_signals.datapipe.text import ASCII_LO as _LO
+    from spark_signals.datapipe.text import ASCII_UP as _UP
+
+    if queries is None:
+        queries = BM25_MULTI_DEFAULT
+    rows = sorted(
+        {(qid, t) for qid, terms in queries.items() for t in _norm_terms(terms)}
+    )
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in rows)
+    return f"""
+WITH qrel AS (SELECT * FROM (VALUES {vals}) q(query_id, term)),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(translate(text, '{_UP}', '{_LO}'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+lens AS (SELECT doc_id, len(words) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM lens),
+dwords AS (SELECT doc_id, unnest(words) AS word FROM base),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM dwords
+  WHERE word IN (SELECT DISTINCT term FROM qrel) GROUP BY 1, 2
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+per_term AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+           / (tf.tf + CAST({k1!r} AS DOUBLE)
+              * (CAST({1.0 - b!r} AS DOUBLE)
+                 + CAST({b!r} AS DOUBLE) * lens.dl
+                   / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))) AS w_score
+  FROM tf
+  JOIN qrel q ON q.term = tf.word
+  JOIN dfreq USING (word) JOIN lens USING (doc_id) CROSS JOIN stats
+),
+mscored AS (
+  SELECT query_id, doc_id,
+         floor(SUM(w_score) * 1e6 + 0.5000001) / 1e6 AS score,
+         COUNT(*) AS n_matched_terms
+  FROM per_term GROUP BY 1, 2
+),
+mranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM mscored
+)
+SELECT query_id, doc_id, score, n_matched_terms, CAST(rank AS INTEGER) AS rank
+FROM mranked WHERE rank <= {k}"""
+
+
 # ------------------------------------------------- hybrid dense+lexical RRF
 RRF_K0 = 60  # the canonical reciprocal-rank-fusion constant (Cormack 2009)
 RRF_TOP_K = 25

@@ -144,6 +144,54 @@ def test_bm25_relevance_ordering(spark):
     assert ranks == [1, 2, 3, 4]
 
 
+def test_bm25_multi_query_agrees_with_single_query(spark):
+    """bm25_topk_queries on a one-query table must reproduce bm25_topk
+    exactly, and the salted two-stage top-k must be salt-invariant."""
+    from spark_signals.datapipe.retrieval import bm25_topk, bm25_topk_queries
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = sorted(tuple(r) for r in bm25_topk(docs).collect())
+    multi = bm25_topk_queries(docs, {"only": ("hash", "join", "spark")})
+    got = sorted(
+        tuple(r)
+        for r in multi.drop("query_id").select(
+            "doc_id", "score", "n_matched_terms", "rank"
+        ).collect()
+    )
+    assert got == single and single
+    for salts in (1, 3):
+        again = bm25_topk_queries(
+            docs, {"only": ("hash", "join", "spark")}, n_salts=salts
+        )
+        assert sorted(
+            tuple(r)
+            for r in again.drop("query_id").select(
+                "doc_id", "score", "n_matched_terms", "rank"
+            ).collect()
+        ) == single
+
+
+def test_bm25_multi_query_dataframe_input_normalizes_case(spark):
+    from spark_signals.datapipe.retrieval import bm25_topk_queries
+
+    rows = [
+        (1, "hash join spark", "en", "s", 0),
+        (2, "hash join filler filler", "en", "s", 0),
+        (3, "nothing relevant at all", "en", "s", 0),
+    ]
+    docs = _docs(spark, rows)
+    qrel = docs.sparkSession.createDataFrame(
+        [("qa", "Hash"), ("qa", "JOIN"), ("qb", "filler")],
+        "query_id string, term string",
+    )
+    out = bm25_topk_queries(docs, qrel).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q["qa"] == {1, 2}  # uppercase terms matched their lc forms
+    assert by_q["qb"] == {2}
+
+
 def test_retrieval_normalizes_query_case_on_both_arms(spark):
     """r7 advisory: corpus tokens are ASCII-lowered, so an uppercase query
     term must match its lowercase corpus form identically on the lexical
