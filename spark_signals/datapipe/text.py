@@ -1147,3 +1147,38 @@ SELECT doc_id, n_words, sum_logprob_u,
             WHEN sum_logprob_u >= {LM_BAND_LOW_U} * n_words THEN 'mid'
             ELSE 'low' END AS lm_band
 FROM per_doc"""
+
+
+# ---------------------------------------------- per-language sharded runner
+def per_language(
+    docs: DataFrame,
+    op,
+    langs: list[str],
+    lang_col: str = "lang",
+    include_other: bool = True,
+):
+    """Run a language-keyed operator one language at a time and union the
+    results — how CCNet actually executes: language skew (English ≈ half a
+    web corpus) becomes embarrassing parallelism across independent jobs
+    instead of one skewed key inside a shared shuffle, and each language's
+    run can be scheduled/retried/sized on its own.
+
+    ``langs`` is the explicit language list (a pipeline config, not a
+    discovery pass — no driver-side collect); rows outside it run as one
+    catch-all shard when ``include_other`` (so the union is exhaustive:
+    every input row lands in exactly one shard — pinned by test).
+
+    Semantics: for per-row operators the union is row-identical to the
+    single-job run. For corpus-statistic operators the shard IS the
+    corpus — which for ccnet_lm_buckets is precisely CCNet's own recipe
+    (Wenzek et al. 2020 train one LM per language), so
+    ``per_language(docs, ccnet_lm_buckets, langs)`` upgrades the
+    corpus-global bigram LM to per-language LMs while keeping tertiles
+    per-language; it is the faithful production composition, not an
+    equivalent rewrite of the single-job call."""
+    from functools import reduce
+
+    parts = [op(docs.filter(F.col(lang_col) == lang)) for lang in langs]
+    if include_other:
+        parts.append(op(docs.filter(~F.col(lang_col).isin(list(langs)))))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -278,3 +278,42 @@ def test_index_delta_snapshot_covers_exactly_the_batch(spark):
     assert len(out) == n_batch
     assert {r["vec_id"] % ANN_DELTA_MOD for r in out} == {0}
     assert all(0 <= r["cell_id"] < KMEANS_K for r in out)
+
+
+# ------------------------------------------------------ per-language runner
+def test_per_language_partition_is_exhaustive_and_disjoint(spark):
+    """Every input row lands in exactly one shard (named langs + catch-all),
+    and a per-row operator unions row-identically to the single-job run."""
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.text import per_language
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ident = lambda d: d.select("doc_id", "lang", F.length("text").alias("n"))  # noqa: E731
+    sharded = per_language(docs, ident, ["en", "de"])
+    whole = sorted(tuple(r) for r in ident(docs).collect())
+    got = sorted(tuple(r) for r in sharded.collect())
+    assert got == whole
+    # without the catch-all only the named languages appear
+    named = per_language(docs, ident, ["en", "de"], include_other=False)
+    assert {r["lang"] for r in named.collect()} == {"en", "de"}
+
+
+def test_per_language_ccnet_keeps_tertiles_per_shard(spark):
+    """The CCNet-faithful composition: per-language LM + per-language
+    tertiles — each language's bucket split stays ~thirds (its tertile
+    boundaries are computed inside its own shard)."""
+    from collections import Counter
+
+    from spark_signals.datapipe.text import ccnet_lm_buckets, per_language
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = per_language(docs, ccnet_lm_buckets, ["en", "de", "fr", "es", "zh"]).collect()
+    assert len(out) > 0
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], Counter())[r["ppl_bucket"]] += 1
+    for lang, c in by_lang.items():
+        n = sum(c.values())
+        if n >= 9:  # tertiles only meaningful with a few rows per band
+            assert min(c.values()) >= n // 3 - 2, (lang, c)
