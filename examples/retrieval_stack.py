@@ -56,6 +56,7 @@ def run_pipeline(spark, corpus_path: str, out_dir: str, queries=None) -> dict:
     from spark_signals.datapipe.embed import embed_chunks
     from spark_signals.datapipe.retrieval import (
         bm25_topk_queries,
+        build_dense_ivf_index,
         hybrid_rrf_ivf_topk,
     )
     from spark_signals.datapipe.similarity import (
@@ -78,10 +79,13 @@ def run_pipeline(spark, corpus_path: str, out_dir: str, queries=None) -> dict:
     # ---- lexical: every query scored in ONE corpus pass
     lex = bm25_topk_queries(docs, queries)
 
-    # ---- hybrid: per query, BM25 ∪ IVF-probed dense arm fused by RRF
+    # ---- hybrid: per query, BM25 ∪ IVF-probed dense arm fused by RRF.
+    # The doc-level dense index trains ONCE and serves every query (the
+    # index economics the per-query convenience path would throw away)
+    doc_index = build_dense_ivf_index(docs)
     hybrids = []
     for qid in sorted(queries):
-        h = hybrid_rrf_ivf_topk(docs, queries[qid]).withColumn(
+        h = hybrid_rrf_ivf_topk(docs, queries[qid], index=doc_index).withColumn(
             "query_id", F.lit(qid)
         )
         hybrids.append(h)

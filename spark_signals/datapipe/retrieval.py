@@ -400,35 +400,22 @@ def dense_hash_topk(
     )
 
 
-def dense_ivf_topk(
+def build_dense_ivf_index(
     docs: DataFrame,
-    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
-    k: int = RRF_TOP_K,
     n_cells: int | None = None,
     iters: int | None = None,
-    nprobe: int | None = None,
-) -> DataFrame:
-    """Dense top-k through the PRODUCTION serving shape: the trained IVF
-    cell probe (similarity.kmeans_train) instead of dense_hash_topk's
-    full-corpus scan. Same output contract (doc_id, cosine, rank), so the
-    RRF fusion below is drop-in; recall < 1 vs the exact arm is the
-    standard IVF trade (floor asserted in tests/test_ann_recall.py).
-
-    Shape at 100 TB: the index build (Lloyd loop + assignment) is the
-    amortized offline cost — serving a query touches ONE k-row centroid
-    aggregate (query→cell cosines against the broadcast k×D centroid
-    relation), then scans only the ≤nprobe probed cells (a semi-join of
-    the cell assignment against an nprobe-row broadcast); scoring is the
-    same zero-join literal-vector fold as the exact arm. Per-query work is
-    O(corpus/n_cells · nprobe), not O(corpus) (r7 verdict #3: the exact
-    arm re-embedded the whole corpus per query).
-    """
-    from spark_signals.datapipe.embed import EMBED_DIM, hash_embed
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The offline IVF index build for dense_ivf_topk, returned as
+    ``(emb, centroids, cells)`` so a serving loop trains ONCE and probes
+    per query — the real index economics (the Lloyd loop is minutes of
+    barrier-synchronized work at corpus scale; a per-query rebuild would
+    dwarf every probe). Persist all three relations (or write them out,
+    as examples/retrieval_stack.py does with the centroids) and hand the
+    tuple to ``dense_ivf_topk(..., index=...)`` for each query."""
+    from spark_signals.datapipe.embed import hash_embed
     from spark_signals.datapipe.similarity import (
         KMEANS_ITERS,
         KMEANS_K,
-        NPROBE,
-        _cos_div,
         _long_dims,
         kmeans_assign,
         kmeans_train,
@@ -437,15 +424,51 @@ def dense_ivf_topk(
 
     n_cells = KMEANS_K if n_cells is None else n_cells
     iters = KMEANS_ITERS if iters is None else iters
+    emb = hash_embed(spread_small_input(docs)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    cents = kmeans_train(emb, n_cells, iters)  # (cluster_id, dim, c_val)
+    cells = kmeans_assign(_long_dims(emb), cents).localCheckpoint(eager=True)
+    return emb, cents, cells
+
+
+def dense_ivf_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
+    k: int = RRF_TOP_K,
+    n_cells: int | None = None,
+    iters: int | None = None,
+    nprobe: int | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Dense top-k through the PRODUCTION serving shape: the trained IVF
+    cell probe (similarity.kmeans_train) instead of dense_hash_topk's
+    full-corpus scan. Same output contract (doc_id, cosine, rank), so the
+    RRF fusion below is drop-in; recall < 1 vs the exact arm is the
+    standard IVF trade (floor asserted in tests/test_ann_recall.py).
+
+    Shape at 100 TB: the index build (Lloyd loop + assignment) is the
+    amortized offline cost — pass a :func:`build_dense_ivf_index` result
+    as ``index`` to train once and serve many queries (self-building is a
+    convenience for one-shot calls and the checked query). Serving a
+    query touches ONE k-row centroid aggregate (query→cell cosines
+    against the broadcast k×D centroid relation), then scans only the
+    ≤nprobe probed cells (a semi-join of the cell assignment against an
+    nprobe-row broadcast); scoring is the same zero-join literal-vector
+    fold as the exact arm. Per-query work is O(corpus/n_cells · nprobe),
+    not O(corpus) (r7 verdict #3: the exact arm re-embedded the whole
+    corpus per query).
+    """
+    from spark_signals.datapipe.embed import EMBED_DIM
+    from spark_signals.datapipe.similarity import NPROBE, _cos_div
+
     nprobe = NPROBE if nprobe is None else nprobe
     terms = _norm_terms(query_terms)
     qv = _query_vector(tuple(terms), EMBED_DIM)
     qarr = F.array(*[F.lit(v) for v in qv])
-    emb = hash_embed(spread_small_input(docs)).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
-    )
-    cents = kmeans_train(emb, n_cells, iters)  # (cluster_id, dim, c_val)
-    cells = kmeans_assign(_long_dims(emb), cents)  # (vec_id, cluster_id)
+    if index is None:
+        index = build_dense_ivf_index(docs, n_cells, iters)
+    emb, cents, cells = index
     # query → cell cosines: one aggregate over the k×D centroid relation,
     # query values looked up from the literal array by dim
     q_val = F.element_at(qarr, (F.col("dim") + 1).cast("int"))
@@ -538,11 +561,18 @@ def hybrid_rrf_ivf_topk(
     query_terms: tuple[str, ...] = BM25_DEFAULT_QUERY,
     k: int = RRF_TOP_K,
     k0: int = RRF_K0,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """hybrid_rrf_topk with the PRODUCTION dense arm: the trained IVF cell
     probe (dense_ivf_topk) instead of the exact full-corpus scan — the
-    shape a serving stack actually runs (r7 verdict #3)."""
-    return hybrid_rrf_topk(docs, query_terms, k, k0, dense_arm=dense_ivf_topk)
+    shape a serving stack actually runs (r7 verdict #3). Pass a
+    :func:`build_dense_ivf_index` result as ``index`` when fusing many
+    queries against one corpus (train once, probe per query)."""
+    if index is None:
+        arm = dense_ivf_topk
+    else:
+        arm = lambda d, t, kk: dense_ivf_topk(d, t, kk, index=index)  # noqa: E731
+    return hybrid_rrf_topk(docs, query_terms, k, k0, dense_arm=arm)
 
 
 def _sql_demb_ctes(source: str) -> str:

@@ -106,7 +106,14 @@ def main() -> int:
     from spark_signals.datapipe.curate import curate
     from spark_signals.datapipe.embed import embed_chunks
     from spark_signals.datapipe.pack import pack_sequences
-    from spark_signals.datapipe.retrieval import bm25_topk, hybrid_rrf_topk
+    from spark_signals.datapipe.bpe import bpe_token_counts, bpe_train
+    from spark_signals.datapipe.retrieval import (
+        bm25_topk,
+        bm25_topk_queries,
+        dense_ivf_topk,
+        hybrid_rrf_ivf_topk,
+        hybrid_rrf_topk,
+    )
     from spark_signals.datapipe.text import ccnet_lm_buckets, vocab_coverage
 
     OPS = {
@@ -124,6 +131,13 @@ def main() -> int:
         "hybrid_rrf_topk": lambda: hybrid_rrf_topk(docs),
         "ccnet_lm_buckets": lambda: ccnet_lm_buckets(docs),
         "dedup_intra_doc": lambda: D.dedup_intra_doc(docs),
+        # r08 additions
+        "dense_ivf_topk": lambda: dense_ivf_topk(docs),
+        "hybrid_rrf_ivf_topk": lambda: hybrid_rrf_ivf_topk(docs),
+        "bm25_topk_queries": lambda: bm25_topk_queries(docs),
+        "bpe_train": lambda: bpe_train(docs),
+        "bpe_token_counts": lambda: bpe_token_counts(docs),
+        "dedup_incr_neardup": lambda: D.dedup_incr_neardup_snapshot(docs),
     }
     names = args.ops or list(OPS)
     timings: dict[str, float] = {}
