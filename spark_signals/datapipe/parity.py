@@ -413,6 +413,10 @@ def _incoming_r07_wave3() -> dict:
 
 
 def _incoming_r08() -> dict:
+    from spark_signals.datapipe.balance import (
+        cluster_composition,
+        sql_cluster_composition,
+    )
     from spark_signals.datapipe.bpe import (
         bpe_token_counts,
         bpe_train,
@@ -457,6 +461,12 @@ def _incoming_r08() -> dict:
         "bm25_topk_queries": (
             lambda spark, sf_dir: bm25_topk_queries(_docs(spark, sf_dir)),
             sql_bm25_topk_queries(),
+        ),
+        # pre-mixing data-balance diagnostic: topic-cluster × source
+        # composition over the shared trained IVF assignment
+        "cluster_composition": (
+            lambda spark, sf_dir: cluster_composition(_docs(spark, sf_dir)),
+            sql_cluster_composition(),
         ),
     }
 

@@ -84,6 +84,7 @@ def _late_ops():
         "hybrid_rrf_ivf_topk": hybrid_rrf_ivf_topk,
         "bpe_train": _bpe_train_small,
         "bpe_token_counts": _bpe_counts_small,
+        "cluster_composition": _cluster_composition,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
         # r07 wave 3
@@ -104,6 +105,12 @@ def _bpe_counts_small(docs):
     from spark_signals.datapipe.bpe import bpe_token_counts
 
     return bpe_token_counts(docs, n_merges=2)
+
+
+def _cluster_composition(docs):
+    from spark_signals.datapipe.balance import cluster_composition
+
+    return cluster_composition(docs)
 
 
 def _corpus_diff_snapshot(docs):

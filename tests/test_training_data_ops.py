@@ -555,3 +555,24 @@ def test_bigram_lm_scores_only_docs_with_transitions(spark):
     out = {r["doc_id"]: r for r in bigram_lm_quality(_docs(spark, rows)).collect()}
     assert set(out) == {2, 3}
     assert out[2]["n_bigrams"] == 1
+
+
+def test_cluster_composition_shares_are_proper_marginals(spark):
+    """Per cluster, cluster_share sums to ~1 (grid rounding); per source,
+    source_share sums to ~1; n_docs totals the corpus (every doc lands in
+    exactly one cluster)."""
+    from collections import defaultdict
+
+    from spark_signals.datapipe.balance import cluster_composition
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = cluster_composition(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    by_c, by_s = defaultdict(float), defaultdict(float)
+    for r in rows:
+        by_c[r["cluster_id"]] += r["cluster_share"]
+        by_s[r["source"]] += r["source_share"]
+    for total in list(by_c.values()) + list(by_s.values()):
+        assert abs(total - 1.0) < 1e-4, total
+    # more than one cluster and more than one source actually present
+    assert len(by_c) > 1 and len(by_s) > 1
