@@ -15,6 +15,7 @@ this engine actually assembles:
       → size-bounded training shards            io.docs.write_training_shards
       + audit artifacts: per-source curation report + mixing manifest
         + token-id/OOV report (top-V vocab)     datapipe.text.tokenize_with_vocab
+        + cluster x source balance table        datapipe.balance
 
 Usage::
 
@@ -83,6 +84,7 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     from spark_signals.datapipe.pack import pack_sequences
     from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
     from spark_signals.datapipe.text import tokenize_with_vocab
+    from spark_signals.datapipe.balance import cluster_composition
     from spark_signals.io.docs import write_training_shards
 
     docs = _hygiene(_load_corpus(spark, corpus_path))
@@ -128,6 +130,11 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     #    whitespace token currency as the packing manifest
     tokenize_with_vocab(sampled).write.mode("overwrite").parquet(
         os.path.join(out_dir, "tokens_report")
+    )
+    # 6. pre-mixing balance diagnostic: topic-cluster x source composition
+    #    of the SAMPLED corpus (what the mixture weights actually bought)
+    cluster_composition(sampled).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "cluster_composition")
     )
 
     return {
@@ -206,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{k}: {v}")
     print(
         f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
-        f"mixture_manifest/ tokens_report/ stream/stream_curation/"
+        f"mixture_manifest/ tokens_report/ cluster_composition/ "
+        f"stream/stream_curation/"
     )
     return 0
 

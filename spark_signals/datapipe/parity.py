@@ -468,6 +468,12 @@ def _incoming_r08() -> dict:
             lambda spark, sf_dir: cluster_composition(_docs(spark, sf_dir)),
             sql_cluster_composition(),
         ),
+        # DSIR importance scoring (Xie et al. 2023): hashed-ngram
+        # log-likelihood ratio of a target corpus vs the raw pool
+        "dsir_logratio": (
+            lambda spark, sf_dir: SMP.dsir_snapshot(_docs(spark, sf_dir)),
+            SMP.sql_dsir_logratio(),
+        ),
     }
 
 

@@ -405,3 +405,154 @@ keyed AS (
 SELECT doc_id, source, n_source, keep_rate_u, sample_bucket
 FROM keyed
 WHERE sample_bucket * 1000000 < keep_rate_u * 4294967296"""
+
+
+# ----------------------------------------------- DSIR importance scoring
+# Data Selection with Importance Resampling (Xie et al. 2023): score raw
+# documents by the log-likelihood ratio of hashed n-gram bag models of a
+# TARGET corpus (the distribution you want more of — wiki, textbooks,
+# curated seed data) vs the RAW corpus, then keep raw docs in proportion
+# to the ratio. The production recipe behind "make CommonCrawl look like
+# Wikipedia" data selection, and the generative-model counterpart of the
+# discriminative quality classifier (classifier.quality_logreg).
+DSIR_BUCKETS = 4096  # hashed-feature vocabulary (Xie et al. use 10k-ish)
+_LR_GRID = 1_000_000
+
+
+def dsir_logratio(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_terms, logratio_u, avg_logratio): per raw document, the
+    summed log p_target/p_raw over its hashed unigram buckets (Laplace
+    +1 smoothing over the bucket vocabulary). ``logratio_u`` is the exact
+    int64 sum of per-BUCKET 1e-6-gridded log-ratios, so cross-engine and
+    cross-partitioning sums are bit-stable (the lm_unigram_quality
+    contract); positive = looks more like the target.
+
+    Shape at 100 TB: two corpus explode+count aggregates (map-side
+    combined) reduce both corpora to n_buckets-row models; the D-row
+    log-ratio table broadcasts onto the raw corpus's exploded words — one
+    shuffle per corpus for the counts, one for the per-doc sum, nothing
+    pairwise anywhere. The bucket spine is a literal sequence, so buckets
+    unseen in either corpus still carry their smoothed prior."""
+    from spark_signals.datapipe.text import words_col
+    from spark_signals.datapipe.util import explode_strings
+
+    def bucket(col: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(
+            n_buckets
+        )
+
+    def bucket_counts(docs: DataFrame) -> DataFrame:
+        w = explode_strings(
+            docs.select(words_col(F.col("text")).alias("words")), F.col("words"), "word"
+        ).filter(F.col("word") != "")
+        return w.groupBy(bucket(F.col("word")).alias("b")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    spark = raw_docs.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("b"))
+    tgt = bucket_counts(target_docs)
+    raw = bucket_counts(raw_docs)
+    # coalesce: an EMPTY corpus sums to NULL in Spark but COUNT(*)=0 in
+    # the oracle — pin both to 0 so the smoothed prior still prices docs
+    t_tot = tgt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t_total"))
+    r_tot = raw.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("r_total"))
+    model = (
+        spine.join(tgt.withColumnRenamed("c", "tc"), "b", "left")
+        .join(raw.withColumnRenamed("c", "rc"), "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("tc", F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_total") + F.lit(float(n_buckets)))
+                    )
+                    / (
+                        (F.coalesce("rc", F.lit(0)) + F.lit(1.0))
+                        / (F.col("r_total") + F.lit(float(n_buckets)))
+                    )
+                )
+                * F.lit(float(_LR_GRID))
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("lr_u"),
+        )
+    )
+    doc_words = explode_strings(
+        raw_docs.select("doc_id", words_col(F.col("text")).alias("words")),
+        F.col("words"),
+        "word",
+        "doc_id",
+    ).filter(F.col("word") != "")
+    scored = doc_words.select("doc_id", bucket(F.col("word")).alias("b")).join(
+        F.broadcast(model), "b"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("lr_u").alias("logratio_u"),
+    ).select(
+        "doc_id",
+        "n_terms",
+        "logratio_u",
+        (F.col("logratio_u").cast("double") / F.col("n_terms") / F.lit(float(_LR_GRID))).alias(
+            "avg_logratio"
+        ),
+    )
+
+
+def dsir_snapshot(docs: DataFrame, target_source: str = "src0") -> DataFrame:
+    """Driver-checkable face: one source plays the curated TARGET, every
+    other source is the RAW pool being scored."""
+    target = docs.filter(F.col("source") == target_source)
+    raw = docs.filter(F.col("source") != target_source)
+    return dsir_logratio(raw, target)
+
+
+def sql_dsir_logratio(
+    n_buckets: int = DSIR_BUCKETS, target_source: str = "src0"
+) -> str:
+    """Oracle twin of :func:`dsir_snapshot` — same md5 bucket lanes, same
+    smoothing arithmetic in the same operation order, per-bucket grid
+    before the int64 doc sum."""
+    from spark_signals.datapipe.text import ASCII_LO, ASCII_UP
+
+    lower = f"translate(text, '{ASCII_UP}', '{ASCII_LO}')"
+    words = f"list_filter(string_split_regex({lower}, '\\s+'), w -> w <> '')"
+    return f"""
+WITH tgtw AS (
+  SELECT ('0x' || substring(md5(word), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (SELECT unnest({words}) AS word FROM documents WHERE source = '{target_source}')
+),
+raww AS (
+  SELECT doc_id, ('0x' || substring(md5(word), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (SELECT doc_id, unnest({words}) AS word FROM documents WHERE source <> '{target_source}')
+),
+tc AS (SELECT b, COUNT(*)::BIGINT AS tc FROM tgtw GROUP BY b),
+rc AS (SELECT b, COUNT(*)::BIGINT AS rc FROM raww GROUP BY b),
+tt AS (SELECT COUNT(*)::BIGINT AS t_total FROM tgtw),
+rt AS (SELECT COUNT(*)::BIGINT AS r_total FROM raww),
+spine AS (SELECT unnest(range(0, {n_buckets})) AS b),
+model AS (
+  SELECT s.b,
+         CAST(floor(ln(((COALESCE(tc.tc, 0) + 1.0) / (tt.t_total + {n_buckets}.0))
+                      / ((COALESCE(rc.rc, 0) + 1.0) / (rt.r_total + {n_buckets}.0)))
+                    * {_LR_GRID}.0 + 0.5000001) AS BIGINT) AS lr_u
+  FROM spine s
+  LEFT JOIN tc ON tc.b = s.b
+  LEFT JOIN rc ON rc.b = s.b
+  CROSS JOIN tt CROSS JOIN rt
+)
+SELECT w.doc_id,
+       COUNT(*)::BIGINT AS n_terms,
+       SUM(m.lr_u)::BIGINT AS logratio_u,
+       CAST(SUM(m.lr_u) AS DOUBLE) / COUNT(*) / {_LR_GRID}.0 AS avg_logratio
+FROM raww w JOIN model m ON m.b = w.b
+GROUP BY w.doc_id"""

@@ -85,6 +85,7 @@ def _late_ops():
         "bpe_train": _bpe_train_small,
         "bpe_token_counts": _bpe_counts_small,
         "cluster_composition": _cluster_composition,
+        "dsir_snapshot": _dsir_snapshot,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
         # r07 wave 3
@@ -111,6 +112,12 @@ def _cluster_composition(docs):
     from spark_signals.datapipe.balance import cluster_composition
 
     return cluster_composition(docs)
+
+
+def _dsir_snapshot(docs):
+    from spark_signals.datapipe.sampling import dsir_snapshot
+
+    return dsir_snapshot(docs, target_source="s")  # degenerate fixtures use 's'
 
 
 def _corpus_diff_snapshot(docs):

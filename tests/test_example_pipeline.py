@@ -34,6 +34,9 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     tok_total = tok.agg({"n_tokens": "sum"}).first()[0]
     pack_total = manifest.agg({"n_tokens": "sum"}).first()[0]
     assert tok_total == pack_total
+    # balance diagnostic covers every sampled doc exactly once
+    comp = spark.read.parquet(os.path.join(out, "cluster_composition"))
+    assert comp.agg({"n_docs": "sum"}).first()[0] == counts["sampled_docs"]
 
 
 def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):

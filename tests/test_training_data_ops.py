@@ -576,3 +576,30 @@ def test_cluster_composition_shares_are_proper_marginals(spark):
         assert abs(total - 1.0) < 1e-4, total
     # more than one cluster and more than one source actually present
     assert len(by_c) > 1 and len(by_s) > 1
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    """DSIR contract: a raw doc written in the target's vocabulary must
+    out-score a raw doc written in the raw pool's own vocabulary, and the
+    int64 grid keeps the scores partitioning-invariant."""
+    from spark_signals.datapipe.sampling import dsir_logratio
+
+    target = _docs(
+        spark,
+        [(100 + i, "physics theorem proof lemma axiom algebra", "en", "tgt", 40)
+         for i in range(10)],
+    )
+    raw_rows = [
+        (1, "physics theorem proof algebra", "en", "raw", 30),   # target-like
+        (2, "celebrity gossip scandal rumor", "en", "raw", 30),  # raw-like
+    ] + [
+        (10 + i, "celebrity gossip scandal rumor drama tabloid", "en", "raw", 40)
+        for i in range(10)
+    ]
+    raw = _docs(spark, raw_rows)
+    out = {r["doc_id"]: r for r in dsir_logratio(raw, target).collect()}
+    assert out[1]["avg_logratio"] > out[2]["avg_logratio"]
+    assert out[1]["logratio_u"] > 0 > out[2]["logratio_u"]
+    again = {r["doc_id"]: r["logratio_u"]
+             for r in dsir_logratio(raw.repartition(7), target).collect()}
+    assert again == {d: r["logratio_u"] for d, r in out.items()}
