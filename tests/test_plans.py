@@ -358,6 +358,30 @@ def test_dense_ivf_probe_broadcasts_and_stays_jvm_side(spark):
     assert count_op(p, "BroadcastHashJoin") >= 2  # probe list + cell semi
 
 
+def test_bpe_token_counts_stays_jvm_side(spark):
+    """The BPE tokenize path (post-training segmentation join) must stay
+    whole-stage-codegen JVM work: no Python stage, no cartesian — the
+    merge loop itself runs at plan-build time through checkpointed
+    relations, so the final plan is just the segmentation join + agg."""
+    from spark_signals.datapipe.bpe import bpe_token_counts
+
+    p = plan_str(bpe_token_counts(read_table(spark, SF, "documents"), n_merges=2))
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert count_op(p, "CartesianProduct") == 0
+
+
+def test_dsir_model_broadcasts_onto_corpus(spark):
+    """DSIR pricing: the D-row log-ratio model must reach the exploded raw
+    corpus as a broadcast (a shuffled join would move every (doc, word)
+    row by bucket), and no Python stage anywhere."""
+    from spark_signals.datapipe.sampling import dsir_snapshot
+
+    p = plan_str(dsir_snapshot(read_table(spark, SF, "documents"), "src0"))
+    assert count_op(p, "BroadcastHashJoin") >= 1
+    assert count_op(p, "CartesianProduct") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
 def test_ann_index_delta_broadcasts_centroids(spark):
     """Incremental IVF delta: the batch joins the k×D centroid relation as
     a broadcast — a SortMergeJoin against centroids would shuffle the batch
