@@ -131,3 +131,158 @@ SELECT d.doc_id, d.source,
        coalesce(ov.n_overlap, 0) > 0 AS is_contaminated
 FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
 WHERE d.source <> '{eval_source}'"""
+
+
+# ------------------------------------------------- fuzzy (near-dup) decontam
+DECONTAM_FUZZY_JACCARD = 0.5  # match the GPT-3-appendix-style fuzzy gate
+
+
+def decontaminate_neardup(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+) -> DataFrame:
+    """Fuzzy decontamination: flag training documents that NEAR-duplicate
+    an eval document (paraphrased or lightly-edited leakage the exact
+    n-gram gate misses): (doc_id, source, n_eval_matches, max_jaccard_u,
+    is_contaminated_fuzzy). ``max_jaccard_u`` is the best verified shingle
+    Jaccard on the 1e-6 int grid (0 when unmatched).
+
+    Reuses the incremental near-dup machinery with the EVAL SET as the
+    indexed snapshot (dedup.band_index): training docs probe the eval
+    band index by equi-join, exact Jaccard verifies candidates only —
+    the eval suite is tiny, so the index broadcasts and the corpus never
+    shuffles anything but its candidate pairs.
+    """
+    from spark_signals.datapipe.dedup import (
+        NUM_HASHES,
+        _band_keys,
+        _km_row_sigs,
+        _with_shingles,
+        band_index,
+    )
+
+    if "doc_id" not in eval_docs.columns:
+        eval_docs = eval_docs.withColumn("doc_id", F.monotonically_increasing_id())
+    idx = band_index(eval_docs.select("doc_id", "text"))
+    sh_t = _km_row_sigs(
+        _with_shingles(train).select("doc_id", "shingles"),
+        "shingles",
+        NUM_HASHES,
+        "shingles",
+    ).persist()
+    try:
+        cand = (
+            _band_keys(sh_t)
+            .join(
+                F.broadcast(
+                    idx.select("band", "k1", "k2", F.col("doc_id").alias("eval_id"))
+                ),
+                ["band", "k1", "k2"],
+            )
+            .select("doc_id", "eval_id")
+            .distinct()
+        )
+        eval_sh = _with_shingles(
+            eval_docs.select("doc_id", "text").join(
+                cand.select(F.col("eval_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+        ).select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e"))
+        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        union = F.size("sh_t") + F.size("sh_e") - inter
+        jac_u = F.floor(
+            inter.cast("double") / union * F.lit(1e6) + F.lit(0.5000001)
+        ).cast("long")
+        verified = (
+            cand.join(
+                sh_t.select("doc_id", F.col("shingles").alias("sh_t")), "doc_id"
+            )
+            .join(eval_sh, "eval_id")
+            .select("doc_id", jac_u.alias("jaccard_u"))
+            .filter(F.col("jaccard_u") >= F.lit(int(threshold * 1e6)))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_matches"),
+                F.max("jaccard_u").alias("max_jaccard_u"),
+            )
+        )
+        out = (
+            train.select("doc_id", "source")
+            .join(verified, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
+                    "n_eval_matches"
+                ),
+                F.coalesce("max_jaccard_u", F.lit(0).cast("long")).alias(
+                    "max_jaccard_u"
+                ),
+                (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias(
+                    "is_contaminated_fuzzy"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        sh_t.unpersist()
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_source: str = EVAL_SOURCE,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+) -> DataFrame:
+    """Driver face: source-predicate split, same as :func:`decontaminate`."""
+    return decontaminate_neardup(
+        docs.filter(F.col("source") != eval_source),
+        docs.filter(F.col("source") == eval_source),
+        threshold,
+    )
+
+
+def sql_decontaminate_fuzzy(
+    eval_source: str = EVAL_SOURCE,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of :func:`decontaminate_fuzzy`: the scoped minhash CTEs
+    for both splits, band-key candidates, exact-Jaccard verify, per-doc
+    best match."""
+    from spark_signals.datapipe.dedup import _sql_minhash_ctes
+
+    thr_u = int(threshold * 1e6)
+    return f"""
+WITH evald AS (SELECT * FROM {source} WHERE source = '{eval_source}'),
+traind AS (SELECT * FROM {source} WHERE source <> '{eval_source}'),
+{_sql_minhash_ctes("evald", "e_")},
+{_sql_minhash_ctes("traind", "t_")},
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM t_bands t JOIN e_bands e
+    ON t.band = e.band AND t.k1 = e.k1 AND t.k2 = e.k2
+),
+verified AS (
+  SELECT c.doc_id,
+         COUNT(*)::BIGINT AS n_eval_matches,
+         MAX(jaccard_u)::BIGINT AS max_jaccard_u
+  FROM (
+    SELECT c.doc_id, c.eval_id,
+           CAST(floor(CAST(len(list_intersect(ts.shingles, es.shingles)) AS DOUBLE)
+             / (len(ts.shingles) + len(es.shingles) - len(list_intersect(ts.shingles, es.shingles)))
+             * 1e6 + 0.5000001) AS BIGINT) AS jaccard_u
+    FROM cand c
+    JOIN t_sh ts ON ts.doc_id = c.doc_id
+    JOIN e_sh es ON es.doc_id = c.eval_id
+  ) c
+  WHERE jaccard_u >= {thr_u}
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(v.n_eval_matches, 0)::BIGINT AS n_eval_matches,
+       COALESCE(v.max_jaccard_u, 0)::BIGINT AS max_jaccard_u,
+       COALESCE(v.n_eval_matches, 0) > 0 AS is_contaminated_fuzzy
+FROM traind d LEFT JOIN verified v USING (doc_id)"""

@@ -1374,6 +1374,112 @@ FROM batch b JOIN fresh f
   ON b.content_hash = f.content_hash AND b.doc_id = f.keep_id"""
 
 
+# ------------------------------------------- corpus boilerplate stripping
+BOILERPLATE_MIN_OCC = 3  # a passage this common corpus-wide is chrome
+
+
+def strip_boilerplate_passages(
+    docs: DataFrame, k: int = PASSAGE_WORDS, min_occ: int = BOILERPLATE_MIN_OCC
+) -> DataFrame:
+    """Remove passages that repeat across the CORPUS — the C4/Dolma
+    frequent-lines pass (nav chrome, cookie banners, boilerplate footers
+    appear on thousands of pages; their k-word passages digest
+    identically): (doc_id, text_strip, n_passages, n_kept, was_modified).
+
+    The corpus-wide complement of :func:`dedup_intra_doc` (which strips
+    repeats WITHIN a page): a passage is dropped from EVERY document when
+    its digest occurs ≥ ``min_occ`` times corpus-wide. Comparison runs
+    under the corpus token rule (ASCII-lower digest, the dedup_passages
+    digest exactly); the surviving text is rebuilt from case-preserving
+    tokens — the same hygiene contract as dedup_intra_doc, so callers
+    substitute on ``was_modified``.
+
+    Shape at 100 TB: one digest-count aggregate (map-side combined; only
+    32-byte digests + counts move), the ≥min_occ digest set joined back
+    onto the exploded passage stream, then ONE doc-keyed aggregate
+    rebuilds each text via sort_array over its own ≤p passages. Two
+    digest-keyed shuffles + one doc-keyed — dedup_passages' exact shape
+    plus the rebuild.
+    """
+    raw_words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", raw_words)
+        .filter(F.size("words") > 0)
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, (size(words)-1) div {k}),"
+        f" i -> concat_ws(' ', slice(words, i*{k}+1, {k})))"
+    )
+    with_chunks = base.select("doc_id", chunks.alias("chunks"))
+    exploded = with_chunks.select(
+        "doc_id", F.posexplode("chunks").alias("idx", "chunk")
+    ).withColumn("digest", F.md5(ascii_lower(F.col("chunk"))))
+    occ = exploded.groupBy("digest").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = exploded.join(occ, "digest").select(
+        "doc_id",
+        "idx",
+        "chunk",
+        (F.col("n_occ") >= F.lit(min_occ)).alias("drop"),
+    )
+    entry = F.struct(
+        F.col("idx").alias("idx"),
+        F.when(~F.col("drop"), F.col("chunk")).alias("chunk"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(entry)).alias("ordered"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.filter(F.col("ordered.chunk"), lambda c: c.isNotNull())
+            ).alias("text_strip"),
+            F.size("ordered").cast("int").alias("n_passages"),
+            F.size(
+                F.filter(F.col("ordered.chunk"), lambda c: c.isNotNull())
+            ).cast("int").alias("n_kept"),
+        )
+        .withColumn("was_modified", F.col("n_kept") < F.col("n_passages"))
+    )
+
+
+def sql_strip_boilerplate(
+    source: str = "documents",
+    k: int = PASSAGE_WORDS,
+    min_occ: int = BOILERPLATE_MIN_OCC,
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, ((len(words)-1) // {k}) + 1),
+           i -> array_to_string(words[(i*{k}+1):((i+1)*{k})], ' ')) AS chunks
+  FROM d WHERE len(words) > 0
+),
+e AS (
+  SELECT doc_id, i - 1 AS idx, chunks[i] AS chunk,
+         md5(translate(chunks[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS digest
+  FROM (SELECT doc_id, chunks, unnest(range(1, len(chunks) + 1)) AS i FROM c)
+),
+occ AS (SELECT digest, COUNT(*)::BIGINT AS n_occ FROM e GROUP BY digest),
+f AS (
+  SELECT e.doc_id, e.idx, e.chunk, occ.n_occ >= {min_occ} AS do_drop
+  FROM e JOIN occ USING (digest)
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(list(CASE WHEN do_drop THEN NULL ELSE chunk END ORDER BY idx),
+                     c -> c IS NOT NULL), ' ') AS text_strip,
+       CAST(COUNT(*) AS INT) AS n_passages,
+       CAST(COUNT(*) FILTER (WHERE NOT do_drop) AS INT) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT do_drop) < COUNT(*) AS was_modified
+FROM f
+GROUP BY doc_id"""
+
+
 # -------------------------------------------- incremental NEAR-dup dedup
 # The signature-level twin of dedup_incremental (r7 verdict #4): the
 # persisted artifact is the MinHash BAND index — (band, k1, k2, doc_id),

@@ -423,6 +423,10 @@ def _incoming_r08() -> dict:
         sql_bpe_token_counts,
         sql_bpe_train,
     )
+    from spark_signals.datapipe.decontam import (
+        decontaminate_fuzzy,
+        sql_decontaminate_fuzzy,
+    )
     from spark_signals.datapipe.retrieval import (
         bm25_topk_queries,
         hybrid_rrf_ivf_topk,
@@ -473,6 +477,20 @@ def _incoming_r08() -> dict:
         "dsir_logratio": (
             lambda spark, sf_dir: SMP.dsir_snapshot(_docs(spark, sf_dir)),
             SMP.sql_dsir_logratio(),
+        ),
+        # C4-style corpus boilerplate pass: passages repeating >= min_occ
+        # times corpus-wide are stripped from every page, case preserved
+        "strip_boilerplate": (
+            lambda spark, sf_dir: D.strip_boilerplate_passages(
+                _docs(spark, sf_dir)
+            ),
+            D.sql_strip_boilerplate(),
+        ),
+        # fuzzy decontamination: training docs that NEAR-duplicate an eval
+        # doc (band-probe + exact-Jaccard verify against the eval index)
+        "decontam_fuzzy": (
+            lambda spark, sf_dir: decontaminate_fuzzy(_docs(spark, sf_dir)),
+            sql_decontaminate_fuzzy(),
         ),
     }
 

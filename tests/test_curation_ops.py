@@ -425,3 +425,50 @@ def test_length_band_approx_tracks_exact_gate(spark):
     n = docs.count()
     n_langs = docs.select("lang").distinct().count()
     assert len(exact ^ approx) <= max(2, int(0.02 * n)) + 2 * n_langs
+
+
+def test_strip_boilerplate_drops_corpus_chrome_keeps_case(spark):
+    """A passage repeating >= min_occ times corpus-wide (case-insensitive
+    digest) is removed from EVERY page; surviving text keeps its casing;
+    a page of unique content is untouched (was_modified False)."""
+    from spark_signals.datapipe.dedup import strip_boilerplate_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE notice accept all COOKIE notice accept all Unique Page one text", "en", "s", 0),
+            (2, "cookie notice accept all page two body content words here now", "en", "s", 0),
+            (3, "Cookie Notice Accept All page three other body words here too", "en", "s", 0),
+            (4, "totally unique document nothing shared with any other page at all", "en", "s", 0),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_passages(docs, k=4, min_occ=3).collect()
+    }
+    assert out[1]["text_strip"] == "Unique Page one text"
+    assert out[2]["text_strip"] == "page two body content words here now"
+    assert out[3]["text_strip"] == "page three other body words here too"
+    assert out[3]["was_modified"] and not out[4]["was_modified"]
+    assert (out[1]["n_passages"], out[1]["n_kept"]) == (3, 1)
+
+
+def test_decontam_fuzzy_catches_paraphrased_eval_leakage(spark):
+    """A training doc that lightly edits an eval doc (one word changed —
+    invisible to exact digests at doc granularity) is flagged with a high
+    verified Jaccard; unrelated docs report zero matches."""
+    from spark_signals.datapipe.decontam import decontaminate_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    eval_docs = _docs(spark, [base])
+    train = spark.createDataFrame(
+        [
+            (10, base.replace("lazy", "sleepy"), "en", "train", 60),
+            (11, "entirely different content with no shared shingles at all", "en", "train", 57),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in decontaminate_neardup(train, eval_docs).collect()}
+    assert out[10]["is_contaminated_fuzzy"] and out[10]["n_eval_matches"] == 1
+    assert out[10]["max_jaccard_u"] > 500_000  # > 0.5 shingle Jaccard
+    assert not out[11]["is_contaminated_fuzzy"] and out[11]["max_jaccard_u"] == 0

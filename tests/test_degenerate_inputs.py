@@ -86,6 +86,8 @@ def _late_ops():
         "bpe_token_counts": _bpe_counts_small,
         "cluster_composition": _cluster_composition,
         "dsir_snapshot": _dsir_snapshot,
+        "strip_boilerplate": _strip_boilerplate,
+        "decontam_fuzzy": _decontam_fuzzy,
         "dedup_intra_doc": D.dedup_intra_doc,
         "ccnet_lm_buckets": ccnet_lm_buckets,
         # r07 wave 3
@@ -112,6 +114,16 @@ def _cluster_composition(docs):
     from spark_signals.datapipe.balance import cluster_composition
 
     return cluster_composition(docs)
+
+
+def _strip_boilerplate(docs):
+    return D.strip_boilerplate_passages(docs)
+
+
+def _decontam_fuzzy(docs):
+    from spark_signals.datapipe.decontam import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(docs, eval_source="s")
 
 
 def _dsir_snapshot(docs):
