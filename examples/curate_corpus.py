@@ -5,6 +5,7 @@ this engine actually assembles:
 
     raw JSONL (or parquet)                      io.docs.read_documents_jsonl
       → page hygiene: markup clean +            datapipe.clean, datapipe.dedup
+        corpus boilerplate removal +              .strip_boilerplate_passages
         intra-page repeated-passage strip         .dedup_intra_doc
       → curate: dedup-first gate set            datapipe.curate.curate
         (exact dup, passage dup, repetition,
@@ -42,38 +43,51 @@ def _load_corpus(spark, corpus_path: str):
     return read_documents_jsonl(spark, corpus_path)
 
 
+def _substitute(docs, rewritten, text_col):
+    """Swap in a rewritten text ONLY where the stage modified the page
+    (r7 advisory): untouched documents round-trip byte-identically —
+    hygiene is a pure cleanup, and even modified pages keep their casing
+    (both strips rebuild from case-preserving tokens)."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.join(
+            rewritten.select("doc_id", text_col, "was_modified"), "doc_id", "left"
+        )
+        .withColumn(
+            "text",
+            F.coalesce(
+                F.when(F.col("was_modified"), F.col(text_col)), F.col("text")
+            ),
+        )
+        .drop(text_col, "was_modified")
+    )
+
+
 def _hygiene(raw):
     """Page hygiene (C4/CCNet order: clean BEFORE any dedup digesting):
-    markup/control/whitespace cleanup, then intra-page repeated-passage
-    strip. Pure text rewrites — hygiene never DROPS a document (that is
-    curation's job); wordless docs pass through with their cleaned text."""
+    markup/control/whitespace cleanup, then CORPUS-wide boilerplate
+    passage removal (nav chrome / cookie banners repeating across pages),
+    then intra-page repeated-passage strip. Pure text rewrites — hygiene
+    never DROPS a document (that is curation's job); wordless docs pass
+    through with their cleaned text."""
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.clean import clean_text
-    from spark_signals.datapipe.dedup import dedup_intra_doc
+    from spark_signals.datapipe.dedup import (
+        dedup_intra_doc,
+        strip_boilerplate_passages,
+    )
 
     cleaned = raw.select("doc_id", "lang", "source").join(
         clean_text(raw).select("doc_id", F.col("text_clean").alias("text")),
         "doc_id",
     )
-    # substitute the rebuilt text ONLY for pages the strip actually
-    # modified (r7 advisory): untouched documents round-trip
-    # byte-identically — hygiene is a pure cleanup, and even modified
-    # pages keep their casing (dedup_intra_doc rebuilds from
-    # case-preserving tokens)
-    stripped = dedup_intra_doc(cleaned).select(
-        "doc_id", "text_dedup", "was_modified"
+    deboiled = _substitute(
+        cleaned, strip_boilerplate_passages(cleaned), "text_strip"
     )
-    return (
-        cleaned.join(stripped, "doc_id", "left")
-        .withColumn(
-            "text",
-            F.coalesce(
-                F.when(F.col("was_modified"), F.col("text_dedup")), F.col("text")
-            ),
-        )
-        .drop("text_dedup", "was_modified")
-        .withColumn("n_chars", F.length("text"))
+    return _substitute(deboiled, dedup_intra_doc(deboiled), "text_dedup").withColumn(
+        "n_chars", F.length("text")
     )
 
 

@@ -114,6 +114,7 @@ def main() -> int:
         hybrid_rrf_ivf_topk,
         hybrid_rrf_topk,
     )
+    from spark_signals.datapipe import sampling as SMP
     from spark_signals.datapipe.text import ccnet_lm_buckets, vocab_coverage
 
     OPS = {
@@ -138,7 +139,21 @@ def main() -> int:
         "bpe_train": lambda: bpe_train(docs),
         "bpe_token_counts": lambda: bpe_token_counts(docs),
         "dedup_incr_neardup": lambda: D.dedup_incr_neardup_snapshot(docs),
+        "strip_boilerplate": lambda: D.strip_boilerplate_passages(docs),
+        "decontam_fuzzy": lambda: _decontam_fuzzy(docs),
+        "dsir_logratio": lambda: SMP.dsir_snapshot(docs, "src0"),
+        "cluster_composition": lambda: _cluster_composition(docs),
     }
+
+    def _decontam_fuzzy(d):
+        from spark_signals.datapipe.decontam import decontaminate_fuzzy
+
+        return decontaminate_fuzzy(d, eval_source="src0")
+
+    def _cluster_composition(d):
+        from spark_signals.datapipe.balance import cluster_composition
+
+        return cluster_composition(d)
     names = args.ops or list(OPS)
     timings: dict[str, float] = {}
     for name in names:
