@@ -68,12 +68,14 @@ DRIVER_CAP = 50
 # r09 rotation plan (queued): the r07 waves 2-3 (hybrid_rrf_topk,
 # dedup_intra_doc, ccnet_lm_buckets, ann_index_delta,
 # mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots,
-# tokenize_with_vocab — all hash-checked locally at sf0.01) plus the seven
+# tokenize_with_vocab — all hash-checked locally at sf0.01) plus the nine
 # r08 INCOMING operators (hybrid_rrf_ivf_topk, bpe_train_merges,
 # bpe_token_counts, dedup_incr_neardup, bm25_topk_queries,
-# cluster_composition, dsir_logratio — each oracle-checked at sf0.01 AND
-# in the r08 full sf0.1 extended sweep). Fifteen waiting on ~10 slots:
-# r07 waves 2-3 take priority (older debt); spillover to r10.
+# cluster_composition, dsir_logratio, strip_boilerplate, decontam_fuzzy —
+# each oracle-checked at sf0.01 AND in the r08 full sf0.1 extended sweep)
+# and knn_join_ivf (added late r08, oracle-checked at sf0.001 + sf0.01).
+# Eighteen waiting on ~10 slots: r07 waves 2-3 take priority (older
+# debt); spillover to r10.
 # Slot sources, in priority order:
 # (1) this round's five returners (doc_fingerprint_minhash1,
 #     position_returns, semi_join_has_lineitems, topk_events,

@@ -492,6 +492,12 @@ def _incoming_r08() -> dict:
             lambda spark, sf_dir: decontaminate_fuzzy(_docs(spark, sf_dir)),
             sql_decontaminate_fuzzy(),
         ),
+        # IVF KNN self-join: every vector's top-k neighbors in one pass —
+        # candidates bounded by probed cells, never the n² pair relation
+        "knn_join_ivf": (
+            lambda spark, sf_dir: SIM.knn_join_ivf(_emb(spark, sf_dir)),
+            SIM.sql_knn_join_ivf(),
+        ),
     }
 
 

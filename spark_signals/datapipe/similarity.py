@@ -805,3 +805,150 @@ def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     )
     ctes.extend(_sql_ivf_ctes("relabeled"))
     return "WITH " + ",\n".join(ctes) + "\n" + _SQL_IVF_SELECT
+
+
+# --------------------------------------------------------- IVF KNN self-join
+# Every vector's k nearest neighbors in ONE pass — the primitive under
+# SemDeDup-style clustering audits, graph-based dedup, and kNN-classifier
+# labeling. The all-pairs relation is never formed: each vector PROBES its
+# NPROBE nearest trained cells (cosine to the broadcast k×D centroids, the
+# same rule as ann_ivf_topk's query probe) and scores only members of those
+# cells, so candidate pairs are Σ_cells |probers| · |members| ≈
+# n · NPROBE · n/k_cells instead of n². With k_cells grown ~√n (the
+# standard IVF sizing) that is O(n^1.5 · NPROBE / √n-ish) work spread over
+# cell-keyed shuffles — every stage is an equi-join or a per-query window
+# over the high-cardinality query_id key (no skew: candidate list sizes are
+# bounded by probed cell sizes, and AQE splits an oversized cell). Recall
+# follows cluster quality exactly as in the query-time IVF path, with the
+# floor gated in tests/test_ann_recall.py.
+KNN_K = 5
+
+
+def knn_join_ivf(
+    embeddings: DataFrame,
+    k_neighbors: int = KNN_K,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(query_id, match_id, cosine, rank) — top-``k_neighbors`` neighbors
+    for EVERY corpus vector via trained-IVF cell probing (no label column
+    required). Reference has no ANN surface; north-star scope."""
+    centroids = kmeans_train(embeddings, k, iters)
+    dims = _long_dims(embeddings)
+    cells = kmeans_assign(dims, centroids)
+    relabeled = (
+        embeddings.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cluster_id").cast("int").alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # every vector scores every centroid (broadcast k×D rows) by cosine —
+    # one groupBy(vec_id, cluster) aggregate, O(n·D·k_cells) map-side work
+    vc = (
+        dims.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c_val")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("c_val") * F.col("c_val")).alias("cc"),
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            sround(
+                _cos_div(F.col("dot"), F.sqrt("vv") * F.sqrt("cc")), 6
+            ).alias("c_cos"),
+        )
+    )
+    wp = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cluster_id")
+    )
+    probes = (
+        vc.withColumn("c_rank", F.row_number().over(wp))
+        .filter(F.col("c_rank") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cluster_id").cast("int").alias("label"),
+        )
+    )
+    q = relabeled.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = relabeled.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+    )
+    cand = (
+        probes.join(q, "query_id")
+        .join(corpus, "label")
+        .filter(F.col("match_id") != F.col("query_id"))
+    )
+    cos = sround(
+        _cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6
+    )
+    scored = cand.select("query_id", "match_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def sql_knn_join_ivf(
+    k_neighbors: int = KNN_K, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """DuckDB mirror of :func:`knn_join_ivf`: unrolled Lloyd CTEs, the
+    shared final assignment, an all-vector probe CTE (cosine to c{iters}),
+    and the candidate-only scoring flow."""
+    ctes = _sql_kmeans_ctes(k, iters)
+    ctes.append(sql_kmeans_assign_cte(iters))
+    ctes.append(
+        """relabeled AS (
+  SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS label
+  FROM embeddings e JOIN afin a USING (vec_id)
+)"""
+    )
+    ctes.append(
+        f"""vprobe AS (
+  SELECT vec_id, cluster_id,
+    floor((SUM(val * c_val) / greatest(sqrt(SUM(val * val)) * sqrt(SUM(c_val * c_val)), 1e-300))
+          * 1e6 + 0.5000001) / 1e6 AS c_cos
+  FROM dims d JOIN c{iters} c USING (dim)
+  GROUP BY vec_id, cluster_id
+)"""
+    )
+    ctes.append(
+        f"""kprobes AS (
+  SELECT vec_id AS query_id, CAST(cluster_id AS INT) AS label
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cluster_id ASC) AS c_rank FROM vprobe)
+  WHERE c_rank <= {NPROBE}
+)"""
+    )
+    ctes.append(
+        f"""kscored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+         {_SQL_COS} AS cosine
+  FROM kprobes p
+  JOIN relabeled c ON c.label = p.label
+  JOIN relabeled q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        """kranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM kscored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, match_id, cosine, rank FROM kranked WHERE rank <= {k_neighbors}"
+    )

@@ -67,3 +67,50 @@ def test_dense_ivf_query_recall_floor(spark):
         f"dense_ivf_topk recall = {recall:.3f} fell below the 0.70 floor — "
         "the cell probe traded too much recall away"
     )
+
+
+def test_knn_join_recall_floor(spark):
+    """The IVF KNN self-join vs the exact all-pairs top-k on the same
+    corpus: probing NPROBE trained cells per vector must keep most of each
+    vector's true neighbor list (measured 0.670 at sf0.001 when pinned,
+    r08 — the same near-uniform hard case as the query-time floors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_signals.parity import sround
+
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = sround(
+        SIM._cos_div(
+            SIM._dot("q_emb", "c_emb"), SIM._norm("q_emb") * SIM._norm("c_emb")
+        ),
+        6,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM.KNN_K)
+        .collect()
+    }
+    got = {
+        (r["query_id"], r["match_id"]) for r in SIM.knn_join_ivf(emb).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.58, (
+        f"knn_join_ivf recall@{SIM.KNN_K} = {recall:.3f} fell below the "
+        "0.58 floor — the cell probe traded too much recall away"
+    )

@@ -189,6 +189,7 @@ def test_zero_vector_does_not_crash_ann(spark):
         SIM.ann_ivf_topk,
         SIM.ann_lsh_pairs,
         SIM.ann_ivfpq_topk,
+        SIM.knn_join_ivf,
         embedding_neardup,
     ):
         out = op(emb).collect()
@@ -196,3 +197,15 @@ def test_zero_vector_does_not_crash_ann(spark):
             d = r.asDict()
             for v in d.values():
                 assert v == v, f"{op.__name__} emitted NaN: {d}"
+
+
+def test_empty_embeddings_knn_join(spark):
+    """An empty vector relation (fresh index, nothing ingested yet) must
+    yield an empty neighbor list — the Lloyd loop, assignment, and probe
+    stages all tolerate zero rows."""
+    from spark_signals.datapipe import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert SIM.knn_join_ivf(emb).count() == 0

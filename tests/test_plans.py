@@ -396,3 +396,16 @@ def test_ann_index_delta_broadcasts_centroids(spark):
     assert count_op(p, "BroadcastHashJoin") >= 1
     assert count_op(p, "CartesianProduct") == 0
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_knn_join_stays_jvm_side_no_cartesian(spark):
+    """The IVF KNN self-join: the all-pairs relation must never appear —
+    candidates reach the scorer through cell-keyed equi-joins (plus the
+    broadcast k×D centroid probe), with zero cartesian/nested-loop nodes
+    and zero Python stages."""
+    from spark_signals.datapipe.similarity import knn_join_ivf
+
+    p = plan_str(knn_join_ivf(read_table(spark, SF, "embeddings")))
+    assert count_op(p, "CartesianProduct") == 0
+    assert "NestedLoop" not in p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p

@@ -143,7 +143,13 @@ def main() -> int:
         "decontam_fuzzy": lambda: _decontam_fuzzy(docs),
         "dsir_logratio": lambda: SMP.dsir_snapshot(docs, "src0"),
         "cluster_composition": lambda: _cluster_composition(docs),
+        "knn_join_ivf": lambda: _knn_join_ivf(emb),
     }
+
+    def _knn_join_ivf(e):
+        from spark_signals.datapipe.similarity import knn_join_ivf
+
+        return knn_join_ivf(e)
 
     def _decontam_fuzzy(d):
         from spark_signals.datapipe.decontam import decontaminate_fuzzy
