@@ -156,9 +156,17 @@ def _train_loop(
             )
             .localCheckpoint(eager=True)
         )
-    merges = bests[0]
-    for b in bests[1:]:
-        merges = merges.unionByName(b)
+    if not bests:  # n_merges=0: a pure char-level tokenizer, empty table
+        merges = _sentinel(spark).select(
+            F.lit(0).alias("merge_rank"),
+            F.col("pair_str").alias("left"),
+            F.col("pair_str").alias("right"),
+            "cnt",
+        )
+    else:
+        merges = bests[0]
+        for b in bests[1:]:
+            merges = merges.unionByName(b)
     merges = merges.filter(F.col("cnt") > 0).select(
         "merge_rank",
         "left",
@@ -375,3 +383,83 @@ SELECT doc_id,
        SUM(COALESCE(seg.n_syms, length(dwords.word)))::BIGINT AS n_tokens_bpe
 FROM dwords LEFT JOIN seg USING (word)
 GROUP BY doc_id"""
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-quality report per language: (lang, n_docs, n_words,
+    n_tokens_bpe, n_chars, fertility, chars_per_token).
+
+    Fertility (subword tokens per word) and compression (chars per token)
+    are THE standard tokenizer-eval numbers — a vocab trained on an
+    English-heavy mix shows fertility creep on under-represented
+    languages, which this surfaces before a single GPU-hour is spent.
+    Shape: bpe_token_counts' shapes plus one lang-keyed aggregate over
+    doc-level rows; ratios divide exact int64 sums, gridded to 1e-6, so
+    the report is partitioning/engine-stable. Zero-token languages
+    (corpora of control chars) report NULL ratios rather than a division
+    error under ANSI mode."""
+    from spark_signals.parity import sround
+
+    counts = bpe_token_counts(docs, n_merges, text_col)
+    joined = counts.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens_bpe",
+        "n_chars",
+        sround(
+            F.col("n_tokens_bpe") / F.nullif(F.col("n_words"), F.lit(0)), 6
+        ).alias("fertility"),
+        sround(
+            F.col("n_chars") / F.nullif(F.col("n_tokens_bpe"), F.lit(0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def sql_bpe_fertility_by_lang(
+    n_merges: int = BPE_MERGES, source: str = "documents"
+) -> str:
+    """Oracle twin of :func:`bpe_fertility_by_lang` — the token-counts
+    CTE chain plus one lang-keyed aggregate."""
+    from spark_signals.datapipe.text import ASCII_LO, ASCII_UP
+
+    ctes = ",\n".join(_sql_train_ctes(n_merges, source))
+    sep = "(chr(3) || chr(2))"
+    lower = f"translate(text, '{ASCII_UP}', '{ASCII_LO}')"
+    return f"""
+WITH {ctes},
+seg AS (
+  SELECT word,
+         len(string_split(substring(repr, 2, length(repr) - 2), {sep})) AS n_syms
+  FROM r{n_merges}
+),
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex({lower}, '\\s+'), w -> w <> '')) AS word
+  FROM {source}
+),
+counts AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         SUM(COALESCE(seg.n_syms, length(dwords.word)))::BIGINT AS n_tokens_bpe
+  FROM dwords LEFT JOIN seg USING (word)
+  GROUP BY doc_id
+)
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       SUM(c.n_words)::BIGINT AS n_words,
+       SUM(c.n_tokens_bpe)::BIGINT AS n_tokens_bpe,
+       SUM(d.n_chars)::BIGINT AS n_chars,
+       floor(SUM(c.n_tokens_bpe) / NULLIF(SUM(c.n_words), 0) * 1e6 + 0.5000001) / 1e6 AS fertility,
+       floor(SUM(d.n_chars) / NULLIF(SUM(c.n_tokens_bpe), 0) * 1e6 + 0.5000001) / 1e6 AS chars_per_token
+FROM counts c JOIN {source} d USING (doc_id)
+GROUP BY d.lang"""

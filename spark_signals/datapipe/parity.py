@@ -417,6 +417,7 @@ def _incoming_r08() -> dict:
         cluster_composition,
         sql_cluster_composition,
     )
+    from spark_signals.datapipe import bpe as BPE
     from spark_signals.datapipe.bpe import (
         bpe_token_counts,
         bpe_train,
@@ -497,6 +498,14 @@ def _incoming_r08() -> dict:
         "knn_join_ivf": (
             lambda spark, sf_dir: SIM.knn_join_ivf(_emb(spark, sf_dir)),
             SIM.sql_knn_join_ivf(),
+        ),
+        # tokenizer-quality report: fertility (tokens/word) and compression
+        # (chars/token) per language under the self-trained BPE vocab
+        "bpe_fertility_by_lang": (
+            lambda spark, sf_dir: BPE.bpe_fertility_by_lang(
+                _docs(spark, sf_dir)
+            ),
+            BPE.sql_bpe_fertility_by_lang(),
         ),
     }
 

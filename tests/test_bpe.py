@@ -134,3 +134,38 @@ def test_bpe_empty_corpus(spark):
     docs = spark.createDataFrame([], SCHEMA)
     assert bpe_train(docs, 3).count() == 0
     assert bpe_token_counts(docs, 3).count() == 0
+
+
+def test_bpe_fertility_by_lang_semantics(spark):
+    """Hand-checkable fertility: with 0 merges every word prices at its
+    char count, so fertility == chars/word and chars_per_token == 1 per
+    language; the per-language split must follow the lang column."""
+    from spark_signals.datapipe.bpe import bpe_fertility_by_lang
+
+    rows = [
+        (1, "aa bbb", "en", "s", 6),
+        (2, "cccc", "en", "s", 4),
+        (3, "dd ee", "de", "s", 5),
+    ]
+    d = spark.createDataFrame(rows, SCHEMA)
+    got = {r["lang"]: r for r in bpe_fertility_by_lang(d, n_merges=0).collect()}
+    en, de = got["en"], got["de"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens_bpe"]) == (2, 3, 9)
+    assert en["fertility"] == 3.0  # 9 single-char tokens / 3 words
+    assert (de["n_words"], de["n_tokens_bpe"]) == (2, 4)
+    assert de["fertility"] == 2.0
+
+
+def test_bpe_fertility_matches_duckdb_oracle(docs):
+    from spark_signals.datapipe.bpe import (
+        bpe_fertility_by_lang,
+        sql_bpe_fertility_by_lang,
+    )
+
+    got = sorted(
+        tuple(r) for r in bpe_fertility_by_lang(docs, 4).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _duck().execute(sql_bpe_fertility_by_lang(4)).fetchall()
+    )
+    assert got == want

@@ -84,6 +84,7 @@ def _late_ops():
         "hybrid_rrf_ivf_topk": hybrid_rrf_ivf_topk,
         "bpe_train": _bpe_train_small,
         "bpe_token_counts": _bpe_counts_small,
+        "bpe_fertility_by_lang": _bpe_fertility_small,
         "cluster_composition": _cluster_composition,
         "dsir_snapshot": _dsir_snapshot,
         "strip_boilerplate": _strip_boilerplate,
@@ -108,6 +109,12 @@ def _bpe_counts_small(docs):
     from spark_signals.datapipe.bpe import bpe_token_counts
 
     return bpe_token_counts(docs, n_merges=2)
+
+
+def _bpe_fertility_small(docs):
+    from spark_signals.datapipe.bpe import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(docs, n_merges=2)
 
 
 def _cluster_composition(docs):
