@@ -507,6 +507,12 @@ def _incoming_r08() -> dict:
             ),
             BPE.sql_bpe_fertility_by_lang(),
         ),
+        # temperature-annealed per-epoch mixture schedule (data curriculum):
+        # one token-pricing aggregate, then closed-form S×E arithmetic
+        "mixture_curriculum": (
+            lambda spark, sf_dir: SMP.mixture_curriculum(_docs(spark, sf_dir)),
+            SMP.sql_mixture_curriculum(),
+        ),
     }
 
 

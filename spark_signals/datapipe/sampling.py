@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.parity import sround
+
 # per-language keep rates (rebalance the en-heavy head, keep the tail)
 DEFAULT_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
 DEFAULT_RATE = 0.125
@@ -556,3 +558,129 @@ SELECT w.doc_id,
        CAST(SUM(m.lr_u) AS DOUBLE) / COUNT(*) / {_LR_GRID}.0 AS avg_logratio
 FROM raww w JOIN model m ON m.b = w.b
 GROUP BY w.doc_id"""
+
+
+# --------------------------------------------------- curriculum schedule
+# Temperature-ANNEALED mixing: modern pretraining runs don't hold the
+# mixture fixed — they start near raw supply shares (T≈1, the cheap web
+# mass dominates) and flatten toward uniform late in training so rare /
+# curated sources get their epochs when they matter most (the "data
+# curriculum" in the Doremi/DataComp-LM lineage). Each epoch's row set is
+# exactly a mixture_manifest at that epoch's temperature.
+CURRICULUM_EPOCHS = 4
+CURRICULUM_T_START = 1.0
+CURRICULUM_T_END = 2.5
+
+
+def mixture_curriculum(
+    docs: DataFrame,
+    epochs: int = CURRICULUM_EPOCHS,
+    t_start: float = CURRICULUM_T_START,
+    t_end: float = CURRICULUM_T_END,
+    budget_tokens_per_epoch: int = MIXTURE_BUDGET_TOKENS,
+    token_counter: str | None = None,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-epoch annealed mixture schedule: (epoch, group, temperature,
+    n_tokens_available, weight, target_tokens, repeat_factor), with
+    weight_g(e) ∝ supply_g^(1/T_e) normalized within the epoch and T_e
+    linear from ``t_start`` (epoch 1) to ``t_end`` (final epoch).
+
+    Shape at 100 TB: ONE corpus-scale token-pricing aggregate (the same
+    S-row relation mixture_manifest builds, map-side combined); everything
+    after is closed-form arithmetic over S×E rows plus an E-row
+    normalization join — nothing corpus-sized moves twice. The only float
+    op (pow) lands on the 1e-6 grid before any downstream use, the same
+    determinism contract as sample_temperature."""
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, n_tokens_col
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
+    spark = docs.sparkSession
+    counts = docs.groupBy(group_col).agg(
+        F.sum(n_tokens_col(F.col("text"), counter)).alias("n_tokens_available")
+    )
+    edf = spark.range(1, epochs + 1).select(F.col("id").alias("epoch"))
+    if epochs == 1:
+        temp = F.lit(float(t_start))
+    else:
+        temp = F.lit(float(t_start)) + (
+            F.lit(float(t_end)) - F.lit(float(t_start))
+        ) * (F.col("epoch") - F.lit(1)).cast("double") / F.lit(float(epochs - 1))
+    crossed = counts.crossJoin(F.broadcast(edf)).select(
+        "epoch",
+        group_col,
+        "n_tokens_available",
+        sround(temp, 6).alias("temperature"),
+        F.pow(
+            F.col("n_tokens_available").cast("double"), F.lit(1.0) / temp
+        ).alias("powered"),
+    )
+    z = crossed.groupBy("epoch").agg(F.sum("powered").alias("z"))
+    weight = sround(F.col("powered") / F.col("z"), 6)
+    target = F.floor(
+        weight * F.lit(float(budget_tokens_per_epoch)) + F.lit(0.5000001)
+    ).cast("bigint")
+    return (
+        crossed.join(F.broadcast(z), "epoch")
+        .select(
+            "epoch",
+            group_col,
+            "temperature",
+            "n_tokens_available",
+            weight.alias("weight"),
+            target.alias("target_tokens"),
+            (
+                F.floor(
+                    target.cast("double")
+                    / F.col("n_tokens_available")
+                    * F.lit(1e6)
+                    + F.lit(0.5000001)
+                )
+                / F.lit(1e6)
+            ).alias("repeat_factor"),
+        )
+    )
+
+
+def sql_mixture_curriculum(
+    epochs: int = CURRICULUM_EPOCHS,
+    t_start: float = CURRICULUM_T_START,
+    t_end: float = CURRICULUM_T_END,
+    budget_tokens_per_epoch: int = MIXTURE_BUDGET_TOKENS,
+    token_counter: str | None = None,
+    group_col: str = "source",
+) -> str:
+    """Oracle twin of :func:`mixture_curriculum`."""
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, sql_n_tokens
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
+    if epochs == 1:
+        temp = f"CAST({float(t_start)!r} AS DOUBLE)"
+    else:
+        temp = (
+            f"(CAST({float(t_start)!r} AS DOUBLE) + "
+            f"(CAST({float(t_end)!r} AS DOUBLE) - CAST({float(t_start)!r} AS DOUBLE))"
+            f" * CAST(epoch - 1 AS DOUBLE) / CAST({float(epochs - 1)!r} AS DOUBLE))"
+        )
+    grid = "floor({x} * 1e6 + 0.5000001) / 1e6"
+    w = grid.format(x="(powered / z)")
+    tgt = f"CAST(floor({w} * CAST({float(budget_tokens_per_epoch)!r} AS DOUBLE) + 0.5000001) AS BIGINT)"
+    return f"""
+WITH counts AS (
+  SELECT {group_col},
+         CAST(SUM({sql_n_tokens("text", counter)}) AS BIGINT) AS n_tokens_available
+  FROM documents GROUP BY {group_col}
+),
+epochs AS (SELECT CAST(unnest(range(1, {epochs + 1})) AS BIGINT) AS epoch),
+crossed AS (
+  SELECT epoch, {group_col}, n_tokens_available,
+         {grid.format(x=temp)} AS temperature,
+         pow(CAST(n_tokens_available AS DOUBLE), 1.0 / {temp}) AS powered
+  FROM counts CROSS JOIN epochs
+),
+z AS (SELECT epoch, SUM(powered) AS z FROM crossed GROUP BY epoch)
+SELECT c.epoch, c.{group_col}, c.temperature, c.n_tokens_available,
+       {w} AS weight,
+       {tgt} AS target_tokens,
+       floor(CAST({tgt} AS DOUBLE) / c.n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor
+FROM crossed c JOIN z USING (epoch)"""

@@ -95,6 +95,7 @@ def _late_ops():
         "dedup_canonical_quality": D.dedup_canonical_quality,
         "corpus_diff_snapshot": _corpus_diff_snapshot,
         "mixture_by_lang": lambda docs: SMP.mixture_manifest(docs, group_col="lang"),
+        "mixture_curriculum": SMP.mixture_curriculum,
         "tokenize_with_vocab": T.tokenize_with_vocab,
     }
 
