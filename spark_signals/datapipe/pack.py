@@ -182,3 +182,86 @@ SELECT shard, "window", doc_id,
          - greatest(tok_offset, "window" * {ctx_len}) + 1 AS n_window_tokens
 FROM e"""
     )
+
+
+# ------------------------------------------------- training-order shuffle
+# Trainers must read windows in a GLOBAL pseudo-random order (sequential
+# shard order correlates adjacent batches with crawl locality), and every
+# data-loader rank needs a stable, disjoint slice of that order. Hashing
+# gives both without a coordination step: order_key = md5(shard:window) is
+# a reproducible permutation of the window stream (readers ORDER BY
+# order_key — a distributed sort at read time, the one total order worth
+# paying for), and reader = hash mod n_readers is an even, deterministic
+# rank assignment. Resharding the corpus never reorders surviving windows
+# relative to each other, so a resumed run replays the same stream.
+N_READERS = 4
+
+
+def shuffle_windows(
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    n_readers: int = N_READERS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
+) -> DataFrame:
+    """(shard, window, n_docs, n_window_tokens, order_key, reader): one row
+    per training window with its global shuffle key and data-loader rank.
+
+    Shape: pack_windows' single shard-keyed shuffle, one (shard, window)
+    aggregate to collapse per-document slices, then pure per-row hash
+    projections — no extra corpus-scale shuffle, no window functions, and
+    the reader assignment is exact int64 (engine-independent)."""
+    slices = pack_windows(docs, ctx_len, num_shards, token_counter)
+    wins = slices.groupBy("shard", "window").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_window_tokens").cast("bigint").alias("n_window_tokens"),
+    )
+    okey = F.md5(
+        F.concat(
+            F.col("shard").cast("string"),
+            F.lit(":"),
+            F.col("window").cast("string"),
+        )
+    )
+    bucket = F.conv(F.substring(okey, 1, 8), 16, 10).cast("bigint")
+    return wins.select(
+        "shard",
+        "window",
+        "n_docs",
+        "n_window_tokens",
+        okey.alias("order_key"),
+        F.pmod(bucket, F.lit(n_readers)).cast("int").alias("reader"),
+    )
+
+
+def sql_shuffle_windows(
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    n_readers: int = N_READERS,
+) -> str:
+    ctes = _sql_pack_ctes(ctx_len, num_shards)
+    ctes.append(
+        """e AS (
+  SELECT shard, doc_id, tok_offset, n_tokens,
+         unnest(range(first_window, last_window + 1)) AS "window"
+  FROM manifest WHERE n_tokens > 0
+)"""
+    )
+    ctes.append(
+        f"""wins AS (
+  SELECT shard, "window",
+         count(*)::BIGINT AS n_docs,
+         CAST(SUM(least(tok_offset + n_tokens - 1, ("window" + 1) * {ctx_len} - 1)
+              - greatest(tok_offset, "window" * {ctx_len}) + 1) AS BIGINT) AS n_window_tokens
+  FROM e GROUP BY shard, "window"
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT shard, "window", n_docs, n_window_tokens,
+       md5(CAST(shard AS VARCHAR) || ':' || CAST("window" AS VARCHAR)) AS order_key,
+       CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || ':' || CAST("window" AS VARCHAR)), 1, 8))::BIGINT % {n_readers} AS INT) AS reader
+FROM wins"""
+    )

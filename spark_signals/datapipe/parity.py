@@ -418,6 +418,7 @@ def _incoming_r08() -> dict:
         sql_cluster_composition,
     )
     from spark_signals.datapipe import bpe as BPE
+    from spark_signals.datapipe import pack as PK
     from spark_signals.datapipe.bpe import (
         bpe_token_counts,
         bpe_train,
@@ -512,6 +513,12 @@ def _incoming_r08() -> dict:
         "mixture_curriculum": (
             lambda spark, sf_dir: SMP.mixture_curriculum(_docs(spark, sf_dir)),
             SMP.sql_mixture_curriculum(),
+        ),
+        # deterministic global training-order shuffle + reader-rank
+        # assignment over packed windows (hash projections, no new shuffle)
+        "shuffle_windows": (
+            lambda spark, sf_dir: PK.shuffle_windows(_docs(spark, sf_dir)),
+            PK.sql_shuffle_windows(),
         ),
     }
 

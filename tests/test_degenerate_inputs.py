@@ -96,6 +96,7 @@ def _late_ops():
         "corpus_diff_snapshot": _corpus_diff_snapshot,
         "mixture_by_lang": lambda docs: SMP.mixture_manifest(docs, group_col="lang"),
         "mixture_curriculum": SMP.mixture_curriculum,
+        "shuffle_windows": _shuffle_windows,
         "tokenize_with_vocab": T.tokenize_with_vocab,
     }
 
@@ -144,6 +145,12 @@ def _corpus_diff_snapshot(docs):
     from spark_signals.datapipe.versioning import corpus_diff_snapshot
 
     return corpus_diff_snapshot(docs)
+
+
+def _shuffle_windows(docs):
+    from spark_signals.datapipe.pack import shuffle_windows
+
+    return shuffle_windows(docs)
 
 
 OPS.update(_late_ops())

@@ -66,3 +66,42 @@ def test_curriculum_single_epoch_is_one_manifest(spark):
     assert {r["epoch"] for r in rows} == {1}
     assert all(r["temperature"] == 2.0 for r in rows)
     assert sum(r["target_tokens"] for r in rows) == pytest.approx(1000, abs=2)
+
+
+# -------------------------------------------------- training-order shuffle
+def test_shuffle_windows_covers_each_window_once(spark):
+    """One row per packed (shard, window); token mass per window never
+    exceeds ctx_len and interior windows are exactly full (tokens +
+    document EOS gaps fill the rest)."""
+    from spark_signals.datapipe.pack import CTX_LEN, pack_windows, shuffle_windows
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    wins = shuffle_windows(docs).collect()
+    keys = {(r["shard"], r["window"]) for r in wins}
+    assert len(keys) == len(wins)  # a window appears exactly once
+    expected = {
+        (r["shard"], r["window"]) for r in pack_windows(docs).collect()
+    }
+    assert keys == expected
+    assert all(r["n_window_tokens"] <= CTX_LEN for r in wins)
+
+
+def test_shuffle_windows_keys_are_stable_and_balanced(spark):
+    """order_key is a pure function of (shard, window) — identical across
+    runs — and the reader assignment is near-even."""
+    from collections import Counter
+
+    from spark_signals.datapipe.pack import N_READERS, shuffle_windows
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {(r["shard"], r["window"]): (r["order_key"], r["reader"])
+         for r in shuffle_windows(docs).collect()}
+    b = {(r["shard"], r["window"]): (r["order_key"], r["reader"])
+         for r in shuffle_windows(docs).collect()}
+    assert a == b
+    readers = Counter(v[1] for v in a.values())
+    assert set(readers) == set(range(N_READERS))
+    assert max(readers.values()) <= 1.5 * min(readers.values())
+    assert len({v[0] for v in a.values()}) == len(a)  # keys are distinct
