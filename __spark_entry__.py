@@ -73,9 +73,10 @@ DRIVER_CAP = 50
 # bpe_token_counts, dedup_incr_neardup, bm25_topk_queries,
 # cluster_composition, dsir_logratio, strip_boilerplate, decontam_fuzzy —
 # each oracle-checked at sf0.01 AND in the r08 full sf0.1 extended sweep)
-# plus knn_join_ivf, bpe_fertility_by_lang, mixture_curriculum, and
-# shuffle_windows (added late r08, oracle-checked at sf0.001 + sf0.01).
-# Twenty-one waiting on ~10 slots: r07 waves 2-3 take priority (older
+# plus knn_join_ivf, bpe_fertility_by_lang, mixture_curriculum,
+# shuffle_windows, and decontam_report (added late r08, oracle-checked at
+# sf0.001 + sf0.01).
+# Twenty-two waiting on ~10 slots: r07 waves 2-3 take priority (older
 # debt); spillover to r10.
 # Slot sources, in priority order:
 # (1) this round's five returners (doc_fingerprint_minhash1,

@@ -286,3 +286,134 @@ SELECT d.doc_id, d.source,
        COALESCE(v.max_jaccard_u, 0)::BIGINT AS max_jaccard_u,
        COALESCE(v.n_eval_matches, 0) > 0 AS is_contaminated_fuzzy
 FROM traind d LEFT JOIN verified v USING (doc_id)"""
+
+
+# ----------------------------------------------- multi-benchmark report
+# An eval battery is many suites, and the go/no-go question is per-suite:
+# "which benchmarks does this corpus leak, and how badly?" — the table a
+# data card publishes next to its decontamination method. One train-side
+# digest pass serves EVERY benchmark at once: eval digests carry their
+# suite name through the broadcast, so adding a 50th benchmark adds k rows
+# to the broadcast, not a 50th corpus scan.
+REPORT_BENCHES = ("src0", "src1")  # driver face: two sources stand in
+
+
+def decontam_report(
+    train: DataFrame, benchmarks: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Per-benchmark leakage summary: (bench, n_eval_docs,
+    n_contaminated_train_docs, n_overlap_pairs, contamination_rate).
+
+    ``benchmarks`` needs (bench, doc_id, text). A training document counts
+    once per benchmark it overlaps (distinct (bench, doc_id) after the
+    digest join); contamination_rate divides by the total training-doc
+    count on the 1e-6 grid. Shape at 100 TB: ONE training-corpus digest
+    explode joined against the broadcast (bench, digest) relation, a
+    (bench, doc_id) dedup aggregate bounded by true overlap volume, and
+    S-row marginals — benchmarks never touch the corpus a second time."""
+    ev = (
+        _ngram_digests(benchmarks.select("doc_id", "text"), n)
+        .join(benchmarks.select("doc_id", "bench"), "doc_id")
+        .select("bench", "digest")
+        .distinct()
+    )
+    ev_sizes = benchmarks.groupBy("bench").agg(
+        F.countDistinct("doc_id").alias("n_eval_docs")
+    )
+    hits = (
+        _ngram_digests(train, n)
+        .join(F.broadcast(ev), "digest")
+        .groupBy("bench", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per_bench = hits.groupBy("bench").agg(
+        F.count(F.lit(1)).alias("n_contaminated_train_docs"),
+        F.sum("n_overlap").cast("bigint").alias("n_overlap_pairs"),
+    )
+    total = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        ev_sizes.join(per_bench, "bench", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bench",
+            "n_eval_docs",
+            F.coalesce("n_contaminated_train_docs", F.lit(0).cast("long")).alias(
+                "n_contaminated_train_docs"
+            ),
+            F.coalesce("n_overlap_pairs", F.lit(0).cast("long")).alias(
+                "n_overlap_pairs"
+            ),
+            (
+                F.floor(
+                    F.coalesce("n_contaminated_train_docs", F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_train")
+                    * F.lit(1e6)
+                    + F.lit(0.5000001)
+                )
+                / F.lit(1e6)
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def decontam_report_snapshot(
+    docs: DataFrame, benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Driver-checkable face: sources in ``benches`` stand in as two eval
+    suites; everything else is the training corpus."""
+    bench_list = list(benches)
+    benchmarks = docs.filter(F.col("source").isin(bench_list)).select(
+        "doc_id", "text", F.col("source").alias("bench")
+    )
+    train = docs.filter(~F.col("source").isin(bench_list))
+    return decontam_report(train, benchmarks, n)
+
+
+def sql_decontam_report(
+    benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+    source: str = "documents",
+) -> str:
+    in_list = ", ".join(f"'{b}'" for b in benches)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+s AS (
+  SELECT doc_id, source, list_distinct({SQL_SHINGLES(n)}) AS grams FROM d
+),
+g AS (
+  SELECT doc_id, source, md5(unnest(grams)) AS digest FROM s
+),
+ev AS (
+  SELECT DISTINCT source AS bench, digest FROM g WHERE source IN ({in_list})
+),
+ev_sizes AS (
+  SELECT source AS bench, count(DISTINCT doc_id) AS n_eval_docs
+  FROM {source} WHERE source IN ({in_list}) GROUP BY source
+),
+hits AS (
+  SELECT ev.bench, g.doc_id, count(*) AS n_overlap
+  FROM g JOIN ev USING (digest)
+  WHERE g.source NOT IN ({in_list})
+  GROUP BY ev.bench, g.doc_id
+),
+per_bench AS (
+  SELECT bench, count(*) AS n_contaminated_train_docs,
+         CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_pairs
+  FROM hits GROUP BY bench
+),
+total AS (
+  SELECT count(*) AS n_train FROM {source} WHERE source NOT IN ({in_list})
+)
+SELECT e.bench,
+       CAST(e.n_eval_docs AS BIGINT) AS n_eval_docs,
+       CAST(coalesce(p.n_contaminated_train_docs, 0) AS BIGINT) AS n_contaminated_train_docs,
+       CAST(coalesce(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs,
+       floor(CAST(coalesce(p.n_contaminated_train_docs, 0) AS DOUBLE) / t.n_train * 1e6 + 0.5000001) / 1e6 AS contamination_rate
+FROM ev_sizes e LEFT JOIN per_bench p USING (bench) CROSS JOIN total t"""

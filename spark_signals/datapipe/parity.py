@@ -520,6 +520,14 @@ def _incoming_r08() -> dict:
             lambda spark, sf_dir: PK.shuffle_windows(_docs(spark, sf_dir)),
             PK.sql_shuffle_windows(),
         ),
+        # per-benchmark leakage summary: one corpus digest pass serves
+        # every eval suite via the broadcast (bench, digest) relation
+        "decontam_report": (
+            lambda spark, sf_dir: DC.decontam_report_snapshot(
+                _docs(spark, sf_dir)
+            ),
+            DC.sql_decontam_report(),
+        ),
     }
 
 

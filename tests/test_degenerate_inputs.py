@@ -97,6 +97,7 @@ def _late_ops():
         "mixture_by_lang": lambda docs: SMP.mixture_manifest(docs, group_col="lang"),
         "mixture_curriculum": SMP.mixture_curriculum,
         "shuffle_windows": _shuffle_windows,
+        "decontam_report": _decontam_report,
         "tokenize_with_vocab": T.tokenize_with_vocab,
     }
 
@@ -151,6 +152,12 @@ def _shuffle_windows(docs):
     from spark_signals.datapipe.pack import shuffle_windows
 
     return shuffle_windows(docs)
+
+
+def _decontam_report(docs):
+    from spark_signals.datapipe.decontam import decontam_report_snapshot
+
+    return decontam_report_snapshot(docs, benches=("s",))
 
 
 OPS.update(_late_ops())

@@ -105,3 +105,34 @@ def test_shuffle_windows_keys_are_stable_and_balanced(spark):
     assert set(readers) == set(range(N_READERS))
     assert max(readers.values()) <= 1.5 * min(readers.values())
     assert len({v[0] for v in a.values()}) == len(a)  # keys are distinct
+
+
+# ------------------------------------------------ multi-benchmark report
+def test_decontam_report_counts_per_benchmark(spark):
+    """Leaked docs count once per benchmark they overlap; clean benchmarks
+    report zero with the eval-doc count intact."""
+    from spark_signals.datapipe.decontam import decontam_report
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "web", 30),
+            (2, "one two three four five six", "en", "web", 20),
+            (3, "totally unrelated content right here now", "en", "web", 30),
+        ],
+        DOC_SCHEMA,
+    )
+    benchmarks = spark.createDataFrame(
+        [
+            ("suiteA", 10, "alpha beta gamma delta epsilon zeta"),
+            ("suiteA", 11, "no overlap with anything in training data"),
+            ("suiteB", 20, "completely disjoint benchmark text sample here"),
+        ],
+        "bench string, doc_id long, text string",
+    )
+    out = {r["bench"]: r for r in decontam_report(train, benchmarks).collect()}
+    a, b = out["suiteA"], out["suiteB"]
+    assert a["n_eval_docs"] == 2
+    assert a["n_contaminated_train_docs"] == 1  # doc 1 leaks suiteA
+    assert a["contamination_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (b["n_contaminated_train_docs"], b["n_overlap_pairs"]) == (0, 0)
+    assert b["contamination_rate"] == 0.0
