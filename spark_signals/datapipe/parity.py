@@ -497,7 +497,11 @@ def _incoming_r08() -> dict:
         # IVF KNN self-join: every vector's top-k neighbors in one pass —
         # candidates bounded by probed cells, never the n² pair relation
         "knn_join_ivf": (
-            lambda spark, sf_dir: SIM.knn_join_ivf(_emb(spark, sf_dir)),
+            # k pinned: the unrolled-Lloyd oracle is generated for a static
+            # cell count (library default DERIVES k from the corpus size)
+            lambda spark, sf_dir: SIM.knn_join_ivf(
+                _emb(spark, sf_dir), k=SIM.KMEANS_K
+            ),
             SIM.sql_knn_join_ivf(),
         ),
         # tokenizer-quality report: fertility (tokens/word) and compression

@@ -822,17 +822,36 @@ def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 # follows cluster quality exactly as in the query-time IVF path, with the
 # floor gated in tests/test_ann_recall.py.
 KNN_K = 5
+KNN_TARGET_CELL = 64  # target MEAN cell size: candidates/vector ≈ NPROBE·64
+
+
+def knn_join_k(
+    n: int, target_cell_size: int = KNN_TARGET_CELL, k_min: int | None = None
+) -> int:
+    """Derived cell count: k = max(KMEANS_K, ceil(n / target_cell_size)) —
+    the √n-ish sizing that keeps candidate volume ~n·NPROBE·target instead
+    of quadratic (same contract as dedup.semdedup_k)."""
+    import math
+
+    k_min = KMEANS_K if k_min is None else k_min
+    return max(k_min, math.ceil(n / max(target_cell_size, 1)))
 
 
 def knn_join_ivf(
     embeddings: DataFrame,
     k_neighbors: int = KNN_K,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
 ) -> DataFrame:
     """(query_id, match_id, cosine, rank) — top-``k_neighbors`` neighbors
     for EVERY corpus vector via trained-IVF cell probing (no label column
-    required). Reference has no ANN surface; north-star scope."""
+    required). ``k`` defaults to :func:`knn_join_k`, derived from a cheap
+    corpus count so mean cell size stays ≤ KNN_TARGET_CELL as n grows;
+    pass ``k`` explicitly to pin a static count (the oracle twin does,
+    since the unrolled-Lloyd SQL is generated for a fixed k). Reference
+    has no ANN surface; north-star scope."""
+    if k is None:
+        k = knn_join_k(embeddings.count())
     centroids = kmeans_train(embeddings, k, iters)
     dims = _long_dims(embeddings)
     cells = kmeans_assign(dims, centroids)
