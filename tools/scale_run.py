@@ -144,7 +144,31 @@ def main() -> int:
         "dsir_logratio": lambda: SMP.dsir_snapshot(docs, "src0"),
         "cluster_composition": lambda: _cluster_composition(docs),
         "knn_join_ivf": lambda: _knn_join_ivf(emb),
+        "bpe_fertility": lambda: _bpe_fertility(docs),
+        "mixture_curriculum": lambda: _mixture_curriculum(docs),
+        "shuffle_windows": lambda: _shuffle_windows(docs),
+        "decontam_report": lambda: _decontam_report(docs),
     }
+
+    def _bpe_fertility(d):
+        from spark_signals.datapipe.bpe import bpe_fertility_by_lang
+
+        return bpe_fertility_by_lang(d)
+
+    def _mixture_curriculum(d):
+        from spark_signals.datapipe.sampling import mixture_curriculum
+
+        return mixture_curriculum(d)
+
+    def _shuffle_windows(d):
+        from spark_signals.datapipe.pack import shuffle_windows
+
+        return shuffle_windows(d)
+
+    def _decontam_report(d):
+        from spark_signals.datapipe.decontam import decontam_report_snapshot
+
+        return decontam_report_snapshot(d)
 
     def _knn_join_ivf(e):
         from spark_signals.datapipe.similarity import knn_join_ivf
