@@ -837,22 +837,53 @@ def knn_join_k(
     return max(k_min, math.ceil(n / max(target_cell_size, 1)))
 
 
+def kmeans_train_sampled(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    train_cap: int = 50_000,
+) -> DataFrame:
+    """Lloyd training on a deterministic hash-sample of ≤ ~``train_cap``
+    vectors — the FAISS practice: centroids converge on a bounded sample,
+    so the O(n·k·D·iters) training cost stops growing with the corpus and
+    only the single assignment pass stays O(n·k·D). The gate is the md5
+    bucket predicate shared with the samplers (exact int64 comparison,
+    engine-stable, membership stable under corpus growth); when the corpus
+    is at or under the cap the sample is the whole corpus and the result
+    is bit-identical to :func:`kmeans_train`."""
+    n = embeddings.count()
+    if n <= train_cap:
+        return kmeans_train(embeddings, k, iters)
+    rate_u = int(train_cap / n * 1e6)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    sample = embeddings.filter(bucket * F.lit(1_000_000) < F.lit(rate_u * 2**32))
+    return kmeans_train(sample, k, iters)
+
+
 def knn_join_ivf(
     embeddings: DataFrame,
     k_neighbors: int = KNN_K,
     k: int | None = None,
     iters: int = KMEANS_ITERS,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """(query_id, match_id, cosine, rank) — top-``k_neighbors`` neighbors
     for EVERY corpus vector via trained-IVF cell probing (no label column
     required). ``k`` defaults to :func:`knn_join_k`, derived from a cheap
     corpus count so mean cell size stays ≤ KNN_TARGET_CELL as n grows;
     pass ``k`` explicitly to pin a static count (the oracle twin does,
-    since the unrolled-Lloyd SQL is generated for a fixed k). Reference
-    has no ANN surface; north-star scope."""
+    since the unrolled-Lloyd SQL is generated for a fixed k). ``train_cap``
+    switches the trainer to :func:`kmeans_train_sampled` — at production
+    scale the Lloyd loop should see a bounded sample, not the corpus.
+    Reference has no ANN surface; north-star scope."""
     if k is None:
         k = knn_join_k(embeddings.count())
-    centroids = kmeans_train(embeddings, k, iters)
+    if train_cap is not None:
+        centroids = kmeans_train_sampled(embeddings, k, iters, train_cap)
+    else:
+        centroids = kmeans_train(embeddings, k, iters)
     dims = _long_dims(embeddings)
     cells = kmeans_assign(dims, centroids)
     relabeled = (

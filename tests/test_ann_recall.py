@@ -114,3 +114,52 @@ def test_knn_join_recall_floor(spark):
         f"knn_join_ivf recall@{SIM.KNN_K} = {recall:.3f} fell below the "
         "0.58 floor — the cell probe traded too much recall away"
     )
+
+
+def test_knn_join_sample_trained_recall_floor(spark):
+    """FAISS-style sample training (cap 200 of 500 vectors) costs only a
+    few recall points vs full training (measured 0.636 vs 0.670 when
+    pinned, r08), and at/under the cap the sampled trainer is bit-identical
+    to the full trainer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_signals.parity import sround
+
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = sround(
+        SIM._cos_div(
+            SIM._dot("q_emb", "c_emb"), SIM._norm("q_emb") * SIM._norm("c_emb")
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in q.crossJoin(c)
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM.KNN_K)
+        .collect()
+    }
+    sampled = {
+        (r["query_id"], r["match_id"])
+        for r in SIM.knn_join_ivf(emb, train_cap=200).collect()
+    }
+    recall = len(sampled & exact) / len(exact)
+    assert recall >= 0.55, (
+        f"sample-trained knn recall = {recall:.3f} below the 0.55 floor"
+    )
+    # cap >= corpus: the sampled trainer must reduce to the full trainer
+    full = {tuple(r) for r in SIM.knn_join_ivf(emb).collect()}
+    capped = {tuple(r) for r in SIM.knn_join_ivf(emb, train_cap=10_000).collect()}
+    assert full == capped
