@@ -96,7 +96,12 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
 
     from spark_signals.datapipe.curate import curate, curate_stats
     from spark_signals.datapipe.pack import pack_sequences
-    from spark_signals.datapipe.sampling import mixture_manifest, sample_temperature
+    from spark_signals.datapipe.pack import shuffle_windows
+    from spark_signals.datapipe.sampling import (
+        mixture_curriculum,
+        mixture_manifest,
+        sample_temperature,
+    )
     from spark_signals.datapipe.text import tokenize_with_vocab
     from spark_signals.datapipe.balance import cluster_composition
     from spark_signals.io.docs import write_training_shards
@@ -149,6 +154,14 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     #    of the SAMPLED corpus (what the mixture weights actually bought)
     cluster_composition(sampled).write.mode("overwrite").parquet(
         os.path.join(out_dir, "cluster_composition")
+    )
+    # 7. the trainer-facing schedule + read plan: per-epoch annealed mixing
+    #    weights, and every packed window's global shuffle key/reader rank
+    mixture_curriculum(sampled).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "curriculum_schedule")
+    )
+    shuffle_windows(sampled).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "window_order")
     )
 
     return {
@@ -228,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
     print(
         f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
         f"mixture_manifest/ tokens_report/ cluster_composition/ "
-        f"stream/stream_curation/"
+        f"curriculum_schedule/ window_order/ stream/stream_curation/"
     )
     return 0
 

@@ -1470,9 +1470,12 @@ f AS (
   FROM e JOIN occ USING (digest)
 )
 SELECT doc_id,
-       array_to_string(
+       -- COALESCE: a fully-boilerplate page keeps ZERO passages, and DuckDB
+       -- array_to_string([]) is NULL where Spark concat_ws is '' (the
+       -- fuzzer-documented divergence; surfaced live at sf0.1)
+       COALESCE(array_to_string(
          list_filter(list(CASE WHEN do_drop THEN NULL ELSE chunk END ORDER BY idx),
-                     c -> c IS NOT NULL), ' ') AS text_strip,
+                     c -> c IS NOT NULL), ' '), '') AS text_strip,
        CAST(COUNT(*) AS INT) AS n_passages,
        CAST(COUNT(*) FILTER (WHERE NOT do_drop) AS INT) AS n_kept,
        COUNT(*) FILTER (WHERE NOT do_drop) < COUNT(*) AS was_modified

@@ -453,6 +453,44 @@ def test_strip_boilerplate_drops_corpus_chrome_keeps_case(spark):
     assert (out[1]["n_passages"], out[1]["n_kept"]) == (3, 1)
 
 
+def test_strip_boilerplate_fully_stripped_page_cross_engine(spark):
+    """A page that is NOTHING BUT boilerplate keeps zero passages: both
+    engines must agree on text_strip = '' (DuckDB array_to_string of an
+    empty list is NULL where Spark concat_ws is '' — the oracle COALESCEs;
+    surfaced live at sf0.1, r08)."""
+    import duckdb
+
+    from spark_signals.datapipe.dedup import (
+        sql_strip_boilerplate,
+        strip_boilerplate_passages,
+    )
+
+    rows = [
+        (1, "cookie notice accept all", "en", "s", 0),
+        (2, "cookie notice accept all", "en", "s", 0),
+        (3, "cookie notice accept all", "en", "s", 0),
+        (4, "real content body words", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r["doc_id"]: (r["text_strip"], r["n_kept"], r["was_modified"])
+        for r in strip_boilerplate_passages(docs, k=4, min_occ=3).collect()
+    }
+    assert got[1] == ("", 0, True)
+    assert got[4] == ("real content body words", 1, False)
+    con = duckdb.connect()
+    vals = ", ".join(f"({d}, '{t}', '{lg}', '{s}', {n})" for d, t, lg, s, n in rows)
+    con.execute(
+        f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text, lang, source, n_chars)"
+    )
+    want = {
+        r[0]: (r[1], r[3], r[4])
+        for r in con.execute(sql_strip_boilerplate(k=4, min_occ=3)).fetchall()
+    }
+    assert got == want
+
+
 def test_decontam_fuzzy_catches_paraphrased_eval_leakage(spark):
     """A training doc that lightly edits an eval doc (one word changed —
     invisible to exact digests at doc granularity) is flagged with a high

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
@@ -37,6 +39,27 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     # balance diagnostic covers every sampled doc exactly once
     comp = spark.read.parquet(os.path.join(out, "cluster_composition"))
     assert comp.agg({"n_docs": "sum"}).first()[0] == counts["sampled_docs"]
+    # trainer-facing schedule: every (epoch, source) cell priced, weights
+    # normalized within each epoch
+    sched = spark.read.parquet(os.path.join(out, "curriculum_schedule"))
+    n_sources = shards.select("source").distinct().count()
+    by_epoch = {
+        r["epoch"]: r["w"]
+        for r in sched.groupBy("epoch").agg(F.sum("weight").alias("w")).collect()
+    }
+    assert len(by_epoch) > 1 and len(sched.collect()) == len(by_epoch) * n_sources
+    assert all(abs(w - 1.0) < 1e-4 for w in by_epoch.values())
+    # read plan: one row per packed window, same window population as the
+    # packing manifest implies
+    order = spark.read.parquet(os.path.join(out, "window_order"))
+    n_windows = (
+        manifest.selectExpr("shard", "explode(sequence(first_window, last_window)) w")
+        .where("n_tokens > 0")
+        .select("shard", "w")
+        .distinct()
+        .count()
+    )
+    assert order.count() == n_windows
 
 
 def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
