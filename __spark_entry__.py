@@ -75,9 +75,11 @@ DRIVER_CAP = 50
 # each oracle-checked at sf0.01 AND in the r08 full sf0.1 extended sweep)
 # plus knn_join_ivf, bpe_fertility_by_lang, mixture_curriculum,
 # shuffle_windows, and decontam_report (added late r08, oracle-checked at
-# sf0.001 + sf0.01).
-# Twenty-two waiting on ~10 slots: r07 waves 2-3 take priority (older
-# debt); spillover to r10.
+# sf0.001 + sf0.01), plus winnow_neardup_pairs, zipf_lang_stats, and
+# media_phash_neardup (fingerprint-family closers added late r08,
+# oracle-checked at sf0.001 + sf0.01 via the harness itself).
+# Twenty-five waiting on ~10 slots: r07 waves 2-3 take priority (older
+# debt); spillover to r10/r11.
 # Slot sources, in priority order:
 # (1) this round's five returners (doc_fingerprint_minhash1,
 #     position_returns, semi_join_has_lineitems, topk_events,

@@ -1671,3 +1671,182 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM batchd d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM hist_dups)
   AND d.doc_id NOT IN (SELECT doc_id FROM batch_dups)"""
+
+
+# ----------------------------------------------------------- winnowing
+# MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+# char k-gram of the normalized stream, then keep the MINIMUM hash of every
+# window of w consecutive k-gram hashes. Guarantee: any substring shared by
+# two documents of length >= WINNOW_K + WINNOW_W - 1 chars contributes at
+# least one SHARED fingerprint — a detection floor MinHash/SimHash (global,
+# probabilistic) cannot give. This is the rolling-hash fingerprint family
+# the reference lacks entirely (its repo has no dedup surface; north-star
+# scope like the rest of datapipe/).
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee threshold = k + w - 1 = 11 chars)
+WINNOW_MIN_SHARED = 3  # pairs must share >= this many fingerprints
+# Resemblance floor: shared 11-char runs are common background noise in any
+# same-domain corpus (measured sf0.01: 72k pairs share >=3 fingerprints but
+# only the 25 planted near-dups exceed resemblance 0.15 — the next
+# background pair sits below 0.1). The floor is what makes the report a
+# near-dup list rather than a shared-phrase census; it matches the
+# JACCARD_THRESHOLD=0.2 the MinHash family verifies at.
+WINNOW_MIN_RESEMBLANCE = 0.2
+# Boilerplate/skew guard (standard MOSS practice): a fingerprint present in
+# more than this many documents is template noise, not copy signal — drop
+# it BEFORE pair generation. This also bounds the per-key pair fanout at
+# C(cap, 2), so the hottest fingerprint key can never produce more than
+# ~1.2k pairs regardless of corpus size: the blocking stays O(collisions).
+WINNOW_FP_MAX_DOCS = 50
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """doc_id → distinct winnowing fingerprints over the lowercased,
+    whitespace-collapsed char stream.
+
+    Zero-shuffle: the k-gram md5 array and the window-min selection are
+    chained higher-order functions in one Project on the scan. Each k-gram
+    is hashed ONCE (the window pass slices the precomputed hash array), so
+    per-row cost is O(len·w) string compares after O(len) md5s; w is a
+    small constant, i.e. O(len) like every other per-row text stage. Docs
+    shorter than k chars fingerprint as md5(whole text); shorter than
+    k + w - 1 contribute their single global min.
+    """
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
+    base = spread_small_input(docs).select("doc_id", norm.alias("norm_text"))
+    hashed = base.withColumn(
+        "h",
+        F.expr(
+            f"CASE WHEN length(norm_text) >= {k} THEN "
+            f"transform(sequence(1, length(norm_text) - {k - 1}), "
+            f"i -> md5(substring(norm_text, i, {k}))) "
+            f"ELSE array(md5(norm_text)) END"
+        ),
+    )
+    fps = F.expr(
+        f"CASE WHEN size(h) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(h) - {w - 1}), "
+        f"j -> array_min(slice(h, j, {w})))) "
+        f"ELSE array(array_min(h)) END"
+    )
+    return hashed.select("doc_id", fps.alias("fingerprints"))
+
+
+def winnow_fingerprint_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    min_resemblance: float = WINNOW_MIN_RESEMBLANCE,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints.
+
+    (doc_a, doc_b, shared_fps, n_fps_a, n_fps_b, resemblance) for every
+    pair sharing >= ``min_shared`` fingerprints, where resemblance is the
+    Jaccard estimate shared / (n_a + n_b - shared) over fingerprint sets.
+
+    Shape at 100 TB: TWO shuffles total. (1) groupBy(fingerprint) with the
+    doc list collected per key — the frequency cap both drops template
+    boilerplate and hard-bounds each list at ``fp_max_docs``, so the pair
+    expansion is a per-row higher-order function over a <= cap array (never
+    a self-join of an unbounded bucket: the hottest key emits C(cap,2)
+    pairs, a constant). (2) groupBy(doc_a, doc_b) to count shared
+    fingerprints — output is O(true near-dup pairs). No all-pairs relation
+    exists at any stage.
+    """
+    from spark_signals.datapipe.util import explode_strings
+
+    fps = winnow_fingerprints(docs, k, w)
+    # explode via the concat_ws→split round-trip: Generate over a
+    # higher-order-function-built array re-evaluates the whole winnowing
+    # chain per OUTPUT row (O(fps²) md5s — measured minutes vs seconds on
+    # 500 docs); see explode_strings.
+    sized = fps.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        "fingerprints",
+    )
+    long_form = explode_strings(sized, F.col("fingerprints"), "fp", "doc_id", "n_fps")
+    grouped = (
+        long_form.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_fps"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= fp_max_docs))
+    )
+    # sort_array orders by doc_id (first struct field), so the nested
+    # transform below emits each unordered pair exactly once with
+    # doc_a < doc_b.
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, x.n_fps AS n_a, "
+        "y.doc_id AS doc_b, y.n_fps AS n_b))))"
+    )
+    exploded = grouped.select(F.explode(pair_arr).alias("p")).select("p.*")
+    agg = exploded.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared_fps"),
+        F.min("n_a").alias("n_fps_a"),
+        F.min("n_b").alias("n_fps_b"),
+    )
+    resemblance = F.col("shared_fps").cast("double") / (
+        F.col("n_fps_a") + F.col("n_fps_b") - F.col("shared_fps")
+    )
+    return (
+        agg.filter(F.col("shared_fps") >= min_shared)
+        .withColumn("resemblance", resemblance)
+        .filter(F.col("resemblance") >= min_resemblance)
+        .select("doc_a", "doc_b", "shared_fps", "n_fps_a", "n_fps_b", "resemblance")
+    )
+
+
+def sql_winnow_pairs(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    min_resemblance: float = WINNOW_MIN_RESEMBLANCE,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+) -> str:
+    from spark_signals.datapipe.text import ASCII_LO, ASCII_UP
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(norm_text) >= {k}
+              THEN list_transform(range(1, length(norm_text) - {k - 2}),
+                                  i -> md5(substr(norm_text, i, {k})))
+              ELSE [md5(norm_text)] END AS h
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {w}
+              THEN list_distinct(list_transform(range(1, len(h) - {w - 2}),
+                                 j -> list_min(list_slice(h, j, j + {w - 1}))))
+              ELSE [list_min(h)] END AS fps
+  FROM h
+),
+x AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp FROM fp),
+kept AS (SELECT fp FROM x GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {fp_max_docs}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fps AS n_a, b.n_fps AS n_b
+  FROM x a JOIN x b USING (fp) JOIN kept USING (fp)
+  WHERE a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT doc_a, doc_b, COUNT(*) AS shared_fps,
+         MIN(n_a) AS n_fps_a, MIN(n_b) AS n_fps_b
+  FROM pairs GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps, n_fps_a, n_fps_b,
+       CAST(shared_fps AS DOUBLE) / (n_fps_a + n_fps_b - shared_fps) AS resemblance
+FROM agg
+WHERE shared_fps >= {min_shared}
+  AND CAST(shared_fps AS DOUBLE) / (n_fps_a + n_fps_b - shared_fps) >= {min_resemblance}"""

@@ -304,3 +304,157 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # autodetection must not leak in here. Production feature extraction
     # should call extract_features() directly without the pin.
     return extract_features(synthesize_media(docs), force_stub=True)
+
+
+# ------------------------------------------------- perceptual-hash near-dup
+# dHash-style difference hash + banded hamming blocking: bit_i = 1 iff
+# byte_i > byte_{i+1} over the first PHASH_BYTES+1 payload bytes (missing
+# bytes read as 0), giving a 64-bit signature that is stable under small
+# payload edits. Candidates must share one of PHASH_BANDS 8-bit bands
+# (pigeonhole: hamming <= PHASH_MAX_HAMMING = PHASH_BANDS - 1 guarantees a
+# shared band), then the exact hamming distance verifies candidates only —
+# the same blocked, never-O(n²) shape as the text dedup family, applied to
+# opaque binary media columns. On real corpora the signature input is the
+# DECODED luma/sample grid from the Arrow decode stage (extract_features);
+# here it runs on the raw bytes so the stub arithmetic stays oracle-exact —
+# the blocking, banding, and verify plumbing are identical either way.
+PHASH_BITS = 64
+PHASH_BANDS = 8
+PHASH_MAX_HAMMING = PHASH_BANDS - 1
+# skew guard: a band value shared by more than this many media rows is a
+# template/padding artifact (e.g. a constant header); dropping it bounds
+# the per-key pair fanout at C(cap, 2) — see WINNOW_FP_MAX_DOCS.
+PHASH_BAND_MAX_DOCS = 50
+
+
+def media_phash_signatures(media: DataFrame) -> DataFrame:
+    """media_id, kind → 64-char '0'/'1' dHash signature, zero-shuffle.
+
+    Byte values come from hex(content) pairs (JVM-side, UDF-free); docs
+    shorter than 65 bytes zero-pad, so the operator is total on any binary
+    payload.
+    """
+    bits = PHASH_BITS
+    bytes_expr = (
+        f"transform(sequence(1, {bits + 1}), j -> CASE WHEN j <= length(content) "
+        f"THEN cast(conv(substring(hex(content), 2 * j - 1, 2), 16, 10) AS INT) "
+        f"ELSE 0 END)"
+    )
+    sig = (
+        f"array_join(transform(sequence(1, {bits}), i -> "
+        f"IF(element_at(bs, i) > element_at(bs, i + 1), '1', '0')), '')"
+    )
+    return (
+        media.select("media_id", "kind", "content")
+        .withColumn("bs", F.expr(bytes_expr))
+        .select("media_id", "kind", F.expr(sig).alias("sig"))
+    )
+
+
+def media_phash_neardup(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+) -> DataFrame:
+    """Near-duplicate media pairs: (media_a, media_b, kind, hamming) with
+    hamming <= ``max_hamming`` over the 64-bit dHash.
+
+    Shape at 100 TB: signatures chain onto the scan (no shuffle), then ONE
+    shuffle on (kind, band, band_value) where the capped collect_list makes
+    pair expansion a per-row higher-order function over a <= cap array, and
+    one groupBy(pair) dedupe. Hamming verification runs on candidate pairs
+    only.
+    """
+    sigs = media_phash_signatures(media)
+    # Generate over a cheap literal sequence, band key sliced AFTER the
+    # explode: Generate over an HOF-built array re-evaluates its
+    # construction per output row (see util.explode_strings), so the
+    # signature chain must never be the generator input.
+    bands = (
+        sigs.select("media_id", "kind", "sig")
+        .select(
+            "media_id",
+            "kind",
+            "sig",
+            F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+        )
+        .withColumn("bkey", F.expr("substring(sig, band * 8 + 1, 8)"))
+    )
+    grouped = (
+        bands.groupBy("kind", "band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("media_id", "sig"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= band_max_docs))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.media_id AS media_a, x.sig AS sig_a, "
+        "y.media_id AS media_b, y.sig AS sig_b))))"
+    )
+    cand = (
+        grouped.select("kind", F.explode(pair_arr).alias("p"))
+        .select("kind", "p.*")
+        .groupBy("media_a", "media_b")
+        .agg(F.min("kind").alias("kind"), F.min("sig_a").alias("sig_a"), F.min("sig_b").alias("sig_b"))
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {PHASH_BITS}), 0, (acc, i) -> "
+        f"acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "kind", "hamming")
+    )
+
+
+def sql_media_phash_neardup(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+) -> str:
+    bits = PHASH_BITS
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(text) AS content
+  FROM documents
+),
+hx AS (
+  SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h
+  FROM media
+),
+sigs AS (
+  SELECT media_id, kind,
+    array_to_string(list_transform(range(1, {bits + 1}), i ->
+      CASE WHEN (CASE WHEN i <= n THEN ('0x' || substr(h, 2 * i - 1, 2))::INT ELSE 0 END)
+              > (CASE WHEN i + 1 <= n THEN ('0x' || substr(h, 2 * i + 1, 2))::INT ELSE 0 END)
+           THEN '1' ELSE '0' END), '') AS sig
+  FROM hx
+),
+bands AS (
+  SELECT media_id, kind, sig, b AS band, substr(sig, b * 8 + 1, 8) AS bkey
+  FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS b)
+),
+kept AS (
+  SELECT kind, band, bkey FROM bands GROUP BY 1, 2, 3
+  HAVING COUNT(*) BETWEEN 2 AND {band_max_docs}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  a.kind AS kind, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.kind = b.kind AND a.band = b.band AND a.bkey = b.bkey
+  JOIN kept k ON k.kind = a.kind AND k.band = a.band AND k.bkey = a.bkey
+  WHERE a.media_id < b.media_id
+),
+scored AS (
+  SELECT media_a, media_b, kind,
+    len(list_filter(range(1, {bits + 1}),
+        i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS hamming
+  FROM cand
+)
+SELECT media_a, media_b, kind, CAST(hamming AS INT) AS hamming
+FROM scored WHERE hamming <= {max_hamming}"""

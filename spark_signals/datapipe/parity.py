@@ -535,10 +535,55 @@ def _incoming_r08() -> dict:
     }
 
 
+def _incoming_r08_wave2() -> dict:
+    """Fingerprint-family closers added late r08: MOSS winnowing (the
+    rolling-hash fingerprint family with a hard detection guarantee),
+    per-language Zipf distribution QA, and the first media-column dedup
+    (banded dHash hamming blocking over opaque binary payloads)."""
+    from spark_signals.datapipe import multimodal as MM
+
+    return {
+        # winnowing (Schleimer et al. SIGMOD'03): any shared substring of
+        # >= 11 chars contributes a shared fingerprint; pairs verified by
+        # fingerprint-set resemblance with a capped-fanout band join
+        "winnow_neardup_pairs": (
+            lambda spark, sf_dir: D.winnow_fingerprint_pairs(
+                _docs(spark, sf_dir)
+            ).withColumn("resemblance", sround(F.col("resemblance"), 6)),
+            _sql_round_resemblance(D.sql_winnow_pairs()),
+        ),
+        # corpus-distribution QA: per-language token/vocab totals, TTR,
+        # hapax fraction, and the OLS Zipf fit over the top-V vocabulary
+        "zipf_lang_stats": (
+            lambda spark, sf_dir: T.zipf_lang_stats(_docs(spark, sf_dir)),
+            T.sql_zipf_lang_stats(),
+        ),
+        # media near-dup: banded 64-bit dHash over binary payloads — the
+        # pigeonhole blocking guarantees every pair within max_hamming
+        # collides on >= 1 band; raw-byte signature keeps the stub oracle
+        # exact (real corpora sign the DECODED grid from extract_features)
+        "media_phash_neardup": (
+            lambda spark, sf_dir: MM.media_phash_neardup(
+                MM.synthesize_media(_docs(spark, sf_dir))
+            ),
+            MM.sql_media_phash_neardup(),
+        ),
+    }
+
+
+def _sql_round_resemblance(sql: str) -> str:
+    return (
+        "SELECT doc_a, doc_b, shared_fps, n_fps_a, n_fps_b, "
+        "floor(resemblance * 1e6 + 0.5000001) / 1e6 AS resemblance "
+        f"FROM ({sql})"
+    )
+
+
 INCOMING_DATAPIPE_QUERIES: dict = {
     **_incoming_r07_wave2(),
     **_incoming_r07_wave3(),
     **_incoming_r08(),
+    **_incoming_r08_wave2(),
 }
 
 

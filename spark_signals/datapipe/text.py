@@ -1182,3 +1182,152 @@ def per_language(
     if include_other:
         parts.append(op(docs.filter(~F.col(lang_col).isin(list(langs)))))
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ------------------------------------------------------- Zipf corpus stats
+# Corpus-distribution QA: a healthy natural-language corpus follows Zipf's
+# law (log freq ≈ intercept + slope·log rank with slope ≈ -1); template-
+# generated, boilerplate-heavy, or OCR-noise corpora bend the curve. One
+# row per language: token/vocab totals, type-token ratio, hapax fraction,
+# and the OLS fit of log(count) on log(rank) over the top-V vocabulary.
+ZIPF_TOP_V = 100
+ZIPF_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def zipf_stats(docs: DataFrame, label: str, v: int = ZIPF_TOP_V) -> DataFrame:
+    """One-row corpus distribution summary for one document shard.
+
+    Shape at 100 TB: one explode → one map-side-combined (word) count agg
+    (vocab-sized), one 3-scalar agg over the counts, top-V via a
+    distributed TakeOrdered heap, then the OLS fit folds over the V-row
+    sorted array in a single Project — window-free, nothing bigger than V
+    structs ever leaves an executor. The fold order is the array order, so
+    the IEEE sums are deterministic; outputs grid to 1e-6.
+    """
+    from spark_signals.datapipe.util import explode_strings
+
+    base = docs.select(words_col(F.col("text")).alias("words"))
+    words = explode_strings(base, F.col("words"), "word").filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    scalars = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("hapax_count"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(v)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("word").alias("w"),
+                        F.col("cnt").alias("n"),
+                    )
+                )
+            ).alias("a")
+        )
+    )
+    grid = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)  # noqa: E731
+    n = F.size("a")
+    sx = F.expr("aggregate(sequence(1, size(a)), 0D, (acc, r) -> acc + ln(r))")
+    sy = F.expr("aggregate(a, 0D, (acc, s) -> acc + ln(s.n))")
+    sxy = F.expr(
+        "aggregate(sequence(1, size(a)), 0D, (acc, r) -> acc + ln(r) * ln(element_at(a, r).n))"
+    )
+    sxx = F.expr("aggregate(sequence(1, size(a)), 0D, (acc, r) -> acc + ln(r) * ln(r))")
+    denom = sxx - sx * sx / n
+    slope = F.when((n >= 2) & (denom != 0), (sxy - sx * sy / n) / denom)
+    intercept = F.when((n >= 2) & (denom != 0), (sy - ((sxy - sx * sy / n) / denom) * sx) / n)
+    return (
+        scalars.crossJoin(F.broadcast(top))
+        .select(
+            F.lit(label).alias("lang"),
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            grid(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("vocab_size").cast("double") / F.col("n_tokens"),
+                )
+            ).alias("type_token_ratio"),
+            grid(
+                F.when(
+                    F.col("vocab_size") > 0,
+                    F.col("hapax_count").cast("double") / F.col("vocab_size"),
+                )
+            ).alias("hapax_frac"),
+            grid(slope).alias("zipf_slope"),
+            grid(intercept).alias("zipf_intercept"),
+        )
+    )
+
+
+def zipf_lang_stats(
+    docs: DataFrame,
+    langs: list[str] | None = None,
+    v: int = ZIPF_TOP_V,
+) -> DataFrame:
+    """Per-language Zipf/distribution report: one shard per configured
+    language plus a catch-all, ``per_language``-style — language skew
+    (English ≈ half a web corpus) runs as independent jobs, and each
+    shard's vocabulary statistics are per-language by construction (mixing
+    languages fabricates a bilingual vocabulary no model trains on)."""
+    from functools import reduce
+
+    langs = ZIPF_LANGS if langs is None else langs
+    parts = [
+        zipf_stats(docs.filter(F.col("lang") == lang), lang, v) for lang in langs
+    ]
+    parts.append(
+        zipf_stats(docs.filter(~F.col("lang").isin(list(langs))), "other", v)
+    )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def sql_zipf_lang_stats(
+    langs: list[str] | None = None, v: int = ZIPF_TOP_V
+) -> str:
+    langs = ZIPF_LANGS if langs is None else langs
+    shards = [(lang, f"lang = '{lang}'") for lang in langs]
+    shards.append(("other", "lang NOT IN (" + ", ".join(f"'{l}'" for l in langs) + ")"))
+    selects = []
+    for label, pred in shards:
+        selects.append(f"""
+SELECT '{label}' AS lang, n_tokens, vocab_size, hapax_count,
+  floor((CASE WHEN n_tokens > 0 THEN CAST(vocab_size AS DOUBLE) / n_tokens END) * 1e6 + 0.5000001) / 1e6 AS type_token_ratio,
+  floor((CASE WHEN vocab_size > 0 THEN CAST(hapax_count AS DOUBLE) / vocab_size END) * 1e6 + 0.5000001) / 1e6 AS hapax_frac,
+  floor(slope * 1e6 + 0.5000001) / 1e6 AS zipf_slope,
+  floor(icept * 1e6 + 0.5000001) / 1e6 AS zipf_intercept
+FROM (
+  WITH w AS (
+    SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), x -> x <> '')) AS word
+    FROM documents WHERE {pred}
+  ),
+  counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+  scalars AS (
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_tokens, COUNT(*) AS vocab_size,
+           CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax_count
+    FROM counts
+  ),
+  ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS r
+    FROM counts ORDER BY cnt DESC, word ASC LIMIT {v}
+  ),
+  fit AS (
+    SELECT COUNT(*) AS n, SUM(ln(r)) AS sx, SUM(ln(cnt)) AS sy,
+           SUM(ln(r) * ln(cnt)) AS sxy, SUM(ln(r) * ln(r)) AS sxx
+    FROM ranked
+  )
+  SELECT s.n_tokens, s.vocab_size, s.hapax_count,
+    CASE WHEN f.n >= 2 AND (f.sxx - f.sx * f.sx / f.n) <> 0
+         THEN (f.sxy - f.sx * f.sy / f.n) / (f.sxx - f.sx * f.sx / f.n) END AS slope,
+    CASE WHEN f.n >= 2 AND (f.sxx - f.sx * f.sx / f.n) <> 0
+         THEN (f.sy - ((f.sxy - f.sx * f.sy / f.n) / (f.sxx - f.sx * f.sx / f.n)) * f.sx) / f.n END AS icept
+  FROM scalars s CROSS JOIN fit f
+)""")
+    return "\nUNION ALL\n".join(selects)

@@ -99,6 +99,13 @@ def _late_ops():
         "shuffle_windows": _shuffle_windows,
         "decontam_report": _decontam_report,
         "tokenize_with_vocab": T.tokenize_with_vocab,
+        # r08 wave 2 (fingerprint family). zipf_lang_stats is deliberately
+        # absent: it is a per-shard REPORT (one row per configured language,
+        # zeros included — "zh: 0 tokens" is signal), so an empty corpus
+        # yields S zero-rows by design; its empty/zero path is pinned in
+        # test_fingerprint_ops.py instead.
+        "winnow_pairs": D.winnow_fingerprint_pairs,
+        "media_phash_neardup": _media_phash,
     }
 
 
@@ -158,6 +165,12 @@ def _decontam_report(docs):
     from spark_signals.datapipe.decontam import decontam_report_snapshot
 
     return decontam_report_snapshot(docs, benches=("s",))
+
+
+def _media_phash(docs):
+    from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
+
+    return media_phash_neardup(synthesize_media(docs))
 
 
 OPS.update(_late_ops())
