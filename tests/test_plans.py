@@ -409,3 +409,43 @@ def test_knn_join_stays_jvm_side_no_cartesian(spark):
     assert count_op(p, "CartesianProduct") == 0
     assert "NestedLoop" not in p
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_winnow_pairs_two_shuffles_no_join(spark):
+    """Winnowing near-dup: fingerprint selection is per-row HOFs, pair
+    expansion is a per-key array transform — the plan must show NO join of
+    any kind and at most 3 exchanges (fingerprint groupBy, pair groupBy,
+    plus the small-input fan-out repartition)."""
+    from spark_signals.datapipe.dedup import winnow_fingerprint_pairs
+
+    p = plan_str(winnow_fingerprint_pairs(read_table(spark, SF, "documents")))
+    assert "Join" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "Exchange") <= 3
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_zipf_shard_is_window_free_take_ordered(spark):
+    """Each Zipf language shard: top-V must plan as TakeOrderedAndProject
+    (distributed heap), never a global Sort over the vocabulary, and no
+    window function anywhere on the Spark side."""
+    from spark_signals.datapipe.text import zipf_stats
+
+    p = plan_str(zipf_stats(read_table(spark, SF, "documents"), "en"))
+    assert count_op(p, "TakeOrderedAndProject") == 1
+    assert "Window" not in p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_media_phash_two_shuffles_no_join(spark):
+    """Media dHash near-dup: signature + banding chain onto the scan; the
+    only exchanges are the band groupBy and the pair-dedupe groupBy (plus
+    AQE coalescing) — no join nodes, no Python."""
+    from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
+
+    p = plan_str(
+        media_phash_neardup(synthesize_media(read_table(spark, SF, "documents")))
+    )
+    assert "Join" not in p
+    assert count_op(p, "Exchange") <= 2
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p

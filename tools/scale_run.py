@@ -148,6 +148,9 @@ def main() -> int:
         "mixture_curriculum": lambda: _mixture_curriculum(docs),
         "shuffle_windows": lambda: _shuffle_windows(docs),
         "decontam_report": lambda: _decontam_report(docs),
+        "winnow_pairs": lambda: D.winnow_fingerprint_pairs(docs),
+        "zipf_lang_stats": lambda: _zipf_lang_stats(docs),
+        "media_phash_neardup": lambda: _media_phash(docs),
     }
 
     def _bpe_fertility(d):
@@ -184,6 +187,16 @@ def main() -> int:
         from spark_signals.datapipe.balance import cluster_composition
 
         return cluster_composition(d)
+
+    def _zipf_lang_stats(d):
+        from spark_signals.datapipe.text import zipf_lang_stats
+
+        return zipf_lang_stats(d)
+
+    def _media_phash(d):
+        from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
+
+        return media_phash_neardup(synthesize_media(d))
     names = args.ops or list(OPS)
     timings: dict[str, float] = {}
     for name in names:
