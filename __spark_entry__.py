@@ -65,80 +65,60 @@ DRIVER_CAP = 50
 #   first green artifact (sample_temperature_source, pack_sequences_manifest,
 #   curate_stats_by_source, chunk_documents_overlap, lm_bigram_quality).
 #
-# r09 rotation plan (queued): the r07 waves 2-3 (hybrid_rrf_topk,
-# dedup_intra_doc, ccnet_lm_buckets, ann_index_delta,
-# mixture_manifest_by_lang, dedup_canonical_quality, corpus_diff_snapshots,
-# tokenize_with_vocab — all hash-checked locally at sf0.01) plus the nine
-# r08 INCOMING operators (hybrid_rrf_ivf_topk, bpe_train_merges,
-# bpe_token_counts, dedup_incr_neardup, bm25_topk_queries,
-# cluster_composition, dsir_logratio, strip_boilerplate, decontam_fuzzy —
-# each oracle-checked at sf0.01 AND in the r08 full sf0.1 extended sweep)
-# plus knn_join_ivf, bpe_fertility_by_lang, mixture_curriculum,
-# shuffle_windows, and decontam_report (added late r08, oracle-checked at
-# sf0.001 + sf0.01), plus winnow_neardup_pairs, zipf_lang_stats, and
-# media_phash_neardup (fingerprint-family closers added late r08,
-# oracle-checked at sf0.001 + sf0.01 via the harness itself).
-# Twenty-five waiting on ~10 slots: r07 waves 2-3 take priority (older
-# debt); spillover to r10/r11.
-# Slot sources, in priority order:
-# (1) this round's five returners (doc_fingerprint_minhash1,
-#     position_returns, semi_join_has_lineitems, topk_events,
-#     position_transitions) re-retire after one green round;
-# (2) r07-promoted operators still checked (pack_windows_composition,
-#     semdedup_cells, quality_logreg_score, mixture_manifest_uniform,
-#     embed_chunks_hashed) become eligible after a 2nd green round where a
-#     same-family sibling stays checked;
-# (3) long-green veterans with documented checked siblings.
-# Due-by ledger (retiree -> latest re-check round): r06 retirees -> r09
-# (sma_crossover_signals, positions_forward_fill,
-# latest_price_per_instrument, breakout_band_signals,
-# value_percentiles_exact, embedding_cosine_neardup,
-# streaming_interval_join); r07 retirees -> r10; r08 retirees -> r11.
+# The planned r09 rotation did NOT execute (round 9's single commit was the
+# BPE rework; the r09 artifact re-checked the r08 set) — so the r06
+# retirees breached their ≤3-round deadline and the r07 retirees came due.
+#
+# r10 rotation (executed this round — the catch-up rotation, 34 swaps):
+# - IN, returners (22): ALL seven overdue r06 retirees
+#   (sma_crossover_signals, positions_forward_fill,
+#   latest_price_per_instrument, breakout_band_signals,
+#   value_percentiles_exact, embedding_cosine_neardup,
+#   streaming_interval_join — due r09, breached) AND all fifteen r07
+#   retirees due by r10 (j1_signal_rejoin, union_live_replay,
+#   sample_stratified_hash, lang_id_heuristic, performance_windows_5m,
+#   signal_counts_5m, metrics_hourly_rollup, dedup_exact_hash,
+#   dedup_ngram_jaccard, ann_ivf_topk, ann_lsh_hyperplane_pairs,
+#   text_stats_quality, pricing_summary_q1, runs_listing_join_topn,
+#   session_window_per_user), clearing every outstanding ledger deadline.
+# - IN, promotions (9): the r07 waves 2-3 (hybrid_rrf_topk, dedup_intra_doc,
+#   ccnet_lm_buckets, ann_index_delta, mixture_manifest_by_lang,
+#   dedup_canonical_quality, corpus_diff_snapshots, tokenize_with_vocab —
+#   the oldest incoming debt) plus shuffle_windows (its checked slot lets
+#   pack_windows_composition retire: it chains the same pack stage inline).
+# - IN, consolidation (3): three CHAINED queries, each carrying a whole
+#   incoming sibling family in one slot (datapipe/parity._r10_chained):
+#   bpe_pipeline_chained (= bpe_train_merges + bpe_token_counts +
+#   bpe_fertility_by_lang), winnow_zipf_chained (= winnow_neardup_pairs +
+#   zipf_lang_stats), decontam_suite_chained (= decontam_report +
+#   decontam_fuzzy). Incoming backlog: 25 -> 9.
+# - OUT (34): entries tagged "r10 rotation" below — the five r08 returners
+#   re-retire after two green rounds, the five r07-promoted operators with
+#   2 green rounds and checked siblings, and 24 long-green veterans whose
+#   families stay checked via this round's returners/promotions.
+#
+# r11 rotation plan (queued): the ten r08 retirees hit their ≤3-round
+# re-check (ticks_source, nation_region_rollup, segment_revenue_3way_join,
+# sliding_window_counts, length_band_filter, sample_temperature_source,
+# pack_sequences_manifest, curate_stats_by_source, chunk_documents_overlap,
+# lm_bigram_quality) and the remaining nine INCOMING operators promote
+# (hybrid_rrf_ivf_topk, dedup_incr_neardup, bm25_topk_queries,
+# cluster_composition, dsir_logratio, strip_boilerplate, knn_join_ivf,
+# mixture_curriculum, media_phash_neardup — all hash-checked locally at
+# sf0.01). That is 19 IN against 22 slots freed by this round's returners
+# re-retiring after their green round — the rotation is slot-positive and
+# the incoming backlog reaches 0.
+# Due-by ledger (retiree -> latest re-check round): r08 retirees -> r11;
+# r10 retirees -> r13. No deadline older than r11 is outstanding.
 RETIRED = {
-    # r05 rotation: three 4-round-green queries yield their driver slots to
-    # the three NEW data-pipeline operators (repetition_gopher_quality,
-    # decontam_ngram_overlap, sample_quota_per_source) so new surface gets
-    # independent driver evidence; each rotated-out query keeps a checked
-    # same-family sibling and the local --extended sweep.
-    # (r05-retired doc_fingerprint_minhash1, position_returns,
-    # semi_join_has_lineitems, topk_events, position_transitions rotated
-    # back IN for their ≤3-round re-check in the r08 rotation.)
-    # r06 rotation: seven 3-to-5-round-green queries yield slots to the
-    # three operators that were evidence-less in r05 (ann_ivf_trained_topk,
-    # dedup_incremental, length_band_approx) and to the four rotating back
-    # in (see ROTATION note above); each retiree keeps a checked same-family
-    # sibling and the local --extended sweep.
-    "sma_crossover_signals": "r06 rotation; the P3 signal CASE runs inline inside checked signals_decisions (its direct non-HOLD projection) and breakout/ewma strategy twins (green r01-r05)",
-    "positions_forward_fill": "r06 rotation; the W-family forward-fill stage runs inline inside every checked positions-chain query (positions_costs/executions/strategy_metrics) (green r01-r05)",
-    "latest_price_per_instrument": "r06 rotation; top-1 serving twin of checked recent_ticks_per_instrument (green r01, r04, r05)",
-    "breakout_band_signals": "r06 rotation; §2.9 strategy-extension sibling of checked ewma_zscore_strategy (green r01-r05)",
-    "value_percentiles_exact": "r06 rotation; percentile family keeps driver evidence via new sibling length_band_approx; exact path stays tested + --extended (green r01-r05)",
-    "embedding_cosine_neardup": "r06 rotation; IVF-cell blocking checked via ann_ivf_topk/ann_ivfpq_topk, exact cosine via ann_bruteforce_topk (green r01-r05)",
-    "streaming_interval_join": "r06 rotation; interval/temporal family checked via asof_join_trade_quote + asof_join_tolerance + range_join_tick_stats (green r02-r05)",
-    # r07 rotation: the four r06 returners re-retire after one green
-    # re-check round (green r01-r04 + r06), per the recorded plan.
-    "j1_signal_rejoin": "r07 rotation; returner re-check green r06; the J1 equi-join stage runs inline in checked positions_costs/executions/strategy_metrics (green r01-r04, r06)",
-    "union_live_replay": "r07 rotation; returner re-check green r06; U1 union feeds checked replay_backtest_window (green r01-r04, r06)",
-    "sample_stratified_hash": "r07 rotation; returner re-check green r06; sampling family checked via sample_quota_per_source + sample_temperature_source (green r01-r04, r06)",
-    "lang_id_heuristic": "r07 rotation; post-tokenization-change re-check green r06; text family checked via repetition_gopher_quality + lm_unigram_quality + lm_bigram_quality (green r01-r06)",
-    # r07 rotation: eleven 3-to-6-round-green queries yield slots to the ten
-    # promoted r06-wave operators and the five returning overdue retirees.
-    "performance_windows_5m": "r07 rotation; the A1 tumble runs inline in checked strategy_metrics (its left input, parity.py:301) and streaming_metrics_5m (green r01-r06)",
-    "signal_counts_5m": "r07 rotation; the A2 count tumble runs inline in checked strategy_metrics (its right join input, parity.py:305) (green r01-r06)",
-    "metrics_hourly_rollup": "r07 rotation; the A4 hourly rollup runs chained inside checked streaming_hourly_rollup_chained (green r01-r06)",
-    "dedup_exact_hash": "r07 rotation; content_digest dedup family checked via dedup_incremental + dedup_passages + curate_keep_decision (digest stage inline) (green r01-r06)",
-    "dedup_ngram_jaccard": "r07 rotation; banded-jaccard family checked via dedup_minhash_lsh (exact-jaccard verification stage) + dedup_simhash (green r01-r06)",
-    "ann_ivf_topk": "r07 rotation; fixed-grid IVF twin of checked ann_ivf_trained_topk (superset: adds Lloyd training) + ann_ivfpq_topk (green r01-r06)",
-    "ann_lsh_hyperplane_pairs": "r07 rotation; ANN blocking family checked via ann_bruteforce_topk + ann_ivfpq_topk + ann_ivf_trained_topk; sign-LSH recall floor gated in tests/test_ann_recall.py (green r01-r06)",
-    "text_stats_quality": "r07 rotation; the text-stats stage runs inline in checked length_band_approx, repetition_gopher_quality, curate_keep_decision and curate_stats_by_source (green r01-r06)",
-    "pricing_summary_q1": "r07 rotation; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed + returning nation_region_rollup (green r01-r06)",
-    "runs_listing_join_topn": "r07 rotation; join+top-n family checked via recent_ticks_per_instrument + anti_join_parts_never_shipped (green r01-r06)",
-    "session_window_per_user": "r07 rotation; T6 twin sliding_window_counts rotates back IN this round, keeping the family checked (green r01-r06)",
-    # r08 rotation: the five r07 returners re-retire after their green
-    # re-check round (per the recorded r07 plan), and five of the ten
-    # r07-promoted operators rotate out after their first green artifact —
-    # each with a checked same-family sibling — yielding the ten slots for
-    # the r07-wave-1 promotions and the five overdue r05 retirees.
+    # r05-r07 rotation history: see git log for the retired-entry text of
+    # queries currently back IN the checked set. Every entry below is
+    # CURRENTLY retired; returners re-retiring carry their full green
+    # history in their tag.
+    # r08 rotation: the five r07 returners re-retired after their green
+    # re-check round, and five r07-promoted operators rotated out after
+    # their first green artifact. Due their ≤3-round re-check by r11 (the
+    # queued r11 plan above).
     "ticks_source": "r08 rotation; returner re-check green r07; the S1 tick scan feeds ~20 checked queries inline (green r01-r05, r07)",
     "nation_region_rollup": "r08 rotation; returner re-check green r07; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed (green r01-r05, r07)",
     "segment_revenue_3way_join": "r08 rotation; returner re-check green r07; multi-join family checked via segment_revenue_bucketed + anti_join_parts_never_shipped (green r01-r05, r07)",
@@ -147,8 +127,50 @@ RETIRED = {
     "sample_temperature_source": "r08 rotation; promoted r07, green r07; broadcast-rate hash-predicate sampling family checked via sample_quota_per_source",
     "pack_sequences_manifest": "r08 rotation; promoted r07, green r07; checked pack_windows_composition chains the same manifest stage as its input",
     "curate_stats_by_source": "r08 rotation; promoted r07, green r07; S-row audit over checked curate_keep_decision's relation (its direct input)",
-    "chunk_documents_overlap": "r08 rotation; promoted r07, green r07; checked embed_chunks_hashed chains the chunking stage inline",
-    "lm_bigram_quality": "r08 rotation; promoted r07, green r07; LM-scoring family checked via lm_unigram_quality (shared token/agg stages)",
+    "chunk_documents_overlap": "r08 rotation; promoted r07, green r07; checked embed_chunks_hashed chained the chunking stage inline through r09; chunk/embed stages stay tested + --extended",
+    "lm_bigram_quality": "r08 rotation; promoted r07, green r07; LM-scoring family checked via promoted ccnet_lm_buckets (shared token/agg stages)",
+    # r10 rotation (this round): 34 slots freed for the 22 due returners,
+    # 9 promotions, and 3 chained consolidation queries. Due re-check r13.
+    # -- the five r08 returners re-retire after TWO green rounds (r08+r09):
+    "doc_fingerprint_minhash1": "r10 rotation; returner green r08+r09; fingerprint family checked via winnow_zipf_chained (winnowing fingerprints) + returning dedup_exact_hash (digest stage)",
+    "position_returns": "r10 rotation; returner green r08+r09; the per-position return stage runs inline in checked strategy_metrics (green r01-r04, r08, r09)",
+    "semi_join_has_lineitems": "r10 rotation; returner green r08+r09; join-family twin of checked anti_join_parts_never_shipped (same shape, EXISTS vs NOT EXISTS) (green r01-r04, r08, r09)",
+    "topk_events": "r10 rotation; returner green r08+r09; top-k serving family checked via returning latest_price_per_instrument (green r01-r04, r08, r09)",
+    "position_transitions": "r10 rotation; returner green r08+r09; the transition filter runs inline in the checked positions chain (positions_costs/executions) (green r01-r04, r08, r09)",
+    # -- the five r07-promoted operators with two green rounds (r08+r09)
+    #    and checked same-family siblings (eligibility rule (2) of the
+    #    recorded r09 plan):
+    "pack_windows_composition": "r10 rotation; promoted r07, green r07-r09; promoted shuffle_windows chains the same pack_windows stage as its input",
+    "semdedup_cells": "r10 rotation; promoted r07, green r07-r09; shares the Lloyd-trained centroid machinery with checked ann_ivf_trained_topk; cell-stat audit via promoted dedup_canonical_quality's cluster family",
+    "quality_logreg_score": "r10 rotation; promoted r07, green r07-r09; its feature stages run inline in returning text_stats_quality; int64-exact gradient aggs stay tested (tests/test_training_data_ops.py)",
+    "mixture_manifest_uniform": "r10 rotation; promoted r07, green r07-r09; same operator as promoted mixture_manifest_by_lang (group_col='source' vs 'lang')",
+    "embed_chunks_hashed": "r10 rotation; promoted r07, green r07-r09; chunk → hashed-embed chain stays tested + --extended; dense-arm consumers checked via promoted hybrid_rrf_topk",
+    # -- veterans whose families stay checked via this round's
+    #    returners/promotions (long green histories, all ≥4 rounds):
+    "normalized_prices": "r10 rotation; the P1-P2 normalize stage runs inline in checked positions_costs/executions/strategy_metrics and returning positions_forward_fill (green r01-r09)",
+    "signals_decisions": "r10 rotation; returning sma_crossover_signals is its direct P3 CASE twin; the decision stage runs inline in the checked positions chain AND as the entry() flagship smoke every round (green r01-r09)",
+    "strategy_summary_filter_agg": "r10 rotation; A5-A6 FILTER-aggregate family checked via returning pricing_summary_q1 + staying segment_revenue_bucketed (green r01-r09)",
+    "asof_join_tolerance": "r10 rotation; tolerance variant of staying asof_join_trade_quote (same backward-join core, one bound predicate) (green r02-r09)",
+    "recent_ticks_per_instrument": "r10 rotation; top-k serving twin of returning latest_price_per_instrument (top-1) (green r01-r09)",
+    "dedup_minhash_lsh": "r10 rotation; banded-jaccard family checked via returning dedup_ngram_jaccard (exact-jaccard verify) + decontam_suite_chained (band-probe minhash against the eval index) (green r01-r09)",
+    "dedup_simhash": "r10 rotation; hamming-banded family checked via returning dedup_ngram_jaccard + winnow_zipf_chained (green r01-r09)",
+    "dedup_clusters_canonical": "r10 rotation; promoted dedup_canonical_quality runs the same CC clustering with quality-aware canonical selection (superset) (green r01-r09)",
+    "ann_bruteforce_topk": "r10 rotation; ANN family checked via returning ann_ivf_topk + ann_lsh_hyperplane_pairs and promoted ann_index_delta; exact-cosine baseline stays the recall oracle in tests/test_ann_recall.py (green r01-r09)",
+    "ann_ivfpq_topk": "r10 rotation; PQ variant of staying ann_ivf_trained_topk (shared IVF probe; PQ distance tables tested) (green r01-r09)",
+    "tfidf_top_terms": "r10 rotation; lexical-scoring family checked via promoted hybrid_rrf_topk (chains the BM25 arm inline) + returning text_stats_quality (green r01-r09)",
+    "length_band_approx": "r10 rotation; percentile family checked via returning value_percentiles_exact (its exact twin) (green r05-r09)",
+    "dedup_incremental": "r10 rotation; digest-incremental family checked via returning dedup_exact_hash (the digest stage) + decontam_suite_chained (the band-index probe shape) (green r06-r09)",
+    "repetition_gopher_quality": "r10 rotation; text-quality family checked via returning text_stats_quality + promoted ccnet_lm_buckets (green r05-r09)",
+    "decontam_ngram_overlap": "r10 rotation; decontam_suite_chained is its per-benchmark superset (same digest-broadcast overlap chain, exact + fuzzy arms) (green r05-r09)",
+    "sample_quota_per_source": "r10 rotation; sampling family checked via returning sample_stratified_hash + promoted mixture_manifest_by_lang (green r05-r09)",
+    "lm_unigram_quality": "r10 rotation; LM-scoring family checked via promoted ccnet_lm_buckets (same token/model/broadcast-score stages, bucketed) (green r06-r09)",
+    "dedup_passages": "r10 rotation; passage-grain family checked via promoted dedup_intra_doc (same passage explode + digest) (green r06-r09)",
+    "pii_scrub_redact": "r10 rotation; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape); scrub regexes stay fuzz-tested (tests/test_pii_fuzz.py) (green r06-r09)",
+    "curate_keep_decision": "r10 rotation; every composed stage is checked individually this round (text_stats_quality + lang_id_heuristic + dedup_exact_hash returners, text_clean_markup staying, decontam_suite_chained) and the composition is pinned by tests/test_curation_ops.py (green r05-r09)",
+    "split_train_val_test": "r10 rotation; hash-predicate split family checked via returning sample_stratified_hash (same deterministic-hash mechanism) (green r08, r09)",
+    "vocab_coverage_topv": "r10 rotation; promoted tokenize_with_vocab builds and applies the same top-V vocabulary (superset: adds the OOV segmentation) (green r08, r09)",
+    "bm25_topk_lexical": "r10 rotation; promoted hybrid_rrf_topk chains the identical BM25 arm inline before fusion (green r08, r09)",
+    "dedup_cluster_stats": "r10 rotation; cluster-audit family checked via promoted dedup_canonical_quality (same CC clusters, quality-keyed) (green r08, r09)",
 }
 
 

@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# verify-fast: the full pytest suite, sharded one-process-per-test-file
+# across parallel workers (no pytest-xdist in this environment, so the
+# sharding is at the OS-process level — each worker owns its own Spark
+# JVM). Coverage is identical to `python -m pytest tests/ -q`; only the
+# scheduling differs. The serial run is the driver's gate and stays the
+# source of truth; this is the developer loop.
+#
+#   scripts/verify_fast.sh            # all test files
+#   scripts/verify_fast.sh tests/test_bpe.py tests/test_plans.py
+#
+# Tuning (env):
+#   VERIFY_JOBS       parallel workers            (default 8)
+#   VERIFY_SPARK_CPUS local[N] cores per worker   (default 8; 2x
+#                     oversubscribed on 32 cores — Spark local tests are
+#                     mostly stage-latency-bound, not core-bound)
+#   VERIFY_SPARK_MEM  driver memory per worker    (default 10g)
+set -u
+cd "$(dirname "$0")/.."
+
+JOBS="${VERIFY_JOBS:-8}"
+CPUS="${VERIFY_SPARK_CPUS:-8}"
+MEM="${VERIFY_SPARK_MEM:-10g}"
+LOGDIR="$(mktemp -d /tmp/verify_fast.XXXXXX)"
+export LOGDIR CPUS MEM
+
+if [ "$#" -gt 0 ]; then
+  FILES=("$@")
+else
+  # Longest files first so the slowest shards start immediately and the
+  # tail of the schedule is short files (LPT-style greedy).
+  mapfile -t FILES < <(wc -l tests/test_*.py | sort -rn | awk '$2 ~ /test_/ {print $2}')
+fi
+
+start="$(date +%s)"
+printf '%s\n' "${FILES[@]}" | xargs -P "$JOBS" -I{} bash -c '
+  f="{}"
+  log="$LOGDIR/$(basename "$f").log"
+  t0=$(date +%s)
+  SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEMORY="$MEM" \
+    python -m pytest "$f" -q --no-header -p no:cacheprovider >"$log" 2>&1
+  rc=$?
+  t1=$(date +%s)
+  echo "$rc $((t1 - t0))s $f" >>"$LOGDIR/status"
+  if [ "$rc" -ne 0 ]; then echo "FAIL($rc) $f  [log: $log]"; fi
+'
+end="$(date +%s)"
+
+echo "---- per-file (rc time file), slowest first ----"
+sort -k2 -rn "$LOGDIR/status" 2>/dev/null | sed -n 1,40p
+fails=$(awk '$1 != 0' "$LOGDIR/status" 2>/dev/null | wc -l)
+total=$(wc -l <"$LOGDIR/status" 2>/dev/null || echo 0)
+echo "---- verify-fast: $((total - fails))/$total files green in $((end - start))s (logs: $LOGDIR) ----"
+if [ "$fails" -ne 0 ]; then
+  awk '$1 != 0 {print "FAILED:", $3}' "$LOGDIR/status"
+  exit 1
+fi

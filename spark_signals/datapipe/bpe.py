@@ -691,3 +691,106 @@ SELECT d.lang,
        floor(SUM(d.n_chars) / NULLIF(SUM(c.n_tokens_bpe), 0) * 1e6 + 0.5000001) / 1e6 AS chars_per_token
 FROM counts c JOIN {source} d USING (doc_id)
 GROUP BY d.lang"""
+
+
+def bpe_pipeline_report(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    batch: int = BPE_BATCH,
+    min_freq: int = BPE_MIN_FREQ,
+) -> DataFrame:
+    """The chained BPE evidence query: ONE training run feeding BOTH the
+    per-language fertility report (bpe_fertility_by_lang's columns) AND a
+    merge-table digest (n_merges_trained, merge_pair_total, first_merge,
+    last_merge) broadcast onto every row.
+
+    Consolidation face for the driver contract: a value-hash match here
+    pins the whole train → segment → price → report chain at once — the
+    digest columns change if ANY merge (rank, pair, count) drifts, and the
+    fertility columns change if any word's trained segmentation or any
+    document's pricing drifts — so one checked slot carries the evidence
+    of the bpe_train_merges / bpe_token_counts / bpe_fertility_by_lang
+    trio. Unlike calling those three separately, the train loop runs ONCE
+    (the siblings each retrain on their own lineage).
+    """
+    from spark_signals.parity import sround
+
+    reprs, merges = _train_loop(docs, n_merges, text_col, batch, min_freq)
+    seg = reprs.select("word", F.size(_syms(F.col("repr"))).alias("n_syms"))
+    counts = _price_docs(docs, seg, text_col)
+    joined = counts.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    report = agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens_bpe",
+        "n_chars",
+        sround(
+            F.col("n_tokens_bpe") / F.nullif(F.col("n_words"), F.lit(0)), 6
+        ).alias("fertility"),
+        sround(
+            F.col("n_chars") / F.nullif(F.col("n_tokens_bpe"), F.lit(0)), 6
+        ).alias("chars_per_token"),
+    )
+    digest = merges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merges_trained"),
+        F.coalesce(F.sum("pair_count"), F.lit(0)).cast("bigint").alias(
+            "merge_pair_total"
+        ),
+        F.min_by("merged", "merge_rank").alias("first_merge"),
+        F.max_by("merged", "merge_rank").alias("last_merge"),
+    )
+    return report.crossJoin(F.broadcast(digest))
+
+
+def sql_bpe_pipeline_report(
+    n_merges: int = BPE_MERGES,
+    source: str = "documents",
+    batch: int = BPE_BATCH,
+    min_freq: int = BPE_MIN_FREQ,
+) -> str:
+    """Oracle twin of :func:`bpe_pipeline_report` — the token-counts CTE
+    chain, the fertility aggregate, and the merge-table digest cross
+    join."""
+    ctes, n_rounds = _sql_train_ctes(n_merges, source, batch, min_freq)
+    ctes.append(_sql_merges_cte(n_rounds))
+    ctes.append(_sql_seg_cte(n_rounds, min_freq))
+    ctes.append(_sql_dwords(source))
+    ctes.append(
+        """counts AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         SUM(COALESCE(seg.n_syms, length(dwords.word)))::BIGINT AS n_tokens_bpe
+  FROM dwords LEFT JOIN seg USING (word)
+  GROUP BY doc_id
+)"""
+    )
+    ctes.append(
+        """mdigest AS (
+  SELECT count(*)::BIGINT AS n_merges_trained,
+         COALESCE(SUM(cnt), 0)::BIGINT AS merge_pair_total,
+         arg_min(left_s || right_s, merge_rank) AS first_merge,
+         arg_max(left_s || right_s, merge_rank) AS last_merge
+  FROM merges
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       SUM(c.n_words)::BIGINT AS n_words,
+       SUM(c.n_tokens_bpe)::BIGINT AS n_tokens_bpe,
+       SUM(d.n_chars)::BIGINT AS n_chars,
+       floor(SUM(c.n_tokens_bpe) / NULLIF(SUM(c.n_words), 0) * 1e6 + 0.5000001) / 1e6 AS fertility,
+       floor(SUM(d.n_chars) / NULLIF(SUM(c.n_tokens_bpe), 0) * 1e6 + 0.5000001) / 1e6 AS chars_per_token,
+       m.n_merges_trained, m.merge_pair_total, m.first_merge, m.last_merge
+FROM counts c JOIN {source} d USING (doc_id) CROSS JOIN mdigest m
+GROUP BY d.lang, m.n_merges_trained, m.merge_pair_total, m.first_merge, m.last_merge"""

@@ -417,3 +417,208 @@ SELECT e.bench,
        CAST(coalesce(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs,
        floor(CAST(coalesce(p.n_contaminated_train_docs, 0) AS DOUBLE) / t.n_train * 1e6 + 0.5000001) / 1e6 AS contamination_rate
 FROM ev_sizes e LEFT JOIN per_bench p USING (bench) CROSS JOIN total t"""
+
+
+def decontam_fuzzy_report(
+    train: DataFrame,
+    benchmarks: DataFrame,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+) -> DataFrame:
+    """Per-benchmark FUZZY leakage aggregate: (bench, n_fuzzy_contaminated,
+    n_fuzzy_matches, fuzzy_jaccard_u_max). ``benchmarks`` needs
+    (bench, doc_id, text).
+
+    The multi-suite face of :func:`decontaminate_neardup`, with the same
+    one-pass discipline as :func:`decontam_report`: the training corpus is
+    shingled and signed ONCE, and the broadcast band index carries its
+    suite name — adding a benchmark adds broadcast rows, never a second
+    corpus scan. Candidates probe by band equi-join, exact shingle Jaccard
+    verifies candidates only, and per-bench marginals aggregate exact
+    int64s (counts and 1e-6-gridded Jaccard), so the result is
+    partitioning-independent. Benchmarks with zero fuzzy hits emit no row
+    here; :func:`decontam_suite_report` coalesces them to 0.
+    """
+    from spark_signals.datapipe.dedup import (
+        NUM_HASHES,
+        _band_keys,
+        _km_row_sigs,
+        _with_shingles,
+        band_index,
+    )
+
+    idx = (
+        band_index(benchmarks.select("doc_id", "text"))
+        .join(benchmarks.select("doc_id", "bench"), "doc_id")
+        .select("band", "k1", "k2", "bench", F.col("doc_id").alias("eval_id"))
+    )
+    sh_t = _km_row_sigs(
+        _with_shingles(train).select("doc_id", "shingles"),
+        "shingles",
+        NUM_HASHES,
+        "shingles",
+    ).persist()
+    try:
+        cand = (
+            _band_keys(sh_t)
+            .join(F.broadcast(idx), ["band", "k1", "k2"])
+            .select("doc_id", "bench", "eval_id")
+            .distinct()
+        )
+        eval_sh = _with_shingles(
+            benchmarks.select("doc_id", "text").join(
+                cand.select(F.col("eval_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+        ).select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e"))
+        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        union = F.size("sh_t") + F.size("sh_e") - inter
+        jac_u = F.floor(
+            inter.cast("double") / union * F.lit(1e6) + F.lit(0.5000001)
+        ).cast("long")
+        verified = (
+            cand.join(
+                sh_t.select("doc_id", F.col("shingles").alias("sh_t")), "doc_id"
+            )
+            .join(eval_sh, "eval_id")
+            .select("bench", "doc_id", jac_u.alias("jaccard_u"))
+            .filter(F.col("jaccard_u") >= F.lit(int(threshold * 1e6)))
+            .groupBy("bench", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_matches"),
+                F.max("jaccard_u").alias("max_jaccard_u"),
+            )
+        )
+        out = (
+            verified.groupBy("bench")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_fuzzy_contaminated"),
+                F.sum("n_eval_matches").cast("bigint").alias("n_fuzzy_matches"),
+                F.max("max_jaccard_u").cast("bigint").alias("fuzzy_jaccard_u_max"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        sh_t.unpersist()
+
+
+def decontam_suite_report(
+    docs: DataFrame,
+    benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+) -> DataFrame:
+    """The chained decontamination evidence query: per-benchmark EXACT
+    n-gram leakage (decontam_report's columns) side-by-side with the FUZZY
+    near-dup leakage aggregate, one row per benchmark.
+
+    Consolidation face for the driver contract: one checked slot carries
+    the evidence of decontam_report AND decontam_fuzzy — the exact columns
+    pin the digest-broadcast overlap chain, and the fuzzy columns change
+    if any band-probe candidate or verified Jaccard drifts. The train set
+    is docs outside EVERY bench (the report's convention), so both arms
+    score the same corpus.
+    """
+    bench_list = list(benches)
+    benchmarks = docs.filter(F.col("source").isin(bench_list)).select(
+        "doc_id", "text", F.col("source").alias("bench")
+    )
+    train = docs.filter(~F.col("source").isin(bench_list))
+    exact = decontam_report(train, benchmarks, n)
+    fuzzy = decontam_fuzzy_report(train, benchmarks, threshold)
+    zero = F.lit(0).cast("bigint")
+    return exact.join(fuzzy, "bench", "left").select(
+        exact["*"],
+        F.coalesce("n_fuzzy_contaminated", zero).alias("n_fuzzy_contaminated"),
+        F.coalesce("n_fuzzy_matches", zero).alias("n_fuzzy_matches"),
+        F.coalesce("fuzzy_jaccard_u_max", zero).alias("fuzzy_jaccard_u_max"),
+    )
+
+
+def sql_decontam_suite_report(
+    benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+    threshold: float = DECONTAM_FUZZY_JACCARD,
+    source: str = "documents",
+) -> str:
+    """Oracle twin of :func:`decontam_suite_report`."""
+    from spark_signals.datapipe.dedup import _sql_minhash_ctes
+
+    in_list = ", ".join(f"'{b}'" for b in benches)
+    thr_u = int(threshold * 1e6)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  FROM {source}
+),
+s AS (
+  SELECT doc_id, source, list_distinct({SQL_SHINGLES(n)}) AS grams FROM d
+),
+g AS (
+  SELECT doc_id, source, md5(unnest(grams)) AS digest FROM s
+),
+ev AS (
+  SELECT DISTINCT source AS bench, digest FROM g WHERE source IN ({in_list})
+),
+ev_sizes AS (
+  SELECT source AS bench, count(DISTINCT doc_id) AS n_eval_docs
+  FROM {source} WHERE source IN ({in_list}) GROUP BY source
+),
+hits AS (
+  SELECT ev.bench, g.doc_id, count(*) AS n_overlap
+  FROM g JOIN ev USING (digest)
+  WHERE g.source NOT IN ({in_list})
+  GROUP BY ev.bench, g.doc_id
+),
+per_bench AS (
+  SELECT bench, count(*) AS n_contaminated_train_docs,
+         CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_pairs
+  FROM hits GROUP BY bench
+),
+total AS (
+  SELECT count(*) AS n_train FROM {source} WHERE source NOT IN ({in_list})
+),
+traind AS (SELECT * FROM {source} WHERE source NOT IN ({in_list})),
+evald AS (SELECT doc_id, text, source AS bench FROM {source} WHERE source IN ({in_list})),
+{_sql_minhash_ctes("traind", "t_")},
+{_sql_minhash_ctes("evald", "e_")},
+cand AS (
+  SELECT DISTINCT t.doc_id, ev2.bench, e.doc_id AS eval_id
+  FROM t_bands t JOIN e_bands e
+    ON t.band = e.band AND t.k1 = e.k1 AND t.k2 = e.k2
+  JOIN evald ev2 ON ev2.doc_id = e.doc_id
+),
+vr AS (
+  SELECT bench, doc_id,
+         COUNT(*)::BIGINT AS n_eval_matches,
+         MAX(jaccard_u)::BIGINT AS max_jaccard_u
+  FROM (
+    SELECT c.bench, c.doc_id,
+           CAST(floor(CAST(len(list_intersect(ts.shingles, es.shingles)) AS DOUBLE)
+             / (len(ts.shingles) + len(es.shingles) - len(list_intersect(ts.shingles, es.shingles)))
+             * 1e6 + 0.5000001) AS BIGINT) AS jaccard_u
+    FROM cand c
+    JOIN t_sh ts ON ts.doc_id = c.doc_id
+    JOIN e_sh es ON es.doc_id = c.eval_id
+  )
+  WHERE jaccard_u >= {thr_u}
+  GROUP BY bench, doc_id
+),
+fagg AS (
+  SELECT bench, count(*)::BIGINT AS n_fuzzy_contaminated,
+         SUM(n_eval_matches)::BIGINT AS n_fuzzy_matches,
+         MAX(max_jaccard_u)::BIGINT AS fuzzy_jaccard_u_max
+  FROM vr GROUP BY bench
+)
+SELECT e.bench,
+       CAST(e.n_eval_docs AS BIGINT) AS n_eval_docs,
+       CAST(coalesce(p.n_contaminated_train_docs, 0) AS BIGINT) AS n_contaminated_train_docs,
+       CAST(coalesce(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs,
+       floor(CAST(coalesce(p.n_contaminated_train_docs, 0) AS DOUBLE) / t.n_train * 1e6 + 0.5000001) / 1e6 AS contamination_rate,
+       CAST(coalesce(f.n_fuzzy_contaminated, 0) AS BIGINT) AS n_fuzzy_contaminated,
+       CAST(coalesce(f.n_fuzzy_matches, 0) AS BIGINT) AS n_fuzzy_matches,
+       CAST(coalesce(f.fuzzy_jaccard_u_max, 0) AS BIGINT) AS fuzzy_jaccard_u_max
+FROM ev_sizes e LEFT JOIN per_bench p USING (bench)
+CROSS JOIN total t LEFT JOIN fagg f USING (bench)"""

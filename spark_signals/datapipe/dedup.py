@@ -1850,3 +1850,147 @@ SELECT doc_a, doc_b, shared_fps, n_fps_a, n_fps_b,
 FROM agg
 WHERE shared_fps >= {min_shared}
   AND CAST(shared_fps AS DOUBLE) / (n_fps_a + n_fps_b - shared_fps) >= {min_resemblance}"""
+
+
+def winnow_zipf_report(
+    docs: DataFrame,
+    langs: list[str] | None = None,
+    v: int | None = None,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    min_resemblance: float = WINNOW_MIN_RESEMBLANCE,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+) -> DataFrame:
+    """Per-language corpus-QA report chaining the two fingerprint-family
+    closers over the same shard: token-distribution statistics
+    (text.zipf_lang_stats' columns) joined with near-dup density from the
+    full winnowing pair relation (n_neardup_pairs, n_neardup_docs,
+    sum_resemblance_u).
+
+    Consolidation face for the driver contract: one checked slot carries
+    the evidence of winnow_neardup_pairs AND zipf_lang_stats — the zipf
+    columns pin the whole tokenize → count → OLS chain per language, and
+    the pair columns change if ANY winnowing pair (membership or
+    resemblance) drifts. A pair is counted under each DISTINCT endpoint
+    shard (same-shard pairs once, cross-shard pairs once per side), so
+    every pair contributes to the hash. ``sum_resemblance_u`` sums the
+    1e-6-gridded int64 resemblance per pair — an exact integer, so the
+    aggregate is partitioning/order independent where a double sum would
+    not be.
+    """
+    from spark_signals.datapipe.text import ZIPF_LANGS, ZIPF_TOP_V, zipf_lang_stats
+
+    langs = ZIPF_LANGS if langs is None else langs
+    v = ZIPF_TOP_V if v is None else v
+    zipf = zipf_lang_stats(docs, langs, v)
+    pairs = winnow_fingerprint_pairs(
+        docs, k, w, min_shared, min_resemblance, fp_max_docs
+    )
+    shard = F.when(F.col("lang").isin(list(langs)), F.col("lang")).otherwise(
+        F.lit("other")
+    )
+    dl = docs.select("doc_id", shard.alias("shard"))
+    res_u = F.floor(
+        F.col("resemblance") * F.lit(1e6) + F.lit(0.5000001)
+    ).cast("long")
+    pl = (
+        pairs.select("doc_a", "doc_b", res_u.alias("res_u"))
+        .join(
+            dl.select(
+                F.col("doc_id").alias("doc_a"), F.col("shard").alias("shard_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            dl.select(
+                F.col("doc_id").alias("doc_b"), F.col("shard").alias("shard_b")
+            ),
+            "doc_b",
+        )
+    )
+    long_form = pl.select(
+        "res_u",
+        F.explode(F.array_distinct(F.array("shard_a", "shard_b"))).alias("lang"),
+    )
+    pagg = long_form.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"),
+        F.sum("res_u").cast("bigint").alias("sum_resemblance_u"),
+    )
+    endpoints = pl.select(
+        F.col("doc_a").alias("doc_id"), F.col("shard_a").alias("lang")
+    ).unionByName(
+        pl.select(F.col("doc_b").alias("doc_id"), F.col("shard_b").alias("lang"))
+    )
+    dagg = (
+        endpoints.distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_docs"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        zipf.join(pagg, "lang", "left")
+        .join(dagg, "lang", "left")
+        .select(
+            zipf["*"],
+            F.coalesce("n_neardup_pairs", zero).alias("n_neardup_pairs"),
+            F.coalesce("n_neardup_docs", zero).alias("n_neardup_docs"),
+            F.coalesce("sum_resemblance_u", zero).alias("sum_resemblance_u"),
+        )
+    )
+
+
+def sql_winnow_zipf_report(
+    langs: list[str] | None = None,
+    v: int | None = None,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    min_resemblance: float = WINNOW_MIN_RESEMBLANCE,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+) -> str:
+    """Oracle twin of :func:`winnow_zipf_report`."""
+    from spark_signals.datapipe.text import (
+        ZIPF_LANGS,
+        ZIPF_TOP_V,
+        sql_zipf_lang_stats,
+    )
+
+    langs = ZIPF_LANGS if langs is None else langs
+    v = ZIPF_TOP_V if v is None else v
+    in_list = ", ".join(f"'{l}'" for l in langs)
+    return f"""
+WITH z AS ({sql_zipf_lang_stats(langs, v)}),
+wp AS ({sql_winnow_pairs(k, w, min_shared, min_resemblance, fp_max_docs)}),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN lang IN ({in_list}) THEN lang ELSE 'other' END AS shard
+  FROM documents
+),
+pl AS (
+  SELECT CAST(floor(wp.resemblance * 1e6 + 0.5000001) AS BIGINT) AS res_u,
+         wp.doc_a, wp.doc_b, a.shard AS shard_a, b.shard AS shard_b
+  FROM wp JOIN dl a ON wp.doc_a = a.doc_id JOIN dl b ON wp.doc_b = b.doc_id
+),
+lf AS (
+  SELECT res_u, unnest(list_distinct([shard_a, shard_b])) AS lang FROM pl
+),
+pagg AS (
+  SELECT lang, count(*)::BIGINT AS n_neardup_pairs,
+         SUM(res_u)::BIGINT AS sum_resemblance_u
+  FROM lf GROUP BY lang
+),
+dagg AS (
+  SELECT lang, count(*)::BIGINT AS n_neardup_docs FROM (
+    SELECT DISTINCT doc_id, lang FROM (
+      SELECT doc_a AS doc_id, shard_a AS lang FROM pl
+      UNION ALL
+      SELECT doc_b AS doc_id, shard_b AS lang FROM pl
+    )
+  ) GROUP BY lang
+)
+SELECT z.*,
+       COALESCE(p.n_neardup_pairs, 0)::BIGINT AS n_neardup_pairs,
+       COALESCE(d.n_neardup_docs, 0)::BIGINT AS n_neardup_docs,
+       COALESCE(p.sum_resemblance_u, 0)::BIGINT AS sum_resemblance_u
+FROM z LEFT JOIN pagg p USING (lang) LEFT JOIN dagg d USING (lang)"""

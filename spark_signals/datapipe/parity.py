@@ -587,6 +587,74 @@ INCOMING_DATAPIPE_QUERIES: dict = {
 }
 
 
+# r10 rotation: the r07 waves 2-3 (the oldest incoming debt), plus
+# shuffle_windows (whose checked slot lets pack_windows_composition retire —
+# it chains the same pack stage inline), take driver slots exactly as queued
+# in the recorded r09 plan (__spark_entry__.py rotation note).
+_R10_PROMOTED = (
+    "hybrid_rrf_topk",
+    "dedup_intra_doc",
+    "ccnet_lm_buckets",
+    "ann_index_delta",
+    "mixture_manifest_by_lang",
+    "dedup_canonical_quality",
+    "corpus_diff_snapshots",
+    "tokenize_with_vocab",
+    "shuffle_windows",
+)
+for _n in _R10_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
+# r10 rotation, consolidation arm: three CHAINED queries, each carrying the
+# driver evidence of a whole incoming sibling family in one checked slot
+# (the fused-rollup precedent): bpe_pipeline_chained covers bpe_train_merges
+# + bpe_token_counts + bpe_fertility_by_lang (one train run, fertility
+# report × merge-table digest); winnow_zipf_chained covers
+# winnow_neardup_pairs + zipf_lang_stats (per-language Zipf stats × winnow
+# near-dup density, every pair contributing); decontam_suite_chained covers
+# decontam_report + decontam_fuzzy (per-benchmark exact × fuzzy leakage).
+# The covered siblings leave INCOMING entirely — their full-relation faces
+# stay tested and --extended-swept via the chained plans they feed.
+def _r10_chained() -> dict:
+    from spark_signals.datapipe.bpe import (
+        bpe_pipeline_report,
+        sql_bpe_pipeline_report,
+    )
+    from spark_signals.datapipe.decontam import (
+        decontam_suite_report,
+        sql_decontam_suite_report,
+    )
+
+    return {
+        "bpe_pipeline_chained": (
+            lambda spark, sf_dir: bpe_pipeline_report(_docs(spark, sf_dir)),
+            sql_bpe_pipeline_report(),
+        ),
+        "winnow_zipf_chained": (
+            lambda spark, sf_dir: D.winnow_zipf_report(_docs(spark, sf_dir)),
+            D.sql_winnow_zipf_report(),
+        ),
+        "decontam_suite_chained": (
+            lambda spark, sf_dir: decontam_suite_report(_docs(spark, sf_dir)),
+            sql_decontam_suite_report(),
+        ),
+    }
+
+
+DATAPIPE_QUERIES.update(_r10_chained())
+for _n in (
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "bpe_fertility_by_lang",
+    "winnow_neardup_pairs",
+    "zipf_lang_stats",
+    "decontam_fuzzy",
+    "decontam_report",
+):
+    INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

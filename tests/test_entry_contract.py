@@ -15,61 +15,64 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r08 checked set: the five promoted r07-wave-1 operators, the five
-# returning overdue r05 retirees, and the 40 queries that kept their slots.
+# The r10 checked set: the catch-up rotation — all 22 due returners (seven
+# overdue r06 retirees + fifteen r07 retirees due by r10), nine promotions
+# (r07 waves 2-3 + shuffle_windows), three chained consolidation queries,
+# and the 16 family anchors that kept their slots.
 EXPECTED_QUERIES = frozenset({
-    # pipeline chain
-    "normalized_prices", "signals_decisions", "positions_costs",
-    "executions", "strategy_metrics", "replay_backtest_window",
-    "ewma_zscore_strategy",
-    # relational / serving / temporal
-    "anti_join_parts_never_shipped", "strategy_summary_filter_agg",
-    "segment_revenue_bucketed", "recent_ticks_per_instrument",
-    "asof_join_trade_quote", "asof_join_tolerance", "range_join_tick_stats",
-    "latency_metrics_rollup",
-    # streaming
+    # family anchors that kept their slots
+    "positions_costs", "executions", "strategy_metrics",
+    "replay_backtest_window", "ewma_zscore_strategy",
     "streaming_positions_costs", "streaming_metrics_5m",
     "streaming_hourly_rollup_chained",
-    # datapipe veterans
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters_canonical",
-    "dedup_passages", "dedup_incremental", "curate_keep_decision",
-    "decontam_ngram_overlap", "pii_scrub_redact", "repetition_gopher_quality",
-    "lm_unigram_quality", "tfidf_top_terms", "length_band_approx",
-    "sample_quota_per_source", "multimodal_features",
-    "ann_bruteforce_topk", "ann_ivfpq_topk", "ann_ivf_trained_topk",
-    # r07 promotions still holding slots (five re-retired in r08)
-    "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
-    "mixture_manifest_uniform", "embed_chunks_hashed",
-    # r08 promotions (the r07-wave-1 INCOMING operators)
-    "split_train_val_test", "text_clean_markup", "vocab_coverage_topv",
-    "bm25_topk_lexical", "dedup_cluster_stats",
-    # r08 returners (the five r05 retirees due their ≤3-round re-check)
-    "doc_fingerprint_minhash1", "position_returns",
-    "semi_join_has_lineitems", "topk_events", "position_transitions",
+    "asof_join_trade_quote", "range_join_tick_stats",
+    "latency_metrics_rollup", "segment_revenue_bucketed",
+    "anti_join_parts_never_shipped", "multimodal_features",
+    "ann_ivf_trained_topk", "text_clean_markup",
+    # r10 returners: the seven overdue r06 retirees
+    "sma_crossover_signals", "positions_forward_fill",
+    "latest_price_per_instrument", "breakout_band_signals",
+    "value_percentiles_exact", "embedding_cosine_neardup",
+    "streaming_interval_join",
+    # r10 returners: the fifteen r07 retirees due by r10
+    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
+    "lang_id_heuristic", "performance_windows_5m", "signal_counts_5m",
+    "metrics_hourly_rollup", "dedup_exact_hash", "dedup_ngram_jaccard",
+    "ann_ivf_topk", "ann_lsh_hyperplane_pairs", "text_stats_quality",
+    "pricing_summary_q1", "runs_listing_join_topn", "session_window_per_user",
+    # r10 promotions: r07 waves 2-3 + shuffle_windows
+    "hybrid_rrf_topk", "dedup_intra_doc", "ccnet_lm_buckets",
+    "ann_index_delta", "mixture_manifest_by_lang", "dedup_canonical_quality",
+    "corpus_diff_snapshots", "tokenize_with_vocab", "shuffle_windows",
+    # r10 chained consolidation queries (each covers an incoming family)
+    "bpe_pipeline_chained", "winnow_zipf_chained", "decontam_suite_chained",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    # r06 rotation
-    "sma_crossover_signals", "positions_forward_fill",
-    "latest_price_per_instrument", "breakout_band_signals",
-    "value_percentiles_exact", "embedding_cosine_neardup",
-    "streaming_interval_join",
-    # r07 rotation: the four r06 returners re-retired after one green round
-    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
-    "lang_id_heuristic",
-    # r07 rotation: eleven veterans with documented checked siblings
-    "performance_windows_5m", "signal_counts_5m", "metrics_hourly_rollup",
-    "dedup_exact_hash", "dedup_ngram_jaccard", "ann_ivf_topk",
-    "ann_lsh_hyperplane_pairs", "text_stats_quality", "pricing_summary_q1",
-    "runs_listing_join_topn", "session_window_per_user",
-    # r08 rotation: five r07 returners re-retired after their green
-    # re-check round, plus five r07-promoted ops with checked siblings
+    # r08 rotation (due their ≤3-round re-check by r11)
     "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
     "sliding_window_counts", "length_band_filter",
     "sample_temperature_source", "pack_sequences_manifest",
     "curate_stats_by_source", "chunk_documents_overlap", "lm_bigram_quality",
+    # r10 rotation: five r08 returners re-retired after two green rounds
+    "doc_fingerprint_minhash1", "position_returns",
+    "semi_join_has_lineitems", "topk_events", "position_transitions",
+    # r10 rotation: five r07-promoted ops with two green rounds + siblings
+    "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
+    "mixture_manifest_uniform", "embed_chunks_hashed",
+    # r10 rotation: veterans whose families stay checked via this round's
+    # returners/promotions
+    "normalized_prices", "signals_decisions", "strategy_summary_filter_agg",
+    "asof_join_tolerance", "recent_ticks_per_instrument",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters_canonical",
+    "ann_bruteforce_topk", "ann_ivfpq_topk", "tfidf_top_terms",
+    "length_band_approx", "dedup_incremental", "repetition_gopher_quality",
+    "decontam_ngram_overlap", "sample_quota_per_source",
+    "lm_unigram_quality", "dedup_passages", "pii_scrub_redact",
+    "curate_keep_decision", "split_train_val_test", "vocab_coverage_topv",
+    "bm25_topk_lexical", "dedup_cluster_stats",
 })
 
 
