@@ -434,7 +434,7 @@ def _sql_wf(source: str, text_expr: str = "text") -> str:
     return f"""wf AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS freq
   FROM (
-    SELECT unnest(list_filter(string_split_regex({lower}, '\\s+'), w -> w <> '')) AS word
+    SELECT unnest(list_filter(string_split_regex({lower}, '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS word
     FROM {source}
   )
   WHERE NOT regexp_matches(word, '[\\x01-\\x03]')
@@ -587,7 +587,7 @@ def _sql_dwords(source: str) -> str:
     lower = f"translate(text, '{ASCII_UP}', '{ASCII_LO}')"
     return f"""dwords AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex({lower}, '\\s+'), w -> w <> '')) AS word
+         unnest(list_filter(string_split_regex({lower}, '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS word
   FROM {source}
 )"""
 

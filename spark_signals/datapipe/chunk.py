@@ -67,7 +67,7 @@ def sql_chunk_documents(
     return f"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 e AS (

@@ -31,7 +31,11 @@ CLEAN_RULES: tuple[tuple[str, str], ...] = (
     ("<[^<>]*>", " "),                                  # markup tags
     ("([a-zA-Z])-[\\t ]*\\n[\\t ]*([a-zA-Z])", "$1$2"), # linebreak hyphens
     ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", " "),        # C0 controls
-    ("\\s+", " "),                                      # whitespace fold
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    # harmless HERE only because the C0 rule above already spaced \x0B
+    # out, but the explicit form keeps the shared rule engine-identical
+    # on any input (same discipline as the oracle tokenizers).
+    ("[ \\t\\n\\x0b\\f\\r]+", " "),                     # whitespace fold
 )
 
 

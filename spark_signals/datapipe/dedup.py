@@ -73,7 +73,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 SQL_CONTENT_DIGEST = (
     "md5(trim(regexp_replace(translate({col}, "
     "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
-    "'\\s+', ' ', 'g')))"
+    "'[ \t\n\x0b\f\r]+', ' ', 'g')))"
 )
 
 SQL_DEDUP_EXACT = f"""
@@ -245,7 +245,7 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
 def _sql_shingle_docs() -> str:
     return f"""
 d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 sh AS (
@@ -399,7 +399,7 @@ def _ngram_pairs(keyed: DataFrame) -> DataFrame:
 
 SQL_DEDUP_NGRAM = f"""
 WITH base AS (
-  SELECT doc_id, trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')) AS norm_text
+  SELECT doc_id, trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm_text
   FROM documents
 ),
 g AS (
@@ -537,7 +537,7 @@ def dedup_simhash(docs: DataFrame) -> DataFrame:
 # (^ is exponent in DuckDB — xor() is the function.)
 SQL_DEDUP_SIMHASH = f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 w AS (
@@ -1178,7 +1178,7 @@ def sql_dedup_passages(source: str = "documents") -> str:
     string-replacing 'FROM documents' in a sibling's SQL."""
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 p AS (
@@ -1259,7 +1259,7 @@ def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
 def sql_dedup_intra_doc(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 c AS (
@@ -1450,7 +1450,7 @@ def sql_strip_boilerplate(
 ) -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 c AS (
@@ -1608,7 +1608,7 @@ def _sql_minhash_ctes(rel: str, prefix: str) -> str:
     batch chains compose in one statement)."""
     p = prefix
     return f"""{p}d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {rel}
 ),
 {p}sh AS (
@@ -1749,32 +1749,69 @@ def winnow_fingerprint_pairs(
     pair sharing >= ``min_shared`` fingerprints, where resemblance is the
     Jaccard estimate shared / (n_a + n_b - shared) over fingerprint sets.
 
-    Shape at 100 TB: TWO shuffles total. (1) groupBy(fingerprint) with the
-    doc list collected per key — the frequency cap both drops template
-    boilerplate and hard-bounds each list at ``fp_max_docs``, so the pair
-    expansion is a per-row higher-order function over a <= cap array (never
-    a self-join of an unbounded bucket: the hottest key emits C(cap,2)
-    pairs, a constant). (2) groupBy(doc_a, doc_b) to count shared
-    fingerprints — output is O(true near-dup pairs). No all-pairs relation
-    exists at any stage.
+    Shape at 100 TB: the fingerprint long-form aggregates TWICE on the
+    same key — (1a) a count-only pass whose survivors (2 <= count <=
+    ``fp_max_docs``) semi-join back, THEN (1b) the per-key doc list
+    collects over surviving keys only, so the ``collect_list`` buffer
+    never materializes a hot key: a template fingerprint present in
+    millions of documents is dropped by the count FILTER before any list
+    exists (the count pass is map-side-combined longs, safe at any skew).
+    Pair expansion is then a per-row higher-order function over a <= cap
+    array (never a self-join of an unbounded bucket: the hottest
+    surviving key emits C(cap,2) pairs, a constant), and (2) a final
+    groupBy(doc_a, doc_b) counts shared fingerprints — output is O(true
+    near-dup pairs). No all-pairs relation exists at any stage, and no
+    aggregation buffer exceeds ``fp_max_docs`` structs.
+
+    Lifecycle: the per-doc fingerprint relation is PERSISTED for the
+    call and the (small) pair relation returned materialized — the same
+    pinned-for-the-call shape as dedup_minhash_lsh — because both the
+    count pass and the collect pass consume it and the winnowing md5
+    chain is the expensive stage (recomputing it doubled the query wall
+    time when measured at sf0.01). At cluster scale swap localCheckpoint
+    for a reliable checkpoint dir.
     """
+    sized = winnow_fingerprints(docs, k, w).select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        "fingerprints",
+    ).persist()
+    try:
+        return _winnow_pairs_from_sized(
+            sized, min_shared, min_resemblance, fp_max_docs
+        ).localCheckpoint(eager=True)
+    finally:
+        sized.unpersist()
+
+
+def _winnow_pairs_from_sized(
+    sized: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    min_resemblance: float = WINNOW_MIN_RESEMBLANCE,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+) -> DataFrame:
+    """The lazy pair plan over a (doc_id, n_fps, fingerprints) relation —
+    split out so tests can pin the plan shape pre-materialization."""
     from spark_signals.datapipe.util import explode_strings
 
-    fps = winnow_fingerprints(docs, k, w)
     # explode via the concat_ws→split round-trip: Generate over a
     # higher-order-function-built array re-evaluates the whole winnowing
     # chain per OUTPUT row (O(fps²) md5s — measured minutes vs seconds on
     # 500 docs); see explode_strings.
-    sized = fps.select(
-        "doc_id",
-        F.size("fingerprints").cast("long").alias("n_fps"),
-        "fingerprints",
-    )
     long_form = explode_strings(sized, F.col("fingerprints"), "fp", "doc_id", "n_fps")
-    grouped = (
+    # hot-key guard: count first (constant-size aggregation state), keep
+    # only collision keys under the cap, and only THEN collect the doc
+    # lists — the list aggregation never sees a boilerplate fingerprint.
+    kept_fps = (
         long_form.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs_fp"))
+        .filter((F.col("n_docs_fp") >= 2) & (F.col("n_docs_fp") <= fp_max_docs))
+        .select("fp")
+    )
+    grouped = (
+        long_form.join(kept_fps, "fp", "left_semi")
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_fps"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= fp_max_docs))
     )
     # sort_array orders by doc_id (first struct field), so the nested
     # transform below emits each unordered pair exactly once with
@@ -1814,7 +1851,7 @@ def sql_winnow_pairs(
     return f"""
 WITH d AS (
   SELECT doc_id,
-         trim(regexp_replace(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+', ' ', 'g')) AS norm_text
+         trim(regexp_replace(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm_text
   FROM documents
 ),
 h AS (

@@ -67,11 +67,21 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# The ONE spelling of synthesize_media's synthetic kind mapping for every
+# DuckDB twin — an oracle that re-derived it inline could silently drift
+# from the Spark mapping below (advisor r9 low #3).
+SQL_MEDIA_KIND = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+    "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Build a deterministic media table from documents.text — the binary
     column is the UTF-8 payload, metadata derives from doc properties. Used
     because the driver's testdata has no true media table; the plumbing is
-    identical for real bytes."""
+    identical for real bytes. The kind CASE below is mirrored verbatim by
+    ``SQL_MEDIA_KIND`` (pinned equal in tests)."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -241,15 +251,13 @@ def extract_features(
 # Bytes are recovered from hex(content) via a 256-row printf lookup; the
 # integer sums and the final /255.0 division are exact IEEE, so no rounding
 # gate is needed.
-SQL_MEDIA_FEATURES = """
+SQL_MEDIA_FEATURES = f"""
 WITH hexmap AS (
     SELECT i, printf('%02X', i) AS h FROM range(0, 256) t(i)
 ),
 media AS (
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
+           {SQL_MEDIA_KIND} AS kind,
            text AS txt,
            encode(text) AS content
     FROM documents
@@ -325,6 +333,12 @@ PHASH_MAX_HAMMING = PHASH_BANDS - 1
 # template/padding artifact (e.g. a constant header); dropping it bounds
 # the per-key pair fanout at C(cap, 2) — see WINNOW_FP_MAX_DOCS.
 PHASH_BAND_MAX_DOCS = 50
+# payload floor: below ~9 bytes the 64-bit signature is mostly the zero
+# pad, so two unrelated tiny payloads hash near-identically (advisor r9
+# low #2) — such rows carry no dHash evidence and are excluded from
+# near-dup entirely (real media is KBs; sub-9-byte "media" is truncation
+# debris a curation pass should surface via media_features, not pair up)
+PHASH_MIN_BYTES = 9
 
 
 def media_phash_signatures(media: DataFrame) -> DataFrame:
@@ -355,17 +369,29 @@ def media_phash_neardup(
     media: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
     band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
 ) -> DataFrame:
     """Near-duplicate media pairs: (media_a, media_b, kind, hamming) with
-    hamming <= ``max_hamming`` over the 64-bit dHash.
+    hamming <= ``max_hamming`` over the 64-bit dHash. Payloads shorter
+    than ``min_bytes`` are excluded up front (zero-pad dominates their
+    signature — see PHASH_MIN_BYTES).
 
-    Shape at 100 TB: signatures chain onto the scan (no shuffle), then ONE
-    shuffle on (kind, band, band_value) where the capped collect_list makes
-    pair expansion a per-row higher-order function over a <= cap array, and
-    one groupBy(pair) dedupe. Hamming verification runs on candidate pairs
-    only.
+    Shape at 100 TB: signatures chain onto the scan (no shuffle), then the
+    band long-form aggregates TWICE on (kind, band, band_value): a
+    count-only pass whose survivors (2 <= count <= ``band_max_docs``)
+    semi-join back, THEN the per-key media list collects over surviving
+    keys only — so the ``collect_list`` buffer never materializes a hot
+    key (the constant zero-pad band of short payloads, a template header:
+    such keys are dropped by the count FILTER before any list exists; the
+    count pass is map-side-combined longs, safe at any skew). Pair
+    expansion is then a per-row higher-order function over a <= cap
+    array, and one groupBy(pair) dedupes. Hamming verification runs on
+    candidate pairs only; no aggregation buffer exceeds ``band_max_docs``
+    structs.
     """
-    sigs = media_phash_signatures(media)
+    sigs = media_phash_signatures(
+        media.filter(F.length("content") >= min_bytes)
+    )
     # Generate over a cheap literal sequence, band key sliced AFTER the
     # explode: Generate over an HOF-built array re-evaluates its
     # construction per output row (see util.explode_strings), so the
@@ -380,10 +406,19 @@ def media_phash_neardup(
         )
         .withColumn("bkey", F.expr("substring(sig, band * 8 + 1, 8)"))
     )
-    grouped = (
+    # hot-key guard: count first (constant-size aggregation state), keep
+    # only collision keys under the cap, then collect lists — see
+    # dedup.winnow_fingerprint_pairs for the identical discipline.
+    kept_keys = (
         bands.groupBy("kind", "band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs_key"))
+        .filter((F.col("n_docs_key") >= 2) & (F.col("n_docs_key") <= band_max_docs))
+        .select("kind", "band", "bkey")
+    )
+    grouped = (
+        bands.join(kept_keys, ["kind", "band", "bkey"], "left_semi")
+        .groupBy("kind", "band", "bkey")
         .agg(F.sort_array(F.collect_list(F.struct("media_id", "sig"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= band_max_docs))
     )
     pair_arr = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -411,20 +446,20 @@ def media_phash_neardup(
 def sql_media_phash_neardup(
     max_hamming: int = PHASH_MAX_HAMMING,
     band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
 ) -> str:
     bits = PHASH_BITS
     return f"""
 WITH media AS (
   SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS kind,
+         {SQL_MEDIA_KIND} AS kind,
          encode(text) AS content
   FROM documents
 ),
 hx AS (
   SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h
   FROM media
+  WHERE octet_length(content) >= {min_bytes}
 ),
 sigs AS (
   SELECT media_id, kind,
@@ -433,6 +468,206 @@ sigs AS (
               > (CASE WHEN i + 1 <= n THEN ('0x' || substr(h, 2 * i + 1, 2))::INT ELSE 0 END)
            THEN '1' ELSE '0' END), '') AS sig
   FROM hx
+),
+bands AS (
+  SELECT media_id, kind, sig, b AS band, substr(sig, b * 8 + 1, 8) AS bkey
+  FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS b)
+),
+kept AS (
+  SELECT kind, band, bkey FROM bands GROUP BY 1, 2, 3
+  HAVING COUNT(*) BETWEEN 2 AND {band_max_docs}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  a.kind AS kind, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.kind = b.kind AND a.band = b.band AND a.bkey = b.bkey
+  JOIN kept k ON k.kind = a.kind AND k.band = a.band AND k.bkey = a.bkey
+  WHERE a.media_id < b.media_id
+),
+scored AS (
+  SELECT media_a, media_b, kind,
+    len(list_filter(range(1, {bits + 1}),
+        i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS hamming
+  FROM cand
+)
+SELECT media_a, media_b, kind, CAST(hamming AS INT) AS hamming
+FROM scored WHERE hamming <= {max_hamming}"""
+
+
+# ---------------------------------------------- decoded-grid near-dup path
+# The PRODUCTION dHash input: real perceptual hashing signs the DECODED
+# sample grid (grayscale-resized pixels / PCM samples), not container
+# bytes — container re-encodes (quality change, metadata strip) rewrite
+# the bytes but barely move the decoded grid. extract_sample_grid is the
+# Arrow decode stage that emits a fixed GRID_BYTES-long luma/sample grid
+# per row (real codec when available and the payload decodes, else the
+# deterministic stride-sample stub, status-tagged like decode_media), and
+# media_phash_neardup_decoded chains the standard JVM-side banded dHash
+# over that grid — decode is the ONLY Python stage; blocking, banding and
+# verify stay whole-stage-codegen exactly as in the raw-byte path.
+GRID_BYTES = PHASH_BITS + 1
+
+GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("grid", T.BinaryType(), False),
+        T.StructField("grid_status", T.StringType(), False),
+    ]
+)
+
+
+def _stub_grid(content: bytes, n_cells: int = GRID_BYTES) -> bytes:
+    """Deterministic decode stand-in modeling a real area-average resize:
+    cell c is the INTEGER mean of the payload bytes in its bucket
+    [c*n//cells, (c+1)*n//cells) — averaging is what makes real dHash
+    robust to small edits (a point-sample grid shifts wholesale on any
+    insertion; bucket means barely move), and integer floor-division
+    keeps the DuckDB twin bit-exact. Payloads shorter than the grid fall
+    back to evenly-strided point samples; empty payloads yield an empty
+    grid."""
+    n = len(content)
+    if n == 0:
+        return b""
+    if n < n_cells:
+        return bytes(content[(i * (n - 1)) // (n_cells - 1)] for i in range(n_cells))
+    out = []
+    for c in range(n_cells):
+        lo, hi = (c * n) // n_cells, ((c + 1) * n) // n_cells
+        bucket = content[lo:hi]
+        out.append(sum(bucket) // len(bucket))
+    return bytes(out)
+
+
+def _real_grid(content: bytes, kind: str, n_cells: int = GRID_BYTES) -> bytes:
+    """Decoded luma/sample grid via the real codec for ``kind`` — raises
+    on any decode problem (caller falls back to the stub)."""
+    from io import BytesIO
+
+    if kind == "image":
+        from PIL import Image
+
+        with Image.open(BytesIO(content)) as img:
+            return img.convert("L").resize((n_cells, 1)).tobytes()
+    if kind == "audio":
+        import wave
+
+        with wave.open(BytesIO(content), "rb") as w:
+            frames = w.readframes(w.getnframes())
+        if not frames:
+            raise ValueError("no audio frames")
+        # first byte of each sample frame, stride-sampled to the grid
+        step = max(w.getsampwidth() * w.getnchannels(), 1)
+        samples = frames[::step]
+        return _stub_grid(samples, n_cells)
+    raise ValueError(f"no grid decoder for kind={kind}")
+
+
+def extract_sample_grid(
+    media: DataFrame, *, force_stub: bool = False
+) -> DataFrame:
+    """media → (media_id, kind, grid, grid_status): the decode stage of
+    the decoded-grid near-dup path, one Arrow batch in/out, no shuffle
+    (chains onto the scan like extract_features). ``force_stub`` pins the
+    stub for oracle-compared paths, same contract as extract_features."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                grid, status = None, "stub"
+                if not force_stub and row.kind in REAL_CODECS:
+                    try:
+                        grid, status = _real_grid(content, row.kind), "real"
+                    except Exception:
+                        grid = None
+                if grid is None:
+                    grid = _stub_grid(content)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "grid": grid,
+                        "grid_status": status,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in GRID_SCHEMA.fields])
+
+    return media.mapInPandas(process, GRID_SCHEMA)
+
+
+def media_phash_neardup_decoded(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    *,
+    force_stub: bool = False,
+) -> DataFrame:
+    """Near-duplicate media pairs over the DECODED grid — the production
+    face of media_phash_neardup: (media_a, media_b, kind, hamming).
+
+    Shape at 100 TB: one embarrassingly-parallel Arrow decode pass
+    (per-row cost is the codec, peak memory O(batch)), then the identical
+    banded blocking as the raw-byte operator — the grid is GRID_BYTES
+    long by construction, so the signature is always fully populated and
+    the short-payload zero-pad caveat of the raw path does not arise;
+    the band-frequency cap still drops constant-grid template keys."""
+    grids = extract_sample_grid(media, force_stub=force_stub)
+    return media_phash_neardup(
+        grids.select("media_id", "kind", F.col("grid").alias("content")),
+        max_hamming,
+        band_max_docs,
+        min_bytes=1,  # grids are fixed-length; only empty payloads drop
+    )
+
+
+def sql_media_phash_neardup_decoded(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+) -> str:
+    """Oracle twin of the STUB branch of media_phash_neardup_decoded
+    (force_stub=True): the bucket-mean grid is exact integer arithmetic
+    over hex(content) (sum // width, mirroring _stub_grid), then the same
+    sig/band/kept/cand/score chain as sql_media_phash_neardup."""
+    bits = PHASH_BITS
+    cells = GRID_BYTES
+    # 1-based hex lookup of 0-based payload position p: substr(h, 2*p+1, 2)
+    byte_at = lambda p: f"('0x' || substr(h, 2 * ({p}) + 1, 2))::INT"  # noqa: E731
+    # long payloads: cell c = integer mean of bytes in [c*n//cells, (c+1)*n//cells)
+    bucket_mean = (
+        f"list_aggregate(list_transform("
+        f"range((c * n) // {cells}, ((c + 1) * n) // {cells}), "
+        f"p -> {byte_at('p')}), 'sum') "
+        f"// (((c + 1) * n) // {cells} - (c * n) // {cells})"
+    )
+    # short payloads: evenly-strided point samples (matches _stub_grid)
+    point_sample = byte_at(f"(c * (n - 1)) // {cells - 1}")
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         {SQL_MEDIA_KIND} AS kind,
+         encode(text) AS content
+  FROM documents
+),
+hx AS (
+  SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h
+  FROM media
+  WHERE octet_length(content) >= 1
+),
+grids AS (
+  SELECT media_id, kind,
+    CASE WHEN n >= {cells}
+         THEN list_transform(range(0, {cells}), c -> {bucket_mean})
+         ELSE list_transform(range(0, {cells}), c -> {point_sample}) END AS g
+  FROM hx
+),
+sigs AS (
+  SELECT media_id, kind,
+    array_to_string(list_transform(range(1, {bits + 1}),
+      i -> CASE WHEN g[i] > g[i + 1] THEN '1' ELSE '0' END), '') AS sig
+  FROM grids
 ),
 bands AS (
   SELECT media_id, kind, sig, b AS band, substr(sig, b * 8 + 1, 8) AS bkey

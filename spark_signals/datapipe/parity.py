@@ -568,6 +568,16 @@ def _incoming_r08_wave2() -> dict:
             ),
             MM.sql_media_phash_neardup(),
         ),
+        # r10: the PRODUCTION dHash input — near-dup over the DECODED
+        # sample grid (Arrow decode stage → JVM banded blocking); the
+        # oracle models the pinned stub branch, same contract as
+        # multimodal_features (r9 verdict #7)
+        "media_phash_neardup_decoded": (
+            lambda spark, sf_dir: MM.media_phash_neardup_decoded(
+                MM.synthesize_media(_docs(spark, sf_dir)), force_stub=True
+            ),
+            MM.sql_media_phash_neardup_decoded(),
+        ),
     }
 
 

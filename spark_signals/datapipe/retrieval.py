@@ -301,7 +301,7 @@ def sql_bm25_topk_queries(
 WITH qrel AS (SELECT * FROM (VALUES {vals}) q(query_id, term)),
 base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(translate(text, '{_UP}', '{_LO}'), '\\s+'), w -> w <> '') AS words
+         list_filter(string_split_regex(translate(text, '{_UP}', '{_LO}'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 lens AS (SELECT doc_id, len(words) AS dl FROM base),
@@ -585,7 +585,7 @@ def _sql_demb_ctes(source: str) -> str:
     dim = EMBED_DIM
     return f"""dbase AS (
   SELECT doc_id,
-         list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '') AS words
+         list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 dw AS (SELECT doc_id, unnest(words) AS word FROM dbase),
@@ -759,7 +759,7 @@ def sql_bm25_topk(
     return f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '') AS words
+         list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 lens AS (SELECT doc_id, len(words) AS dl FROM base),

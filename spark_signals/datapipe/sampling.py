@@ -527,7 +527,7 @@ def sql_dsir_logratio(
     from spark_signals.datapipe.text import ASCII_LO, ASCII_UP
 
     lower = f"translate(text, '{ASCII_UP}', '{ASCII_LO}')"
-    words = f"list_filter(string_split_regex({lower}, '\\s+'), w -> w <> '')"
+    words = f"list_filter(string_split_regex({lower}, '[ \t\n\x0b\f\r]+'), w -> w <> '')"
     return f"""
 WITH tgtw AS (
   SELECT ('0x' || substring(md5(word), 1, 8))::BIGINT % {n_buckets} AS b

@@ -823,6 +823,11 @@ def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 # floor gated in tests/test_ann_recall.py.
 KNN_K = 5
 KNN_TARGET_CELL = 64  # target MEAN cell size: candidates/vector ≈ NPROBE·64
+# Lloyd training sample cap, ON by default (the FAISS practice): at or
+# under the cap the sampled trainer is bit-identical to the full trainer,
+# so small corpora (and the oracle twins) are unaffected while 100 TB
+# training cost stays bounded.
+KNN_TRAIN_CAP = 50_000
 
 
 def knn_join_k(
@@ -841,7 +846,8 @@ def kmeans_train_sampled(
     embeddings: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-    train_cap: int = 50_000,
+    train_cap: int = KNN_TRAIN_CAP,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd training on a deterministic hash-sample of ≤ ~``train_cap``
     vectors — the FAISS practice: centroids converge on a bounded sample,
@@ -850,8 +856,12 @@ def kmeans_train_sampled(
     bucket predicate shared with the samplers (exact int64 comparison,
     engine-stable, membership stable under corpus growth); when the corpus
     is at or under the cap the sample is the whole corpus and the result
-    is bit-identical to :func:`kmeans_train`."""
-    n = embeddings.count()
+    is bit-identical to :func:`kmeans_train`.
+
+    ``n_rows`` is the corpus-count HINT: pass it (from a catalog stat or
+    an upstream count the caller already paid for) and the builder runs
+    no job of its own; omit it and one count() falls back here."""
+    n = embeddings.count() if n_rows is None else n_rows
     if n <= train_cap:
         return kmeans_train(embeddings, k, iters)
     rate_u = int(train_cap / n * 1e6)
@@ -867,21 +877,29 @@ def knn_join_ivf(
     k_neighbors: int = KNN_K,
     k: int | None = None,
     iters: int = KMEANS_ITERS,
-    train_cap: int | None = None,
+    train_cap: int | None = KNN_TRAIN_CAP,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, match_id, cosine, rank) — top-``k_neighbors`` neighbors
     for EVERY corpus vector via trained-IVF cell probing (no label column
-    required). ``k`` defaults to :func:`knn_join_k`, derived from a cheap
+    required). ``k`` defaults to :func:`knn_join_k`, derived from the
     corpus count so mean cell size stays ≤ KNN_TARGET_CELL as n grows;
     pass ``k`` explicitly to pin a static count (the oracle twin does,
-    since the unrolled-Lloyd SQL is generated for a fixed k). ``train_cap``
-    switches the trainer to :func:`kmeans_train_sampled` — at production
-    scale the Lloyd loop should see a bounded sample, not the corpus.
+    since the unrolled-Lloyd SQL is generated for a fixed k).
+
+    ``train_cap`` defaults ON (KNN_TRAIN_CAP): the Lloyd loop sees a
+    bounded hash-sample, never the raw corpus — at or under the cap the
+    result is bit-identical to the full trainer, so the default costs
+    nothing at test scale. ``n_rows`` is the corpus-count hint shared
+    with :func:`kmeans_train_sampled`: with both ``k`` and ``n_rows``
+    (or ``k`` and ``train_cap=None``) the builder itself runs NO Spark
+    job before training starts — lazy composers pay no surprise action.
     Reference has no ANN surface; north-star scope."""
     if k is None:
-        k = knn_join_k(embeddings.count())
+        n_rows = embeddings.count() if n_rows is None else n_rows
+        k = knn_join_k(n_rows)
     if train_cap is not None:
-        centroids = kmeans_train_sampled(embeddings, k, iters, train_cap)
+        centroids = kmeans_train_sampled(embeddings, k, iters, train_cap, n_rows)
     else:
         centroids = kmeans_train(embeddings, k, iters)
     dims = _long_dims(embeddings)

@@ -75,10 +75,10 @@ def sql_n_tokens(expr: str = "text", counter: str = TOKEN_COUNTER_DEFAULT) -> st
     lower = f"translate({expr}, '{ASCII_UP}', '{ASCII_LO}')"
     if counter == "whitespace":
         return (
-            f"len(list_filter(string_split_regex({lower}, '\\s+'), w -> w <> ''))"
+            f"len(list_filter(string_split_regex({lower}, '[ \t\n\x0b\f\r]+'), w -> w <> ''))"
         )
     if counter == "bpe":
-        return f"len(regexp_extract_all({lower}, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+        return f"len(regexp_extract_all({lower}, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]'))"
     raise ValueError(f"unknown token counter: {counter!r}")
 
 
@@ -138,13 +138,13 @@ def SQL_TEXT_STATS() -> str:
     en = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 )
 SELECT doc_id, lang, source,
   length(text) AS n_chars,
   len(words) AS n_words,
-  len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+  len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS n_tokens_bpe,
   length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS n_punct,
   len(list_filter(words, w -> list_contains({en}, w))) AS n_stopwords_en,
   CAST(length(text) - length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
@@ -190,7 +190,7 @@ def SQL_LANG_ID() -> str:
     )
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 c AS (
@@ -261,7 +261,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def SQL_FINGERPRINT() -> str:
     return f"""
 WITH d AS (
-  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT *, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 s AS (
@@ -339,7 +339,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
 def SQL_TFIDF(k: int = TFIDF_TOP_K) -> str:
     return f"""
 WITH words AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS word
+  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS word
   FROM documents
 ),
 tf AS (
@@ -427,7 +427,7 @@ def vocab_coverage(docs: DataFrame, v: int = VOCAB_TOP_V) -> DataFrame:
 def SQL_VOCAB_COVERAGE(v: int = VOCAB_TOP_V) -> str:
     return f"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), w -> w <> '')) AS word
+  SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS word
   FROM documents
 ),
 counts AS (
@@ -513,7 +513,7 @@ def SQL_TOKENIZE_WITH_VOCAB(v: int = VOCAB_TOP_V) -> str:
 WITH vc AS ({SQL_VOCAB_COVERAGE(v)}),
 vocab AS (SELECT word, rank AS token_id FROM vc),
 w AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), x -> x <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 tok AS (
@@ -755,7 +755,7 @@ def SQL_BIGRAM_LM(source: str = "documents") -> str:
     lam = f"CAST({BIGRAM_LAMBDA!r} AS DOUBLE)"
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM {source}
 ),
 d2 AS (SELECT * FROM d WHERE len(words) >= 2),
@@ -1027,7 +1027,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 def SQL_REPETITION() -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '') AS words
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
   FROM documents
 ),
 s AS (
@@ -1124,7 +1124,7 @@ def SQL_UNIGRAM_LM(source: str = "documents") -> str:
     grid = f"1e{UNIGRAM_DP}"
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), w -> w <> '')) AS word
+  SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS word
   FROM {source}
 ),
 vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1),
@@ -1305,7 +1305,7 @@ SELECT '{label}' AS lang, n_tokens, vocab_size, hapax_count,
   floor(icept * 1e6 + 0.5000001) / 1e6 AS zipf_intercept
 FROM (
   WITH w AS (
-    SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '\\s+'), x -> x <> '')) AS word
+    SELECT unnest(list_filter(string_split_regex(translate(text, '{ASCII_UP}', '{ASCII_LO}'), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS word
     FROM documents WHERE {pred}
   ),
   counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),

@@ -163,3 +163,24 @@ def test_knn_join_sample_trained_recall_floor(spark):
     full = {tuple(r) for r in SIM.knn_join_ivf(emb).collect()}
     capped = {tuple(r) for r in SIM.knn_join_ivf(emb, train_cap=10_000).collect()}
     assert full == capped
+
+
+def test_knn_builder_runs_no_count_with_hints(spark, monkeypatch):
+    """Lazy-composer contract: with k pinned and the corpus-count hint
+    supplied, knn_join_ivf must trigger NO DataFrame.count() of its own
+    anywhere in the build (train_cap stays at its ON default) — the r8/r9
+    review item about surprise actions inside the builder."""
+    from pyspark.sql import DataFrame
+
+    from spark_signals.io.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()  # paid once by the caller, passed as the hint
+
+    def _no_count(self):
+        raise AssertionError("count() ran at builder time")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    out = SIM.knn_join_ivf(emb, k=SIM.KMEANS_K, n_rows=n)
+    monkeypatch.undo()
+    assert out.count() > 0  # the plan still builds and runs

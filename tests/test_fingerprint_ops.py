@@ -284,3 +284,163 @@ def test_winnow_whitespace_only_docs_share_empty_fingerprint_safely(spark):
     min_shared, so they never pair; nothing throws."""
     rows = ["   ", "\t\n  ", "real content that is long enough to fingerprint"]
     assert D.winnow_fingerprint_pairs(_docs(spark, rows)).count() == 0
+
+
+# ------------------------------------------------------- hot-key guard
+# A template fingerprint (or constant dHash band) present in more docs
+# than the frequency cap must be dropped by the COUNT pre-filter, before
+# any collect_list buffer exists — the planted hot key below exceeds the
+# cap, so the aggregation that builds per-key doc lists never sees it,
+# and the planted near-dup pair (whose keys are under the cap) is still
+# found. This pins the buffer-bounding discipline the docstrings claim.
+
+
+def test_winnow_hot_template_key_is_count_filtered_not_collected(spark):
+    template = "this exact boilerplate navigation header appears everywhere "
+    hot = [template + f"unique tail {i} zq{i}x" for i in range(12)]
+    near_a = "completely different planted passage about xylophones and quartz crystals"
+    near_b = near_a + " tail"
+    docs = _docs(spark, hot + [near_a, near_b])
+    out = D.winnow_fingerprint_pairs(docs, fp_max_docs=10).collect()
+    # the 12 template docs share only over-cap fingerprints -> no pairs;
+    # the planted pair's fingerprints sit in exactly 2 docs -> found
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(12, 13)}
+
+
+def test_winnow_cap_filter_semantics_match_duckdb_having(spark):
+    """The Spark count+semi-join guard and the oracle's HAVING BETWEEN
+    produce identical pairs on a corpus with an over-cap template."""
+    template = "shared boilerplate sentence repeated across the whole corpus "
+    rows = [template + f"doc {i} marker m{i}m" for i in range(12)]
+    rows += ["planted duplicate passage with unique words", 
+             "planted duplicate passage with unique words and tail"]
+    sdf = (
+        D.winnow_fingerprint_pairs(_docs(spark, rows), fp_max_docs=10)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    ddf = (
+        _duck(rows)
+        .execute(D.sql_winnow_pairs(fp_max_docs=10))
+        .fetchdf()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        sdf[["doc_a", "doc_b", "shared_fps"]],
+        ddf[["doc_a", "doc_b", "shared_fps"]],
+        check_dtype=False,
+    )
+
+
+def test_phash_hot_band_key_is_count_filtered_not_collected(spark):
+    varied = bytes([(i * 37) % 256 for i in range(70)])
+    varied_b = bytearray(varied)
+    varied_b[40] ^= 0xFF  # flips <= 2 dHash bits
+    rows = [(i, "image", b"\xaa" * 70) for i in range(12)]  # constant sig
+    rows += [(100, "image", varied), (101, "image", bytes(varied_b))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    out = M.media_phash_neardup(media, band_max_docs=10).collect()
+    # 12 identical payloads share only over-cap band keys -> no pairs;
+    # the planted 1-byte-edit pair still collides on an under-cap band
+    assert {(r["media_a"], r["media_b"]) for r in out} == {(100, 101)}
+    assert all(r["hamming"] <= 2 for r in out)
+
+
+def test_phash_short_payload_floor_blocks_zero_pad_pairs(spark):
+    """Two unrelated sub-9-byte payloads hash near-identically (the 64-bit
+    signature is almost all zero pad), so they are excluded from near-dup
+    entirely rather than reported as a fake pair; payloads at/over the
+    floor still pair normally."""
+    varied = bytes([(i * 37) % 256 for i in range(70)])
+    rows = [
+        (0, "image", b"ab"),          # 2 bytes: zero-pad dominated
+        (1, "image", b"xy"),          # unrelated 2 bytes, same pad
+        (2, "image", varied),
+        (3, "image", varied + b"!"),  # true near-dup of 2
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    out = {(r["media_a"], r["media_b"]) for r in M.media_phash_neardup(media).collect()}
+    assert out == {(2, 3)}
+
+
+def test_sql_media_kind_mapping_pins_synthesize_media(spark):
+    """SQL_MEDIA_KIND (the one spelling every DuckDB twin uses) must agree
+    with synthesize_media's Spark CASE on every doc_id residue."""
+    import duckdb
+
+    docs = _docs(spark, [f"text {i}" for i in range(9)])
+    spark_kinds = {
+        r["media_id"]: r["kind"] for r in M.synthesize_media(docs).collect()
+    }
+    duck_kinds = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {M.SQL_MEDIA_KIND} AS kind"
+            " FROM (SELECT unnest(range(0, 9)) AS doc_id)"
+        ).fetchall()
+    )
+    assert spark_kinds == duck_kinds
+
+
+# ------------------------------------------------- decoded-grid near-dup
+# The production dHash path: Arrow decode stage -> fixed bucket-mean grid
+# -> the same JVM banded blocking. The synthetic corpus has no GLOBALLY
+# byte-similar documents (its near-dups share prefixes only, which the
+# raw-byte signature sees but a whole-payload resize rightly does not),
+# so detection evidence lives here on planted dupes.
+
+
+def _grid_docs(spark, texts):
+    return _docs(spark, texts)
+
+
+def test_decoded_grid_detects_global_neardup_not_prefix_dup(spark):
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(2000))
+    global_dup = base[:1000] + "XX" + base[1002:]   # 2 edited chars mid-doc
+    prefix_only = base[:100] + "".join(
+        chr(97 + (i * 11 + 3) % 26) for i in range(1900)
+    )  # shares a long prefix, diverges wholesale after
+    # doc_ids 0 and 3 -> kind 'image' for all three? 0%3=0 image, 3%3=0
+    # image, 6%3=0 image: use ids 0,3,6 via padding rows
+    texts = [base, "pad one", "pad two", global_dup, "pad three", "pad four", prefix_only]
+    docs = _grid_docs(spark, texts)
+    media = M.synthesize_media(docs)
+    out = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in M.media_phash_neardup_decoded(media, force_stub=True).collect()
+    }
+    assert (0, 3) in out, out          # globally similar -> found
+    assert (0, 6) not in out, out      # prefix-only -> correctly NOT a dup
+    # the raw-byte signature sees the opposite: prefix twins collide
+    raw = {
+        (r["media_a"], r["media_b"])
+        for r in M.media_phash_neardup(media).collect()
+    }
+    assert (0, 6) in raw
+
+
+def test_decoded_grid_cross_engine_on_planted_dupes(spark):
+    base = "".join(chr(97 + (i * 13) % 26) for i in range(1500))
+    texts = [base, base[:700] + "qq" + base[702:], "unrelated short text here", base[::-1]]
+    sdf = (
+        M.media_phash_neardup_decoded(
+            M.synthesize_media(_grid_docs(spark, texts)), force_stub=True
+        )
+        .toPandas()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    ddf = (
+        _duck(texts)
+        .execute(M.sql_media_phash_neardup_decoded())
+        .fetchdf()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    assert len(sdf) >= 1  # the planted dup pair is present
+    pd.testing.assert_frame_equal(
+        sdf[["media_a", "media_b", "kind", "hamming"]],
+        ddf[["media_a", "media_b", "kind", "hamming"]],
+        check_dtype=False,
+    )

@@ -411,17 +411,32 @@ def test_knn_join_stays_jvm_side_no_cartesian(spark):
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
-def test_winnow_pairs_two_shuffles_no_join(spark):
+def test_winnow_pairs_semi_join_guard_no_cartesian(spark):
     """Winnowing near-dup: fingerprint selection is per-row HOFs, pair
-    expansion is a per-key array transform — the plan must show NO join of
-    any kind and at most 3 exchanges (fingerprint groupBy, pair groupBy,
-    plus the small-input fan-out repartition)."""
-    from spark_signals.datapipe.dedup import winnow_fingerprint_pairs
+    expansion is a per-key array transform. The ONLY join allowed is the
+    hot-key guard's LeftSemi (count-filtered fingerprint keys joined back
+    before collect_list — the buffer-bounding discipline), and the
+    exchange budget covers the two fingerprint aggregations, the pair
+    groupBy, and the small-input fan-out repartition."""
+    from pyspark.sql import functions as SF_
+    from spark_signals.datapipe.dedup import (
+        _winnow_pairs_from_sized,
+        winnow_fingerprints,
+    )
 
-    p = plan_str(winnow_fingerprint_pairs(read_table(spark, SF, "documents")))
-    assert "Join" not in p
+    sized = winnow_fingerprints(read_table(spark, SF, "documents")).select(
+        "doc_id",
+        SF_.size("fingerprints").cast("long").alias("n_fps"),
+        "fingerprints",
+    )
+    p = plan_str(_winnow_pairs_from_sized(sized))
+    n_joins = sum(
+        count_op(p, j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1 and "LeftSemi" in p
     assert count_op(p, "CartesianProduct") == 0
-    assert count_op(p, "Exchange") <= 3
+    assert count_op(p, "Exchange") <= 6
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
@@ -437,15 +452,21 @@ def test_zipf_shard_is_window_free_take_ordered(spark):
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
-def test_media_phash_two_shuffles_no_join(spark):
-    """Media dHash near-dup: signature + banding chain onto the scan; the
-    only exchanges are the band groupBy and the pair-dedupe groupBy (plus
-    AQE coalescing) — no join nodes, no Python."""
+def test_media_phash_semi_join_guard_no_cartesian(spark):
+    """Media dHash near-dup: signature + banding chain onto the scan. The
+    ONLY join allowed is the hot-key guard's LeftSemi (count-filtered band
+    keys joined back before collect_list); exchanges cover the two band
+    aggregations and the pair-dedupe groupBy — no Python."""
     from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
 
     p = plan_str(
         media_phash_neardup(synthesize_media(read_table(spark, SF, "documents")))
     )
-    assert "Join" not in p
-    assert count_op(p, "Exchange") <= 2
+    n_joins = sum(
+        count_op(p, j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1 and "LeftSemi" in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "Exchange") <= 4
     assert "pythonUDF" not in p and "BatchEvalPython" not in p

@@ -9,7 +9,10 @@ identical semantics in both engines, byte-identical to lower() on ASCII).
 
 These fixtures cover the divergence-prone neighborhoods: Turkish İ, German
 ß/uppercase, combining accents, Greek capitals (final-sigma lowering),
-NBSP (not regex \\s in either engine), and fullwidth Latin.
+NBSP (not regex \\s in either engine), fullwidth Latin, and the
+vertical tab \\x0B (INSIDE Java's \\s, OUTSIDE RE2's — which is why every
+DuckDB-side tokenizer spells the whitespace class explicitly,
+``[ \\t\\n\\x0b\\f\\r]``, instead of ``\\s``).
 """
 
 from __future__ import annotations
