@@ -197,6 +197,11 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
         index_dir=os.path.join(out_dir, "digest_index"),
         survivors_dir=os.path.join(out_dir, "ingest_survivors"),
         checkpoint_dir=os.path.join(out_dir, "ingest_ckpt"),
+        # NEAR-dup lane on: each drop's digest survivors also probe the
+        # persisted MinHash band index (signature-level incremental
+        # near-dup), and admitted documents append their band rows —
+        # near-dup memory stays O(batch) per ingest like the digest index
+        band_index_dir=os.path.join(out_dir, "band_index"),
     )
     for batch in (
         docs.filter(F.col("doc_id") <= mid),
@@ -222,6 +227,10 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
         "input_docs": docs.count(),
         "ingested_survivors": survivors.count(),
         "stream_kept_docs": verdicts.filter(F.col("keep")).count(),
+        "neardup_index_docs": spark.read.parquet(dirs["band_index_dir"])
+        .select("doc_id")
+        .distinct()
+        .count(),
     }
 
 

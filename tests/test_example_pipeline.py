@@ -60,60 +60,3 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
         .count()
     )
     assert order.count() == n_windows
-
-
-def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
-    """The streaming lane of the example (JSONL-as-stream →
-    ingest_dedup_stream → batch curate over survivors) must admit exactly
-    the documents batch exact-dedup admits on the union of the drops."""
-    from curate_corpus import run_streaming_ingest
-
-    from spark_signals.datapipe.dedup import dedup_exact
-
-    out = str(tmp_path / "stream")
-    counts = run_streaming_ingest(spark, "/root/testdata/sf0.001", out)
-    assert counts["input_docs"] == 500
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    want_ids = {
-        r["canonical_doc_id"]
-        for r in dedup_exact(docs).select("canonical_doc_id").distinct().collect()
-    }
-    got_ids = {
-        r["doc_id"]
-        for r in spark.read.parquet(os.path.join(out, "ingest_survivors")).collect()
-    }
-    assert got_ids == want_ids
-    assert counts["ingested_survivors"] == len(want_ids)
-    cur = spark.read.parquet(os.path.join(out, "stream_curation"))
-    assert cur.count() == len(want_ids)
-    assert 0 < counts["stream_kept_docs"] <= counts["ingested_survivors"]
-
-
-def test_retrieval_stack_example_end_to_end(spark, tmp_path):
-    """The second north-star example: index build + three serving paths run
-    end-to-end, artifacts land on disk, and the hybrid results stay
-    consistent with their lexical arm (every fused doc with a lex_rank
-    appears in the BM25 table for that query)."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
-    from retrieval_stack import run_pipeline
-
-    out = str(tmp_path / "retrieval")
-    results = run_pipeline(spark, "/root/testdata/sf0.001", out)
-    assert set(results) == {
-        "ivf_centroids", "ann_chunk_neighbors", "bm25_results", "hybrid_results"
-    }
-    for name in results:
-        assert os.path.isdir(os.path.join(out, name)), name
-    bm25 = spark.read.parquet(os.path.join(out, "bm25_results"))
-    hybrid = spark.read.parquet(os.path.join(out, "hybrid_results"))
-    assert bm25.count() > 0 and hybrid.count() > 0
-    lex_pairs = {(r["query_id"], r["doc_id"]) for r in bm25.collect()}
-    for r in hybrid.collect():
-        if r["lex_rank"] is not None:
-            assert (r["query_id"], r["doc_id"]) in lex_pairs
-    cents = spark.read.parquet(os.path.join(out, "ivf_centroids"))
-    assert cents.select("cluster_id").distinct().count() > 1

@@ -410,3 +410,63 @@ def test_quality_monitor_stream_counts_gate_failures(spark, tmp_path):
     assert out[w0]["n_repetitive"] == 1
     assert out[w0]["n_pii"] == 1
     assert out[w0]["avg_words"] > 0
+
+
+def test_streaming_neardup_lane_matches_single_batch_over_union(spark, tmp_path):
+    """The curate example's streaming near-dup lane (band_index_dir on):
+    two ordered ingest drops through the band-index probe must admit
+    exactly the documents that ONE batch pass of
+    dedup_incremental_neardup over the union (empty history) admits —
+    the stream is just the batch rule replayed drop by drop, with the
+    persisted band index standing in for the earlier drop. Planted
+    structure is pair-only (no chains), where the greedy first-wins rule
+    is drop-order invariant."""
+    from spark_signals.datapipe.dedup import dedup_incremental_neardup
+    from spark_signals.datapipe.streaming import ingest_dedup_stream
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    base_b = "one two three four five six seven eight nine ten " * 6
+    rows = [
+        (0, base_a, "en", "s", len(base_a)),
+        (1, "totally unrelated content about spark shuffles here", "en", "s", 50),
+        # cross-drop near-dup pair: 2 (drop 1) ~ 10 (drop 2)
+        (2, base_b, "en", "s", len(base_b)),
+        (10, base_b + " tail", "en", "s", len(base_b) + 5),
+        # within-drop-2 near-dup pair: 11 ~ 12
+        (11, base_a + " coda", "en", "s", len(base_a) + 5),
+        (12, base_a + " coda!", "en", "s", len(base_a) + 6),
+        (13, "another singleton document with its own words", "en", "s", 45),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    # NOTE: doc 11 near-dups doc 0 too (shared base_a) — that makes 0's
+    # clique {0, 11, 12}, still chain-free for the drop split below
+    # because 0 is in drop 1 and survives, 11/12 are in drop 2.
+
+    src = str(tmp_path / "drops")
+    dirs = dict(
+        index_dir=str(tmp_path / "digest_index"),
+        survivors_dir=str(tmp_path / "survivors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        band_index_dir=str(tmp_path / "bands"),
+    )
+    drop1 = docs.filter(F.col("doc_id") <= 9)
+    drop2 = docs.filter(F.col("doc_id") > 9)
+    for batch in (drop1, drop2):
+        batch.write.mode("append").parquet(src)
+        q = ingest_dedup_stream(
+            spark.readStream.schema(docs.schema).parquet(src), **dirs
+        )
+        q.awaitTermination()
+    streamed = {
+        r["doc_id"] for r in spark.read.parquet(dirs["survivors_dir"]).collect()
+    }
+
+    empty_index = spark.createDataFrame(
+        [], "band int, k1 long, k2 long, doc_id long"
+    )
+    empty_hist = spark.createDataFrame([], schema)
+    batch_survivors, _ = dedup_incremental_neardup(docs, empty_index, empty_hist)
+    batched = {r["doc_id"] for r in batch_survivors.collect()}
+
+    assert streamed == batched == {0, 1, 2, 13}

@@ -151,6 +151,10 @@ def main() -> int:
         "winnow_pairs": lambda: D.winnow_fingerprint_pairs(docs),
         "zipf_lang_stats": lambda: _zipf_lang_stats(docs),
         "media_phash_neardup": lambda: _media_phash(docs),
+        # r10 additions
+        "bpe_train_prod": lambda: bpe_train(docs, n_merges=2000, batch=64, min_freq=2),
+        "bm25_topk_1kq": lambda: _bm25_1kq(docs),
+        "media_phash_decoded": lambda: _media_phash_decoded(docs),
     }
 
     def _bpe_fertility(d):
@@ -197,6 +201,45 @@ def main() -> int:
         from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
 
         return media_phash_neardup(synthesize_media(d))
+
+    def _media_phash_decoded(d):
+        from spark_signals.datapipe.multimodal import (
+            media_phash_neardup_decoded,
+            synthesize_media,
+        )
+
+        return media_phash_neardup_decoded(synthesize_media(d), force_stub=True)
+
+    def _bm25_1kq(d):
+        # 1,000 synthetic 3-term queries drawn deterministically from the
+        # corpus vocabulary (md5 order): the many-query decontamination /
+        # exemplar-sourcing shape — the corpus tf relation must amortize
+        # across all 1k queries in one lineage.
+        from pyspark.sql import Window
+
+        from spark_signals.datapipe.retrieval import bm25_topk_queries
+        from spark_signals.datapipe.text import words_col
+        from spark_signals.datapipe.util import explode_strings
+
+        from pyspark.sql import functions as F
+
+        words = (
+            explode_strings(
+                d.select(words_col(F.col("text")).alias("ws")), F.col("ws"), "term"
+            )
+            .filter(F.col("term") != "")
+            .distinct()
+            .orderBy(F.md5("term"))
+            .limit(3000)
+        )
+        w = Window.orderBy(F.md5("term"))
+        qrel = words.select(
+            F.concat(
+                F.lit("q"), ((F.row_number().over(w) - 1) / 3).cast("int")
+            ).alias("query_id"),
+            "term",
+        )
+        return bm25_topk_queries(d, qrel)
     names = args.ops or list(OPS)
     timings: dict[str, float] = {}
     for name in names:
