@@ -641,17 +641,25 @@ SEMDEDUP_TARGET_CELL = 64
 def semdedup_k(
     n: int, target_cell_size: int = SEMDEDUP_TARGET_CELL, k_min: int | None = None
 ) -> int:
-    """Derived cluster count: k = max(KMEANS_K, ceil(n / target_cell_size)).
+    """Derived cluster count: k = max(KMEANS_K, min(ceil(n /
+    target_cell_size), ceil(sqrt(n)))).
 
     r06 shipped the toy KMEANS_K as the silent default — at real scale a
-    forgotten knob makes Σ|cell|² quadratic. Deriving k from n keeps mean
-    cell size ≤ target however large the corpus grows."""
+    forgotten knob makes Σ|cell|² quadratic. Small corpora size by target
+    mean cell (k = n/target); past the crossover (n ≈ target²) the
+    BALANCED sizing k* = √n takes over: minimizing assignment cost (n·k)
+    plus within-cell pair cost (Σ|cell|² ≈ n·(n/k)) gives k* = √n and
+    total Θ(n^1.5) — the pure n/target rule held the pair stage linear
+    but let the centroid assignment grow Θ(n²/target), the same flaw the
+    100× decade exposed in knn_join_k (see similarity.knn_join_k)."""
     import math
 
     from spark_signals.datapipe.similarity import KMEANS_K
 
     k_min = KMEANS_K if k_min is None else k_min
-    return max(k_min, math.ceil(n / max(target_cell_size, 1)))
+    by_cell = math.ceil(n / max(target_cell_size, 1))
+    balanced = math.ceil(math.sqrt(n))
+    return max(k_min, min(by_cell, balanced))
 
 
 def semdedup(

@@ -822,7 +822,10 @@ def sql_ann_ivf_trained(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 # follows cluster quality exactly as in the query-time IVF path, with the
 # floor gated in tests/test_ann_recall.py.
 KNN_K = 5
-KNN_TARGET_CELL = 64  # target MEAN cell size: candidates/vector ≈ NPROBE·64
+# target MEAN cell size — governs the SMALL regime only (n below
+# target²·NPROBE the derived k is n/target; past it the balanced
+# sqrt(NPROBE·n) sizing takes over — see knn_join_k)
+KNN_TARGET_CELL = 64
 # Lloyd training sample cap, ON by default (the FAISS practice): at or
 # under the cap the sampled trainer is bit-identical to the full trainer,
 # so small corpora (and the oracle twins) are unaffected while 100 TB
@@ -833,13 +836,24 @@ KNN_TRAIN_CAP = 50_000
 def knn_join_k(
     n: int, target_cell_size: int = KNN_TARGET_CELL, k_min: int | None = None
 ) -> int:
-    """Derived cell count: k = max(KMEANS_K, ceil(n / target_cell_size)) —
-    the √n-ish sizing that keeps candidate volume ~n·NPROBE·target instead
-    of quadratic (same contract as dedup.semdedup_k)."""
+    """Derived cell count: k = max(k_min, min(ceil(n / target_cell_size),
+    ceil(sqrt(NPROBE · n)))).
+
+    Two regimes. Small corpora (n below target²·NPROBE ≈ 12k at the
+    defaults) size by target MEAN cell: k = n/target. Past the crossover
+    the BALANCED sizing k* = sqrt(NPROBE·n) takes over — minimizing
+    assignment cost (n·k: every vector scores every centroid) plus probe
+    cost (n·NPROBE·n/k) gives k* = sqrt(NPROBE·n) and total Θ(n^1.5),
+    the FAISS nlist convention (~65k cells at 1e9 vectors). The previous
+    pure n/target rule held the PROBE linear but let the assignment grow
+    Θ(n²/target) — measured at the 100× decade (200k vectors, k=3125)
+    as a 189× wall ratio for 100× data before this fix."""
     import math
 
     k_min = KMEANS_K if k_min is None else k_min
-    return max(k_min, math.ceil(n / max(target_cell_size, 1)))
+    by_cell = math.ceil(n / max(target_cell_size, 1))
+    balanced = math.ceil(math.sqrt(NPROBE * n))
+    return max(k_min, min(by_cell, balanced))
 
 
 def kmeans_train_sampled(

@@ -134,9 +134,13 @@ def test_semdedup_orthogonal_vectors_all_kept(spark):
 
 
 def test_semdedup_k_derivation_bounds_cell_size(spark):
-    """The default k is DERIVED from a corpus count so the mean trained
-    cell size stays <= target_cell_size as n grows — a forgotten static
-    knob would make the within-cell pairwise stage quadratic (verdict r06)."""
+    """The default k is DERIVED from a corpus count so neither side of the
+    cost goes quadratic: small corpora size by target mean cell (bounding
+    the within-cell pairwise stage, verdict r06); large corpora switch to
+    the balanced sqrt(n) sizing (bounding the n·k centroid assignment,
+    the flaw the r10 100x decade measured in the sibling knn_join_k)."""
+    import math
+
     from spark_signals.datapipe.dedup import semdedup, semdedup_k
     from spark_signals.datapipe.similarity import KMEANS_K
 
@@ -144,8 +148,14 @@ def test_semdedup_k_derivation_bounds_cell_size(spark):
     assert semdedup_k(100) == KMEANS_K
     assert semdedup_k(64 * KMEANS_K) == KMEANS_K
     assert semdedup_k(64 * KMEANS_K + 1) == KMEANS_K + 1
-    assert semdedup_k(1_000_000) == 15_625
-    assert semdedup_k(1_000_000, target_cell_size=100) == 10_000
+    # past the n ≈ target² crossover the balanced √n sizing takes over
+    assert semdedup_k(1_000_000) == 1_000
+    assert semdedup_k(1_000_000, target_cell_size=100) == 1_000
+    # both cost sides stay Θ(n^1.5): assignment n·k and pairs n·(n/k)
+    for n in (10_000, 1_000_000, 10**8):
+        k = semdedup_k(n)
+        assert n * k <= 2 * n * math.isqrt(n)
+        assert n * (n / k) <= 2 * n * math.isqrt(n)
 
     # derived default in action: 256 vectors with target cell 16 must train
     # k=16 cells, and the MEAN realized cell size stays <= the target
