@@ -27,9 +27,24 @@ export LOGDIR CPUS MEM
 if [ "$#" -gt 0 ]; then
   FILES=("$@")
 else
-  # Longest files first so the slowest shards start immediately and the
-  # tail of the schedule is short files (LPT-style greedy).
-  mapfile -t FILES < <(wc -l tests/test_*.py | sort -rn | awk '$2 ~ /test_/ {print $2}')
+  # LPT greedy: known-slow files (measured r10, minutes each — the
+  # end-to-end examples and the Spark-fixture-heavy suites) launch first
+  # so the critical path starts at t=0; everything else follows by line
+  # count as a proxy. A slow file added later just belongs in SLOW.
+  SLOW=(
+    tests/test_example_pipeline.py
+    tests/test_example_streaming_lane.py
+    tests/test_example_retrieval.py
+    tests/test_streaming_curation.py
+    tests/test_training_data_ops.py
+    tests/test_curation_ops.py
+    tests/test_degenerate_inputs.py
+    tests/test_streaming.py
+  )
+  FILES=("${SLOW[@]}")
+  while IFS= read -r f; do
+    case " ${SLOW[*]} " in *" $f "*) ;; *) FILES+=("$f") ;; esac
+  done < <(wc -l tests/test_*.py | sort -rn | awk '$2 ~ /test_/ {print $2}')
 fi
 
 start="$(date +%s)"
