@@ -470,3 +470,38 @@ def test_media_phash_semi_join_guard_no_cartesian(spark):
     assert count_op(p, "CartesianProduct") == 0
     assert count_op(p, "Exchange") <= 4
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_chained_queries_stay_jvm_side_no_cartesian(spark):
+    """The three r10 chained consolidation queries (each carrying a whole
+    incoming family's driver evidence) must keep the families' plan
+    discipline through the extra composition: no cartesian products, no
+    nested-loop joins except against broadcast 1-row digests, and zero
+    Python stages."""
+    from spark_signals.datapipe.bpe import bpe_pipeline_report
+    from spark_signals.datapipe.decontam import decontam_suite_report
+
+    docs = read_table(spark, SF, "documents")
+    for name, df in (
+        ("bpe_pipeline_chained", bpe_pipeline_report(docs)),
+        ("decontam_suite_chained", decontam_suite_report(docs)),
+    ):
+        p = plan_str(df)
+        assert count_op(p, "CartesianProduct") == 0, name
+        # the only nested-loop joins allowed are the broadcast 1-row
+        # cross joins (merge-table digest / totals) — never a pair blowup
+        assert "BroadcastNestedLoopJoin" not in p or "Cross" in p, name
+        assert "pythonUDF" not in p and "BatchEvalPython" not in p, name
+
+
+def test_winnow_zipf_chained_stays_jvm_side(spark):
+    """winnow_zipf_report materializes the (small) pair relation eagerly
+    (the winnow lifecycle) — the REMAINING plan over it must still be
+    join-bounded and Python-free, with the zipf shards' TakeOrdered heaps
+    intact."""
+    from spark_signals.datapipe.dedup import winnow_zipf_report
+
+    p = plan_str(winnow_zipf_report(read_table(spark, SF, "documents")))
+    assert count_op(p, "CartesianProduct") == 0
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert count_op(p, "TakeOrderedAndProject") >= 1
