@@ -91,7 +91,9 @@ DRIVER_CAP = 50
 #   bpe_pipeline_chained (= bpe_train_merges + bpe_token_counts +
 #   bpe_fertility_by_lang), winnow_zipf_chained (= winnow_neardup_pairs +
 #   zipf_lang_stats), decontam_suite_chained (= decontam_report +
-#   decontam_fuzzy). Incoming backlog: 25 -> 9.
+#   decontam_fuzzy). Incoming backlog: 25 -> 10 (the nine r07/r08
+#   holdovers plus media_phash_neardup_decoded, ADDED this round as the
+#   decoded-grid production face of the media near-dup).
 # - OUT (34): entries tagged "r10 rotation" below — the five r08 returners
 #   re-retire after two green rounds, the five r07-promoted operators with
 #   2 green rounds and checked siblings, and 24 long-green veterans whose
@@ -101,11 +103,12 @@ DRIVER_CAP = 50
 # re-check (ticks_source, nation_region_rollup, segment_revenue_3way_join,
 # sliding_window_counts, length_band_filter, sample_temperature_source,
 # pack_sequences_manifest, curate_stats_by_source, chunk_documents_overlap,
-# lm_bigram_quality) and the remaining nine INCOMING operators promote
+# lm_bigram_quality) and ALL TEN remaining INCOMING operators promote
 # (hybrid_rrf_ivf_topk, dedup_incr_neardup, bm25_topk_queries,
 # cluster_composition, dsir_logratio, strip_boilerplate, knn_join_ivf,
-# mixture_curriculum, media_phash_neardup — all hash-checked locally at
-# sf0.01). That is 19 IN against 22 slots freed by this round's returners
+# mixture_curriculum, media_phash_neardup, media_phash_neardup_decoded —
+# all hash-checked locally at sf0.01 and in the r10 full sf0.1 extended
+# sweep). That is 20 IN against 22 slots freed by this round's returners
 # re-retiring after their green round — the rotation is slot-positive and
 # the incoming backlog reaches 0.
 # Due-by ledger (retiree -> latest re-check round): r08 retirees -> r11;

@@ -97,6 +97,18 @@ def _hygiene(raw):
 
 
 def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
+    # hygiene fans out into curate, the audit report, and the final join —
+    # pin it once (stage boundary; a parquet write at warehouse scale);
+    # unpersist in finally so a failed write cannot leak cached relations
+    # into a long-lived session
+    docs = _hygiene(_load_corpus(spark, corpus_path)).persist()
+    try:
+        return _run_pipeline_pinned(spark, docs, out_dir)
+    finally:
+        docs.unpersist()
+
+
+def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.curate import curate, curate_stats
@@ -110,10 +122,6 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     from spark_signals.datapipe.text import tokenize_with_vocab
     from spark_signals.datapipe.balance import cluster_composition
     from spark_signals.io.docs import write_training_shards
-
-    # hygiene fans out into curate, the audit report, and the final join —
-    # pin it once (stage boundary; a parquet write at warehouse scale)
-    docs = _hygiene(_load_corpus(spark, corpus_path)).persist()
 
     # 1. curation verdicts (audited: drop_reasons says WHY)
     verdicts = curate(docs)
@@ -130,12 +138,25 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
     # 2. rebalance sources (temperature sampling keeps the decision per-row
     #    and deterministic — re-runs pick the same documents)
     # the sampled corpus fans out into shards + five audit artifacts —
-    # the second pinned stage boundary
+    # the second pinned stage boundary (unpersist in finally below)
     sampled = kept.join(
         sample_temperature(kept.select("doc_id", "source", "n_chars", "lang", "text"))
         .select("doc_id"),
         "doc_id",
     ).persist()
+    try:
+        return _write_artifacts(spark, docs, kept, sampled, out_dir)
+    finally:
+        sampled.unpersist()
+
+
+def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]:
+    from spark_signals.datapipe.curate import curate_stats
+    from spark_signals.datapipe.pack import pack_sequences, shuffle_windows
+    from spark_signals.datapipe.sampling import mixture_curriculum, mixture_manifest
+    from spark_signals.datapipe.text import tokenize_with_vocab
+    from spark_signals.datapipe.balance import cluster_composition
+    from spark_signals.io.docs import write_training_shards
 
     # 3. packing manifest for the trainer's shard writers
     manifest = pack_sequences(sampled)
@@ -173,7 +194,7 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
         os.path.join(out_dir, "window_order")
     )
 
-    counts = {
+    return {
         "input_docs": docs.count(),
         "kept_docs": kept.count(),
         "sampled_docs": sampled.count(),
@@ -182,9 +203,6 @@ def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
             os.path.join(out_dir, "tokens_report")
         ).count(),
     }
-    sampled.unpersist()
-    docs.unpersist()
-    return counts
 
 
 def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int]:

@@ -66,6 +66,15 @@ sort -k2 -rn "$LOGDIR/status" 2>/dev/null | sed -n 1,40p
 fails=$(awk '$1 != 0' "$LOGDIR/status" 2>/dev/null | wc -l)
 total=$(wc -l <"$LOGDIR/status" 2>/dev/null || echo 0)
 echo "---- verify-fast: $((total - fails))/$total files green in $((end - start))s (logs: $LOGDIR) ----"
+if [ "$total" -ne "${#FILES[@]}" ]; then
+  # a worker that died without writing its status line (OOM kill, aborted
+  # xargs) must not shrink the denominator into a false all-green
+  echo "MISSING: $(( ${#FILES[@]} - total )) of ${#FILES[@]} files never reported:"
+  for f in "${FILES[@]}"; do
+    grep -q " $f\$" "$LOGDIR/status" 2>/dev/null || echo "  $f"
+  done
+  exit 1
+fi
 if [ "$fails" -ne 0 ]; then
   awk '$1 != 0 {print "FAILED:", $3}' "$LOGDIR/status"
   exit 1

@@ -137,6 +137,83 @@ WHERE d.source <> '{eval_source}'"""
 DECONTAM_FUZZY_JACCARD = 0.5  # match the GPT-3-appendix-style fuzzy gate
 
 
+def _fuzzy_verified(
+    train: "DataFrame",
+    eval_docs: "DataFrame",
+    threshold: float,
+    bench_col: str | None = None,
+) -> "DataFrame":
+    """The ONE band-probe/verify chain both fuzzy faces share: training
+    docs probe the broadcast eval band index, exact shingle Jaccard
+    verifies candidates only, and the verified matches aggregate per
+    (``bench_col``?, doc_id) as (n_eval_matches, max_jaccard_u) on the
+    1e-6 int grid. The batch signatures persist for the call and the
+    (small) verified relation returns materialized, so callers never
+    reference the unpersisted lineage."""
+    from spark_signals.datapipe.dedup import (
+        NUM_HASHES,
+        _band_keys,
+        _km_row_sigs,
+        _with_shingles,
+        band_index,
+    )
+
+    group_cols = ([bench_col] if bench_col else []) + ["doc_id"]
+    idx = band_index(eval_docs.select("doc_id", "text"))
+    if bench_col:
+        idx = idx.join(eval_docs.select("doc_id", bench_col), "doc_id")
+    idx = idx.select(
+        "band",
+        "k1",
+        "k2",
+        *([bench_col] if bench_col else []),
+        F.col("doc_id").alias("eval_id"),
+    )
+    sh_t = _km_row_sigs(
+        _with_shingles(train).select("doc_id", "shingles"),
+        "shingles",
+        NUM_HASHES,
+        "shingles",
+    ).persist()
+    try:
+        cand = (
+            _band_keys(sh_t)
+            .join(F.broadcast(idx), ["band", "k1", "k2"])
+            .select(*group_cols, "eval_id")
+            .distinct()
+        )
+        eval_sh = _with_shingles(
+            eval_docs.select("doc_id", "text").join(
+                cand.select(F.col("eval_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+        ).select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e"))
+        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        union = F.size("sh_t") + F.size("sh_e") - inter
+        jac_u = F.floor(
+            inter.cast("double") / union * F.lit(1e6) + F.lit(0.5000001)
+        ).cast("long")
+        return (
+            cand.join(
+                sh_t.select("doc_id", F.col("shingles").alias("sh_t")), "doc_id"
+            )
+            .join(eval_sh, "eval_id")
+            .select(*group_cols, jac_u.alias("jaccard_u"))
+            .filter(F.col("jaccard_u") >= F.lit(int(threshold * 1e6)))
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_matches"),
+                F.max("jaccard_u").alias("max_jaccard_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh_t.unpersist()
+
+
+
+
 def decontaminate_neardup(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -152,83 +229,30 @@ def decontaminate_neardup(
     indexed snapshot (dedup.band_index): training docs probe the eval
     band index by equi-join, exact Jaccard verifies candidates only —
     the eval suite is tiny, so the index broadcasts and the corpus never
-    shuffles anything but its candidate pairs.
+    shuffles anything but its candidate pairs. The probe/verify chain is
+    :func:`_fuzzy_verified`, shared verbatim with the per-benchmark face
+    (:func:`decontam_fuzzy_report`) so the two cannot drift.
     """
-    from spark_signals.datapipe.dedup import (
-        NUM_HASHES,
-        _band_keys,
-        _km_row_sigs,
-        _with_shingles,
-        band_index,
-    )
-
     if "doc_id" not in eval_docs.columns:
         eval_docs = eval_docs.withColumn("doc_id", F.monotonically_increasing_id())
-    idx = band_index(eval_docs.select("doc_id", "text"))
-    sh_t = _km_row_sigs(
-        _with_shingles(train).select("doc_id", "shingles"),
-        "shingles",
-        NUM_HASHES,
-        "shingles",
-    ).persist()
-    try:
-        cand = (
-            _band_keys(sh_t)
-            .join(
-                F.broadcast(
-                    idx.select("band", "k1", "k2", F.col("doc_id").alias("eval_id"))
-                ),
-                ["band", "k1", "k2"],
-            )
-            .select("doc_id", "eval_id")
-            .distinct()
+    verified = _fuzzy_verified(train, eval_docs, threshold)
+    return (
+        train.select("doc_id", "source")
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
+                "n_eval_matches"
+            ),
+            F.coalesce("max_jaccard_u", F.lit(0).cast("long")).alias(
+                "max_jaccard_u"
+            ),
+            (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias(
+                "is_contaminated_fuzzy"
+            ),
         )
-        eval_sh = _with_shingles(
-            eval_docs.select("doc_id", "text").join(
-                cand.select(F.col("eval_id").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_semi",
-            )
-        ).select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e"))
-        inter = F.size(F.array_intersect("sh_t", "sh_e"))
-        union = F.size("sh_t") + F.size("sh_e") - inter
-        jac_u = F.floor(
-            inter.cast("double") / union * F.lit(1e6) + F.lit(0.5000001)
-        ).cast("long")
-        verified = (
-            cand.join(
-                sh_t.select("doc_id", F.col("shingles").alias("sh_t")), "doc_id"
-            )
-            .join(eval_sh, "eval_id")
-            .select("doc_id", jac_u.alias("jaccard_u"))
-            .filter(F.col("jaccard_u") >= F.lit(int(threshold * 1e6)))
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_eval_matches"),
-                F.max("jaccard_u").alias("max_jaccard_u"),
-            )
-        )
-        out = (
-            train.select("doc_id", "source")
-            .join(verified, "doc_id", "left")
-            .select(
-                "doc_id",
-                "source",
-                F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
-                    "n_eval_matches"
-                ),
-                F.coalesce("max_jaccard_u", F.lit(0).cast("long")).alias(
-                    "max_jaccard_u"
-                ),
-                (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias(
-                    "is_contaminated_fuzzy"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        return out
-    finally:
-        sh_t.unpersist()
+    )
 
 
 def decontaminate_fuzzy(
@@ -429,78 +453,21 @@ def decontam_fuzzy_report(
     (bench, doc_id, text).
 
     The multi-suite face of :func:`decontaminate_neardup`, with the same
-    one-pass discipline as :func:`decontam_report`: the training corpus is
-    shingled and signed ONCE, and the broadcast band index carries its
-    suite name — adding a benchmark adds broadcast rows, never a second
-    corpus scan. Candidates probe by band equi-join, exact shingle Jaccard
-    verifies candidates only, and per-bench marginals aggregate exact
-    int64s (counts and 1e-6-gridded Jaccard), so the result is
-    partitioning-independent. Benchmarks with zero fuzzy hits emit no row
-    here; :func:`decontam_suite_report` coalesces them to 0.
+    one-pass discipline as :func:`decontam_report`: the probe/verify chain
+    is :func:`_fuzzy_verified` (shared verbatim with the single-suite
+    face, the bench key carried through the broadcast index) — the
+    training corpus is shingled and signed ONCE, and adding a benchmark
+    adds broadcast rows, never a second corpus scan. Per-bench marginals
+    aggregate exact int64s (counts and 1e-6-gridded Jaccard), so the
+    result is partitioning-independent. Benchmarks with zero fuzzy hits
+    emit no row here; :func:`decontam_suite_report` coalesces them to 0.
     """
-    from spark_signals.datapipe.dedup import (
-        NUM_HASHES,
-        _band_keys,
-        _km_row_sigs,
-        _with_shingles,
-        band_index,
+    verified = _fuzzy_verified(train, benchmarks, threshold, bench_col="bench")
+    return verified.groupBy("bench").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fuzzy_contaminated"),
+        F.sum("n_eval_matches").cast("bigint").alias("n_fuzzy_matches"),
+        F.max("max_jaccard_u").cast("bigint").alias("fuzzy_jaccard_u_max"),
     )
-
-    idx = (
-        band_index(benchmarks.select("doc_id", "text"))
-        .join(benchmarks.select("doc_id", "bench"), "doc_id")
-        .select("band", "k1", "k2", "bench", F.col("doc_id").alias("eval_id"))
-    )
-    sh_t = _km_row_sigs(
-        _with_shingles(train).select("doc_id", "shingles"),
-        "shingles",
-        NUM_HASHES,
-        "shingles",
-    ).persist()
-    try:
-        cand = (
-            _band_keys(sh_t)
-            .join(F.broadcast(idx), ["band", "k1", "k2"])
-            .select("doc_id", "bench", "eval_id")
-            .distinct()
-        )
-        eval_sh = _with_shingles(
-            benchmarks.select("doc_id", "text").join(
-                cand.select(F.col("eval_id").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_semi",
-            )
-        ).select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e"))
-        inter = F.size(F.array_intersect("sh_t", "sh_e"))
-        union = F.size("sh_t") + F.size("sh_e") - inter
-        jac_u = F.floor(
-            inter.cast("double") / union * F.lit(1e6) + F.lit(0.5000001)
-        ).cast("long")
-        verified = (
-            cand.join(
-                sh_t.select("doc_id", F.col("shingles").alias("sh_t")), "doc_id"
-            )
-            .join(eval_sh, "eval_id")
-            .select("bench", "doc_id", jac_u.alias("jaccard_u"))
-            .filter(F.col("jaccard_u") >= F.lit(int(threshold * 1e6)))
-            .groupBy("bench", "doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_eval_matches"),
-                F.max("jaccard_u").alias("max_jaccard_u"),
-            )
-        )
-        out = (
-            verified.groupBy("bench")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_fuzzy_contaminated"),
-                F.sum("n_eval_matches").cast("bigint").alias("n_fuzzy_matches"),
-                F.max("max_jaccard_u").cast("bigint").alias("fuzzy_jaccard_u_max"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        return out
-    finally:
-        sh_t.unpersist()
 
 
 def decontam_suite_report(

@@ -602,6 +602,7 @@ def media_phash_neardup_decoded(
     media: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
     band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
     *,
     force_stub: bool = False,
 ) -> DataFrame:
@@ -610,22 +611,28 @@ def media_phash_neardup_decoded(
 
     Shape at 100 TB: one embarrassingly-parallel Arrow decode pass
     (per-row cost is the codec, peak memory O(batch)), then the identical
-    banded blocking as the raw-byte operator — the grid is GRID_BYTES
-    long by construction, so the signature is always fully populated and
-    the short-payload zero-pad caveat of the raw path does not arise;
-    the band-frequency cap still drops constant-grid template keys."""
-    grids = extract_sample_grid(media, force_stub=force_stub)
+    banded blocking as the raw-byte operator. The PAYLOAD floor applies
+    BEFORE decoding, same rationale as the raw path: a sub-``min_bytes``
+    payload stretches into a near-constant grid, and two unrelated tiny
+    payloads would hash identically (all-zero signature) and fake a
+    hamming-0 pair — such rows carry no dHash evidence either way. The
+    band-frequency cap still drops constant-grid template keys among the
+    surviving rows."""
+    grids = extract_sample_grid(
+        media.filter(F.length("content") >= min_bytes), force_stub=force_stub
+    )
     return media_phash_neardup(
         grids.select("media_id", "kind", F.col("grid").alias("content")),
         max_hamming,
         band_max_docs,
-        min_bytes=1,  # grids are fixed-length; only empty payloads drop
+        min_bytes=1,  # grids are fixed-length once the payload floor passed
     )
 
 
 def sql_media_phash_neardup_decoded(
     max_hamming: int = PHASH_MAX_HAMMING,
     band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
 ) -> str:
     """Oracle twin of the STUB branch of media_phash_neardup_decoded
     (force_stub=True): the bucket-mean grid is exact integer arithmetic
@@ -654,7 +661,7 @@ WITH media AS (
 hx AS (
   SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h
   FROM media
-  WHERE octet_length(content) >= 1
+  WHERE octet_length(content) >= {min_bytes}
 ),
 grids AS (
   SELECT media_id, kind,

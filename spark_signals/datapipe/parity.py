@@ -499,8 +499,12 @@ def _incoming_r08() -> dict:
         "knn_join_ivf": (
             # k pinned: the unrolled-Lloyd oracle is generated for a static
             # cell count (library default DERIVES k from the corpus size)
+            # k pinned AND train_cap=None: the unrolled-Lloyd oracle is
+            # generated for a static cell count over the FULL corpus — the
+            # sampled trainer would silently diverge past KNN_TRAIN_CAP
+            # rows, and the full trainer runs no build-time count()
             lambda spark, sf_dir: SIM.knn_join_ivf(
-                _emb(spark, sf_dir), k=SIM.KMEANS_K
+                _emb(spark, sf_dir), k=SIM.KMEANS_K, train_cap=None
             ),
             SIM.sql_knn_join_ivf(),
         ),

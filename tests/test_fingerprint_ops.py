@@ -422,7 +422,9 @@ def test_decoded_grid_detects_global_neardup_not_prefix_dup(spark):
 
 def test_decoded_grid_cross_engine_on_planted_dupes(spark):
     base = "".join(chr(97 + (i * 13) % 26) for i in range(1500))
-    texts = [base, base[:700] + "qq" + base[702:], "unrelated short text here", base[::-1]]
+    # the edited twin sits at id 3 so the pair shares a synthetic kind
+    # (doc_id % 3 == 0 for both — cross-kind rows never pair by design)
+    texts = [base, "padding row", "unrelated short text here", base[:700] + "qq" + base[702:]]
     sdf = (
         M.media_phash_neardup_decoded(
             M.synthesize_media(_grid_docs(spark, texts)), force_stub=True
@@ -444,3 +446,25 @@ def test_decoded_grid_cross_engine_on_planted_dupes(spark):
         ddf[["media_a", "media_b", "kind", "hamming"]],
         check_dtype=False,
     )
+
+
+def test_decoded_grid_short_payload_floor_blocks_constant_grid_pairs(spark):
+    """The decoded path applies the payload floor BEFORE gridding: two
+    unrelated sub-9-byte payloads stretch into constant grids with
+    identical all-zero signatures and would fake a hamming-0 pair
+    (caught by review r10); they are excluded, planted long dupes still
+    pair, in both engines."""
+    base = "a proper document body " * 40
+    # ids 0 and 1 are the tiny payloads; the planted dup pair sits on ids
+    # 3 and 6 so both map to the same synthetic kind (doc_id % 3 == 0)
+    texts = ["x", "qq", "pad one", base, "pad two", "pad three", base + "!"]
+    docs = _docs(spark, texts)
+    out = {
+        (r["media_a"], r["media_b"])
+        for r in M.media_phash_neardup_decoded(
+            M.synthesize_media(docs), force_stub=True
+        ).collect()
+    }
+    assert out == {(3, 6)}
+    duck = _duck(texts).execute(M.sql_media_phash_neardup_decoded()).fetchall()
+    assert {(r[0], r[1]) for r in duck} == {(3, 6)}

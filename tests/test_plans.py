@@ -489,8 +489,20 @@ def test_chained_queries_stay_jvm_side_no_cartesian(spark):
         p = plan_str(df)
         assert count_op(p, "CartesianProduct") == 0, name
         # the only nested-loop joins allowed are the broadcast 1-row
-        # cross joins (merge-table digest / totals) — never a pair blowup
-        assert "BroadcastNestedLoopJoin" not in p or "Cross" in p, name
+        # cross joins (merge-table digest / totals) — never a pair blowup;
+        # check EVERY occurrence: in formatted explain the TREE line
+        # carries the type inline ("BroadcastNestedLoopJoin Cross ...")
+        # while the details headline "(N) BroadcastNestedLoopJoin" pairs
+        # with a following "Join type: <T>" line — count both spellings so
+        # a later inner/left BNLJ cannot hide behind a legitimate Cross
+        n_tree = len(
+            re.findall(r"\+- BroadcastNestedLoopJoin \S+|^BroadcastNestedLoopJoin \S+", p, re.M)
+        )
+        n_tree_cross = len(re.findall(r"BroadcastNestedLoopJoin Cross\b", p))
+        assert n_tree == n_tree_cross, (name, n_tree, n_tree_cross)
+        n_nodes = count_op(p, "BroadcastNestedLoopJoin")
+        n_cross_types = len(re.findall(r"^Join type: Cross$", p, re.M))
+        assert n_nodes <= n_cross_types, (name, n_nodes, n_cross_types)
         assert "pythonUDF" not in p and "BatchEvalPython" not in p, name
 
 
