@@ -99,39 +99,69 @@ DRIVER_CAP = 50
 #   2 green rounds and checked siblings, and 24 long-green veterans whose
 #   families stay checked via this round's returners/promotions.
 #
-# r11 rotation plan (queued): the ten r08 retirees hit their ≤3-round
-# re-check (ticks_source, nation_region_rollup, segment_revenue_3way_join,
-# sliding_window_counts, length_band_filter, sample_temperature_source,
-# pack_sequences_manifest, curate_stats_by_source, chunk_documents_overlap,
-# lm_bigram_quality) and ALL TEN remaining INCOMING operators promote
-# (hybrid_rrf_ivf_topk, dedup_incr_neardup, bm25_topk_queries,
-# cluster_composition, dsir_logratio, strip_boilerplate, knn_join_ivf,
-# mixture_curriculum, media_phash_neardup, media_phash_neardup_decoded —
-# all hash-checked locally at sf0.01 and in the r10 full sf0.1 extended
-# sweep). That is 20 IN against 22 slots freed by this round's returners
-# re-retiring after their green round — the rotation is slot-positive and
-# the incoming backlog reaches 0.
-# Due-by ledger (retiree -> latest re-check round): r08 retirees -> r11;
-# r10 retirees -> r13. No deadline older than r11 is outstanding.
+# r11 rotation (executed this round, exactly as queued in the recorded
+# r10 plan):
+# - IN, returners (10): the ten r08 retirees at their ≤3-round re-check
+#   (ticks_source, nation_region_rollup, segment_revenue_3way_join,
+#   sliding_window_counts, length_band_filter, sample_temperature_source,
+#   pack_sequences_manifest, curate_stats_by_source,
+#   chunk_documents_overlap, lm_bigram_quality).
+# - IN, promotions (10): ALL TEN remaining INCOMING operators
+#   (hybrid_rrf_ivf_topk, dedup_incr_neardup, bm25_topk_queries,
+#   cluster_composition, dsir_logratio, strip_boilerplate, knn_join_ivf,
+#   mixture_curriculum, media_phash_neardup, media_phash_neardup_decoded)
+#   — the incoming backlog reaches 0. media_phash_neardup_decoded promotes
+#   on its PLANTED fixture face (multimodal.synthesize_media_planted): the
+#   un-planted face hash-matched on 0 rows at every sf (vacuous green, r10
+#   verdict #2); the planted face records detected pairs.
+# - OUT (22): the r10 returners re-retire after their green re-check round
+#   (entries tagged "r11 rotation" below). Active set: 48 of 50 slots.
+#
+# r12 rotation plan (queued): nothing is DUE before r13, but 34 r10
+# retirees hit their deadline at r13 — more than one round can absorb —
+# so r12 pre-checks half early: re-retire the ten r11 returners after
+# their green round (10 slots) and bring IN the twelve r10 retirees whose
+# families have the thinnest standing coverage (normalized_prices,
+# signals_decisions, asof_join_tolerance, recent_ticks_per_instrument,
+# dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
+# length_band_approx, sample_quota_per_source, curate_keep_decision,
+# split_train_val_test), using the 2 free slots for the overflow. The
+# remaining 22 r10 retirees re-check at r13 against the slots freed by
+# the r11/r12 promotions re-retiring (each will hold 2 green rounds and
+# a checked same-family sibling by then).
+# Due-by ledger (retiree -> latest re-check round): r10 retirees -> r13;
+# r11 retirees -> r14. No deadline before r13 is outstanding.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is
     # CURRENTLY retired; returners re-retiring carry their full green
     # history in their tag.
-    # r08 rotation: the five r07 returners re-retired after their green
-    # re-check round, and five r07-promoted operators rotated out after
-    # their first green artifact. Due their ≤3-round re-check by r11 (the
-    # queued r11 plan above).
-    "ticks_source": "r08 rotation; returner re-check green r07; the S1 tick scan feeds ~20 checked queries inline (green r01-r05, r07)",
-    "nation_region_rollup": "r08 rotation; returner re-check green r07; scan+agg family checked via strategy_summary_filter_agg + segment_revenue_bucketed (green r01-r05, r07)",
-    "segment_revenue_3way_join": "r08 rotation; returner re-check green r07; multi-join family checked via segment_revenue_bucketed + anti_join_parts_never_shipped (green r01-r05, r07)",
-    "sliding_window_counts": "r08 rotation; returner re-check green r07; windowed-agg family checked via streaming_metrics_5m + streaming_hourly_rollup_chained; T6 session twin due its re-check by r10 (green r01-r05, r07)",
-    "length_band_filter": "r08 rotation; returner re-check green r07; exact twin of checked length_band_approx (green r01-r05, r07)",
-    "sample_temperature_source": "r08 rotation; promoted r07, green r07; broadcast-rate hash-predicate sampling family checked via sample_quota_per_source",
-    "pack_sequences_manifest": "r08 rotation; promoted r07, green r07; checked pack_windows_composition chains the same manifest stage as its input",
-    "curate_stats_by_source": "r08 rotation; promoted r07, green r07; S-row audit over checked curate_keep_decision's relation (its direct input)",
-    "chunk_documents_overlap": "r08 rotation; promoted r07, green r07; checked embed_chunks_hashed chained the chunking stage inline through r09; chunk/embed stages stay tested + --extended",
-    "lm_bigram_quality": "r08 rotation; promoted r07, green r07; LM-scoring family checked via promoted ccnet_lm_buckets (shared token/agg stages)",
+    # r11 rotation (this round): the 22 r10 returners re-retire after
+    # their green re-check round; the freed slots took the 10 r08 retirees
+    # back for their ≤3-round re-check plus all 10 incoming promotions.
+    # Due re-check r14.
+    "sma_crossover_signals": "r11 rotation; returner re-check green r10; the P3/P4 signal CASE runs inline in the checked positions chain AND the entry() flagship smoke every round (green r01-r05, r10)",
+    "positions_forward_fill": "r11 rotation; returner re-check green r10; the W4 ignore-nulls forward-fill stage runs inline in checked positions_costs + streaming_positions_costs (green r01-r05, r10)",
+    "latest_price_per_instrument": "r11 rotation; returner re-check green r10; top-k serving family (topk_events, recent_ticks_per_instrument) due its r13 re-check; stays tested + --extended (green r01-r05, r10)",
+    "breakout_band_signals": "r11 rotation; returner re-check green r10; rolling-band window stage shared with checked strategy_metrics; §2.9 strategy family stays checked via ewma_zscore_strategy (green r01-r05, r10)",
+    "value_percentiles_exact": "r11 rotation; returner re-check green r10; percentile family twin length_band_approx due its r13 re-check; exact-percentile SQL stays tested (green r01-r05, r10)",
+    "embedding_cosine_neardup": "r11 rotation; returner re-check green r10; cosine-pair family checked via promoted knn_join_ivf + staying ann_ivf_trained_topk (green r01-r05, r10)",
+    "streaming_interval_join": "r11 rotation; returner re-check green r10; streaming temporal family checked via staying streaming_metrics_5m/streaming_positions_costs + batch range_join_tick_stats (green r01-r05, r10)",
+    "j1_signal_rejoin": "r11 rotation; returner re-check green r10; the J1 equi-join runs inline in checked positions_costs/executions (green r01-r06, r10)",
+    "union_live_replay": "r11 rotation; returner re-check green r10; the U1 union stage stays tested; replay side stays checked via replay_backtest_window (green r01-r06, r10)",
+    "sample_stratified_hash": "r11 rotation; returner re-check green r10; hash-predicate sampling family checked via staying mixture_manifest_by_lang + promoted mixture_curriculum + returning sample_temperature_source (green r01-r06, r10)",
+    "lang_id_heuristic": "r11 rotation; returner re-check green r10; lang-keyed consumers stay checked (mixture_manifest_by_lang, winnow_zipf_chained per-lang stats) (green r01-r06, r10)",
+    "performance_windows_5m": "r11 rotation; returner re-check green r10; the A1 tumbling-metrics stage feeds checked strategy_metrics inline (its window-to-window join input) (green r01-r06, r10)",
+    "signal_counts_5m": "r11 rotation; returner re-check green r10; A2 count family checked via staying strategy_metrics + streaming_metrics_5m (green r01-r06, r10)",
+    "metrics_hourly_rollup": "r11 rotation; returner re-check green r10; the A4 fused rollup runs inline in checked streaming_hourly_rollup_chained (green r01-r06, r10)",
+    "dedup_exact_hash": "r11 rotation; returner re-check green r10; digest family checked via staying dedup_canonical_quality + corpus_diff_snapshots + promoted dedup_incr_neardup (green r01-r06, r10)",
+    "dedup_ngram_jaccard": "r11 rotation; returner re-check green r10; exact-jaccard verify family checked via staying dedup_intra_doc + decontam_suite_chained fuzzy arm + promoted dedup_incr_neardup (green r01-r06, r10)",
+    "ann_ivf_topk": "r11 rotation; returner re-check green r10; IVF probe family checked via staying ann_ivf_trained_topk + promoted knn_join_ivf + hybrid_rrf_ivf_topk (green r01-r06, r10)",
+    "ann_lsh_hyperplane_pairs": "r11 rotation; returner re-check green r10; banded-blocking ANN family checked via staying ann_index_delta + promoted knn_join_ivf (green r01-r06, r10)",
+    "text_stats_quality": "r11 rotation; returner re-check green r10; text-quality family checked via staying ccnet_lm_buckets + returning curate_stats_by_source (its stats consumer) (green r01-r06, r10)",
+    "pricing_summary_q1": "r11 rotation; returner re-check green r10; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning nation_region_rollup (green r01-r06, r10)",
+    "runs_listing_join_topn": "r11 rotation; returner re-check green r10; listing-join family checked via staying anti_join_parts_never_shipped + returning segment_revenue_3way_join (green r01-r06, r10)",
+    "session_window_per_user": "r11 rotation; returner re-check green r10; T6 family checked via returning sliding_window_counts + staying streaming_metrics_5m (green r01-r06, r10)",
     # r10 rotation (this round): 34 slots freed for the 22 due returners,
     # 9 promotions, and 3 chained consolidation queries. Due re-check r13.
     # -- the five r08 returners re-retire after TWO green rounds (r08+r09):

@@ -101,6 +101,76 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------ planted-twin parity arm
+# The synthetic corpus has no GLOBALLY byte-similar documents (its
+# near-dups share prefixes only, which a whole-payload resize rightly
+# ignores), so the decoded-grid near-dup face would hash-match on 0 rows
+# at every sf — a green that asserts nothing (r10 verdict #2). The parity
+# FIXTURE therefore plants deterministic near-dup twins: every TWIN_MOD-th
+# sufficiently-long document gets a copy with a 2-char mid-document edit —
+# exactly the perturbation the bucket-mean grid is designed to absorb —
+# under media_id + TWIN_ID_OFFSET. The offset is divisible by 3 so the
+# twin would land on the same synthetic kind as its source either way;
+# the kind is still derived from the SOURCE doc_id explicitly. Operator
+# code is untouched: planting is a fixture concern, mirrored verbatim in
+# the DuckDB twin (sql_media_planted_cte).
+TWIN_MOD = 50
+TWIN_MIN_CHARS = 400
+TWIN_ID_OFFSET = 3_000_000
+
+
+def synthesize_media_planted(docs: DataFrame) -> DataFrame:
+    """``synthesize_media`` plus deterministic near-dup twins (see the
+    planted-twin note above). Used by the oracle-compared decoded-grid
+    face so the driver artifact proves detection, not just agreement."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    # char-based halves in BOTH engines; 'qq' replaces chars h+1..h+2
+    twin_text = F.expr(
+        "concat(substring(text, 1, cast(floor(length(text) / 2) AS INT)), 'qq', "
+        "substring(text, cast(floor(length(text) / 2) AS INT) + 3))"
+    )
+    twins = (
+        docs.filter(
+            (F.col("doc_id") % TWIN_MOD == 0)
+            & (F.length("text") >= TWIN_MIN_CHARS)
+        )
+        .select(
+            (F.col("doc_id") + TWIN_ID_OFFSET).alias("media_id"),
+            kind.alias("kind"),
+            F.encode(twin_text, "utf-8").alias("content"),
+            F.struct(
+                (F.col("n_chars") % 1920).cast("int").alias("width"),
+                (F.col("n_chars") % 1080).cast("int").alias("height"),
+                F.lit(16000).alias("sample_rate"),
+                (F.col("n_chars") % 300).cast("int").alias("n_frames"),
+                F.lit("stub").alias("codec"),
+            ).alias("meta"),
+        )
+    )
+    return synthesize_media(docs).unionByName(twins)
+
+
+def sql_media_planted_cte() -> str:
+    """DuckDB body of the planted media relation (media_id, kind, content)
+    — the verbatim twin of synthesize_media_planted."""
+    return f"""
+  SELECT doc_id AS media_id,
+         {SQL_MEDIA_KIND} AS kind,
+         encode(text) AS content
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {TWIN_ID_OFFSET} AS media_id,
+         {SQL_MEDIA_KIND} AS kind,
+         encode(substr(text, 1, length(text) // 2) || 'qq'
+                || substr(text, length(text) // 2 + 3)) AS content
+  FROM documents
+  WHERE doc_id % {TWIN_MOD} = 0 AND length(text) >= {TWIN_MIN_CHARS}"""
+
+
 def _decode_stub(content: bytes, kind: str) -> dict:
     """STUB decoder — deterministic fake in place of PIL/ffmpeg/librosa.
 
@@ -633,11 +703,17 @@ def sql_media_phash_neardup_decoded(
     max_hamming: int = PHASH_MAX_HAMMING,
     band_max_docs: int = PHASH_BAND_MAX_DOCS,
     min_bytes: int = PHASH_MIN_BYTES,
+    *,
+    planted: bool = False,
 ) -> str:
     """Oracle twin of the STUB branch of media_phash_neardup_decoded
     (force_stub=True): the bucket-mean grid is exact integer arithmetic
     over hex(content) (sum // width, mirroring _stub_grid), then the same
-    sig/band/kept/cand/score chain as sql_media_phash_neardup."""
+    sig/band/kept/cand/score chain as sql_media_phash_neardup.
+
+    ``planted=True`` swaps in the planted-twin media relation
+    (sql_media_planted_cte) — the driver face uses this so the artifact
+    records detected pairs instead of a vacuous 0-row agreement."""
     bits = PHASH_BITS
     cells = GRID_BYTES
     # 1-based hex lookup of 0-based payload position p: substr(h, 2*p+1, 2)
@@ -651,12 +727,17 @@ def sql_media_phash_neardup_decoded(
     )
     # short payloads: evenly-strided point samples (matches _stub_grid)
     point_sample = byte_at(f"(c * (n - 1)) // {cells - 1}")
-    return f"""
-WITH media AS (
+    media_body = (
+        sql_media_planted_cte()
+        if planted
+        else f"""
   SELECT doc_id AS media_id,
          {SQL_MEDIA_KIND} AS kind,
          encode(text) AS content
-  FROM documents
+  FROM documents"""
+    )
+    return f"""
+WITH media AS ({media_body}
 ),
 hx AS (
   SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h

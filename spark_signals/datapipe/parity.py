@@ -669,6 +669,43 @@ for _n in (
     INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+# r11 rotation: ALL TEN remaining incoming operators promote, exactly as
+# queued in the recorded r10 plan (__spark_entry__.py rotation note) —
+# the incoming backlog reaches 0. media_phash_neardup_decoded promotes on
+# its PLANTED fixture face (multimodal.synthesize_media_planted): at every
+# sf the synthetic corpus has no globally byte-similar documents, so the
+# un-planted face hash-matched on 0 rows — a vacuous green (r10 verdict
+# #2); the planted face records detected pairs (rows >= 1 at sf0.01).
+_R11_PROMOTED = (
+    "hybrid_rrf_ivf_topk",
+    "dedup_incr_neardup",
+    "bm25_topk_queries",
+    "cluster_composition",
+    "dsir_logratio",
+    "strip_boilerplate",
+    "knn_join_ivf",
+    "mixture_curriculum",
+    "media_phash_neardup",
+    "media_phash_neardup_decoded",
+)
+for _n in _R11_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
+def _media_decoded_planted() -> tuple:
+    from spark_signals.datapipe import multimodal as MM
+
+    return (
+        lambda spark, sf_dir: MM.media_phash_neardup_decoded(
+            MM.synthesize_media_planted(_docs(spark, sf_dir)), force_stub=True
+        ),
+        MM.sql_media_phash_neardup_decoded(planted=True),
+    )
+
+
+DATAPIPE_QUERIES["media_phash_neardup_decoded"] = _media_decoded_planted()
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -468,3 +468,39 @@ def test_decoded_grid_short_payload_floor_blocks_constant_grid_pairs(spark):
     assert out == {(3, 6)}
     duck = _duck(texts).execute(M.sql_media_phash_neardup_decoded()).fetchall()
     assert {(r[0], r[1]) for r in duck} == {(3, 6)}
+
+
+def test_planted_twin_fixture_cross_engine(spark):
+    """The r11 driver face for the decoded-grid near-dup runs on the
+    PLANTED fixture (synthesize_media_planted): every TWIN_MOD-th long
+    document gets a 2-char mid-edit twin at media_id + TWIN_ID_OFFSET, so
+    the artifact records detected pairs instead of a vacuous 0-row
+    agreement. Pins: the twin pairs with its source in BOTH engines, the
+    ineligible docs (short, or off-modulus) plant nothing, and the full
+    result frames hash-equal."""
+    long_doc = "".join(chr(97 + (i * 13) % 26) for i in range(600))
+    texts = [long_doc, "short off-modulus row", "another pad", "also short"]
+    sdf = (
+        M.media_phash_neardup_decoded(
+            M.synthesize_media_planted(_docs(spark, texts)), force_stub=True
+        )
+        .toPandas()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    ddf = (
+        _duck(texts)
+        .execute(M.sql_media_phash_neardup_decoded(planted=True))
+        .fetchdf()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    # doc 0 is the only eligible source (doc_id % 50 == 0, len >= 400):
+    # exactly one planted pair, detected
+    assert (0, M.TWIN_ID_OFFSET) in set(zip(sdf.media_a, sdf.media_b))
+    assert len(sdf) == 1
+    pd.testing.assert_frame_equal(
+        sdf[["media_a", "media_b", "kind", "hamming"]],
+        ddf[["media_a", "media_b", "kind", "hamming"]],
+        check_dtype=False,
+    )
