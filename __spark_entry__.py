@@ -115,7 +115,10 @@ DRIVER_CAP = 50
 #   un-planted face hash-matched on 0 rows at every sf (vacuous green, r10
 #   verdict #2); the planted face records detected pairs.
 # - OUT (22): the r10 returners re-retire after their green re-check round
-#   (entries tagged "r11 rotation" below). Active set: 48 of 50 slots.
+#   (entries tagged "r11 rotation" below).
+# - IN, new operator (1): knn_join_ivf_sampled — the sampled-trainer face
+#   of the KNN self-join (the production default branch finally gets a
+#   hash-matched twin, r10 verdict #4). Active set: 49 of 50 slots.
 #
 # r12 rotation plan (queued): nothing is DUE before r13, but 34 r10
 # retirees hit their deadline at r13 — more than one round can absorb —
@@ -125,7 +128,8 @@ DRIVER_CAP = 50
 # signals_decisions, asof_join_tolerance, recent_ticks_per_instrument,
 # dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
 # length_band_approx, sample_quota_per_source, curate_keep_decision,
-# split_train_val_test), using the 2 free slots for the overflow. The
+# split_train_val_test), using the free slot plus one early promotion
+# re-retirement for the overflow. The
 # remaining 22 r10 retirees re-check at r13 against the slots freed by
 # the r11/r12 promotions re-retiring (each will hold 2 green rounds and
 # a checked same-family sibling by then).

@@ -685,8 +685,7 @@ def semdedup(
     """
     from spark_signals.datapipe.similarity import (
         _cos_div,
-        _long_dims,
-        kmeans_assign,
+        kmeans_assign_arrow,
         kmeans_train,
     )
     from spark_signals.parity import sround
@@ -695,7 +694,7 @@ def semdedup(
         # one scalar count — the documented exception to the no-driver-side-
         # results discipline (bounded output, like normalize.py's hot-key probe)
         k = semdedup_k(embeddings.count(), target_cell_size)
-    cells = kmeans_assign(_long_dims(embeddings), kmeans_train(embeddings, k))
+    cells = kmeans_assign_arrow(embeddings, kmeans_train(embeddings, k))
     rel = (
         embeddings.join(cells, "vec_id")
         .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))

@@ -705,6 +705,20 @@ def _media_decoded_planted() -> tuple:
 
 DATAPIPE_QUERIES["media_phash_neardup_decoded"] = _media_decoded_planted()
 
+# r11 addition (r10 verdict #4): the SAMPLED KNN trainer — the production
+# default knn_join_ivf path (train_cap ON) — gets its own hash-matched
+# face. The pinned cap ENGAGES the sampler at every test sf, so the
+# checked twin runs the exact hash-sample → Lloyd → full-corpus
+# assign/probe branch the default runs past KNN_TRAIN_CAP rows; the
+# full-trainer face above (train_cap=None) stays unchanged. Takes one of
+# the two free driver slots (active: 49/50).
+DATAPIPE_QUERIES["knn_join_ivf_sampled"] = (
+    lambda spark, sf_dir: SIM.knn_join_ivf(
+        _emb(spark, sf_dir), k=SIM.KMEANS_K, train_cap=SIM.KNN_SAMPLED_FACE_CAP
+    ),
+    SIM.sql_knn_join_ivf_sampled(),
+)
+
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no

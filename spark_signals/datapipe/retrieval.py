@@ -416,8 +416,7 @@ def build_dense_ivf_index(
     from spark_signals.datapipe.similarity import (
         KMEANS_ITERS,
         KMEANS_K,
-        _long_dims,
-        kmeans_assign,
+        kmeans_assign_arrow,
         kmeans_train,
     )
     from spark_signals.datapipe.util import spread_small_input
@@ -428,7 +427,7 @@ def build_dense_ivf_index(
         F.col("doc_id").alias("vec_id"), "embedding"
     ).localCheckpoint(eager=True)
     cents = kmeans_train(emb, n_cells, iters)  # (cluster_id, dim, c_val)
-    cells = kmeans_assign(_long_dims(emb), cents).localCheckpoint(eager=True)
+    cells = kmeans_assign_arrow(emb, cents).localCheckpoint(eager=True)
     return emb, cents, cells
 
 

@@ -553,10 +553,200 @@ def kmeans_seeds(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     ).select(F.col("s.vec_id").alias("vec_id"), "cluster_id")
 
 
+def _centroid_matrix(centroids: DataFrame):
+    """Collect the (cluster_id, dim, c_val) relation into a dense (k, D)
+    float64 matrix. The collect is INDEX-METADATA-sized by construction —
+    k follows the balanced √(NPROBE·n) sizing, so even at 1e9 vectors the
+    relation is ~55k cells × 64 dims ≈ 28 MB — and the centroid relation
+    is already eagerly checkpointed by the Lloyd loop, so this is a fetch
+    of materialized rows, not a plan replay. This is the documented
+    bounded-output exception to the no-driver-side-results discipline
+    (same class as normalize.py's scalar hot-key probe): corpus rows
+    never reach the driver, only the trained model does — exactly what
+    any broadcast of the model would do under the hood."""
+    import numpy as np
+
+    rows = centroids.select("cluster_id", "dim", "c_val").collect()
+    if not rows:  # empty corpus trained an empty model: 0-cell matrix
+        return np.zeros((0, 0), dtype=np.float64)
+    k = max(r[0] for r in rows) + 1
+    d = max(r[1] for r in rows) + 1
+    mat = np.zeros((k, d), dtype=np.float64)
+    for cid, dim, val in rows:
+        mat[cid, dim] = val
+    return mat
+
+
+def kmeans_assign_arrow(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id) — same contract, gridding, and tie-break as
+    :func:`kmeans_assign`, scored as ONE Arrow-batched NumPy matmul per
+    batch instead of the long-form n·k·D SQL join.
+
+    Why this is the justified Arrow stage (r10 verdict #3): the balanced
+    k* = √(NPROBE·n) sizing fixed the ASYMPTOTIC cost of centroid
+    assignment, but the constant stayed pure Spark SQL array arithmetic —
+    the long-form join materializes n·D·k intermediate rows (200k vectors
+    × 64 dims × 775 cells ≈ 10⁹ rows at the 100× decade, measured 600 s)
+    where BLAS does the same arithmetic as an (n×D)·(D×k) matmul in
+    seconds. The stage is embarrassingly parallel (no shuffle, chains
+    onto the scan), peak memory O(batch·k), and deterministic: d2 grids
+    to 1e-6 exactly like the SQL/DuckDB twins before the argmin, and
+    numpy's argmin takes the FIRST minimum — the same lower-cluster_id
+    tie-break as the struct-min. Σ(x−c)² and ‖x‖²−2x·c+‖c‖² differ only
+    in float rounding ~1e-14, absorbed by the 1e-6 grid — the identical
+    tolerance class that already makes Spark's partial-agg order and
+    DuckDB's list_sum agree.
+    """
+    import numpy as np
+
+    mat = _centroid_matrix(centroids)
+    if mat.shape[0] == 0:  # no cells: no assignments (empty-corpus total-op)
+        return embeddings.select(
+            "vec_id", F.lit(0).cast("int").alias("cluster_id")
+        ).filter(F.lit(False))
+    cc = (mat * mat).sum(axis=1)
+    mat_t = mat.T.copy()
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ mat_t) + cc[None, :]
+            d2g = np.floor(d2 * 1e6 + 0.5000001)
+            best = d2g.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster_id": best}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster_id int"
+    )
+
+
+def probe_cells_arrow(
+    embeddings: DataFrame, centroids: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """(query_id, label) — each vector's ``nprobe`` nearest cells by
+    gridded cosine, ties to the lower cluster_id: the Arrow twin of the
+    long-form vc/probes stage in :func:`knn_join_ivf` (same matmul
+    economics as :func:`kmeans_assign_arrow`, same 1e-6 grid, and a
+    STABLE descending argsort so equal gridded cosines keep ascending
+    cluster order — the row_number tie-break spelled out in SQL)."""
+    import numpy as np
+
+    mat = _centroid_matrix(centroids)
+    if mat.shape[0] == 0:  # no cells: nothing to probe
+        return embeddings.select(
+            F.col("vec_id").alias("query_id"), F.lit(0).cast("int").alias("label")
+        ).filter(F.lit(False))
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    mat_t = mat.T.copy()
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xnorm = np.sqrt((x * x).sum(axis=1))
+            den = np.maximum(xnorm[:, None] * cnorm[None, :], _EPS)
+            cos = np.floor((x @ mat_t) / den * 1e6 + 0.5000001)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), order.shape[1]),
+                    "label": order.astype("int32").ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        probe, "query_id long, label int"
+    )
+
+
+def _knn_score_cells_arrow(
+    probers: DataFrame, members: DataFrame, k_neighbors: int
+) -> DataFrame:
+    """(query_id, match_id, cosine): per-cell cosine TOP-K via a cogrouped
+    Arrow matmul — the candidate-scoring stage of :func:`knn_join_ivf`.
+
+    Result-preserving pruning: a query's global top-k over its ≤ NPROBE
+    probed cells is a subset of the union of its PER-CELL top-k sets (any
+    candidate cut per-cell has ≥ k better-or-equal-with-lower-match_id
+    candidates in that same cell, all of which also beat it globally, and
+    a (query, match) pair occurs in exactly one cell — the match's own).
+    So the stage emits ≤ n·NPROBE·k rows into the global window instead
+    of the full n·NPROBE·(n/k_cells) candidate relation — at the 100×
+    decade that is 3M rows instead of 155M rows each paying an
+    array-allocating zip_with dot product (the stage that kept the wall
+    at 552 s after the assignment fix). Per-cell selection uses the same
+    1e-6 grid and (cosine desc, match_id asc) order as the global
+    window, via members pre-sorted by match_id + a stable argsort.
+
+    Skew: one cogroup task sees one cell; prober rows stream through in
+    fixed blocks so peak memory is O(block · |cell|), and the balanced
+    √(NPROBE·n) sizing keeps mean |cell| at √(n/NPROBE). A pathological
+    mega-cell serializes one task (cogroups don't AQE-split) — the
+    trained-cell twin of the band hot-key problem; cap cell size upstream
+    (re-train or split) if a real corpus produces one.
+    """
+    import numpy as np
+
+    def score(left, right):
+        import pandas as pd
+
+        cols = {"query_id": "int64", "match_id": "int64", "cosine": "float64"}
+        if not len(left) or not len(right):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        right = right.sort_values("match_id")  # stable-argsort tie-break order
+        q = np.array(left["q_emb"].tolist(), dtype=np.float64)
+        m = np.array(right["c_emb"].tolist(), dtype=np.float64)
+        qids = left["query_id"].to_numpy()
+        mids = right["match_id"].to_numpy()
+        qn = np.sqrt((q * q).sum(axis=1))
+        mn = np.sqrt((m * m).sum(axis=1))
+        k = min(k_neighbors, len(mids))
+        out = []
+        for lo in range(0, len(q), 1024):
+            qb, qnb, qidb = q[lo : lo + 1024], qn[lo : lo + 1024], qids[lo : lo + 1024]
+            cos = qb @ m.T / np.maximum(qnb[:, None] * mn[None, :], _EPS)
+            cosg = np.floor(cos * 1e6 + 0.5000001) / 1e6
+            cosg[qidb[:, None] == mids[None, :]] = -np.inf  # self pairs out
+            top = np.argsort(-cosg, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(len(qb)), top.shape[1])
+            flat = top.ravel()
+            keep = np.isfinite(cosg[rows, flat])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qidb[rows[keep]],
+                        "match_id": mids[flat[keep]],
+                        "cosine": cosg[rows[keep], flat[keep]],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        probers.groupBy("label")
+        .cogroup(members.groupBy("label"))
+        .applyInPandas(score, "query_id long, match_id long, cosine double")
+    )
+
+
 def kmeans_assign(dims: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cluster_id) — nearest centroid by gridded L2, ties to the
     lower cluster_id. Centroids broadcast (k × D rows); the corpus never
-    shuffles except as (vec_id, dim) pairs into the per-vector aggregate."""
+    shuffles except as (vec_id, dim) pairs into the per-vector aggregate.
+
+    This is the UDF-free long-form reference; the hot paths (the Lloyd
+    loop, trained-IVF relabel, the KNN self-join, SemDeDup, index delta)
+    call :func:`kmeans_assign_arrow`, whose gridded argmin is
+    differential-tested equal to this one (tests/test_ann_recall.py)."""
     d2 = (
         dims.join(F.broadcast(centroids), "dim")
         .groupBy("vec_id", "cluster_id")
@@ -593,6 +783,7 @@ def kmeans_train(
     swap localCheckpoint for a reliable checkpoint dir.
     """
     dims = _long_dims(embeddings).persist()
+    wide = embeddings.select("vec_id", "embedding").persist()
     try:
         seeds = kmeans_seeds(embeddings, k)
         centroids = (
@@ -601,7 +792,10 @@ def kmeans_train(
             .localCheckpoint(eager=True)
         )
         for _ in range(iters):
-            assign = kmeans_assign(dims, centroids)
+            # Arrow matmul assignment (kmeans_assign_arrow): the per-iter
+            # n·k·D scoring is the dominant training cost, and the input
+            # centroids are already materialized by the checkpoint above
+            assign = kmeans_assign_arrow(wide, centroids)
             means = (
                 assign.join(dims, "vec_id")
                 .groupBy("cluster_id", "dim")
@@ -620,6 +814,7 @@ def kmeans_train(
         return centroids
     finally:
         dims.unpersist()
+        wide.unpersist()
 
 
 def ann_ivf_trained_topk(
@@ -636,7 +831,7 @@ def ann_ivf_trained_topk(
     took the sf0.01 query from ~10 s to ~2.6 s, values identical).
     """
     centroids = kmeans_train(embeddings, k, iters)
-    cells = kmeans_assign(_long_dims(embeddings), centroids)
+    cells = kmeans_assign_arrow(embeddings, centroids)
     relabeled = (
         embeddings.join(cells, "vec_id")
         .select("vec_id", "embedding", F.col("cluster_id").cast("int").alias("label"))
@@ -740,7 +935,7 @@ def ann_index_delta(new_vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign a new vector batch to EXISTING trained cells: (vec_id,
     cell_id) rows to APPEND to the IVF index — O(batch), index unread.
     ``centroids`` is kmeans_train's (cluster_id, dim, c_val) relation."""
-    return kmeans_assign(_long_dims(new_vectors), centroids).select(
+    return kmeans_assign_arrow(new_vectors, centroids).select(
         "vec_id", F.col("cluster_id").cast("int").alias("cell_id")
     )
 
@@ -916,8 +1111,7 @@ def knn_join_ivf(
         centroids = kmeans_train_sampled(embeddings, k, iters, train_cap, n_rows)
     else:
         centroids = kmeans_train(embeddings, k, iters)
-    dims = _long_dims(embeddings)
-    cells = kmeans_assign(dims, centroids)
+    cells = kmeans_assign_arrow(embeddings, centroids)
     relabeled = (
         embeddings.join(cells, "vec_id")
         .select(
@@ -927,52 +1121,23 @@ def knn_join_ivf(
         )
         .localCheckpoint(eager=True)
     )
-    # every vector scores every centroid (broadcast k×D rows) by cosine —
-    # one groupBy(vec_id, cluster) aggregate, O(n·D·k_cells) map-side work
-    vc = (
-        dims.join(F.broadcast(centroids), "dim")
-        .groupBy("vec_id", "cluster_id")
-        .agg(
-            F.sum(F.col("val") * F.col("c_val")).alias("dot"),
-            F.sum(F.col("val") * F.col("val")).alias("vv"),
-            F.sum(F.col("c_val") * F.col("c_val")).alias("cc"),
-        )
-        .select(
-            "vec_id",
-            "cluster_id",
-            sround(
-                _cos_div(F.col("dot"), F.sqrt("vv") * F.sqrt("cc")), 6
-            ).alias("c_cos"),
-        )
+    # every vector scores every centroid by cosine — the n·k·D stage that
+    # dominated the 100× decade as long-form SQL (600 s at 200k×64d); now
+    # one Arrow matmul pass, no shuffle (probe_cells_arrow)
+    probes = probe_cells_arrow(embeddings, centroids, NPROBE)
+    probers = probes.join(
+        relabeled.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "query_id",
+    ).select("label", "query_id", "q_emb")
+    members = relabeled.select(
+        "label", F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb")
     )
-    wp = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("cluster_id")
-    )
-    probes = (
-        vc.withColumn("c_rank", F.row_number().over(wp))
-        .filter(F.col("c_rank") <= NPROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cluster_id").cast("int").alias("label"),
-        )
-    )
-    q = relabeled.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    corpus = relabeled.select(
-        F.col("vec_id").alias("match_id"),
-        F.col("embedding").alias("c_emb"),
-        "label",
-    )
-    cand = (
-        probes.join(q, "query_id")
-        .join(corpus, "label")
-        .filter(F.col("match_id") != F.col("query_id"))
-    )
-    cos = sround(
-        _cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6
-    )
-    scored = cand.select("query_id", "match_id", cos.alias("cosine"))
+    # candidate scoring: cogrouped per-cell matmul with result-preserving
+    # per-cell top-k (see _knn_score_cells_arrow) — the probe side's
+    # n·NPROBE·(n/k_cells) pair relation never materializes as rows
+    scored = _knn_score_cells_arrow(probers, members, k_neighbors)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id")
     )
@@ -983,37 +1148,40 @@ def knn_join_ivf(
     )
 
 
-def sql_knn_join_ivf(
-    k_neighbors: int = KNN_K, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> str:
-    """DuckDB mirror of :func:`knn_join_ivf`: unrolled Lloyd CTEs, the
-    shared final assignment, an all-vector probe CTE (cosine to c{iters}),
-    and the candidate-only scoring flow."""
-    ctes = _sql_kmeans_ctes(k, iters)
-    ctes.append(sql_kmeans_assign_cte(iters))
-    ctes.append(
+def _sql_knn_flow_ctes(dims_rel: str, iters: int) -> list[str]:
+    """The post-training KNN flow (full-corpus assignment → relabel →
+    all-vector probe → candidate scoring) as CTEs reading ``dims_rel`` for
+    the corpus long form and c{iters} for the trained centroids — shared
+    between the full-trainer and sampled-trainer oracles."""
+    return [
+        f"""afin AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2_r ASC, cluster_id ASC) AS rn
+    FROM (
+      SELECT d.vec_id, c.cluster_id,
+             floor(SUM((d.val - c.c_val) * (d.val - c.c_val)) * 1e6 + 0.5000001) / 1e6 AS d2_r
+      FROM {dims_rel} d JOIN c{iters} c USING (dim)
+      GROUP BY d.vec_id, c.cluster_id
+    )
+  ) WHERE rn = 1
+)""",
         """relabeled AS (
   SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS label
   FROM embeddings e JOIN afin a USING (vec_id)
-)"""
-    )
-    ctes.append(
+)""",
         f"""vprobe AS (
   SELECT vec_id, cluster_id,
     floor((SUM(val * c_val) / greatest(sqrt(SUM(val * val)) * sqrt(SUM(c_val * c_val)), 1e-300))
           * 1e6 + 0.5000001) / 1e6 AS c_cos
-  FROM dims d JOIN c{iters} c USING (dim)
+  FROM {dims_rel} d JOIN c{iters} c USING (dim)
   GROUP BY vec_id, cluster_id
-)"""
-    )
-    ctes.append(
+)""",
         f"""kprobes AS (
   SELECT vec_id AS query_id, CAST(cluster_id AS INT) AS label
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cluster_id ASC) AS c_rank FROM vprobe)
   WHERE c_rank <= {NPROBE}
-)"""
-    )
-    ctes.append(
+)""",
         f"""kscored AS (
   SELECT p.query_id, c.vec_id AS match_id,
          {_SQL_COS} AS cosine
@@ -1021,14 +1189,71 @@ def sql_knn_join_ivf(
   JOIN relabeled c ON c.label = p.label
   JOIN relabeled q ON q.vec_id = p.query_id
   WHERE c.vec_id <> p.query_id
-)"""
-    )
-    ctes.append(
+)""",
         """kranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
   FROM kscored
+)""",
+    ]
+
+
+def sql_knn_join_ivf(
+    k_neighbors: int = KNN_K, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """DuckDB mirror of :func:`knn_join_ivf` (full-corpus trainer):
+    unrolled Lloyd CTEs, then the shared post-training flow — the
+    training dims ARE the corpus dims, so the flow reads `dims`."""
+    ctes = _sql_kmeans_ctes(k, iters)
+    ctes.extend(_sql_knn_flow_ctes("dims", iters))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, match_id, cosine, rank FROM kranked WHERE rank <= {k_neighbors}"
+    )
+
+
+# The sampled-trainer face: knn_join_ivf's PRODUCTION default trains on a
+# hash-sample (kmeans_train_sampled), but the checked face had to pin
+# train_cap=None because the unrolled-Lloyd SQL modeled full-corpus
+# training — leaving the default covered only by the recall-floor test
+# (r10 verdict #4). The cap below is chosen to ENGAGE the sampler at
+# every test sf (sf0.001's corpus is already above it), so the checked
+# twin exercises the exact production branch: rate_u = trunc(cap/n·1e6)
+# and the shared md5-bucket gate, mirrored operation-for-operation.
+KNN_SAMPLED_FACE_CAP = 50
+
+
+def sql_knn_join_ivf_sampled(
+    k_neighbors: int = KNN_K,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    train_cap: int = KNN_SAMPLED_FACE_CAP,
+) -> str:
+    """DuckDB mirror of ``knn_join_ivf(..., k, train_cap)`` with the
+    sampler ENGAGED: Lloyd trains on the hash-sample CTE (the identical
+    IEEE double sequence as kmeans_train_sampled: cap/n*1e6 truncated,
+    bucket·1e6 < rate_u·2³²), then the shared flow assigns and probes the
+    FULL corpus against the sample-trained centroids."""
+    ctes = [
+        f"""tsample AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e
+  CROSS JOIN (
+    SELECT CAST(trunc(CAST({train_cap} AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS rate_u
+    FROM embeddings
+  ) r
+  WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT * 1000000
+        < r.rate_u * 4294967296
+)"""
+    ]
+    ctes.extend(_sql_kmeans_ctes(k, iters, source="tsample"))
+    ctes.append(
+        f"""fdims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM {_sql_dims_rel("embeddings")}
 )"""
     )
+    ctes.extend(_sql_knn_flow_ctes("fdims", iters))
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -184,3 +184,58 @@ def test_knn_builder_runs_no_count_with_hints(spark, monkeypatch):
     out = SIM.knn_join_ivf(emb, k=SIM.KMEANS_K, n_rows=n)
     monkeypatch.undo()
     assert out.count() > 0  # the plan still builds and runs
+
+
+def test_arrow_assign_and_probe_match_longform_sql(spark):
+    """Differential pin for the r11 Arrow matmul stages: on the real
+    embeddings table, kmeans_assign_arrow must produce EXACTLY the
+    long-form SQL kmeans_assign's (vec_id, cluster_id) relation, and
+    probe_cells_arrow must produce exactly the vc/row_number probe set it
+    replaced — same 1e-6 grid, same lower-cluster_id tie-break. This is
+    what licenses swapping the stages under every oracle-checked face."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.similarity import (
+        NPROBE,
+        _cos_div,
+        _long_dims,
+        kmeans_assign,
+        kmeans_assign_arrow,
+        kmeans_train,
+        probe_cells_arrow,
+    )
+    from spark_signals.parity import sround
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = kmeans_train(emb, k=16)
+
+    sql_assign = {tuple(r) for r in kmeans_assign(_long_dims(emb), cents).collect()}
+    arrow_assign = {tuple(r) for r in kmeans_assign_arrow(emb, cents).collect()}
+    assert arrow_assign == sql_assign
+
+    dims = _long_dims(emb)
+    vc = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c_val")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("c_val") * F.col("c_val")).alias("cc"),
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            sround(_cos_div(F.col("dot"), F.sqrt("vv") * F.sqrt("cc")), 6).alias("c_cos"),
+        )
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cluster_id"))
+    sql_probe = {
+        tuple(r)
+        for r in vc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("vec_id", F.col("cluster_id").cast("int"))
+        .collect()
+    }
+    arrow_probe = {tuple(r) for r in probe_cells_arrow(emb, cents).collect()}
+    assert arrow_probe == sql_probe

@@ -15,10 +15,9 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r10 checked set: the catch-up rotation — all 22 due returners (seven
-# overdue r06 retirees + fifteen r07 retirees due by r10), nine promotions
-# (r07 waves 2-3 + shuffle_windows), three chained consolidation queries,
-# and the 16 family anchors that kept their slots.
+# The r11 checked set: the 16 family anchors + the r10 promotions that
+# keep their slots, the 10 r08 retirees back for their ≤3-round re-check,
+# all 10 incoming promotions (backlog 0), and the new sampled-KNN face.
 EXPECTED_QUERIES = frozenset({
     # family anchors that kept their slots
     "positions_costs", "executions", "strategy_metrics",
@@ -29,40 +28,36 @@ EXPECTED_QUERIES = frozenset({
     "latency_metrics_rollup", "segment_revenue_bucketed",
     "anti_join_parts_never_shipped", "multimodal_features",
     "ann_ivf_trained_topk", "text_clean_markup",
-    # r10 returners: the seven overdue r06 retirees
-    "sma_crossover_signals", "positions_forward_fill",
-    "latest_price_per_instrument", "breakout_band_signals",
-    "value_percentiles_exact", "embedding_cosine_neardup",
-    "streaming_interval_join",
-    # r10 returners: the fifteen r07 retirees due by r10
-    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
-    "lang_id_heuristic", "performance_windows_5m", "signal_counts_5m",
-    "metrics_hourly_rollup", "dedup_exact_hash", "dedup_ngram_jaccard",
-    "ann_ivf_topk", "ann_lsh_hyperplane_pairs", "text_stats_quality",
-    "pricing_summary_q1", "runs_listing_join_topn", "session_window_per_user",
-    # r10 promotions: r07 waves 2-3 + shuffle_windows
+    # r10 promotions staying for their second green round
     "hybrid_rrf_topk", "dedup_intra_doc", "ccnet_lm_buckets",
     "ann_index_delta", "mixture_manifest_by_lang", "dedup_canonical_quality",
     "corpus_diff_snapshots", "tokenize_with_vocab", "shuffle_windows",
     # r10 chained consolidation queries (each covers an incoming family)
     "bpe_pipeline_chained", "winnow_zipf_chained", "decontam_suite_chained",
+    # r11 returners: the ten r08 retirees at their ≤3-round re-check
+    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
+    "sliding_window_counts", "length_band_filter",
+    "sample_temperature_source", "pack_sequences_manifest",
+    "curate_stats_by_source", "chunk_documents_overlap", "lm_bigram_quality",
+    # r11 promotions: ALL ten remaining incoming operators (backlog 0)
+    "hybrid_rrf_ivf_topk", "dedup_incr_neardup", "bm25_topk_queries",
+    "cluster_composition", "dsir_logratio", "strip_boilerplate",
+    "knn_join_ivf", "mixture_curriculum", "media_phash_neardup",
+    "media_phash_neardup_decoded",
+    # r11 addition: the sampled-trainer KNN face (r10 verdict #4)
+    "knn_join_ivf_sampled",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    # r08 rotation (due their ≤3-round re-check by r11)
-    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
-    "sliding_window_counts", "length_band_filter",
-    "sample_temperature_source", "pack_sequences_manifest",
-    "curate_stats_by_source", "chunk_documents_overlap", "lm_bigram_quality",
     # r10 rotation: five r08 returners re-retired after two green rounds
     "doc_fingerprint_minhash1", "position_returns",
     "semi_join_has_lineitems", "topk_events", "position_transitions",
     # r10 rotation: five r07-promoted ops with two green rounds + siblings
     "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
     "mixture_manifest_uniform", "embed_chunks_hashed",
-    # r10 rotation: veterans whose families stay checked via this round's
+    # r10 rotation: veterans whose families stay checked via r10/r11
     # returners/promotions
     "normalized_prices", "signals_decisions", "strategy_summary_filter_agg",
     "asof_join_tolerance", "recent_ticks_per_instrument",
@@ -73,6 +68,17 @@ EXPECTED_RETIRED = frozenset({
     "lm_unigram_quality", "dedup_passages", "pii_scrub_redact",
     "curate_keep_decision", "split_train_val_test", "vocab_coverage_topv",
     "bm25_topk_lexical", "dedup_cluster_stats",
+    # r11 rotation: the 22 r10 returners re-retired after their green
+    # re-check round (due r14)
+    "sma_crossover_signals", "positions_forward_fill",
+    "latest_price_per_instrument", "breakout_band_signals",
+    "value_percentiles_exact", "embedding_cosine_neardup",
+    "streaming_interval_join",
+    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
+    "lang_id_heuristic", "performance_windows_5m", "signal_counts_5m",
+    "metrics_hourly_rollup", "dedup_exact_hash", "dedup_ngram_jaccard",
+    "ann_ivf_topk", "ann_lsh_hyperplane_pairs", "text_stats_quality",
+    "pricing_summary_q1", "runs_listing_join_topn", "session_window_per_user",
 })
 
 

@@ -382,10 +382,13 @@ def test_dsir_model_broadcasts_onto_corpus(spark):
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
-def test_ann_index_delta_broadcasts_centroids(spark):
-    """Incremental IVF delta: the batch joins the k×D centroid relation as
-    a broadcast — a SortMergeJoin against centroids would shuffle the batch
-    corpus by dim (k×D is tiny by construction)."""
+def test_ann_index_delta_is_one_shuffle_free_arrow_pass(spark):
+    """Incremental IVF delta: assignment against trained centroids is ONE
+    Arrow matmul stage chained onto the batch scan (kmeans_assign_arrow,
+    the r10-verdict #3 constant-factor fix) — no join, no exchange, no
+    row-at-a-time Python. The k×D centroid relation reaches the stage as
+    closure state (index-metadata-sized by construction), so the batch
+    corpus never shuffles at all."""
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.similarity import ann_index_delta, kmeans_train
@@ -393,21 +396,25 @@ def test_ann_index_delta_broadcasts_centroids(spark):
     emb = read_table(spark, SF, "embeddings")
     cents = kmeans_train(emb.filter(F.col("vec_id") % 5 != 0))
     p = plan_str(ann_index_delta(emb.filter(F.col("vec_id") % 5 == 0), cents))
-    assert count_op(p, "BroadcastHashJoin") >= 1
-    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "MapInPandas") == 1
+    assert "Join" not in p
+    assert count_op(p, "Exchange") == 0
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
-def test_knn_join_stays_jvm_side_no_cartesian(spark):
+def test_knn_join_stays_cell_blocked_one_arrow_probe(spark):
     """The IVF KNN self-join: the all-pairs relation must never appear —
-    candidates reach the scorer through cell-keyed equi-joins (plus the
-    broadcast k×D centroid probe), with zero cartesian/nested-loop nodes
-    and zero Python stages."""
+    candidates reach the scorer through cell-keyed equi-joins, with zero
+    cartesian/nested-loop nodes. The ONE Python stage allowed is the
+    Arrow matmul cell probe (probe_cells_arrow; the cell assignment's
+    twin stage is behind the relabel checkpoint) — no row-at-a-time
+    evaluation anywhere."""
     from spark_signals.datapipe.similarity import knn_join_ivf
 
     p = plan_str(knn_join_ivf(read_table(spark, SF, "embeddings")))
     assert count_op(p, "CartesianProduct") == 0
     assert "NestedLoop" not in p
+    assert count_op(p, "MapInPandas") <= 1
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
