@@ -476,41 +476,7 @@ def media_phash_neardup(
         )
         .withColumn("bkey", F.expr("substring(sig, band * 8 + 1, 8)"))
     )
-    # hot-key guard: count first (constant-size aggregation state), keep
-    # only collision keys under the cap, then collect lists — see
-    # dedup.winnow_fingerprint_pairs for the identical discipline.
-    kept_keys = (
-        bands.groupBy("kind", "band", "bkey")
-        .agg(F.count(F.lit(1)).alias("n_docs_key"))
-        .filter((F.col("n_docs_key") >= 2) & (F.col("n_docs_key") <= band_max_docs))
-        .select("kind", "band", "bkey")
-    )
-    grouped = (
-        bands.join(kept_keys, ["kind", "band", "bkey"], "left_semi")
-        .groupBy("kind", "band", "bkey")
-        .agg(F.sort_array(F.collect_list(F.struct("media_id", "sig"))).alias("ds"))
-    )
-    pair_arr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x.media_id AS media_a, x.sig AS sig_a, "
-        "y.media_id AS media_b, y.sig AS sig_b))))"
-    )
-    cand = (
-        grouped.select("kind", F.explode(pair_arr).alias("p"))
-        .select("kind", "p.*")
-        .groupBy("media_a", "media_b")
-        .agg(F.min("kind").alias("kind"), F.min("sig_a").alias("sig_a"), F.min("sig_b").alias("sig_b"))
-    )
-    hamming = F.expr(
-        f"aggregate(sequence(1, {PHASH_BITS}), 0, (acc, i) -> "
-        f"acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
-    )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "kind", "hamming")
-    )
+    return _phash_pairs_from_sigs(bands, max_hamming, band_max_docs)
 
 
 def sql_media_phash_neardup(
@@ -781,3 +747,185 @@ scored AS (
 )
 SELECT media_a, media_b, kind, CAST(hamming AS INT) AS hamming
 FROM scored WHERE hamming <= {max_hamming}"""
+
+
+# ------------------------------------------- incremental media near-dup
+# The media twin of dedup.dedup_incremental_neardup (text) — continuous
+# media ingestion against a PERSISTED decoded-grid dHash band index, so a
+# nightly media drop near-dups against the whole admitted history in
+# O(batch) work, never a history re-decode. One structural improvement
+# over the text lane: a dHash signature is 64 bits, so the index rows
+# carry the FULL signature — historical verification is pure index
+# arithmetic (hamming on the joined rows) and the historical PAYLOADS are
+# never read at all (the text lane must re-shingle candidate docs; media
+# candidates cost zero storage reads beyond the index itself). At
+# warehouse scale store the index bucketed on (kind, band, bkey) so the
+# batch probe shuffles only the batch side.
+PHASH_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bkey", T.StringType(), False),
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sig", T.StringType(), False),
+    ]
+)
+
+
+def _grid_bands(
+    media: DataFrame, min_bytes: int, *, force_stub: bool = False
+) -> DataFrame:
+    """(media_id, kind, sig, band, bkey): decoded-grid dHash band rows —
+    payload floor BEFORE decode, then the standard signature/band slicing
+    (the exact chain media_phash_neardup_decoded blocks on)."""
+    grids = extract_sample_grid(
+        media.filter(F.length("content") >= min_bytes), force_stub=force_stub
+    )
+    sigs = media_phash_signatures(
+        grids.select("media_id", "kind", F.col("grid").alias("content"))
+    )
+    return (
+        sigs.select(
+            "media_id",
+            "kind",
+            "sig",
+            F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+        )
+        .withColumn("bkey", F.expr("substring(sig, band * 8 + 1, 8)"))
+    )
+
+
+def media_phash_index(
+    media: DataFrame,
+    min_bytes: int = PHASH_MIN_BYTES,
+    *,
+    force_stub: bool = False,
+) -> DataFrame:
+    """The persistable decoded-grid band index of a media snapshot:
+    (kind, band, bkey, media_id, sig), PHASH_BANDS rows per admitted
+    media row."""
+    return _grid_bands(media, min_bytes, force_stub=force_stub).select(
+        "kind", "band", "bkey", "media_id", "sig"
+    )
+
+
+def media_phash_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
+    *,
+    force_stub: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup an incoming media batch against a persisted dHash band
+    index without re-decoding history. Returns ``(survivors,
+    index_delta)``:
+
+    * ``survivors`` — batch rows whose decoded grid verified (hamming >
+      ``max_hamming``) against every historical index candidate and every
+      smaller-media_id batch row (greedy first-wins, the deterministic
+      rule of the batch operator).
+    * ``index_delta`` — the survivors' band+signature rows to APPEND.
+
+    Shape at 100 TB: ONE Arrow decode pass over the batch (payload floor
+    first), band rows probe the index by (kind, band, bkey) equi-join —
+    with the index bucketed on that key, only the batch side shuffles —
+    and verification is hamming arithmetic on the candidate rows' carried
+    signatures: history is touched only through the index. Within-batch
+    pairs reuse media_phash_neardup's count-capped banding, so no
+    aggregation buffer exceeds ``band_max_docs``. Idempotent: replaying
+    an admitted batch against the updated index yields zero survivors
+    (every row hamming-0-matches its own index entry).
+    """
+    bands_b = _grid_bands(new_media, min_bytes, force_stub=force_stub).persist()
+    try:
+        hamming = F.expr(
+            f"aggregate(sequence(1, {PHASH_BITS}), 0, (acc, i) -> "
+            f"acc + IF(substring(sig_new, i, 1) = substring(sig_old, i, 1), 0, 1))"
+        )
+        hist_dups = (
+            bands_b.join(
+                index.select(
+                    "kind", "band", "bkey", F.col("sig").alias("sig_old")
+                ),
+                ["kind", "band", "bkey"],
+            )
+            .select(
+                F.col("media_id").alias("media_new"),
+                F.col("sig").alias("sig_new"),
+                "sig_old",
+            )
+            .distinct()
+            .filter(hamming <= max_hamming)
+            .select(F.col("media_new").alias("media_id"))
+            .distinct()
+        )
+        # within-batch: greedy first-wins over the batch's own grids —
+        # media_b of every verified pair drops; the band/verify chain runs
+        # directly on the already-computed signature relation
+        batch_pairs = _phash_pairs_from_sigs(
+            bands_b.select("media_id", "kind", "sig", "band", "bkey"),
+            max_hamming,
+            band_max_docs,
+        )
+        batch_dups = batch_pairs.select(
+            F.col("media_b").alias("media_id")
+        ).distinct()
+        drops = hist_dups.unionByName(batch_dups).distinct()
+        survivors = new_media.join(drops, "media_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        delta = (
+            bands_b.join(survivors.select("media_id"), "media_id", "left_semi")
+            .select("kind", "band", "bkey", "media_id", "sig")
+            .localCheckpoint(eager=True)
+        )
+        return survivors, delta
+    finally:
+        bands_b.unpersist()
+
+
+def _phash_pairs_from_sigs(
+    band_rows: DataFrame, max_hamming: int, band_max_docs: int
+) -> DataFrame:
+    """(media_a, media_b, kind, hamming) pairs from pre-computed band rows
+    — the count-capped collect/expand/verify core of media_phash_neardup,
+    factored so the incremental path shares ONE pairing discipline with
+    the batch operator instead of re-deriving it."""
+    kept_keys = (
+        band_rows.groupBy("kind", "band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs_key"))
+        .filter((F.col("n_docs_key") >= 2) & (F.col("n_docs_key") <= band_max_docs))
+        .select("kind", "band", "bkey")
+    )
+    grouped = (
+        band_rows.join(kept_keys, ["kind", "band", "bkey"], "left_semi")
+        .groupBy("kind", "band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("media_id", "sig"))).alias("ds"))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.media_id AS media_a, x.sig AS sig_a, "
+        "y.media_id AS media_b, y.sig AS sig_b))))"
+    )
+    cand = (
+        grouped.select("kind", F.explode(pair_arr).alias("p"))
+        .select("kind", "p.*")
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.min("kind").alias("kind"),
+            F.min("sig_a").alias("sig_a"),
+            F.min("sig_b").alias("sig_b"),
+        )
+    )
+    hamming = F.expr(
+        f"aggregate(sequence(1, {PHASH_BITS}), 0, (acc, i) -> "
+        f"acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "kind", "hamming")
+    )

@@ -344,3 +344,81 @@ def process_ingest_batch(
         band_delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             os.path.join(band_index_dir, f"batch_id={batch_id}")
         )
+
+
+def process_media_ingest_batch(
+    batch_media: DataFrame,
+    batch_id: int,
+    *,
+    phash_index_dir: str,
+    survivors_dir: str,
+) -> None:
+    """One idempotent MEDIA ingest step — the media twin of
+    :func:`process_ingest_batch` (module-level so replay semantics are
+    directly testable): near-dup the batch's decoded grids against every
+    EARLIER batch's persisted dHash band index
+    (multimodal.media_phash_incremental), then OVERWRITE this batch's own
+    ``batch_id=<id>`` partitions of both the survivors and the index.
+
+    Because the dHash index rows carry the full 64-bit signature,
+    verification never reads historical payloads at all — the one storage
+    relation the lane maintains IS the evidence (contrast the text lane,
+    which must re-shingle candidate docs from the survivors directory).
+    Earlier-partition enumeration shares :func:`_earlier_batch_partitions`
+    (absent index ⇒ empty frame; a read error on a committed partition
+    fails the micro-batch so foreachBatch retries; a replayed batch never
+    sees its own partial partition)."""
+    import os
+
+    from spark_signals.datapipe.multimodal import (
+        PHASH_INDEX_SCHEMA,
+        media_phash_incremental,
+    )
+
+    spark = batch_media.sparkSession
+    earlier = _earlier_batch_partitions(spark, phash_index_dir, batch_id)
+    if earlier:
+        index = (
+            spark.read.option("basePath", phash_index_dir)
+            .parquet(*earlier)
+            .select("kind", "band", "bkey", "media_id", "sig")
+        )
+    else:  # first batch (or batch-0 replay): no earlier index partitions
+        index = spark.createDataFrame([], PHASH_INDEX_SCHEMA)
+    survivors, delta = media_phash_incremental(batch_media, index)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(survivors_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(phash_index_dir, f"batch_id={batch_id}")
+    )
+
+
+def ingest_media_stream(
+    stream: DataFrame,
+    *,
+    phash_index_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous media ingestion with incremental decoded-grid near-dup:
+    each micro-batch runs :func:`process_media_ingest_batch`, so batch
+    N+1 dedups against every grid batch N admitted while index writes
+    stay O(batch). Exactly-once by the same idempotent-by-path
+    ``batch_id=<id>`` overwrite discipline as :func:`ingest_dedup_stream`.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_media_ingest_batch(
+            batch_df,
+            batch_id,
+            phash_index_dir=phash_index_dir,
+            survivors_dir=survivors_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
