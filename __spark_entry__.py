@@ -129,7 +129,12 @@ DRIVER_CAP = 50
 # dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
 # length_band_approx, sample_quota_per_source, curate_keep_decision,
 # split_train_val_test), using the free slot plus one early promotion
-# re-retirement for the overflow. The
+# re-retirement for the overflow. ALSO queued for r12: the two r11-wave
+# incoming operators (media_phash_incr_snapshot, embedding_incr_neardup —
+# the incremental band-index lanes' checked faces, both hash-verified
+# locally with non-vacuous drops); if slots run short they chain behind
+# their checked siblings (dedup_incr_neardup holds the family's shape
+# evidence meanwhile). The
 # remaining 22 r10 retirees re-check at r13 against the slots freed by
 # the r11/r12 promotions re-retiring (each will hold 2 green rounds and
 # a checked same-family sibling by then).

@@ -40,6 +40,7 @@ else
     tests/test_curation_ops.py
     tests/test_degenerate_inputs.py
     tests/test_streaming.py
+    tests/test_streaming_media_lane.py
   )
   FILES=("${SLOW[@]}")
   while IFS= read -r f; do

@@ -2038,3 +2038,163 @@ SELECT z.*,
        COALESCE(d.n_neardup_docs, 0)::BIGINT AS n_neardup_docs,
        COALESCE(p.sum_resemblance_u, 0)::BIGINT AS sum_resemblance_u
 FROM z LEFT JOIN pagg p USING (lang) LEFT JOIN dagg d USING (lang)"""
+
+
+# ------------------------------------------- incremental embedding near-dup
+# The EMBEDDING twin of the media lane (multimodal.media_phash_incremental)
+# and the third face of the band-index family: continuous vector ingestion
+# against a persisted sign-LSH bucket index, so a nightly embedding drop
+# near-dups against the admitted history in O(batch) bucket probes — never
+# an all-pairs or a history re-scan. The index rows carry the vectors
+# themselves (a vector index IS its vectors — 64 floats/row here), so
+# verification is one exact-cosine pass over bucket-colliding candidates.
+# Recall follows the sign-LSH collision probability (1 - theta/pi)^bits,
+# the identical trade the batch ann_lsh_hyperplane_pairs face documents;
+# raising recall is adding rotated hyperplane tables, not scanning more.
+
+
+def embedding_lsh_index(embeddings: DataFrame) -> DataFrame:
+    """(bucket, vec_id, embedding): the persistable sign-LSH index of a
+    vector snapshot — one row per vector, bucket = the N_HYPERPLANES-bit
+    hyperplane signature (similarity._hyperplane_sig_expr, the exact
+    blocking key of the checked batch LSH face). At warehouse scale store
+    it bucketed on ``bucket`` so the batch probe shuffles only the batch
+    side."""
+    from spark_signals.datapipe.similarity import _hyperplane_sig_expr
+
+    return embeddings.select(
+        F.expr(_hyperplane_sig_expr()).alias("bucket"), "vec_id", "embedding"
+    )
+
+
+def embedding_neardup_incremental(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup an incoming vector batch against a persisted sign-LSH
+    bucket index. Returns ``(survivors, index_delta)``:
+
+    * ``survivors`` — batch vectors whose cosine stayed below
+      ``threshold`` against every bucket-colliding historical vector and
+      every smaller-vec_id batch vector (greedy first-wins, the batch
+      operator's rule).
+    * ``index_delta`` — the survivors' (bucket, vec_id, embedding) rows
+      to APPEND.
+
+    Shape at 100 TB: batch signatures chain onto the scan (per-row HOF,
+    no shuffle); the history probe is ONE bucket equi-join against the
+    index (batch-side shuffle only when the index is bucket-bucketed);
+    exact cosine runs on colliding candidates only. Idempotent: replaying
+    an admitted batch against the updated index yields zero survivors
+    (every vector cosine-1 matches its own index row)."""
+    from spark_signals.datapipe.similarity import _cos_div
+    from spark_signals.parity import sround
+
+    sigs = embedding_lsh_index(new_vectors).persist()
+    try:
+        dot = F.expr(
+            "aggregate(zip_with(n_emb, o_emb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+        )
+        nn = F.sqrt(F.expr("aggregate(n_emb, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+        no = F.sqrt(F.expr("aggregate(o_emb, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+        cos = sround(_cos_div(dot, nn * no), 6)
+        hist_dups = (
+            sigs.select("bucket", F.col("vec_id").alias("vec_new"), F.col("embedding").alias("n_emb"))
+            .join(
+                index.select("bucket", F.col("embedding").alias("o_emb")),
+                "bucket",
+            )
+            .filter(cos >= F.lit(float(threshold)))
+            .select(F.col("vec_new").alias("vec_id"))
+            .distinct()
+        )
+        a = sigs.alias("a")
+        b = sigs.alias("b")
+        pair_dot = F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+        )
+        pna = F.sqrt(F.expr("aggregate(a.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+        pnb = F.sqrt(F.expr("aggregate(b.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
+        pcos = sround(_cos_div(pair_dot, pna * pnb), 6)
+        batch_dups = (
+            a.join(b, "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(pcos >= F.lit(float(threshold)))
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        drops = hist_dups.unionByName(batch_dups).distinct()
+        survivors = new_vectors.join(drops, "vec_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        delta = (
+            sigs.join(survivors.select("vec_id"), "vec_id", "left_semi")
+            .select("bucket", "vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        return survivors, delta
+    finally:
+        sigs.unpersist()
+
+
+# Driver-checkable face of the incremental embedding lane: the standard
+# snapshot/batch split (vec_id % EMB_INCR_SPLIT_MOD == 0 is "tonight's
+# drop", same convention as dedup_incremental_snapshot / the ANN index
+# delta). Output projects (vec_id, label) — array cells are
+# representation-fragile in the hash compare (see embed_chunks_parity).
+EMB_INCR_SPLIT_MOD = 5
+
+
+def embedding_incr_neardup_snapshot(embeddings: DataFrame) -> DataFrame:
+    snap = embeddings.filter(F.col("vec_id") % EMB_INCR_SPLIT_MOD != 0)
+    batch = embeddings.filter(F.col("vec_id") % EMB_INCR_SPLIT_MOD == 0)
+    survivors, _delta = embedding_neardup_incremental(
+        batch, embedding_lsh_index(snap)
+    )
+    return survivors.select("vec_id", "label")
+
+
+def sql_embedding_incr_neardup(
+    mod: int = EMB_INCR_SPLIT_MOD, threshold: float = COSINE_THRESHOLD
+) -> str:
+    """DuckDB mirror of :func:`embedding_incr_neardup_snapshot`: the
+    sign-LSH signature CTE (the exact hyperplane family of SQL_ANN_LSH),
+    snapshot/batch split, history probe by bucket + gridded cosine
+    verify, within-batch first-wins, and the batch anti-join."""
+    from spark_signals.datapipe.similarity import N_HYPERPLANES
+
+    cos = lambda a, b: (  # noqa: E731
+        f"floor(("
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / greatest(sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-300)"
+        f") * 1e6 + 0.5000001) / 1e6"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding,
+    array_to_string(list_transform(range(0, {N_HYPERPLANES}), i ->
+      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), d ->
+        CAST(embedding[d] AS DOUBLE) *
+        (CAST(strpos('0123456789abcdef', substring(md5(i::VARCHAR || ':' || d::VARCHAR), 1, 1)) AS DOUBLE) - 8.5)
+      )) > 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+snapb AS (SELECT * FROM sigs WHERE vec_id % {mod} <> 0),
+batchb AS (SELECT * FROM sigs WHERE vec_id % {mod} = 0),
+histdrop AS (
+  SELECT DISTINCT b.vec_id
+  FROM batchb b JOIN snapb s ON b.bucket = s.bucket
+  WHERE {cos("b.embedding", "s.embedding")} >= CAST({threshold!r} AS DOUBLE)
+),
+batchdrop AS (
+  SELECT DISTINCT b.vec_id
+  FROM batchb a JOIN batchb b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+    AND {cos("a.embedding", "b.embedding")} >= CAST({threshold!r} AS DOUBLE)
+),
+drops AS (SELECT vec_id FROM histdrop UNION SELECT vec_id FROM batchdrop)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % {mod} = 0 AND vec_id NOT IN (SELECT vec_id FROM drops)"""

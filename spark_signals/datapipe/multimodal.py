@@ -665,21 +665,11 @@ def media_phash_neardup_decoded(
     )
 
 
-def sql_media_phash_neardup_decoded(
-    max_hamming: int = PHASH_MAX_HAMMING,
-    band_max_docs: int = PHASH_BAND_MAX_DOCS,
-    min_bytes: int = PHASH_MIN_BYTES,
-    *,
-    planted: bool = False,
-) -> str:
-    """Oracle twin of the STUB branch of media_phash_neardup_decoded
-    (force_stub=True): the bucket-mean grid is exact integer arithmetic
-    over hex(content) (sum // width, mirroring _stub_grid), then the same
-    sig/band/kept/cand/score chain as sql_media_phash_neardup.
-
-    ``planted=True`` swaps in the planted-twin media relation
-    (sql_media_planted_cte) — the driver face uses this so the artifact
-    records detected pairs instead of a vacuous 0-row agreement."""
+def _sql_decoded_bands_ctes(min_bytes: int, *, planted: bool = False) -> str:
+    """media → hx → grids → sigs → bands as one CTE chunk — THE spelling
+    of the decoded-grid signature chain, shared by the pair oracle
+    (sql_media_phash_neardup_decoded) and the incremental snapshot oracle
+    (sql_media_phash_incr_snapshot) so the two twins can never drift."""
     bits = PHASH_BITS
     cells = GRID_BYTES
     # 1-based hex lookup of 0-based payload position p: substr(h, 2*p+1, 2)
@@ -702,8 +692,7 @@ def sql_media_phash_neardup_decoded(
          encode(text) AS content
   FROM documents"""
     )
-    return f"""
-WITH media AS ({media_body}
+    return f"""media AS ({media_body}
 ),
 hx AS (
   SELECT media_id, kind, octet_length(content) AS n, upper(hex(content)) AS h
@@ -726,7 +715,27 @@ sigs AS (
 bands AS (
   SELECT media_id, kind, sig, b AS band, substr(sig, b * 8 + 1, 8) AS bkey
   FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS b)
-),
+)"""
+
+
+def sql_media_phash_neardup_decoded(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
+    *,
+    planted: bool = False,
+) -> str:
+    """Oracle twin of the STUB branch of media_phash_neardup_decoded
+    (force_stub=True): the bucket-mean grid is exact integer arithmetic
+    over hex(content) (sum // width, mirroring _stub_grid), then the same
+    sig/band/kept/cand/score chain as sql_media_phash_neardup.
+
+    ``planted=True`` swaps in the planted-twin media relation
+    (sql_media_planted_cte) — the driver face uses this so the artifact
+    records detected pairs instead of a vacuous 0-row agreement."""
+    bits = PHASH_BITS
+    return f"""
+WITH {_sql_decoded_bands_ctes(min_bytes, planted=planted)},
 kept AS (
   SELECT kind, band, bkey FROM bands GROUP BY 1, 2, 3
   HAVING COUNT(*) BETWEEN 2 AND {band_max_docs}
@@ -929,3 +938,81 @@ def _phash_pairs_from_sigs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "kind", "hamming")
     )
+
+
+# Driver-checkable face of the incremental media lane: snapshot/batch
+# split by media_id mod — the PLANTED media relation so both drop paths
+# carry evidence at sf0.01 (a planted twin whose source landed in the
+# snapshot exercises the history probe; a twin sharing the batch with its
+# source exercises the within-batch rule). The batch is the upper mod
+# range because the twin offset shifts media_id by 3 mod 7 — a same-side
+# split (any mod dividing TWIN_ID_OFFSET) would never separate a twin
+# from its source.
+MEDIA_INCR_SPLIT_MOD = 7
+MEDIA_INCR_BATCH_MIN = 4  # batch = media_id % MOD >= this; snapshot below
+
+
+def media_phash_incr_snapshot(docs: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes): the incremental media lane's batch
+    SURVIVORS under the deterministic snapshot/batch split — the same
+    checked-face convention as dedup_incr_neardup_snapshot."""
+    media = synthesize_media_planted(docs)
+    mod = F.col("media_id") % MEDIA_INCR_SPLIT_MOD
+    snap = media.filter(mod < MEDIA_INCR_BATCH_MIN)
+    batch = media.filter(mod >= MEDIA_INCR_BATCH_MIN)
+    idx = media_phash_index(snap, force_stub=True)
+    survivors, _delta = media_phash_incremental(batch, idx, force_stub=True)
+    return survivors.select(
+        "media_id", "kind", F.length("content").cast("bigint").alias("n_bytes")
+    )
+
+
+def sql_media_phash_incr_snapshot(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_max_docs: int = PHASH_BAND_MAX_DOCS,
+    min_bytes: int = PHASH_MIN_BYTES,
+) -> str:
+    """DuckDB mirror of :func:`media_phash_incr_snapshot`: the shared
+    decoded-bands chain over the planted media relation, split into
+    snapshot/batch band rows, then the exact drop rules of
+    media_phash_incremental — uncapped history probe (distinct
+    (new, sig_new, sig_old) triples, hamming verify) plus the count-capped
+    within-batch pair chain — and the batch anti-join."""
+    bits = PHASH_BITS
+    ham = lambda a, b: (  # noqa: E731
+        f"len(list_filter(range(1, {bits + 1}), "
+        f"i -> substr({a}, i, 1) <> substr({b}, i, 1)))"
+    )
+    mod, lo = MEDIA_INCR_SPLIT_MOD, MEDIA_INCR_BATCH_MIN
+    return f"""
+WITH {_sql_decoded_bands_ctes(min_bytes, planted=True)},
+snapb AS (SELECT * FROM bands WHERE media_id % {mod} < {lo}),
+batchb AS (SELECT * FROM bands WHERE media_id % {mod} >= {lo}),
+histdrop AS (
+  SELECT DISTINCT media_new AS media_id FROM (
+    SELECT DISTINCT b.media_id AS media_new, b.sig AS sig_new, s.sig AS sig_old
+    FROM batchb b
+    JOIN snapb s ON b.kind = s.kind AND b.band = s.band AND b.bkey = s.bkey
+  ) WHERE {ham("sig_new", "sig_old")} <= {max_hamming}
+),
+keptb AS (
+  SELECT kind, band, bkey FROM batchb GROUP BY 1, 2, 3
+  HAVING COUNT(*) BETWEEN 2 AND {band_max_docs}
+),
+candb AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM batchb a
+  JOIN batchb b ON a.kind = b.kind AND a.band = b.band AND a.bkey = b.bkey
+  JOIN keptb k ON k.kind = a.kind AND k.band = a.band AND k.bkey = a.bkey
+  WHERE a.media_id < b.media_id
+),
+batchdrop AS (
+  SELECT DISTINCT media_b AS media_id FROM candb
+  WHERE {ham("sig_a", "sig_b")} <= {max_hamming}
+),
+drops AS (SELECT media_id FROM histdrop UNION SELECT media_id FROM batchdrop)
+SELECT m.media_id, m.kind, CAST(octet_length(m.content) AS BIGINT) AS n_bytes
+FROM media m
+WHERE m.media_id % {mod} >= {lo}
+  AND m.media_id NOT IN (SELECT media_id FROM drops)"""

@@ -593,11 +593,40 @@ def _sql_round_resemblance(sql: str) -> str:
     )
 
 
+def _incoming_r11() -> dict:
+    """The r11 wave: driver-checkable snapshot faces of the two NEW
+    incremental lanes (media decoded-grid dHash, embedding sign-LSH) —
+    the band-index family's media and vector thirds, queued for r12
+    slots. Both faces verified non-vacuous (drops >= 1 at sf0.01)."""
+    from spark_signals.datapipe import multimodal as MM
+
+    return {
+        # incremental media near-dup: batch survivors against a persisted
+        # decoded-grid dHash band index (planted media relation so both
+        # the history-probe and within-batch drop paths carry evidence)
+        "media_phash_incr_snapshot": (
+            lambda spark, sf_dir: MM.media_phash_incr_snapshot(
+                _docs(spark, sf_dir)
+            ),
+            MM.sql_media_phash_incr_snapshot(),
+        ),
+        # incremental embedding cosine near-dup: batch survivors against
+        # a persisted sign-LSH bucket index carrying the vectors
+        "embedding_incr_neardup": (
+            lambda spark, sf_dir: D.embedding_incr_neardup_snapshot(
+                _emb(spark, sf_dir)
+            ),
+            D.sql_embedding_incr_neardup(),
+        ),
+    }
+
+
 INCOMING_DATAPIPE_QUERIES: dict = {
     **_incoming_r07_wave2(),
     **_incoming_r07_wave3(),
     **_incoming_r08(),
     **_incoming_r08_wave2(),
+    **_incoming_r11(),
 }
 
 

@@ -422,3 +422,79 @@ def ingest_media_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_embedding_ingest_batch(
+    batch_vectors: DataFrame,
+    batch_id: int,
+    *,
+    lsh_index_dir: str,
+    survivors_dir: str,
+) -> None:
+    """One idempotent EMBEDDING ingest step — the vector twin of
+    :func:`process_media_ingest_batch`: cosine-near-dup the batch against
+    every EARLIER batch's persisted sign-LSH bucket index
+    (dedup.embedding_neardup_incremental), then OVERWRITE this batch's
+    own ``batch_id=<id>`` partitions. The index rows carry the vectors,
+    so history is touched only through the index relation."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_signals.datapipe.dedup import embedding_neardup_incremental
+
+    spark = batch_vectors.sparkSession
+    earlier = _earlier_batch_partitions(spark, lsh_index_dir, batch_id)
+    if earlier:
+        index = (
+            spark.read.option("basePath", lsh_index_dir)
+            .parquet(*earlier)
+            .select("bucket", "vec_id", "embedding")
+        )
+    else:  # first batch (or batch-0 replay): no earlier index partitions
+        index = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("bucket", T.StringType(), False),
+                    T.StructField("vec_id", T.LongType(), False),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.FloatType()), False
+                    ),
+                ]
+            ),
+        )
+    survivors, delta = embedding_neardup_incremental(batch_vectors, index)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(survivors_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(lsh_index_dir, f"batch_id={batch_id}")
+    )
+
+
+def ingest_embedding_stream(
+    stream: DataFrame,
+    *,
+    lsh_index_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous embedding ingestion with incremental cosine near-dup —
+    same exactly-once idempotent-by-path discipline as the doc and media
+    lanes; each micro-batch runs :func:`process_embedding_ingest_batch`."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_embedding_ingest_batch(
+            batch_df,
+            batch_id,
+            lsh_index_dir=lsh_index_dir,
+            survivors_dir=survivors_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -131,3 +131,84 @@ def test_media_stream_matches_sequential_batches(spark, tmp_path):
         r["media_id"] for r in s1.unionByName(s2).select("media_id").collect()
     )
     assert got == want == [0, 1, 2, 4]
+
+
+# ---------------------------------------------- embedding lane (r11)
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+BASE_VEC = [float((i * 7) % 13 - 6) for i in range(8)]
+ORTHO_A = [1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0]
+ORTHO_B = [0.0, 1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows], EMB_SCHEMA
+    )
+
+
+def test_embedding_incremental_drops_cross_batch_neardups(spark):
+    """A batch-2 vector near-parallel to a batch-1 survivor drops via the
+    persisted LSH index (same bucket -> cosine verify), new directions
+    admit, and replaying an admitted batch yields zero survivors."""
+    from spark_signals.datapipe.dedup import (
+        embedding_lsh_index,
+        embedding_neardup_incremental,
+    )
+
+    b1 = _emb(spark, [(0, BASE_VEC), (1, ORTHO_A)])
+    # 10: tiny perturbation of BASE_VEC (cosine ~1, same sign signature)
+    # 11: a genuinely new direction
+    b2 = _emb(
+        spark,
+        [(10, [x * 1.01 + 0.001 for x in BASE_VEC]), (11, ORTHO_B)],
+    )
+    idx = embedding_lsh_index(b1)
+    survivors, delta = embedding_neardup_incremental(b2, idx)
+    assert sorted(r["vec_id"] for r in survivors.collect()) == [11]
+    assert {r["vec_id"] for r in delta.collect()} == {11}
+    # idempotence: replay b1 against its own admitted index
+    from pyspark.sql import functions as SF
+
+    empty = embedding_lsh_index(b1).filter(SF.lit(False))
+    s1, d1 = embedding_neardup_incremental(b1, empty)
+    assert s1.count() == 2
+    replay, _ = embedding_neardup_incremental(b1, d1)
+    assert replay.count() == 0
+
+
+def test_embedding_stream_matches_sequential_batches(spark, tmp_path):
+    """Two availableNow drops through ingest_embedding_stream equal
+    sequential embedding_neardup_incremental batch calls."""
+    from spark_signals.datapipe.dedup import (
+        embedding_lsh_index,
+        embedding_neardup_incremental,
+    )
+    from spark_signals.datapipe.streaming import ingest_embedding_stream
+
+    b1 = _emb(spark, [(0, BASE_VEC), (1, ORTHO_A)])
+    b2 = _emb(
+        spark,
+        [(10, [x * 1.01 + 0.001 for x in BASE_VEC]), (11, ORTHO_B)],
+    )
+    src = str(tmp_path / "drops")
+    dirs = dict(
+        lsh_index_dir=str(tmp_path / "lsh_idx"),
+        survivors_dir=str(tmp_path / "sur"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    for batch in (b1, b2):
+        batch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = ingest_embedding_stream(stream, **dirs)
+        q.awaitTermination()
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(dirs["survivors_dir"]).collect()
+    )
+    empty = embedding_lsh_index(b1).filter(F.lit(False))
+    s1, d1 = embedding_neardup_incremental(b1, empty)
+    s2, _ = embedding_neardup_incremental(b2, d1)
+    want = sorted(
+        r["vec_id"] for r in s1.unionByName(s2).select("vec_id").collect()
+    )
+    assert got == want == [0, 1, 11]
