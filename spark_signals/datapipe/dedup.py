@@ -684,11 +684,9 @@ def semdedup(
     relation is eagerly pinned because the self-join reads it twice.
     """
     from spark_signals.datapipe.similarity import (
-        _cos_div,
         kmeans_assign_arrow,
         kmeans_train,
     )
-    from spark_signals.parity import sround
 
     if k is None:
         # one scalar count — the documented exception to the no-driver-side-
@@ -700,21 +698,16 @@ def semdedup(
         .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))
         .localCheckpoint(eager=True)
     )
-    a = rel.alias("a")
-    b = rel.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
-    )
-    na = F.sqrt(F.expr("aggregate(a.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
-    nb = F.sqrt(F.expr("aggregate(b.embedding, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
-    cos = sround(_cos_div(dot, na * nb), 6)
-    close = (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("b.vec_id") < F.col("a.vec_id"))
-        .filter(cos >= F.lit(float(threshold)))
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(F.count(F.lit(1)).alias("n_close_lower"))
-    )
+    # within-cell close-pair COUNTS as one cogrouped Arrow matmul per cell
+    # (the r11 constant-factor fix, same economics as the KNN candidate
+    # scorer): the output is per-vector counts, so the Σ|cell|² pair
+    # relation never needs to exist as rows — each cell's cosine matrix is
+    # one BLAS product, gridded to 1e-6 exactly like the SQL twin, and
+    # only the n_close_lower > 0 rows are emitted. Row blocks bound peak
+    # memory at O(block · |cell|); the balanced √n sizing keeps mean
+    # |cell| at √n, and a pathological mega-cell serializes one task (the
+    # trained-cell twin of the band hot-key problem — cap upstream).
+    close = _semdedup_counts_arrow(rel, float(threshold))
     n_close = F.coalesce(F.col("n_close_lower"), F.lit(0).cast("long"))
     return (
         rel.select("vec_id", "cell")
@@ -725,6 +718,44 @@ def semdedup(
             n_close.alias("n_close_lower"),
             (n_close > 0).alias("is_semdup"),
         )
+    )
+
+
+def _semdedup_counts_arrow(rel: DataFrame, threshold: float) -> DataFrame:
+    """(vec_id, n_close_lower > 0) per cell via applyInPandas: for each
+    vector, the count of LOWER-vec_id cell-mates whose gridded cosine
+    meets ``threshold`` — the semantics of the former within-cell pair
+    join, computed as a blocked matmul without materializing pairs."""
+
+    def count(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "n_close_lower": pd.Series(dtype="int64")}
+            )
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        ids = pdf["vec_id"].to_numpy()
+        counts = np.zeros(n, dtype=np.int64)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            den = np.maximum(norms[lo:hi, None] * norms[None, :], 1e-300)
+            cosg = np.floor(x[lo:hi] @ x.T / den * 1e6 + 0.5000001) / 1e6
+            # lower-id mates only: ids is sorted, so mate column j counts
+            # toward row i iff j < (global row index of i)
+            col = np.arange(n)[None, :]
+            row = np.arange(lo, hi)[:, None]
+            counts[lo:hi] = ((cosg >= threshold) & (col < row)).sum(axis=1)
+        keep = counts > 0
+        return pd.DataFrame({"vec_id": ids[keep], "n_close_lower": counts[keep]})
+
+    return rel.groupBy("cell").applyInPandas(
+        count, "vec_id long, n_close_lower long"
     )
 
 

@@ -292,14 +292,17 @@ def test_pack_sequences_single_shard_shuffle(spark):
 
 
 def test_semdedup_pairwise_stays_cell_blocked(spark):
-    """SemDeDup: the pairwise cosine stage must be an equi-join on the cell
-    id (never a cartesian/nested-loop over the corpus); Lloyd-loop internals
-    are checkpoint-pinned so the pair plan reads materialized relations."""
+    """SemDeDup: the within-cell close-count stage is ONE cogrouped Arrow
+    matmul per cell (r11 — pairs never materialize as rows; the output is
+    per-vector counts), never a cartesian/nested-loop over the corpus and
+    never row-at-a-time Python; Lloyd-loop internals are checkpoint-pinned
+    so the plan reads materialized relations."""
     from spark_signals.datapipe.dedup import semdedup
 
     p = plan_str(semdedup(read_table(spark, SF, "embeddings")))
     assert count_op(p, "CartesianProduct") == 0
     assert count_op(p, "BroadcastNestedLoopJoin") == 0
+    assert count_op(p, "FlatMapGroupsInPandas") == 1
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
