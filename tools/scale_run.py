@@ -155,6 +155,10 @@ def main() -> int:
         "bpe_train_prod": lambda: bpe_train(docs, n_merges=2000, batch=64, min_freq=2),
         "bm25_topk_1kq": lambda: _bm25_1kq(docs),
         "media_phash_decoded": lambda: _media_phash_decoded(docs),
+        # r11 additions: the incremental band-index lanes' snapshot faces
+        "media_phash_incr": lambda: _media_phash_incr(docs),
+        "embedding_incr_neardup": lambda: _embedding_incr(emb),
+        "knn_join_ivf_sampled": lambda: _knn_join_sampled(emb),
     }
 
     def _bpe_fertility(d):
@@ -181,6 +185,22 @@ def main() -> int:
         from spark_signals.datapipe.similarity import knn_join_ivf
 
         return knn_join_ivf(e)
+
+    def _knn_join_sampled(e):
+        # the production default: sampled trainer engaged (cap << corpus)
+        from spark_signals.datapipe.similarity import knn_join_ivf
+
+        return knn_join_ivf(e, train_cap=10_000)
+
+    def _media_phash_incr(d):
+        from spark_signals.datapipe.multimodal import media_phash_incr_snapshot
+
+        return media_phash_incr_snapshot(d)
+
+    def _embedding_incr(e):
+        from spark_signals.datapipe.dedup import embedding_incr_neardup_snapshot
+
+        return embedding_incr_neardup_snapshot(e)
 
     def _decontam_fuzzy(d):
         from spark_signals.datapipe.decontam import decontaminate_fuzzy
