@@ -120,31 +120,68 @@ DRIVER_CAP = 50
 #   of the KNN self-join (the production default branch finally gets a
 #   hash-matched twin, r10 verdict #4). Active set: 49 of 50 slots.
 #
-# r12 rotation plan (queued): nothing is DUE before r13, but 34 r10
-# retirees hit their deadline at r13 — more than one round can absorb —
-# so r12 pre-checks half early: re-retire the ten r11 returners after
-# their green round (10 slots) and bring IN the twelve r10 retirees whose
-# families have the thinnest standing coverage (normalized_prices,
-# signals_decisions, asof_join_tolerance, recent_ticks_per_instrument,
-# dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
-# length_band_approx, sample_quota_per_source, curate_keep_decision,
-# split_train_val_test), using the free slot plus one early promotion
-# re-retirement for the overflow. ALSO queued for r12: the two r11-wave
-# incoming operators (media_phash_incr_snapshot, embedding_incr_neardup —
-# the incremental band-index lanes' checked faces, both hash-verified
-# locally with non-vacuous drops); if slots run short they chain behind
-# their checked siblings (dedup_incr_neardup holds the family's shape
-# evidence meanwhile). The
-# remaining 22 r10 retirees re-check at r13 against the slots freed by
-# the r11/r12 promotions re-retiring (each will hold 2 green rounds and
-# a checked same-family sibling by then).
-# Due-by ledger (retiree -> latest re-check round): r10 retirees -> r13;
-# r11 retirees -> r14. No deadline before r13 is outstanding.
+# r12 rotation (executed this round, exactly as queued in the recorded
+# r11 plan):
+# - IN, returners (12): the twelve r10 retirees with the thinnest-coverage
+#   families, pre-checked one round ahead of their r13 deadline
+#   (normalized_prices, signals_decisions, asof_join_tolerance,
+#   recent_ticks_per_instrument, dedup_minhash_lsh, dedup_simhash,
+#   ann_bruteforce_topk, tfidf_top_terms, length_band_approx,
+#   sample_quota_per_source, curate_keep_decision, split_train_val_test).
+# - IN, promotions (2): the r11-wave incremental-lane faces
+#   (media_phash_incr_snapshot, embedding_incr_neardup) — incoming
+#   backlog reaches 0 again.
+# - OUT (13): the ten r11 returners re-retire after their green re-check
+#   round, plus three r11 promotions with one green round AND a checked
+#   same-family sibling staying in the set (the r08 precedent:
+#   first-green-artifact + checked sibling): knn_join_ivf (its sampled
+#   production-default twin knn_join_ivf_sampled stays), media_phash_neardup
+#   (the raw-byte face; the production DECODED face stays and the
+#   incremental media face promotes in), bm25_topk_queries (hybrid_rrf_topk
+#   AND hybrid_rrf_ivf_topk both chain the identical BM25 arm inline before
+#   fusion, both staying). Active set: 50 of 50 slots.
+#
+# r13 rotation plan (queued): the remaining 22 r10 retirees hit their
+# ≤3-round deadline at r13 — all 22 come IN. Slots: the twelve r12
+# returners re-retire after their green round (12), the two r12
+# promotions re-retire behind their checked lane siblings after one green
+# round (2), and eight more r11 promotions/new-ops with checked siblings
+# re-retire early (hybrid_rrf_ivf_topk behind hybrid_rrf_topk,
+# dedup_incr_neardup behind the two promoted incremental-lane faces,
+# cluster_composition behind dedup_canonical_quality's cluster family,
+# dsir_logratio + mixture_curriculum behind mixture_manifest_by_lang,
+# strip_boilerplate behind text_clean_markup, knn_join_ivf_sampled behind
+# ann_ivf_trained_topk's shared trained-IVF machinery,
+# media_phash_neardup_decoded behind media_phash_incr_snapshot — each
+# holding ≥1 green round by then). 12+2+8 = 22 slots. After r13 executes,
+# no r10 deadline remains; r11/r12 retirees come due r14/r15 in waves of
+# ≤13.
+# Due-by ledger (retiree -> latest re-check round): remaining r10
+# retirees -> r13; r11 retirees -> r14; r12 retirees -> r15. No deadline
+# before r13 is outstanding.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is
     # CURRENTLY retired; returners re-retiring carry their full green
     # history in their tag.
+    # r12 rotation (this round): the 10 r11 returners re-retire after
+    # their green re-check round, plus 3 r11 promotions with a green
+    # round and checked siblings; the freed slots took the 12
+    # thinnest-coverage r10 retirees one round ahead of their r13
+    # deadline plus the 2 incremental-lane promotions. Due re-check r15.
+    "ticks_source": "r12 rotation; returner re-check green r11; the S1 typed tick source feeds EVERY checked pipeline query inline (positions_costs, executions, strategy_metrics, streaming chain) (green r01-r06, r07, r11)",
+    "nation_region_rollup": "r12 rotation; returner re-check green r11; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning tfidf_top_terms's agg shapes; 3-way-join sibling segment_revenue_3way_join stays checked (green r01-r06, r07, r11)",
+    "segment_revenue_3way_join": "r12 rotation; returner re-check green r11; J3-J5 listing-join family checked via staying anti_join_parts_never_shipped + segment_revenue_bucketed (green r01-r06, r07, r11)",
+    "sliding_window_counts": "r12 rotation; returner re-check green r11; T6 sliding-window family checked via staying streaming_metrics_5m + streaming_hourly_rollup_chained (green r01-r06, r07, r11)",
+    "length_band_filter": "r12 rotation; returner re-check green r11; length-band family checked via returning length_band_approx (its approx-percentile twin) (green r01-r06, r07, r11)",
+    "sample_temperature_source": "r12 rotation; returner re-check green r08, r11; sampling family checked via staying mixture_manifest_by_lang + mixture_curriculum + returning sample_quota_per_source (green r01-r07, r08, r11)",
+    "pack_sequences_manifest": "r12 rotation; returner re-check green r08, r11; packing family checked via staying shuffle_windows (chains the same pack stage) (green r07, r08, r11)",
+    "curate_stats_by_source": "r12 rotation; returner re-check green r08, r11; curation-stats family checked via returning curate_keep_decision (the stats stage runs inline in its composition) (green r07, r08, r11)",
+    "chunk_documents_overlap": "r12 rotation; returner re-check green r08, r11; chunk family checked via staying dedup_intra_doc (same passage explode) + tested embed_chunks_hashed chain (green r07, r08, r11)",
+    "lm_bigram_quality": "r12 rotation; returner re-check green r08, r11; LM-scoring family checked via staying ccnet_lm_buckets (same token/model/broadcast-score stages) (green r07, r08, r11)",
+    "knn_join_ivf": "r12 rotation; promoted r11, green r11, early re-retire on the r08 first-green-plus-sibling precedent; knn_join_ivf_sampled stays checked and runs the SAME assign/probe/score chain (sampled trainer = the production default branch); full-trainer face stays tested + --extended",
+    "media_phash_neardup": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; the production DECODED face (media_phash_neardup_decoded) stays checked and the incremental media face (media_phash_incr_snapshot) promotes in — both run the same banded-dHash pair machinery; raw-byte face stays tested + --extended",
+    "bm25_topk_queries": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; staying hybrid_rrf_topk AND hybrid_rrf_ivf_topk chain the identical BM25 arm inline before fusion; standalone face stays tested + --extended",
     # r11 rotation (this round): the 22 r10 returners re-retire after
     # their green re-check round; the freed slots took the 10 r08 retirees
     # back for their ≤3-round re-check plus all 10 incoming promotions.
@@ -189,27 +226,15 @@ RETIRED = {
     "embed_chunks_hashed": "r10 rotation; promoted r07, green r07-r09; chunk → hashed-embed chain stays tested + --extended; dense-arm consumers checked via promoted hybrid_rrf_topk",
     # -- veterans whose families stay checked via this round's
     #    returners/promotions (long green histories, all ≥4 rounds):
-    "normalized_prices": "r10 rotation; the P1-P2 normalize stage runs inline in checked positions_costs/executions/strategy_metrics and returning positions_forward_fill (green r01-r09)",
-    "signals_decisions": "r10 rotation; returning sma_crossover_signals is its direct P3 CASE twin; the decision stage runs inline in the checked positions chain AND as the entry() flagship smoke every round (green r01-r09)",
     "strategy_summary_filter_agg": "r10 rotation; A5-A6 FILTER-aggregate family checked via returning pricing_summary_q1 + staying segment_revenue_bucketed (green r01-r09)",
-    "asof_join_tolerance": "r10 rotation; tolerance variant of staying asof_join_trade_quote (same backward-join core, one bound predicate) (green r02-r09)",
-    "recent_ticks_per_instrument": "r10 rotation; top-k serving twin of returning latest_price_per_instrument (top-1) (green r01-r09)",
-    "dedup_minhash_lsh": "r10 rotation; banded-jaccard family checked via returning dedup_ngram_jaccard (exact-jaccard verify) + decontam_suite_chained (band-probe minhash against the eval index) (green r01-r09)",
-    "dedup_simhash": "r10 rotation; hamming-banded family checked via returning dedup_ngram_jaccard + winnow_zipf_chained (green r01-r09)",
     "dedup_clusters_canonical": "r10 rotation; promoted dedup_canonical_quality runs the same CC clustering with quality-aware canonical selection (superset) (green r01-r09)",
-    "ann_bruteforce_topk": "r10 rotation; ANN family checked via returning ann_ivf_topk + ann_lsh_hyperplane_pairs and promoted ann_index_delta; exact-cosine baseline stays the recall oracle in tests/test_ann_recall.py (green r01-r09)",
     "ann_ivfpq_topk": "r10 rotation; PQ variant of staying ann_ivf_trained_topk (shared IVF probe; PQ distance tables tested) (green r01-r09)",
-    "tfidf_top_terms": "r10 rotation; lexical-scoring family checked via promoted hybrid_rrf_topk (chains the BM25 arm inline) + returning text_stats_quality (green r01-r09)",
-    "length_band_approx": "r10 rotation; percentile family checked via returning value_percentiles_exact (its exact twin) (green r05-r09)",
     "dedup_incremental": "r10 rotation; digest-incremental family checked via returning dedup_exact_hash (the digest stage) + decontam_suite_chained (the band-index probe shape) (green r06-r09)",
     "repetition_gopher_quality": "r10 rotation; text-quality family checked via returning text_stats_quality + promoted ccnet_lm_buckets (green r05-r09)",
     "decontam_ngram_overlap": "r10 rotation; decontam_suite_chained is its per-benchmark superset (same digest-broadcast overlap chain, exact + fuzzy arms) (green r05-r09)",
-    "sample_quota_per_source": "r10 rotation; sampling family checked via returning sample_stratified_hash + promoted mixture_manifest_by_lang (green r05-r09)",
     "lm_unigram_quality": "r10 rotation; LM-scoring family checked via promoted ccnet_lm_buckets (same token/model/broadcast-score stages, bucketed) (green r06-r09)",
     "dedup_passages": "r10 rotation; passage-grain family checked via promoted dedup_intra_doc (same passage explode + digest) (green r06-r09)",
     "pii_scrub_redact": "r10 rotation; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape); scrub regexes stay fuzz-tested (tests/test_pii_fuzz.py) (green r06-r09)",
-    "curate_keep_decision": "r10 rotation; every composed stage is checked individually this round (text_stats_quality + lang_id_heuristic + dedup_exact_hash returners, text_clean_markup staying, decontam_suite_chained) and the composition is pinned by tests/test_curation_ops.py (green r05-r09)",
-    "split_train_val_test": "r10 rotation; hash-predicate split family checked via returning sample_stratified_hash (same deterministic-hash mechanism) (green r08, r09)",
     "vocab_coverage_topv": "r10 rotation; promoted tokenize_with_vocab builds and applies the same top-V vocabulary (superset: adds the OOV segmentation) (green r08, r09)",
     "bm25_topk_lexical": "r10 rotation; promoted hybrid_rrf_topk chains the identical BM25 arm inline before fusion (green r08, r09)",
     "dedup_cluster_stats": "r10 rotation; cluster-audit family checked via promoted dedup_canonical_quality (same CC clusters, quality-keyed) (green r08, r09)",

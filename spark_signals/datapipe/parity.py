@@ -749,6 +749,18 @@ DATAPIPE_QUERIES["knn_join_ivf_sampled"] = (
 )
 
 
+# r12 rotation: the r11-wave incremental-lane faces promote, exactly as
+# queued in the recorded r11 plan (__spark_entry__.py rotation note) — the
+# incoming backlog reaches 0 again. Both were verified non-vacuous in the
+# r11 judge sweep (rows=213 / 92 at sf0.01).
+_R12_PROMOTED = (
+    "media_phash_incr_snapshot",
+    "embedding_incr_neardup",
+)
+for _n in _R12_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -15,70 +15,57 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r11 checked set: the 16 family anchors + the r10 promotions that
-# keep their slots, the 10 r08 retirees back for their ≤3-round re-check,
-# all 10 incoming promotions (backlog 0), and the new sampled-KNN face.
+# The r12 checked set (50/50): generated from the live registry after the
+# r12 rotation executed (10 r11 returners re-retired + 3 early promotion
+# re-retirements; 12 thin-coverage r10 retirees + the 2 incremental-lane
+# promotions IN). Pinned as literals so a silent registry shrink fails.
 EXPECTED_QUERIES = frozenset({
-    # family anchors that kept their slots
-    "positions_costs", "executions", "strategy_metrics",
-    "replay_backtest_window", "ewma_zscore_strategy",
-    "streaming_positions_costs", "streaming_metrics_5m",
-    "streaming_hourly_rollup_chained",
-    "asof_join_trade_quote", "range_join_tick_stats",
-    "latency_metrics_rollup", "segment_revenue_bucketed",
-    "anti_join_parts_never_shipped", "multimodal_features",
-    "ann_ivf_trained_topk", "text_clean_markup",
-    # r10 promotions staying for their second green round
-    "hybrid_rrf_topk", "dedup_intra_doc", "ccnet_lm_buckets",
-    "ann_index_delta", "mixture_manifest_by_lang", "dedup_canonical_quality",
-    "corpus_diff_snapshots", "tokenize_with_vocab", "shuffle_windows",
-    # r10 chained consolidation queries (each covers an incoming family)
-    "bpe_pipeline_chained", "winnow_zipf_chained", "decontam_suite_chained",
-    # r11 returners: the ten r08 retirees at their ≤3-round re-check
-    "ticks_source", "nation_region_rollup", "segment_revenue_3way_join",
-    "sliding_window_counts", "length_band_filter",
-    "sample_temperature_source", "pack_sequences_manifest",
-    "curate_stats_by_source", "chunk_documents_overlap", "lm_bigram_quality",
-    # r11 promotions: ALL ten remaining incoming operators (backlog 0)
-    "hybrid_rrf_ivf_topk", "dedup_incr_neardup", "bm25_topk_queries",
-    "cluster_composition", "dsir_logratio", "strip_boilerplate",
-    "knn_join_ivf", "mixture_curriculum", "media_phash_neardup",
-    "media_phash_neardup_decoded",
-    # r11 addition: the sampled-trainer KNN face (r10 verdict #4)
-    "knn_join_ivf_sampled",
+    "ann_bruteforce_topk", "ann_index_delta", "ann_ivf_trained_topk",
+    "anti_join_parts_never_shipped", "asof_join_tolerance",
+    "asof_join_trade_quote", "bpe_pipeline_chained", "ccnet_lm_buckets",
+    "cluster_composition", "corpus_diff_snapshots", "curate_keep_decision",
+    "decontam_suite_chained", "dedup_canonical_quality",
+    "dedup_incr_neardup", "dedup_intra_doc", "dedup_minhash_lsh",
+    "dedup_simhash", "dsir_logratio", "embedding_incr_neardup",
+    "ewma_zscore_strategy", "executions", "hybrid_rrf_ivf_topk",
+    "hybrid_rrf_topk", "knn_join_ivf_sampled", "latency_metrics_rollup",
+    "length_band_approx", "media_phash_incr_snapshot",
+    "media_phash_neardup_decoded", "mixture_curriculum",
+    "mixture_manifest_by_lang", "multimodal_features", "normalized_prices",
+    "positions_costs", "range_join_tick_stats",
+    "recent_ticks_per_instrument", "replay_backtest_window",
+    "sample_quota_per_source", "segment_revenue_bucketed", "shuffle_windows",
+    "signals_decisions", "split_train_val_test", "strategy_metrics",
+    "streaming_hourly_rollup_chained", "streaming_metrics_5m",
+    "streaming_positions_costs", "strip_boilerplate", "text_clean_markup",
+    "tfidf_top_terms", "tokenize_with_vocab", "winnow_zipf_chained",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    # r10 rotation: five r08 returners re-retired after two green rounds
-    "doc_fingerprint_minhash1", "position_returns",
-    "semi_join_has_lineitems", "topk_events", "position_transitions",
-    # r10 rotation: five r07-promoted ops with two green rounds + siblings
-    "pack_windows_composition", "semdedup_cells", "quality_logreg_score",
-    "mixture_manifest_uniform", "embed_chunks_hashed",
-    # r10 rotation: veterans whose families stay checked via r10/r11
-    # returners/promotions
-    "normalized_prices", "signals_decisions", "strategy_summary_filter_agg",
-    "asof_join_tolerance", "recent_ticks_per_instrument",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters_canonical",
-    "ann_bruteforce_topk", "ann_ivfpq_topk", "tfidf_top_terms",
-    "length_band_approx", "dedup_incremental", "repetition_gopher_quality",
-    "decontam_ngram_overlap", "sample_quota_per_source",
-    "lm_unigram_quality", "dedup_passages", "pii_scrub_redact",
-    "curate_keep_decision", "split_train_val_test", "vocab_coverage_topv",
-    "bm25_topk_lexical", "dedup_cluster_stats",
-    # r11 rotation: the 22 r10 returners re-retired after their green
-    # re-check round (due r14)
-    "sma_crossover_signals", "positions_forward_fill",
-    "latest_price_per_instrument", "breakout_band_signals",
-    "value_percentiles_exact", "embedding_cosine_neardup",
-    "streaming_interval_join",
-    "j1_signal_rejoin", "union_live_replay", "sample_stratified_hash",
-    "lang_id_heuristic", "performance_windows_5m", "signal_counts_5m",
-    "metrics_hourly_rollup", "dedup_exact_hash", "dedup_ngram_jaccard",
-    "ann_ivf_topk", "ann_lsh_hyperplane_pairs", "text_stats_quality",
-    "pricing_summary_q1", "runs_listing_join_topn", "session_window_per_user",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_hyperplane_pairs",
+    "bm25_topk_lexical", "bm25_topk_queries", "breakout_band_signals",
+    "chunk_documents_overlap", "curate_stats_by_source",
+    "decontam_ngram_overlap", "dedup_cluster_stats",
+    "dedup_clusters_canonical", "dedup_exact_hash", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_passages", "doc_fingerprint_minhash1",
+    "embed_chunks_hashed", "embedding_cosine_neardup", "j1_signal_rejoin",
+    "knn_join_ivf", "lang_id_heuristic", "latest_price_per_instrument",
+    "length_band_filter", "lm_bigram_quality", "lm_unigram_quality",
+    "media_phash_neardup", "metrics_hourly_rollup",
+    "mixture_manifest_uniform", "nation_region_rollup",
+    "pack_sequences_manifest", "pack_windows_composition",
+    "performance_windows_5m", "pii_scrub_redact", "position_returns",
+    "position_transitions", "positions_forward_fill", "pricing_summary_q1",
+    "quality_logreg_score", "repetition_gopher_quality",
+    "runs_listing_join_topn", "sample_stratified_hash",
+    "sample_temperature_source", "segment_revenue_3way_join",
+    "semdedup_cells", "semi_join_has_lineitems", "session_window_per_user",
+    "signal_counts_5m", "sliding_window_counts", "sma_crossover_signals",
+    "strategy_summary_filter_agg", "streaming_interval_join",
+    "text_stats_quality", "ticks_source", "topk_events", "union_live_replay",
+    "value_percentiles_exact", "vocab_coverage_topv",
 })
 
 
