@@ -667,6 +667,7 @@ def semdedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     k: int | None = None,
     target_cell_size: int = SEMDEDUP_TARGET_CELL,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Semantic dedup over TRAINED k-means cells (no label column needed).
 
@@ -698,16 +699,16 @@ def semdedup(
         .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))
         .localCheckpoint(eager=True)
     )
-    # within-cell close-pair COUNTS as one cogrouped Arrow matmul per cell
-    # (the r11 constant-factor fix, same economics as the KNN candidate
-    # scorer): the output is per-vector counts, so the Σ|cell|² pair
-    # relation never needs to exist as rows — each cell's cosine matrix is
-    # one BLAS product, gridded to 1e-6 exactly like the SQL twin, and
-    # only the n_close_lower > 0 rows are emitted. Row blocks bound peak
-    # memory at O(block · |cell|); the balanced √n sizing keeps mean
-    # |cell| at √n, and a pathological mega-cell serializes one task (the
-    # trained-cell twin of the band hot-key problem — cap upstream).
-    close = _semdedup_counts_arrow(rel, float(threshold))
+    # within-cell close-pair COUNTS as cogrouped Arrow matmuls (the r11
+    # constant-factor fix, same economics as the KNN candidate scorer):
+    # the output is per-vector counts, so the Σ|cell|² pair relation
+    # never needs to exist as rows — each cell's cosine matrix is BLAS
+    # products, gridded to 1e-6 exactly like the SQL twin, and only the
+    # n_close_lower > 0 rows are emitted. The balanced √n sizing keeps
+    # mean |cell| at √n, and the r12 mega-cell guard chunk-splits any
+    # cell past cell_cap so no task ever holds an unbounded cell (see
+    # _semdedup_counts_arrow).
+    close = _semdedup_counts_arrow(rel, float(threshold), cell_cap)
     n_close = F.coalesce(F.col("n_close_lower"), F.lit(0).cast("long"))
     return (
         rel.select("vec_id", "cell")
@@ -721,41 +722,104 @@ def semdedup(
     )
 
 
-def _semdedup_counts_arrow(rel: DataFrame, threshold: float) -> DataFrame:
-    """(vec_id, n_close_lower > 0) per cell via applyInPandas: for each
-    vector, the count of LOWER-vec_id cell-mates whose gridded cosine
-    meets ``threshold`` — the semantics of the former within-cell pair
-    join, computed as a blocked matmul without materializing pairs."""
+def _semdedup_counts_arrow(
+    rel: DataFrame, threshold: float, cell_cap: int | None = None
+) -> DataFrame:
+    """(vec_id, n_close_lower > 0) per cell via a COGROUPED Arrow matmul:
+    for each vector, the count of LOWER-vec_id cell-mates whose gridded
+    cosine meets ``threshold`` — the semantics of the former within-cell
+    pair join, computed blocked without materializing pairs.
 
-    def count(pdf):
+    Mega-cell guard (r12, same discipline as similarity's KNN scorer):
+    cogroups don't AQE-split, so an unguarded per-cell group would let one
+    pathological trained cell serialize one task holding the whole cell's
+    embedding matrix. Instead the cell self-join is expressed as a
+    cogroup of (probe rows) × (mate rows) keyed on (cell, pchunk, mchunk)
+    where each side hashes into ceil(|cell|/``cell_cap``) chunks and fans
+    out across the other side's chunks — every task sees ≤ ~cap rows per
+    side at any skew, and a mega-cell becomes splits² parallel tasks.
+    Counts are ADDITIVE over mate chunks (a (probe, mate) pair meets in
+    exactly one group), so the final per-vec sum is exactly the unsplit
+    count. Under the default cap no test-scale cell splits (all factors
+    1) and the arithmetic is identical to the unguarded stage."""
+    from spark_signals.datapipe.similarity import (
+        _CELL_HARD_LIMIT_FACTOR,
+        CELL_SPLIT_CAP,
+        _chunk_splits,
+    )
+
+    cap = CELL_SPLIT_CAP if cell_cap is None else int(cell_cap)
+    hard_limit = cap * _CELL_HARD_LIMIT_FACTOR
+
+    def count(left, right):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "n_close_lower": pd.Series(dtype="int64")}
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "n_close_lower": pd.Series(dtype="int64")}
+        )
+        if not len(left) or not len(right):
+            return empty
+        if len(left) > hard_limit or len(right) > hard_limit:
+            raise ValueError(
+                f"mega-cell guard breached: cogroup sides "
+                f"{len(left)}/{len(right)} exceed {hard_limit} "
+                f"(= {_CELL_HARD_LIMIT_FACTOR}x cell_cap={cap}) — the chunk "
+                f"split upstream should have bounded this; retrain or "
+                f"split the cell / check the split wiring"
             )
-        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        norms = np.sqrt((x * x).sum(axis=1))
-        ids = pdf["vec_id"].to_numpy()
-        counts = np.zeros(n, dtype=np.int64)
-        for lo in range(0, n, 1024):
-            hi = min(lo + 1024, n)
-            den = np.maximum(norms[lo:hi, None] * norms[None, :], 1e-300)
-            cosg = np.floor(x[lo:hi] @ x.T / den * 1e6 + 0.5000001) / 1e6
-            # lower-id mates only: ids is sorted, so mate column j counts
-            # toward row i iff j < (global row index of i)
-            col = np.arange(n)[None, :]
-            row = np.arange(lo, hi)[:, None]
-            counts[lo:hi] = ((cosg >= threshold) & (col < row)).sum(axis=1)
+        x = np.array(left["embedding"].tolist(), dtype=np.float64)
+        m = np.array(right["m_emb"].tolist(), dtype=np.float64)
+        ids = left["vec_id"].to_numpy()
+        mate_ids = right["mate_id"].to_numpy()
+        xn = np.sqrt((x * x).sum(axis=1))
+        mn = np.sqrt((m * m).sum(axis=1))
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            den = np.maximum(xn[lo:hi, None] * mn[None, :], 1e-300)
+            cosg = np.floor(x[lo:hi] @ m.T / den * 1e6 + 0.5000001) / 1e6
+            counts[lo:hi] = (
+                (cosg >= threshold) & (mate_ids[None, :] < ids[lo:hi, None])
+            ).sum(axis=1)
         keep = counts > 0
         return pd.DataFrame({"vec_id": ids[keep], "n_close_lower": counts[keep]})
 
-    return rel.groupBy("cell").applyInPandas(
-        count, "vec_id long, n_close_lower long"
+    # probe/mates built as two INDEPENDENT join expressions (not one shared
+    # `sized` node): cogrouping two branches of the same join triggers
+    # Spark's ambiguous-self-join analyzer error
+    splits = _chunk_splits(rel.select("cell"), "cell", cap, "nsplits")
+    probe = (
+        rel.join(F.broadcast(splits), "cell")
+        .withColumn(
+            "pchunk", F.pmod(F.xxhash64("vec_id"), F.col("nsplits")).cast("int")
+        )
+        .withColumn("mchunk", F.explode(F.expr("sequence(0, nsplits - 1)")))
+        .select("cell", "pchunk", "mchunk", "vec_id", "embedding")
+    )
+    mates = (
+        # every column re-aliased: fresh attribute ids, so cogrouping the
+        # probe branch (which keeps rel's ids) is not an ambiguous self-join
+        rel.select(
+            F.col("cell").alias("cell"),
+            F.col("vec_id").alias("mate_id"),
+            F.col("embedding").alias("m_emb"),
+        )
+        .join(F.broadcast(splits), "cell")
+        .withColumn(
+            "mchunk", F.pmod(F.xxhash64("mate_id"), F.col("nsplits")).cast("int")
+        )
+        .withColumn("pchunk", F.explode(F.expr("sequence(0, nsplits - 1)")))
+        .select("cell", "pchunk", "mchunk", "mate_id", "m_emb")
+    )
+    partials = (
+        probe.groupBy("cell", "pchunk", "mchunk")
+        .cogroup(mates.groupBy("cell", "pchunk", "mchunk"))
+        .applyInPandas(count, "vec_id long, n_close_lower long")
+    )
+    return partials.groupBy("vec_id").agg(
+        F.sum("n_close_lower").alias("n_close_lower")
     )
 
 

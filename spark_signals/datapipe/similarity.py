@@ -668,8 +668,43 @@ def probe_cells_arrow(
     )
 
 
+# Mega-cell guard: rows per cogroup SIDE before the chunk split engages.
+# A cogrouped Arrow stage materializes each group side as one pandas
+# frame, and cogroups don't AQE-split — so a pathological trained cell
+# (or a hot prober set) would serialize one task with O(|cell|·D) memory.
+# The split below is structural, not advisory: every group a cogroup task
+# sees is bounded by this cap (times hash variance), at any skew.
+CELL_SPLIT_CAP = 65_536
+# Defensive ceiling inside the cogroup fns: with the structural split in
+# place a group side can only exceed this via broken upstream wiring, so
+# fail loudly instead of letting one task OOM silently.
+_CELL_HARD_LIMIT_FACTOR = 8
+
+
+def _chunk_splits(rows: DataFrame, key: str, cap: int, out: str) -> DataFrame:
+    """(key, out=ceil(count/cap)) per group — the chunk factor of the
+    mega-cell guard. One map-side-combined count agg (constant state per
+    key), never a list buffer. The key is RE-ALIASED so joining the
+    factor back onto the counted relation is never flagged as an
+    ambiguous self-join (the agg output would otherwise keep the source
+    attribute id)."""
+    return (
+        rows.groupBy(key)
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(int(max(cap, 1))))
+            .cast("int")
+            .alias(out)
+        )
+        .select(F.col(key).alias(key), F.col(out))
+    )
+
+
 def _knn_score_cells_arrow(
-    probers: DataFrame, members: DataFrame, k_neighbors: int
+    probers: DataFrame,
+    members: DataFrame,
+    k_neighbors: int,
+    cell_cap: int = CELL_SPLIT_CAP,
+    prober_counts_src: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, match_id, cosine): per-cell cosine TOP-K via a cogrouped
     Arrow matmul — the candidate-scoring stage of :func:`knn_join_ivf`.
@@ -687,14 +722,32 @@ def _knn_score_cells_arrow(
     1e-6 grid and (cosine desc, match_id asc) order as the global
     window, via members pre-sorted by match_id + a stable argsort.
 
-    Skew: one cogroup task sees one cell; prober rows stream through in
-    fixed blocks so peak memory is O(block · |cell|), and the balanced
-    √(NPROBE·n) sizing keeps mean |cell| at √(n/NPROBE). A pathological
-    mega-cell serializes one task (cogroups don't AQE-split) — the
-    trained-cell twin of the band hot-key problem; cap cell size upstream
-    (re-train or split) if a real corpus produces one.
+    Skew (the mega-cell guard, r12): cogroups don't AQE-split, so an
+    unguarded stage would let one pathological trained cell serialize one
+    task with O(|cell|·D) memory — the trained-cell twin of the band
+    hot-key problem. Both sides are therefore CHUNKED structurally:
+    per-cell counts (one cheap agg each) derive a split factor
+    ceil(count/``cell_cap``) per side, members hash into ``m_splits``
+    chunks and probers into ``p_splits`` chunks, each row fans out across
+    the OTHER side's chunks, and the cogroup keys on (label, pchunk,
+    mchunk) — so every task sees ≤ ~cap rows per side at any skew, and a
+    mega-cell becomes splits² parallel tasks instead of one straggler.
+    Result-preserving: a (query, match) pair meets in exactly one
+    (pchunk, mchunk) group, and the union of per-member-chunk top-k sets
+    is a superset of the per-cell top-k (same argument as the per-cell
+    cut above), which the global window reduces identically. Under the
+    default cap no test-scale cell splits (all factors are 1, grouping
+    degenerates to (label, 0, 0)) so results AND task structure match the
+    unguarded stage exactly. Fan-out cost is 2·splits·|cell| rows — paid
+    only by cells that actually exceed the cap.
+
+    ``prober_counts_src``: a narrow (…, label) relation to count probers
+    from — :func:`knn_join_ivf` passes its checkpointed probe relation so
+    the count agg never re-runs the prober-side embedding join.
     """
     import numpy as np
+
+    hard_limit = int(cell_cap) * _CELL_HARD_LIMIT_FACTOR
 
     def score(left, right):
         import pandas as pd
@@ -702,6 +755,14 @@ def _knn_score_cells_arrow(
         cols = {"query_id": "int64", "match_id": "int64", "cosine": "float64"}
         if not len(left) or not len(right):
             return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        if len(left) > hard_limit or len(right) > hard_limit:
+            raise ValueError(
+                f"mega-cell guard breached: cogroup sides "
+                f"{len(left)}/{len(right)} exceed {hard_limit} "
+                f"(= {_CELL_HARD_LIMIT_FACTOR}x cell_cap={cell_cap}) — the "
+                f"chunk split upstream should have bounded this; retrain "
+                f"or split the cell / check the split wiring"
+            )
         right = right.sort_values("match_id")  # stable-argsort tie-break order
         q = np.array(left["q_emb"].tolist(), dtype=np.float64)
         m = np.array(right["c_emb"].tolist(), dtype=np.float64)
@@ -731,9 +792,39 @@ def _knn_score_cells_arrow(
             )
         return pd.concat(out, ignore_index=True)
 
+    counts_src = probers if prober_counts_src is None else prober_counts_src
+    splits = (
+        _chunk_splits(counts_src.select("label"), "label", cell_cap, "p_splits")
+        .join(
+            _chunk_splits(members.select("label"), "label", cell_cap, "m_splits"),
+            "label",
+            "full",
+        )
+        .select(
+            "label",
+            F.coalesce("p_splits", F.lit(1)).alias("p_splits"),
+            F.coalesce("m_splits", F.lit(1)).alias("m_splits"),
+        )
+    )
+    p2 = (
+        probers.join(F.broadcast(splits), "label")
+        .withColumn(
+            "pchunk", F.pmod(F.xxhash64("query_id"), F.col("p_splits")).cast("int")
+        )
+        .withColumn("mchunk", F.explode(F.expr("sequence(0, m_splits - 1)")))
+        .select("label", "pchunk", "mchunk", "query_id", "q_emb")
+    )
+    m2 = (
+        members.join(F.broadcast(splits), "label")
+        .withColumn(
+            "mchunk", F.pmod(F.xxhash64("match_id"), F.col("m_splits")).cast("int")
+        )
+        .withColumn("pchunk", F.explode(F.expr("sequence(0, p_splits - 1)")))
+        .select("label", "pchunk", "mchunk", "match_id", "c_emb")
+    )
     return (
-        probers.groupBy("label")
-        .cogroup(members.groupBy("label"))
+        p2.groupBy("label", "pchunk", "mchunk")
+        .cogroup(m2.groupBy("label", "pchunk", "mchunk"))
         .applyInPandas(score, "query_id long, match_id long, cosine double")
     )
 
@@ -1088,6 +1179,7 @@ def knn_join_ivf(
     iters: int = KMEANS_ITERS,
     train_cap: int | None = KNN_TRAIN_CAP,
     n_rows: int | None = None,
+    cell_cap: int = CELL_SPLIT_CAP,
 ) -> DataFrame:
     """(query_id, match_id, cosine, rank) — top-``k_neighbors`` neighbors
     for EVERY corpus vector via trained-IVF cell probing (no label column
@@ -1103,6 +1195,9 @@ def knn_join_ivf(
     with :func:`kmeans_train_sampled`: with both ``k`` and ``n_rows``
     (or ``k`` and ``train_cap=None``) the builder itself runs NO Spark
     job before training starts — lazy composers pay no surprise action.
+    ``cell_cap`` bounds every cogroup task side via the mega-cell guard
+    (see :func:`_knn_score_cells_arrow`); the default never engages at
+    test scale and the split is result-preserving at any value ≥ 1.
     Reference has no ANN surface; north-star scope."""
     if k is None:
         n_rows = embeddings.count() if n_rows is None else n_rows
@@ -1123,8 +1218,13 @@ def knn_join_ivf(
     )
     # every vector scores every centroid by cosine — the n·k·D stage that
     # dominated the 100× decade as long-form SQL (600 s at 200k×64d); now
-    # one Arrow matmul pass, no shuffle (probe_cells_arrow)
-    probes = probe_cells_arrow(embeddings, centroids, NPROBE)
+    # one Arrow matmul pass, no shuffle (probe_cells_arrow). Checkpointed
+    # (narrow: two longs per row) because the mega-cell guard counts
+    # probers per cell from it — without the pin that count agg would
+    # re-run the probe matmul.
+    probes = probe_cells_arrow(embeddings, centroids, NPROBE).localCheckpoint(
+        eager=True
+    )
     probers = probes.join(
         relabeled.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1136,8 +1236,11 @@ def knn_join_ivf(
     )
     # candidate scoring: cogrouped per-cell matmul with result-preserving
     # per-cell top-k (see _knn_score_cells_arrow) — the probe side's
-    # n·NPROBE·(n/k_cells) pair relation never materializes as rows
-    scored = _knn_score_cells_arrow(probers, members, k_neighbors)
+    # n·NPROBE·(n/k_cells) pair relation never materializes as rows, and
+    # the mega-cell guard chunk-splits any cell past cell_cap
+    scored = _knn_score_cells_arrow(
+        probers, members, k_neighbors, cell_cap, prober_counts_src=probes
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id")
     )

@@ -302,7 +302,9 @@ def test_semdedup_pairwise_stays_cell_blocked(spark):
     p = plan_str(semdedup(read_table(spark, SF, "embeddings")))
     assert count_op(p, "CartesianProduct") == 0
     assert count_op(p, "BroadcastNestedLoopJoin") == 0
-    assert count_op(p, "FlatMapGroupsInPandas") == 1
+    # r12: the count stage is a COGROUP (mega-cell guard chunks both sides)
+    assert count_op(p, "FlatMapCoGroupsInPandas") == 1
+    assert count_op(p, "FlatMapGroupsInPandas") == 0
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
 
 
