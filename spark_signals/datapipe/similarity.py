@@ -592,10 +592,20 @@ def kmeans_assign_arrow(embeddings: DataFrame, centroids: DataFrame) -> DataFram
     onto the scan), peak memory O(batch·k), and deterministic: d2 grids
     to 1e-6 exactly like the SQL/DuckDB twins before the argmin, and
     numpy's argmin takes the FIRST minimum — the same lower-cluster_id
-    tie-break as the struct-min. Σ(x−c)² and ‖x‖²−2x·c+‖c‖² differ only
-    in float rounding ~1e-14, absorbed by the 1e-6 grid — the identical
-    tolerance class that already makes Spark's partial-agg order and
-    DuckDB's list_sum agree.
+    tie-break as the struct-min.
+
+    Cancellation guard (r12, advisor low #1): the BLAS-friendly expanded
+    form ‖x‖²−2x·c+‖c‖² carries absolute error ~ulps of ‖x‖²+‖c‖² (NOT of
+    d2), so a vector very close to a centroid — SemDeDup's exact input —
+    can mis-grid when d2·1e6 sits within that error of a floor boundary,
+    unlike the twins' direct Σ(x−c)². Rather than giving up BLAS for the
+    whole batch, the guard recomputes DIRECTLY (blocked Σ(x−c)², the
+    twins' own form) only the rows where a flip is possible: some
+    contending cell (gridded within 1 unit of the row's best) has its
+    pre-floor value within the row's conservative error bound of an
+    integer. On sane data the bound is ~1e-9 grid units and no row
+    triggers, so the fast path is pure matmul; adversarial near-duplicate
+    rows pay one exact row-recompute each.
     """
     import numpy as np
 
@@ -605,7 +615,13 @@ def kmeans_assign_arrow(embeddings: DataFrame, centroids: DataFrame) -> DataFram
             "vec_id", F.lit(0).cast("int").alias("cluster_id")
         ).filter(F.lit(False))
     cc = (mat * mat).sum(axis=1)
+    cc_max = float(cc.max()) if cc.size else 0.0
     mat_t = mat.T.copy()
+    ndim = mat.shape[1]
+    # per-row absolute error bound of the expanded form, in d2 units:
+    # each of the three reductions is accurate to ~D ulps of its own
+    # magnitude; |2x·c| ≤ ‖x‖²+‖c‖², so 4·D·eps·(‖x‖²+max‖c‖²) dominates
+    _ebound = 4.0 * ndim * np.finfo(np.float64).eps
 
     def assign(batches):
         import pandas as pd
@@ -614,11 +630,30 @@ def kmeans_assign_arrow(embeddings: DataFrame, centroids: DataFrame) -> DataFram
             if not len(pdf):
                 continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ mat_t) + cc[None, :]
-            d2g = np.floor(d2 * 1e6 + 0.5000001)
-            best = d2g.argmin(axis=1).astype("int32")
+            xx = (x * x).sum(axis=1)
+            v = (xx[:, None] - 2.0 * (x @ mat_t) + cc[None, :]) * 1e6 + 0.5000001
+            d2g = np.floor(v)
+            best = d2g.argmin(axis=1)
+            # flip-risk rows: a contending cell's pre-floor value within
+            # the cancellation bound of an integer
+            err_u = _ebound * (xx + cc_max) * 1e6  # bound in grid units
+            frac = v - np.floor(v)
+            contend = d2g <= d2g[np.arange(len(x)), best][:, None] + 1.0
+            near = np.minimum(frac, 1.0 - frac) <= err_u[:, None]
+            risky = np.flatnonzero((contend & near).any(axis=1))
+            for r0 in range(0, len(risky), 512):  # exact re-grid, blocked
+                rows = risky[r0 : r0 + 512]
+                xr = x[rows]
+                d2e = np.empty((len(rows), mat.shape[0]))
+                for j0 in range(0, mat.shape[0], 256):
+                    diff = xr[:, None, :] - mat[None, j0 : j0 + 256, :]
+                    d2e[:, j0 : j0 + 256] = (diff * diff).sum(axis=-1)
+                best[rows] = np.floor(d2e * 1e6 + 0.5000001).argmin(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cluster_id": best}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": best.astype("int32"),
+                }
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(

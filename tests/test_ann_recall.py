@@ -239,3 +239,60 @@ def test_arrow_assign_and_probe_match_longform_sql(spark):
     }
     arrow_probe = {tuple(r) for r in probe_cells_arrow(emb, cents).collect()}
     assert arrow_probe == sql_probe
+
+
+def test_arrow_assign_cancellation_guard(spark):
+    """r12 (advisor low #1): the expanded form ||x||^2-2x.c+||c||^2 loses
+    ~ulps of ||x||^2 to cancellation when a vector sits very close to a
+    centroid, which can flip a gridded assignment that the twins' direct
+    sum((x-c)^2) gets right. The planted frame below is a CONFIRMED flip
+    for the unguarded expanded form (asserted inline so value drift can't
+    quietly defang the fixture): a large-norm vector equidistant-to-grid
+    from two centroids, where the cancellation error pushes cell 0 across
+    a floor boundary and the raw expanded argmin picks cell 1 while the
+    direct form ties both at 0 and the tie-break picks cell 0. The
+    production kmeans_assign_arrow must agree with the long-form SQL
+    kmeans_assign (the oracle family's spelling) on this frame."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_signals.datapipe.similarity import (
+        _long_dims,
+        kmeans_assign,
+        kmeans_assign_arrow,
+    )
+
+    D = 8
+    delta = 0.0007070583301596343
+    scale = 0.999999988
+    x = [0.0] * D
+    x[0], x[1] = 1000.0, 0.5
+    c0 = list(x)
+    c0[1] += delta
+    c1 = list(x)
+    c1[2] += delta * scale
+
+    mat = np.array([c0, c1], dtype=np.float64)
+    xv = np.array([x], dtype=np.float64)
+    cc = (mat * mat).sum(axis=1)
+    exp_g = np.floor(
+        ((xv * xv).sum(1)[:, None] - 2.0 * (xv @ mat.T) + cc[None, :]) * 1e6
+        + 0.5000001
+    )
+    dir_g = np.floor(((xv[:, None, :] - mat[None, :, :]) ** 2).sum(-1) * 1e6 + 0.5000001)
+    assert exp_g.argmin(1)[0] != dir_g.argmin(1)[0], (
+        "fixture lost its sting: expanded and direct forms agree now"
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [float(v) for v in x]), (2, [float(v) + 3.0 for v in x])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(cid, d, float(vec[d])) for cid, vec in enumerate((c0, c1)) for d in range(D)],
+        "cluster_id int, dim int, c_val double",
+    )
+    sql_assign = {tuple(r) for r in kmeans_assign(_long_dims(emb), cents).collect()}
+    arrow_assign = {tuple(r) for r in kmeans_assign_arrow(emb, cents).collect()}
+    assert arrow_assign == sql_assign
+    assert dict(sql_assign)[1] == 0  # the direct-form tie-break verdict
