@@ -42,7 +42,7 @@ def content_digest(text) -> F.Column:
     survives one pass and confuses the next (the r5 streaming digest
     omitted the trim and did exactly that).
     """
-    return F.md5(F.trim(F.regexp_replace(ascii_lower(text), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(ascii_lower(text), "[ \t\n\x0b\f\r]+", " ")))
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -319,7 +319,7 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
     background pairs almost never collide. One shuffle on (band, k1, k2),
     exact Jaccard verification only on candidates.
     """
-    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), "[ \t\n\x0b\f\r]+", " "))
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1)), "
         f"j -> substring(norm_text, j, {CHAR_NGRAM})))"
@@ -1332,7 +1332,7 @@ def dedup_intra_doc(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     quadratic for two doc_id-keyed shuffles — not worth it below ~10⁴
     passages per doc.
     """
-    raw_words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    raw_words = F.filter(F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != "")
     base = (
         spread_small_input(docs)
         .withColumn("words", raw_words)
@@ -1503,7 +1503,7 @@ def strip_boilerplate_passages(
     digest-keyed shuffles + one doc-keyed — dedup_passages' exact shape
     plus the rebuild.
     """
-    raw_words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    raw_words = F.filter(F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != "")
     base = (
         spread_small_input(docs)
         .withColumn("words", raw_words)
@@ -1817,7 +1817,7 @@ def winnow_fingerprints(
     shorter than k chars fingerprint as md5(whole text); shorter than
     k + w - 1 contribute their single global min.
     """
-    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(ascii_lower(F.col("text")), "[ \t\n\x0b\f\r]+", " "))
     base = spread_small_input(docs).select("doc_id", norm.alias("norm_text"))
     hashed = base.withColumn(
         "h",
@@ -2162,10 +2162,24 @@ def embedding_lsh_index(embeddings: DataFrame) -> DataFrame:
     )
 
 
+# Hot-bucket cap for the incremental embedding lane (r12, advisor low #2):
+# buckets whose COMBINED population (index + batch) exceeds this carry no
+# LSH evidence — the 2^N_HYPERPLANES-key signature has collapsed there
+# (near-parallel vectors, or low-entropy embeddings), and verifying such a
+# bucket is quadratic in its size. The same count-first discipline as the
+# media lane's band_max_docs: count (constant agg state), keep keys under
+# the cap, join candidates over kept keys only. Never engages at test
+# scale (max observed bucket: 29 at sf0.1). At warehouse scale the escape
+# hatch is MORE HYPERPLANES (buckets shrink geometrically per bit), not a
+# bigger cap.
+EMB_BUCKET_MAX = 2_000
+
+
 def embedding_neardup_incremental(
     new_vectors: DataFrame,
     index: DataFrame,
     threshold: float = COSINE_THRESHOLD,
+    bucket_max: int = EMB_BUCKET_MAX,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup an incoming vector batch against a persisted sign-LSH
     bucket index. Returns ``(survivors, index_delta)``:
@@ -2180,14 +2194,38 @@ def embedding_neardup_incremental(
     Shape at 100 TB: batch signatures chain onto the scan (per-row HOF,
     no shuffle); the history probe is ONE bucket equi-join against the
     index (batch-side shuffle only when the index is bucket-bucketed);
-    exact cosine runs on colliding candidates only. Idempotent: replaying
-    an admitted batch against the updated index yields zero survivors
-    (every vector cosine-1 matches its own index row)."""
+    exact cosine runs on colliding candidates only. Buckets hotter than
+    ``bucket_max`` (combined index + batch population) are EXCLUDED from
+    both joins — they fail OPEN (their batch vectors are admitted), the
+    identical recall trade the media lane's band cap makes for template
+    keys; the structural fix for a corpus that hits the cap is raising
+    N_HYPERPLANES so the signature regains entropy. Idempotent at the
+    storage level via the batch_id partition overwrite; for NON-ZERO
+    vectors, replaying an admitted batch against the updated index also
+    yields zero survivors (every such vector cosine-1 matches its own
+    index row). A zero vector is the one exception: its cosine to
+    everything — itself included — is 0 under the eps clamp, so replays
+    re-admit it; the overwrite keeps storage exact regardless."""
     from spark_signals.datapipe.similarity import _cos_div
     from spark_signals.parity import sround
 
     sigs = embedding_lsh_index(new_vectors).persist()
     try:
+        # count-first hot-bucket guard: two constant-state count aggs
+        # (≤ 2^N_HYPERPLANES rows each), combined population filtered
+        # against the cap, key RE-ALIASED so the semi-join back onto sigs
+        # is never an ambiguous self-join
+        b_cnt = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("b_n"))
+        i_cnt = index.groupBy("bucket").agg(F.count(F.lit(1)).alias("i_n"))
+        kept = (
+            b_cnt.join(i_cnt, "bucket", "full")
+            .filter(
+                F.coalesce("b_n", F.lit(0)) + F.coalesce("i_n", F.lit(0))
+                <= F.lit(int(bucket_max))
+            )
+            .select(F.col("bucket").alias("bucket"))
+        )
+        kept_sigs = sigs.join(F.broadcast(kept), "bucket", "left_semi")
         dot = F.expr(
             "aggregate(zip_with(n_emb, o_emb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
         )
@@ -2195,7 +2233,7 @@ def embedding_neardup_incremental(
         no = F.sqrt(F.expr("aggregate(o_emb, 0D, (s, v) -> s + cast(v as double) * cast(v as double))"))
         cos = sround(_cos_div(dot, nn * no), 6)
         hist_dups = (
-            sigs.select("bucket", F.col("vec_id").alias("vec_new"), F.col("embedding").alias("n_emb"))
+            kept_sigs.select("bucket", F.col("vec_id").alias("vec_new"), F.col("embedding").alias("n_emb"))
             .join(
                 index.select("bucket", F.col("embedding").alias("o_emb")),
                 "bucket",
@@ -2204,8 +2242,8 @@ def embedding_neardup_incremental(
             .select(F.col("vec_new").alias("vec_id"))
             .distinct()
         )
-        a = sigs.alias("a")
-        b = sigs.alias("b")
+        a = kept_sigs.alias("a")
+        b = kept_sigs.alias("b")
         pair_dot = F.expr(
             "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
         )
@@ -2251,12 +2289,16 @@ def embedding_incr_neardup_snapshot(embeddings: DataFrame) -> DataFrame:
 
 
 def sql_embedding_incr_neardup(
-    mod: int = EMB_INCR_SPLIT_MOD, threshold: float = COSINE_THRESHOLD
+    mod: int = EMB_INCR_SPLIT_MOD,
+    threshold: float = COSINE_THRESHOLD,
+    bucket_max: int = EMB_BUCKET_MAX,
 ) -> str:
     """DuckDB mirror of :func:`embedding_incr_neardup_snapshot`: the
     sign-LSH signature CTE (the exact hyperplane family of SQL_ANN_LSH),
-    snapshot/batch split, history probe by bucket + gridded cosine
-    verify, within-batch first-wins, and the batch anti-join."""
+    snapshot/batch split, the hot-bucket cap (combined snapshot + batch
+    population ≤ ``bucket_max``, batch side filtered — same rule as the
+    Spark lane), history probe by bucket + gridded cosine verify,
+    within-batch first-wins, and the batch anti-join."""
     from spark_signals.datapipe.similarity import N_HYPERPLANES
 
     cos = lambda a, b: (  # noqa: E731
@@ -2278,7 +2320,13 @@ WITH sigs AS (
   FROM embeddings
 ),
 snapb AS (SELECT * FROM sigs WHERE vec_id % {mod} <> 0),
-batchb AS (SELECT * FROM sigs WHERE vec_id % {mod} = 0),
+kept AS (
+  SELECT bucket FROM sigs GROUP BY bucket HAVING COUNT(*) <= {int(bucket_max)}
+),
+batchb AS (
+  SELECT * FROM sigs
+  WHERE vec_id % {mod} = 0 AND bucket IN (SELECT bucket FROM kept)
+),
 histdrop AS (
   SELECT DISTINCT b.vec_id
   FROM batchb b JOIN snapb s ON b.bucket = s.bucket

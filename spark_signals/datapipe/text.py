@@ -39,7 +39,7 @@ def ascii_lower(text: Column) -> Column:
 
 def words_col(text: Column) -> Column:
     """ASCII-lower-cased whitespace tokens, empties dropped."""
-    return F.filter(F.split(ascii_lower(text), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(ascii_lower(text), "[ \t\n\x0b\f\r]+"), lambda w: w != "")
 
 
 # ----------------------------------------------------------- token currency
@@ -56,7 +56,10 @@ def words_col(text: Column) -> Column:
 # oracle-checkable; swap in a real tokenizer by adding a counter here and
 # every consumer repriced consistently.
 TOKEN_COUNTER_DEFAULT = "whitespace"
-_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# explicit whitespace class (literal control chars, same bytes as the
+# DuckDB twin in sql_n_tokens) — never Java \s, whose membership differs
+# from RE2's on \x0b (r11 verdict nit #3 discipline, repo-wide)
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 
 def n_tokens_col(text: Column, counter: str = TOKEN_COUNTER_DEFAULT) -> Column:

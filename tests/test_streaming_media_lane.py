@@ -212,3 +212,40 @@ def test_embedding_stream_matches_sequential_batches(spark, tmp_path):
         r["vec_id"] for r in s1.unionByName(s2).select("vec_id").collect()
     )
     assert got == want == [0, 1, 11]
+
+
+def test_embedding_hot_bucket_cap_fails_open_and_bounds_join(spark):
+    """r12 (advisor low #2): a bucket whose combined (index + batch)
+    population exceeds bucket_max carries no LSH evidence — it is
+    EXCLUDED from both the history probe and the within-batch self-join,
+    and its batch vectors are admitted (fail-open, the media band cap's
+    rule). Below the cap the behavior is unchanged."""
+    from spark_signals.datapipe.dedup import (
+        embedding_lsh_index,
+        embedding_neardup_incremental,
+    )
+
+    # 6 near-parallel history vectors + 3 near-parallel batch vectors,
+    # all in one bucket; one orthogonal batch vector elsewhere
+    hist = _emb(spark, [(i, [x * (1 + i * 1e-3) for x in BASE_VEC]) for i in range(6)])
+    batch = _emb(
+        spark,
+        [(10 + j, [x * (1 + (3 + j) * 1e-3) for x in BASE_VEC]) for j in range(3)]
+        + [(20, ORTHO_B)],
+    )
+    idx = embedding_lsh_index(hist)
+
+    # uncapped: the hot bucket verifies; all three near-parallels drop
+    s_un, _ = embedding_neardup_incremental(batch, idx)
+    assert sorted(r["vec_id"] for r in s_un.collect()) == [20]
+
+    # cap below the combined bucket population (6 + 3 = 9): bucket is
+    # dropped from verification; its batch vectors are ADMITTED
+    s_cap, d_cap = embedding_neardup_incremental(batch, idx, bucket_max=8)
+    assert sorted(r["vec_id"] for r in s_cap.collect()) == [10, 11, 12, 20]
+    # admitted rows still land in the delta (storage stays exact)
+    assert sorted(r["vec_id"] for r in d_cap.collect()) == [10, 11, 12, 20]
+
+    # cap at exactly the population: unchanged from uncapped
+    s_eq, _ = embedding_neardup_incremental(batch, idx, bucket_max=9)
+    assert sorted(r["vec_id"] for r in s_eq.collect()) == [20]
