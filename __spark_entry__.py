@@ -153,9 +153,13 @@ DRIVER_CAP = 50
 # strip_boilerplate behind text_clean_markup, knn_join_ivf_sampled behind
 # ann_ivf_trained_topk's shared trained-IVF machinery,
 # media_phash_neardup_decoded behind media_phash_incr_snapshot — each
-# holding ≥1 green round by then). 12+2+8 = 22 slots. After r13 executes,
-# no r10 deadline remains; r11/r12 retirees come due r14/r15 in waves of
-# ≤13.
+# holding ≥1 green round by then). 12+2+8 = 22 slots. ALSO queued for
+# r13: knn_serve_snapshot (the r12-wave continuous-serving face, incoming
+# with local hash evidence), funded by one more early re-retirement of an
+# r10 promotion with ≥3 green rounds and a checked sibling
+# (corpus_diff_snapshots behind dedup_canonical_quality's digest family).
+# After r13 executes, no r10 deadline remains; r11/r12 retirees come due
+# r14/r15 in waves of ≤13.
 # Due-by ledger (retiree -> latest re-check round): remaining r10
 # retirees -> r13; r11 retirees -> r14; r12 retirees -> r15. No deadline
 # before r13 is outstanding.

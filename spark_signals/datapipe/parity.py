@@ -761,6 +761,25 @@ for _n in _R12_PROMOTED:
     DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+def _incoming_r12() -> dict:
+    """The r12 wave: the continuous-KNN-serving face (r11 verdict #4) —
+    a snapshot-trained IVF index serving the batch split's queries, the
+    batch-checkable twin of streaming.serve_knn_stream (whose micro-batch
+    union equals this by knn_serve_batch's per-query determinism,
+    tests/test_knn_serving.py). Queued for an r13 slot."""
+    from spark_signals.datapipe import similarity as S
+
+    return {
+        "knn_serve_snapshot": (
+            lambda spark, sf_dir: S.knn_serve_snapshot(_emb(spark, sf_dir)),
+            S.sql_knn_serve_snapshot(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r12())
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -1237,12 +1237,40 @@ def knn_join_ivf(
     if k is None:
         n_rows = embeddings.count() if n_rows is None else n_rows
         k = knn_join_k(n_rows)
+    centroids, index = ivf_serving_index(
+        embeddings, k=k, iters=iters, train_cap=train_cap, n_rows=n_rows
+    )
+    # the self-join IS the serving flow with queries = the indexed corpus
+    # (read back from the checkpointed index so the scan runs once)
+    return knn_serve_batch(
+        index.select("vec_id", "embedding"), centroids, index, k_neighbors, cell_cap
+    )
+
+
+def ivf_serving_index(
+    embeddings: DataFrame,
+    k: int | None = None,
+    iters: int = KMEANS_ITERS,
+    train_cap: int | None = KNN_TRAIN_CAP,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(centroids, index)`` — the persistable trained-IVF serving pair:
+    ``centroids`` (cluster_id, dim, c_val) and ``index`` (vec_id,
+    embedding, label), the relations a continuous top-k serving job reads
+    back each micro-batch (streaming.serve_knn_stream writes/reads them
+    as parquet). Training defaults to the bounded hash-sample
+    (:func:`kmeans_train_sampled`); the index is one assignment pass over
+    the corpus. At warehouse scale write the index bucketed on ``label``
+    so query probes shuffle only the query side."""
+    if k is None:
+        n_rows = embeddings.count() if n_rows is None else n_rows
+        k = knn_join_k(n_rows)
     if train_cap is not None:
         centroids = kmeans_train_sampled(embeddings, k, iters, train_cap, n_rows)
     else:
         centroids = kmeans_train(embeddings, k, iters)
     cells = kmeans_assign_arrow(embeddings, centroids)
-    relabeled = (
+    index = (
         embeddings.join(cells, "vec_id")
         .select(
             "vec_id",
@@ -1251,22 +1279,44 @@ def knn_join_ivf(
         )
         .localCheckpoint(eager=True)
     )
-    # every vector scores every centroid by cosine — the n·k·D stage that
+    return centroids, index
+
+
+def knn_serve_batch(
+    queries: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    k_neighbors: int = KNN_K,
+    cell_cap: int = CELL_SPLIT_CAP,
+) -> DataFrame:
+    """(query_id, match_id, cosine, rank) — top-``k_neighbors`` index
+    neighbors for every QUERY vector against a trained-IVF serving pair
+    (:func:`ivf_serving_index`): the query side decoupled from index
+    membership, otherwise arithmetic-identical to :func:`knn_join_ivf`'s
+    post-training flow (same probe, same cogrouped scorer, same grid and
+    tie-breaks). Per-query results depend only on the query row and the
+    index relations, so ANY partition of the query set — micro-batches of
+    a stream included — yields exactly the full-set results row-for-row;
+    that is what licenses the streaming serving lane
+    (streaming.serve_knn_stream) against the batch oracle. Queries whose
+    vec_id appears in the index never match themselves (the scorer's
+    self-pair mask)."""
+    # every query scores every centroid by cosine — the n·k·D stage that
     # dominated the 100× decade as long-form SQL (600 s at 200k×64d); now
     # one Arrow matmul pass, no shuffle (probe_cells_arrow). Checkpointed
     # (narrow: two longs per row) because the mega-cell guard counts
     # probers per cell from it — without the pin that count agg would
     # re-run the probe matmul.
-    probes = probe_cells_arrow(embeddings, centroids, NPROBE).localCheckpoint(
+    probes = probe_cells_arrow(queries, centroids, NPROBE).localCheckpoint(
         eager=True
     )
     probers = probes.join(
-        relabeled.select(
+        queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         ),
         "query_id",
     ).select("label", "query_id", "q_emb")
-    members = relabeled.select(
+    members = index.select(
         "label", F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb")
     )
     # candidate scoring: cogrouped per-cell matmul with result-preserving
@@ -1392,6 +1442,99 @@ def sql_knn_join_ivf_sampled(
 )"""
     )
     ctes.extend(_sql_knn_flow_ctes("fdims", iters))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, match_id, cosine, rank FROM kranked WHERE rank <= {k_neighbors}"
+    )
+
+
+# ------------------------------------------------- continuous KNN serving
+# The serving face of the trained-IVF family (r11 verdict #4): the
+# reference's whole design is continuous jobs over live topics
+# (flink_jobs/__main__.py:230-241); the analog here is a persisted
+# (centroids, index) pair built nightly (ivf_serving_index / the
+# ann_index_delta append path) and a micro-batched query stream probing it
+# (streaming.serve_knn_stream). The driver face below is the standard
+# snapshot/batch split: vec_id % KNN_SERVE_MOD == 0 is "tonight's query
+# batch", the rest is the indexed history.
+KNN_SERVE_MOD = 5
+
+
+def knn_serve_snapshot(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    k_neighbors: int = KNN_K,
+) -> DataFrame:
+    """Driver-checkable face of the serving lane: index the snapshot
+    (full trainer, pinned ``k`` — the oracle unrolls Lloyd for a static
+    k), then serve the batch's top-``k_neighbors`` against it."""
+    snap = embeddings.filter(F.col("vec_id") % KNN_SERVE_MOD != 0)
+    batch = embeddings.filter(F.col("vec_id") % KNN_SERVE_MOD == 0)
+    centroids, index = ivf_serving_index(snap, k=k, train_cap=None)
+    return knn_serve_batch(batch, centroids, index, k_neighbors)
+
+
+def sql_knn_serve_snapshot(
+    k_neighbors: int = KNN_K,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    mod: int = KNN_SERVE_MOD,
+) -> str:
+    """DuckDB mirror of :func:`knn_serve_snapshot`: unrolled Lloyd over
+    the SNAPSHOT, snapshot assignment (the index), query-side probe of
+    the trained centroids, candidate scoring against index members only,
+    global top-k — the serving twin of the self-join flow."""
+    ctes = [
+        f"snap AS (SELECT * FROM embeddings WHERE vec_id % {mod} <> 0)",
+        f"batchq AS (SELECT * FROM embeddings WHERE vec_id % {mod} = 0)",
+    ]
+    ctes.extend(_sql_kmeans_ctes(k, iters, source="snap"))
+    ctes.append(sql_kmeans_assign_cte(iters))  # snapshot assignment (dims=snap)
+    ctes.append(
+        """relabeled AS (
+  SELECT e.vec_id, e.embedding, CAST(a.cluster_id AS INT) AS label
+  FROM snap e JOIN afin a USING (vec_id)
+)"""
+    )
+    ctes.append(
+        f"""qdims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM {_sql_dims_rel("batchq")}
+)"""
+    )
+    ctes.append(
+        f"""vprobe AS (
+  SELECT vec_id, cluster_id,
+    floor((SUM(val * c_val) / greatest(sqrt(SUM(val * val)) * sqrt(SUM(c_val * c_val)), 1e-300))
+          * 1e6 + 0.5000001) / 1e6 AS c_cos
+  FROM qdims d JOIN c{iters} c USING (dim)
+  GROUP BY vec_id, cluster_id
+)"""
+    )
+    ctes.append(
+        f"""kprobes AS (
+  SELECT vec_id AS query_id, CAST(cluster_id AS INT) AS label
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cluster_id ASC) AS c_rank FROM vprobe)
+  WHERE c_rank <= {NPROBE}
+)"""
+    )
+    ctes.append(
+        f"""kscored AS (
+  SELECT p.query_id, c.vec_id AS match_id,
+         {_SQL_COS} AS cosine
+  FROM kprobes p
+  JOIN relabeled c ON c.label = p.label
+  JOIN batchq q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        """kranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM kscored
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
