@@ -149,3 +149,71 @@ def run_refresh_if_due(
     with open(marker, "w", encoding="utf-8") as fh:
         fh.write(now.isoformat())
     return window
+
+
+# --------------------------------------------- IVF serving-index retrain
+# The retrieval analog of the rollup refresh: the continuous KNN serving
+# lane (datapipe.streaming.serve_knn_stream) reads a persisted
+# (centroids, index) pair every micro-batch, and nightly appends go
+# through assignment (ann_index_delta) — but drifted centroids need a
+# scheduled FULL retrain, the compaction-class job. A retrain must never
+# hand the reader a TORN pair (new centroids + old index), so versions
+# are immutable subdirectories of one serving root and readers resolve a
+# CURRENT pointer file whose rewrite is a POSIX-atomic rename:
+#
+#   <root>/v000001/centroids/   <root>/v000001/index/
+#   <root>/v000002/...          <root>/CURRENT  -> "v000002"
+#
+# Old versions stay on disk for in-flight readers; pruning them after a
+# grace period is ordinary retention (io.sinks retention utilities).
+
+_IVF_CURRENT = "CURRENT"
+
+
+def current_ivf_dirs(serving_root: str) -> tuple[str, str]:
+    """Resolve the root's CURRENT version to its (centroids_dir,
+    index_dir) pair. Raises FileNotFoundError before the first retrain."""
+    with open(os.path.join(serving_root, _IVF_CURRENT), encoding="utf-8") as fh:
+        version = fh.read().strip()
+    vdir = os.path.join(serving_root, version)
+    return os.path.join(vdir, "centroids"), os.path.join(vdir, "index")
+
+
+def retrain_ivf_serving(
+    embeddings: DataFrame,
+    serving_root: str,
+    k: int | None = None,
+    iters: int | None = None,
+    train_cap: int | None = None,
+) -> tuple[str, str]:
+    """Full retrain of the serving IVF pair into a NEW immutable version
+    under ``serving_root``, then atomically repoint CURRENT. Returns the
+    new (centroids_dir, index_dir). Parameters default to the production
+    knobs (derived k, bounded-sample trainer)."""
+    from spark_signals.datapipe import similarity as S
+
+    kwargs: dict = {}
+    if iters is not None:
+        kwargs["iters"] = iters
+    if train_cap is not None:
+        kwargs["train_cap"] = train_cap
+    centroids, index = S.ivf_serving_index(embeddings, k=k, **kwargs)
+
+    os.makedirs(serving_root, exist_ok=True)
+    existing = sorted(
+        d for d in os.listdir(serving_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    version = f"v{(int(existing[-1][1:]) + 1) if existing else 1:06d}"
+    vdir = os.path.join(serving_root, version)
+    cdir, idir = os.path.join(vdir, "centroids"), os.path.join(vdir, "index")
+    centroids.write.parquet(cdir)
+    # at warehouse scale: .bucketBy(n, "label") via saveAsTable so query
+    # probes shuffle only the query side; plain parquet in this sandbox
+    index.write.parquet(idir)
+
+    tmp = os.path.join(serving_root, f".{_IVF_CURRENT}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(serving_root, _IVF_CURRENT))  # atomic swap
+    return cdir, idir

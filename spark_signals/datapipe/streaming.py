@@ -514,19 +514,29 @@ def process_knn_serve_batch(
     batch_queries: DataFrame,
     batch_id: int,
     *,
-    centroids_dir: str,
-    index_dir: str,
+    centroids_dir: str | None = None,
+    index_dir: str | None = None,
     results_dir: str,
     k_neighbors: int | None = None,
+    serving_root: str | None = None,
 ) -> None:
     """One idempotent serving step: read the persisted (centroids, index)
     pair, top-k the batch's queries against it (similarity.knn_serve_batch
     — same grid/tie-breaks as the batch self-join), OVERWRITE this batch's
-    own results partition."""
+    own results partition. Pass EITHER explicit dirs or ``serving_root``
+    (a control.maintenance.retrain_ivf_serving root, whose CURRENT pointer
+    is re-resolved here, PER BATCH — a retrain between micro-batches takes
+    effect on the next batch with no torn pair and no restart)."""
     import os
 
     from spark_signals.datapipe.similarity import KNN_K, knn_serve_batch
 
+    if serving_root is not None:
+        from spark_signals.control.maintenance import current_ivf_dirs
+
+        centroids_dir, index_dir = current_ivf_dirs(serving_root)
+    if centroids_dir is None or index_dir is None:
+        raise ValueError("pass centroids_dir+index_dir or serving_root")
     spark = batch_queries.sparkSession
     centroids = spark.read.parquet(centroids_dir)
     index = spark.read.parquet(index_dir).select("vec_id", "embedding", "label")
@@ -544,17 +554,20 @@ def process_knn_serve_batch(
 def serve_knn_stream(
     query_stream: DataFrame,
     *,
-    centroids_dir: str,
-    index_dir: str,
+    centroids_dir: str | None = None,
+    index_dir: str | None = None,
     results_dir: str,
     checkpoint_dir: str,
     k_neighbors: int | None = None,
+    serving_root: str | None = None,
 ):
     """Continuous top-k serving against the persisted IVF index — each
-    micro-batch runs :func:`process_knn_serve_batch`. Index refreshes are
-    plain parquet overwrites of ``index_dir``/``centroids_dir`` between
-    batches (the nightly ann_index_delta append or a scheduled retrain);
-    the stream picks the new relations up on its next batch, no restart."""
+    micro-batch runs :func:`process_knn_serve_batch`. With
+    ``serving_root`` (the control.maintenance.retrain_ivf_serving
+    layout), the CURRENT version is re-resolved per batch, so a scheduled
+    retrain lands on the next micro-batch with no restart and no torn
+    (centroids, index) pair; with explicit dirs, refreshes are plain
+    parquet overwrites picked up the same way."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_knn_serve_batch(
@@ -564,6 +577,7 @@ def serve_knn_stream(
             index_dir=index_dir,
             results_dir=results_dir,
             k_neighbors=k_neighbors,
+            serving_root=serving_root,
         )
 
     return (

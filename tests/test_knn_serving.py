@@ -98,3 +98,55 @@ def test_serve_stream_replay_is_idempotent(spark, emb, tmp_path):
     first = _rows(spark.read.parquet(rdir))
     process_knn_serve_batch(q, 0, **kw)  # redelivery of the same batch
     assert _rows(spark.read.parquet(rdir)) == first and len(first) > 0
+
+
+def test_retrain_repoints_current_and_stream_picks_it_up(spark, emb, tmp_path):
+    """control.maintenance.retrain_ivf_serving writes immutable versions
+    and atomically repoints CURRENT; the serving lane re-resolves it per
+    micro-batch, so a retrain between batches changes the NEXT batch's
+    results with no restart and no torn pair."""
+    from spark_signals.control.maintenance import (
+        current_ivf_dirs,
+        retrain_ivf_serving,
+    )
+    from spark_signals.datapipe.streaming import process_knn_serve_batch
+
+    root = str(tmp_path / "serving")
+    # v1: index over the half-corpus; v2: full corpus (different answers)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    retrain_ivf_serving(half, root, k=SIM.KMEANS_K)
+    c1, i1 = current_ivf_dirs(root)
+    assert "/v000001/" in c1 + "/"
+
+    q = emb.filter(F.col("vec_id") % 10 == 1).select("vec_id", "embedding")
+    rdir = str(tmp_path / "results")
+    process_knn_serve_batch(q, 0, results_dir=rdir, serving_root=root)
+    got_v1 = _rows(
+        spark.read.parquet(rdir).select("query_id", "match_id", "cosine", "rank")
+    )
+    want_v1 = _rows(
+        SIM.knn_serve_batch(
+            q, spark.read.parquet(c1), spark.read.parquet(i1)
+        )
+    )
+    assert got_v1 == want_v1 and len(got_v1) > 0
+
+    retrain_ivf_serving(emb, root, k=SIM.KMEANS_K)
+    c2, i2 = current_ivf_dirs(root)
+    assert "/v000002/" in c2 + "/" and c2 != c1
+    process_knn_serve_batch(q, 1, results_dir=rdir, serving_root=root)
+    got_v2 = _rows(
+        spark.read.parquet(rdir + "/batch_id=1").select(
+            "query_id", "match_id", "cosine", "rank"
+        )
+    )
+    want_v2 = _rows(
+        SIM.knn_serve_batch(
+            q, spark.read.parquet(c2), spark.read.parquet(i2)
+        )
+    )
+    assert got_v2 == want_v2
+    # the retrain actually changed answers (full corpus adds odd matches)
+    assert got_v2 != want_v1
+    # v1 stays on disk, untouched, for in-flight readers
+    assert spark.read.parquet(i1).count() == half.count()
