@@ -154,12 +154,15 @@ DRIVER_CAP = 50
 # ann_ivf_trained_topk's shared trained-IVF machinery,
 # media_phash_neardup_decoded behind media_phash_incr_snapshot — each
 # holding ≥1 green round by then). 12+2+8 = 22 slots. ALSO queued for
-# r13: knn_serve_snapshot (the r12-wave continuous-serving face, incoming
-# with local hash evidence), funded by one more early re-retirement of an
-# r10 promotion with ≥3 green rounds and a checked sibling
-# (corpus_diff_snapshots behind dedup_canonical_quality's digest family).
-# After r13 executes, no r10 deadline remains; r11/r12 retirees come due
-# r14/r15 in waves of ≤13.
+# r13: BOTH r12-wave incoming faces (knn_serve_snapshot, the continuous-
+# serving face; dedup_exact_spans, the Lee-et-al. exact duplicated-span
+# reporter — each with local hash evidence), funded by two more early
+# re-retirements of r10 promotions with ≥3 green rounds and checked
+# siblings: corpus_diff_snapshots behind dedup_canonical_quality's digest
+# family, and dedup_intra_doc behind dedup_exact_spans itself (the same
+# corpus-token k-gram digest machinery — the cross-document span face of
+# the passage-grain family). After r13 executes, no r10 deadline remains;
+# r11/r12 retirees come due r14/r15 in waves of ≤13.
 # Due-by ledger (retiree -> latest re-check round): remaining r10
 # retirees -> r13; r11 retirees -> r14; r12 retirees -> r15. No deadline
 # before r13 is outstanding.

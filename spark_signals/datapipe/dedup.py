@@ -1388,6 +1388,133 @@ SELECT doc_id,
 FROM kc"""
 
 
+# ------------------------------------------------- exact duplicated spans
+def dedup_exact_spans(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """Maximal corpus-duplicated word spans per document — the exact-
+    substring dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", the suffix-array ExactSubstr pass), re-grained
+    to words and re-expressed as overlapping k-gram digests merged by a
+    gaps-and-islands window.
+
+    A window is the k consecutive corpus-rule tokens (ASCII-lower,
+    explicit whitespace class — the same currency as every other dedup
+    operator) starting at word position ``pos`` (0-based). A window is
+    *duplicated* when its digest occurs >= 2 times corpus-wide
+    (within-document repeats count, matching :func:`dedup_passages`'
+    global-occurrence rule). Runs of duplicated windows whose coverage
+    overlaps or touches (next start <= prev start + k) merge into one
+    maximal span, so every reported span is >= k words long and every
+    k-window inside it is verbatim repeated somewhere in the corpus.
+
+    Returns (doc_id, span_start, span_end, span_words, n_windows) —
+    word positions, 0-based, end inclusive.
+
+    Shape at 100 TB: the explode is ONE row per corpus token of
+    (doc_id, pos, 16-byte digest) — strictly linear, the window text
+    itself never shuffles; one digest-keyed hash agg (map-side combined)
+    keeps digests seen >= 2 times; the join back is ROW-PRESERVING (each
+    window row meets at most one digest row), so a boilerplate k-gram
+    repeated a million times costs its row count, never its square — the
+    structural difference vs the near-dup PAIR families, which is why
+    this needs no hot-key cap; the island merge is one doc-keyed
+    exchange + sort under two stacked window functions. True suffix
+    arrays report spans >= L for every L in one pass; fixing the minimum
+    span at k = PASSAGE_WORDS keeps the passage family's grain, which is
+    how the curation gates consume it.
+    """
+    from pyspark.sql import Window
+
+    from spark_signals.datapipe.util import GRAM_SEP
+
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", words_col(F.col("text")))
+        .filter(F.size("words") >= k)
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(words) - {k}),"
+        f" i -> concat_ws(' ', slice(words, i+1, {k})))"
+    )
+    # posexplode through the concat_ws → split round-trip: explode_strings'
+    # O(elements²) Generate-over-lambda rationale, plus the start position
+    wins = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.concat_ws(GRAM_SEP, grams), GRAM_SEP)).alias(
+            "pos", "gram"
+        ),
+    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("digest"))
+    dup = (
+        wins.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("digest")
+    )
+    hits = wins.join(dup, "digest").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("_start"),
+            F.max("pos").alias("_last"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "doc_id",
+            F.col("_start").cast("int").alias("span_start"),
+            (F.col("_last") + F.lit(k - 1)).cast("int").alias("span_end"),
+            (F.col("_last") - F.col("_start") + F.lit(k)).cast("int").alias(
+                "span_words"
+            ),
+            F.col("_n").cast("int").alias("n_windows"),
+        )
+    )
+
+
+def sql_dedup_exact_spans(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+  FROM {source}
+),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(words[(i+1):(i+{k})], ' ')) AS digest
+  FROM d, unnest(range(0, len(words) - {k} + 1)) AS t(i)
+  WHERE len(words) >= {k}
+),
+occ AS (SELECT digest FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
+h AS (SELECT doc_id, pos FROM w JOIN occ USING (digest)),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS new_span
+  FROM h
+),
+g AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM f
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {k - 1} AS INT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS span_words,
+       CAST(COUNT(*) AS INT) AS n_windows
+FROM g
+GROUP BY doc_id, span_id"""
+
+
 # ------------------------------------------------------ incremental dedup
 def digest_index(docs: DataFrame) -> DataFrame:
     """(content_hash, canonical_doc_id) — the persistable exact-dedup index

@@ -766,13 +766,20 @@ def _incoming_r12() -> dict:
     a snapshot-trained IVF index serving the batch split's queries, the
     batch-checkable twin of streaming.serve_knn_stream (whose micro-batch
     union equals this by knn_serve_batch's per-query determinism,
-    tests/test_knn_serving.py). Queued for an r13 slot."""
+    tests/test_knn_serving.py) — plus the exact duplicated-span reporter
+    (Lee-et-al. ExactSubstr at word grain, dedup.dedup_exact_spans), the
+    one classic LLM-dedup family the tree lacked. Both queued for r13
+    slots (rotation note in __spark_entry__.py)."""
     from spark_signals.datapipe import similarity as S
 
     return {
         "knn_serve_snapshot": (
             lambda spark, sf_dir: S.knn_serve_snapshot(_emb(spark, sf_dir)),
             S.sql_knn_serve_snapshot(),
+        ),
+        "dedup_exact_spans": (
+            lambda spark, sf_dir: D.dedup_exact_spans(_docs(spark, sf_dir)),
+            D.sql_dedup_exact_spans(),
         ),
     }
 

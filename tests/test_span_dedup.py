@@ -1,0 +1,158 @@
+"""Exact duplicated-span dedup (dedup_exact_spans): the Lee-et-al.-2022
+ExactSubstr pass at word grain — overlapping k-gram digests merged into
+maximal islands.
+
+The driver's sf0.01 run exercises the operator on the synthetic corpus
+(non-vacuous: ~1.7k duplicated 16-gram windows across 45 docs); the
+semantic evidence — spans start/end exactly where the planted repetition
+does, adjacent windows merge, gapped repeats don't — comes from the
+crafted fixtures here, each mirrored through the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from spark_signals.datapipe import dedup as D
+
+K = D.PASSAGE_WORDS
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def _run(text_rows):
+    return " ".join(text_rows)
+
+
+def _spans(spark, rows):
+    out = {}
+    for r in D.dedup_exact_spans(_docs(spark, rows)).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_words"], r["n_windows"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+SHARED = _run(f"s{i}" for i in range(K + 4))  # 20-word duplicated run
+UNIQ_A = _run(f"a{i}" for i in range(20))
+UNIQ_B = _run(f"b{i}" for i in range(10))
+
+
+def test_planted_shared_run_reports_exact_bounds(spark):
+    rows = [
+        f"{SHARED} {UNIQ_A}",  # doc0: span at words [0, K+3]
+        f"{UNIQ_B} {SHARED}",  # doc1: span at words [10, 10+K+3]
+        _run(f"c{i}" for i in range(2 * K)),  # doc2: unique, no rows
+    ]
+    spans = _spans(spark, rows)
+    # 20-word shared run = 5 overlapping 16-windows, one merged span each
+    assert spans[0] == [(0, K + 3, K + 4, 5)]
+    assert spans[1] == [(10, 10 + K + 3, K + 4, 5)]
+    assert 2 not in spans
+
+
+def test_within_doc_repeat_yields_two_spans(spark):
+    p = _run(f"x{i}" for i in range(K))
+    filler = _run(f"f{i}" for i in range(K + 2))
+    spans = _spans(spark, [f"{p} {filler} {p}"])
+    # occurrences at word 0 and word 2K+2; gap > K keeps them separate
+    assert spans[0] == [(0, K - 1, K, 1), (2 * K + 2, 3 * K + 1, K, 1)]
+
+
+def test_adjacent_windows_merge_gapped_do_not(spark):
+    p1 = _run(f"p{i}" for i in range(K))
+    p2 = _run(f"q{i}" for i in range(K))
+    filler = _run(f"g{i}" for i in range(K))
+    rows = [f"{p1} {p2}", f"{p1} {filler} {p2}"]
+    spans = _spans(spark, rows)
+    # doc0: dup windows at 0 and K (the boundary windows are unique to
+    # doc0) — coverage touches, ONE maximal span over both runs
+    assert spans[0] == [(0, 2 * K - 1, 2 * K, 2)]
+    # doc1: same two digests but a K-word gap between them — two spans
+    assert spans[1] == [(0, K - 1, K, 1), (2 * K, 3 * K - 1, K, 1)]
+
+
+def test_corpus_token_rule_ascii_case_insensitive(spark):
+    spans = _spans(spark, [f"{SHARED} {UNIQ_A}", SHARED.upper()])
+    assert spans[0] == [(0, K + 3, K + 4, 5)]
+    assert spans[1] == [(0, K + 3, K + 4, 5)]
+
+
+def test_short_docs_and_exact_k_boundary(spark):
+    p = _run(f"z{i}" for i in range(K))
+    short = _run(f"u{i}" for i in range(K - 1))  # below the window size
+    spans = _spans(spark, [p, p, short, short])
+    # exactly-K docs produce exactly one window each; short docs none
+    assert spans[0] == [(0, K - 1, K, 1)]
+    assert spans[1] == [(0, K - 1, K, 1)]
+    assert 2 not in spans and 3 not in spans
+
+
+def _duck_on(rows):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": rows,
+                "lang": "en",
+                "source": "src",
+                "n_chars": [len(t) for t in rows],
+            }
+        ),
+    )
+    return con
+
+
+def _assert_cross_engine(spark_df, con):
+    cols = ["doc_id", "span_start", "span_end", "span_words", "n_windows"]
+    a = (
+        spark_df.toPandas()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        con.execute(D.sql_dedup_exact_spans())
+        .fetchdf()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_cross_engine_on_crafted_fixture(spark):
+    rows = [
+        f"{SHARED} {UNIQ_A}",
+        f"{UNIQ_B} {SHARED}",
+        SHARED.upper(),
+        _run(f"m{i}" for i in range(K)) * 1,
+    ]
+    _assert_cross_engine(D.dedup_exact_spans(_docs(spark, rows)), _duck_on(rows))
+
+
+def test_cross_engine_on_testdata(spark):
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    _assert_cross_engine(D.dedup_exact_spans(docs), con)
+
+
+def test_plan_stays_jvm_side(spark):
+    docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
+    plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("EvalPython", "FlatMapGroupsInPandas", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} leaked into the span-dedup plan"
