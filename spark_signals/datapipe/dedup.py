@@ -1389,6 +1389,73 @@ FROM kc"""
 
 
 # ------------------------------------------------- exact duplicated spans
+# canonical-occurrence key = doc_id * 2^32 + pos: exact int64 as long as
+# doc_id < 2^31 and word position < 2^32 (any real corpus; same documented-
+# precondition style as the micro-unit aggregates)
+SPAN_POS_BASE = 1 << 32
+
+
+def _span_hits(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, is_canon) for every k-window whose digest occurs >= 2
+    times corpus-wide; is_canon marks the digest's globally first
+    occurrence (min (doc_id, pos))."""
+    from spark_signals.datapipe.util import GRAM_SEP
+
+    base = (
+        spread_small_input(docs)
+        .withColumn("words", words_col(F.col("text")))
+        .filter(F.size("words") >= k)
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(words) - {k}),"
+        f" i -> concat_ws(' ', slice(words, i+1, {k})))"
+    )
+    # posexplode through the concat_ws → split round-trip: explode_strings'
+    # O(elements²) Generate-over-lambda rationale, plus the window's start
+    wins = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.concat_ws(GRAM_SEP, grams), GRAM_SEP)).alias(
+            "pos", "gram"
+        ),
+    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("digest"))
+    key = F.col("doc_id") * F.lit(SPAN_POS_BASE) + F.col("pos")
+    dup = (
+        wins.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min(key).alias("min_key"))
+        .filter(F.col("n_occ") >= 2)
+        .select("digest", "min_key")
+    )
+    return wins.join(dup, "digest").select(
+        "doc_id", "pos", (key == F.col("min_key")).alias("is_canon")
+    )
+
+
+def _span_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated windows into maximal spans (gaps-and-islands):
+    (doc_id, _start, _last, _n, _keep) — _last is the MAX window start,
+    coverage ends at _last + k - 1; _keep flags islands containing some
+    digest's canonical occurrence."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("_start"),
+        F.max("pos").alias("_last"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.col("is_canon").cast("int")).alias("_keep"),
+    )
+
+
 def dedup_exact_spans(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     """Maximal corpus-duplicated word spans per document — the exact-
     substring dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1422,97 +1489,175 @@ def dedup_exact_spans(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     span at k = PASSAGE_WORDS keeps the passage family's grain, which is
     how the curation gates consume it.
     """
-    from pyspark.sql import Window
-
-    from spark_signals.datapipe.util import GRAM_SEP
-
-    base = (
-        spread_small_input(docs)
-        .withColumn("words", words_col(F.col("text")))
-        .filter(F.size("words") >= k)
-    )
-    grams = F.expr(
-        f"transform(sequence(0, size(words) - {k}),"
-        f" i -> concat_ws(' ', slice(words, i+1, {k})))"
-    )
-    # posexplode through the concat_ws → split round-trip: explode_strings'
-    # O(elements²) Generate-over-lambda rationale, plus the start position
-    wins = base.select(
+    return _span_islands(_span_hits(docs, k), k).select(
         "doc_id",
-        F.posexplode(F.split(F.concat_ws(GRAM_SEP, grams), GRAM_SEP)).alias(
-            "pos", "gram"
+        F.col("_start").cast("int").alias("span_start"),
+        (F.col("_last") + F.lit(k - 1)).cast("int").alias("span_end"),
+        (F.col("_last") - F.col("_start") + F.lit(k)).cast("int").alias(
+            "span_words"
         ),
-    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("digest"))
-    dup = (
-        wins.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= 2)
-        .select("digest")
-    )
-    hits = wins.join(dup, "digest").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev = F.lag("pos").over(w)
-    flagged = hits.withColumn(
-        "new_span",
-        F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
-    ).withColumn(
-        "span_id",
-        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        flagged.groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("_start"),
-            F.max("pos").alias("_last"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .select(
-            "doc_id",
-            F.col("_start").cast("int").alias("span_start"),
-            (F.col("_last") + F.lit(k - 1)).cast("int").alias("span_end"),
-            (F.col("_last") - F.col("_start") + F.lit(k)).cast("int").alias(
-                "span_words"
-            ),
-            F.col("_n").cast("int").alias("n_windows"),
-        )
+        F.col("_n").cast("int").alias("n_windows"),
     )
 
 
-def sql_dedup_exact_spans(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
+def _sql_span_ctes(source: str, k: int) -> str:
+    """The shared CTE chain: raw tokens → lowered windows → duplicated
+    digests with canonical key → island ids. Ends inside a WITH list."""
     return f"""
-WITH d AS (
-  SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS raw
   FROM {source}
 ),
-w AS (
-  SELECT doc_id, CAST(i AS INT) AS pos,
-         md5(array_to_string(words[(i+1):(i+{k})], ' ')) AS digest
-  FROM d, unnest(range(0, len(words) - {k} + 1)) AS t(i)
-  WHERE len(words) >= {k}
+dl AS (
+  SELECT doc_id, raw,
+         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS cmp
+  FROM d
 ),
-occ AS (SELECT digest FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
-h AS (SELECT doc_id, pos FROM w JOIN occ USING (digest)),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(cmp[(i+1):(i+{k})], ' ')) AS digest
+  FROM dl, unnest(range(0, len(raw) - {k} + 1)) AS t(i)
+  WHERE len(raw) >= {k}
+),
+occ AS (
+  SELECT digest, MIN(doc_id * {SPAN_POS_BASE} + pos) AS min_key
+  FROM w GROUP BY 1 HAVING COUNT(*) >= 2
+),
+h AS (
+  SELECT w.doc_id, w.pos,
+         (w.doc_id * {SPAN_POS_BASE} + w.pos = occ.min_key) AS is_canon
+  FROM w JOIN occ USING (digest)
+),
 f AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, is_canon,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
               THEN 1 ELSE 0 END AS new_span
   FROM h
 ),
 g AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, is_canon,
          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
   FROM f
-)
+),
+isl AS (
+  SELECT doc_id, span_id,
+         MIN(pos) AS _start, MAX(pos) AS _last, COUNT(*) AS _n,
+         MAX(CASE WHEN is_canon THEN 1 ELSE 0 END) AS _keep
+  FROM g GROUP BY doc_id, span_id
+)"""
+
+
+def sql_dedup_exact_spans(source: str = "documents", k: int = PASSAGE_WORDS) -> str:
+    return f"""
+WITH {_sql_span_ctes(source, k)}
 SELECT doc_id,
-       CAST(MIN(pos) AS INT) AS span_start,
-       CAST(MAX(pos) + {k - 1} AS INT) AS span_end,
-       CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS span_words,
-       CAST(COUNT(*) AS INT) AS n_windows
-FROM g
-GROUP BY doc_id, span_id"""
+       CAST(_start AS INT) AS span_start,
+       CAST(_last + {k - 1} AS INT) AS span_end,
+       CAST(_last - _start + {k} AS INT) AS span_words,
+       CAST(_n AS INT) AS n_windows
+FROM isl"""
+
+
+def dedup_exact_spans_strip(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """The rewrite face of :func:`dedup_exact_spans`: re-emit every
+    document with its non-canonical duplicated spans removed.
+
+    Keep policy (deterministic): each duplicated window digest has one
+    *canonical* occurrence — its globally first (min (doc_id, pos)).
+    A maximal span survives iff it contains at least one canonical window;
+    otherwise the whole span is cut. Consequences: (a) every duplicated
+    k-gram's content survives in exactly the document where it first
+    occurs — nothing is lost from the corpus, the Lee-et-al. keep-one
+    contract; (b) a span in the first-occurrence document is kept WHOLE
+    (conservative: spans merging canonical and non-canonical windows keep
+    both); (c) within one document, a later repeat of an earlier span is
+    cut — the cross-document generalization of
+    :func:`dedup_intra_doc`'s first-occurrence rule.
+
+    Like :func:`dedup_intra_doc`, windows are COMPARED under the corpus
+    token rule (ASCII-lower) but text is REBUILT from the original
+    case-preserving whitespace tokens, so only inter-word whitespace
+    collapses. Not idempotent in the adversarial limit: cutting an
+    interior span makes its neighbors adjacent, and the NEW k-grams
+    spanning that seam can in principle match elsewhere (true of
+    suffix-array ExactSubstr too); a second pass converges.
+
+    Returns (doc_id, text_dedup, n_words, n_cut_words, n_cut_spans,
+    was_modified).
+
+    Shape at 100 TB: everything up to the islands is :func:`dedup_exact_spans`
+    (linear rows, row-preserving joins); the cut-interval relation is one
+    doc-keyed agg over ISLAND rows (tiny), its join back to the corpus is
+    row-preserving on doc_id, and the rebuild is a per-row higher-order
+    filter — O(words × cut_spans) per doc with no extra shuffle over text.
+    """
+    raw_words = F.filter(
+        F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != ""
+    )
+    islands = _span_islands(_span_hits(docs, k), k)
+    cuts = (
+        islands.filter(F.col("_keep") == 0)
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("_start").alias("s"),
+                (F.col("_last") + F.lit(k - 1)).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("iv").alias("ivs"),
+            F.count(F.lit(1)).alias("_spans"),
+            F.sum(F.col("iv.e") - F.col("iv.s") + 1).alias("_cut"),
+        )
+    )
+    base = docs.select("doc_id", raw_words.alias("raw")).join(
+        cuts, "doc_id", "left"
+    )
+    kept = F.expr(
+        "filter(raw, (w, i) -> size(filter(ivs, x -> i >= x.s AND i <= x.e)) = 0)"
+    )
+    cut_words = F.coalesce(F.col("_cut"), F.lit(0)).cast("int")
+    return base.select(
+        "doc_id",
+        F.when(F.col("ivs").isNull(), F.concat_ws(" ", F.col("raw")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text_dedup"),
+        F.size("raw").cast("int").alias("n_words"),
+        cut_words.alias("n_cut_words"),
+        F.coalesce(F.col("_spans"), F.lit(0)).cast("int").alias("n_cut_spans"),
+        (cut_words > 0).alias("was_modified"),
+    )
+
+
+def sql_dedup_exact_spans_strip(
+    source: str = "documents", k: int = PASSAGE_WORDS
+) -> str:
+    return f"""
+WITH {_sql_span_ctes(source, k)},
+cuts AS (
+  SELECT doc_id,
+         list(struct_pack(s := _start, e := _last + {k - 1})) AS ivs,
+         COUNT(*) AS _spans,
+         SUM(_last + {k - 1} - _start + 1) AS _cut
+  FROM isl WHERE _keep = 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       -- COALESCE: DuckDB's array_to_string over an all-cut (empty) list
+       -- yields NULL where Spark's concat_ws yields '' (the known
+       -- empty-list divergence, SCALE.md determinism notes)
+       COALESCE(CASE WHEN c.ivs IS NULL THEN array_to_string(d.raw, ' ')
+            ELSE array_to_string(
+              list_filter(d.raw, (w, i) -> len(list_filter(c.ivs,
+                x -> (i-1) >= x.s AND (i-1) <= x.e)) = 0), ' ')
+       END, '') AS text_dedup,
+       CAST(len(d.raw) AS INT) AS n_words,
+       CAST(COALESCE(c._cut, 0) AS INT) AS n_cut_words,
+       CAST(COALESCE(c._spans, 0) AS INT) AS n_cut_spans,
+       COALESCE(c._cut, 0) > 0 AS was_modified
+FROM d LEFT JOIN cuts c USING (doc_id)"""
 
 
 # ------------------------------------------------------ incremental dedup

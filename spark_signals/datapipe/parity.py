@@ -781,6 +781,14 @@ def _incoming_r12() -> dict:
             lambda spark, sf_dir: D.dedup_exact_spans(_docs(spark, sf_dir)),
             D.sql_dedup_exact_spans(),
         ),
+        # the rewrite face (cut non-canonical spans, keep the globally
+        # first occurrence) — queued r14: the r13 plan funds exactly two
+        # extra slots and the reporter face carries this family's driver
+        # evidence first
+        "dedup_exact_spans_strip": (
+            lambda spark, sf_dir: D.dedup_exact_spans_strip(_docs(spark, sf_dir)),
+            D.sql_dedup_exact_spans_strip(),
+        ),
     }
 
 

@@ -150,6 +150,103 @@ def test_cross_engine_on_testdata(spark):
     _assert_cross_engine(D.dedup_exact_spans(docs), con)
 
 
+# ------------------------------------------------------------- strip face
+def _strip(spark, rows):
+    return {
+        r["doc_id"]: r
+        for r in D.dedup_exact_spans_strip(_docs(spark, rows)).collect()
+    }
+
+
+def test_strip_keeps_first_occurrence_cuts_later(spark):
+    rows = [
+        f"{SHARED} {UNIQ_A}",  # doc0: canonical occurrence — kept whole
+        f"{UNIQ_B} {SHARED}",  # doc1: repeat — SHARED cut
+        _run(f"c{i}" for i in range(2 * K)),  # doc2: unique — untouched
+    ]
+    out = _strip(spark, rows)
+    assert out[0]["text_dedup"] == rows[0] and not out[0]["was_modified"]
+    assert out[1]["text_dedup"] == UNIQ_B
+    assert out[1]["n_cut_words"] == K + 4 and out[1]["n_cut_spans"] == 1
+    assert out[2]["text_dedup"] == rows[2] and not out[2]["was_modified"]
+
+
+def test_strip_within_doc_repeat_cuts_second(spark):
+    p = _run(f"x{i}" for i in range(K))
+    filler = _run(f"f{i}" for i in range(K + 2))
+    out = _strip(spark, [f"{p} {filler} {p}"])
+    assert out[0]["text_dedup"] == f"{p} {filler}"
+    assert out[0]["n_cut_words"] == K and out[0]["n_cut_spans"] == 1
+
+
+def test_strip_compares_lowered_rebuilds_raw_case(spark):
+    rows = [f"{SHARED} {UNIQ_A}", f"{UNIQ_B.upper()} {SHARED.upper()}"]
+    out = _strip(spark, rows)
+    # doc1's uppercased SHARED matches doc0's (corpus token rule) and is
+    # cut; the surviving prefix keeps its ORIGINAL case
+    assert out[1]["text_dedup"] == UNIQ_B.upper()
+    assert out[0]["text_dedup"] == rows[0]
+
+
+def test_strip_second_pass_converges_on_fixture(spark):
+    rows = [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"]
+    once = _strip(spark, rows)
+    again = _strip(spark, [once[i]["text_dedup"] for i in sorted(once)])
+    assert all(not r["was_modified"] for r in again.values())
+
+
+def test_strip_cross_engine(spark):
+    rows = [
+        f"{SHARED} {UNIQ_A}",
+        f"{UNIQ_B} {SHARED}",
+        SHARED.upper(),
+        _run(f"m{i}" for i in range(K)),
+    ]
+    cols = ["doc_id", "text_dedup", "n_words", "n_cut_words", "n_cut_spans",
+            "was_modified"]
+    a = (
+        D.dedup_exact_spans_strip(_docs(spark, rows))
+        .toPandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _duck_on(rows)
+        .execute(D.sql_dedup_exact_spans_strip())
+        .fetchdf()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_strip_cross_engine_on_testdata(spark):
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    cols = ["doc_id", "text_dedup", "n_words", "n_cut_words", "n_cut_spans",
+            "was_modified"]
+    a = (
+        D.dedup_exact_spans_strip(docs)
+        .toPandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        con.execute(D.sql_dedup_exact_spans_strip())
+        .fetchdf()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["was_modified"].any()  # non-vacuous on the synthetic corpus
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_plan_stays_jvm_side(spark):
     docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
     plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
