@@ -1418,6 +1418,11 @@ def _span_hits(docs: DataFrame, k: int) -> DataFrame:
             "pos", "gram"
         ),
     ).select("doc_id", "pos", F.md5(F.col("gram")).alias("digest"))
+    # wins is deliberately NOT persisted although both the dup agg and the
+    # join back consume it: it is a PER-TOKEN relation (~24 B/token), so at
+    # corpus scale materializing it costs more IO than re-running the
+    # second pruned two-column scan + explode — the opposite trade from the
+    # per-DOC minhash signature relation, which is persisted.
     key = F.col("doc_id") * F.lit(SPAN_POS_BASE) + F.col("pos")
     dup = (
         wins.groupBy("digest")

@@ -106,6 +106,9 @@ def _late_ops():
         # test_fingerprint_ops.py instead.
         "winnow_pairs": D.winnow_fingerprint_pairs,
         "media_phash_neardup": _media_phash,
+        # r12: the exact duplicated-span family
+        "dedup_exact_spans": D.dedup_exact_spans,
+        "dedup_exact_spans_strip": D.dedup_exact_spans_strip,
     }
 
 

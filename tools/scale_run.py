@@ -159,6 +159,9 @@ def main() -> int:
         "media_phash_incr": lambda: _media_phash_incr(docs),
         "embedding_incr_neardup": lambda: _embedding_incr(emb),
         "knn_join_ivf_sampled": lambda: _knn_join_sampled(emb),
+        # r12 additions: the exact duplicated-span family
+        "dedup_exact_spans": lambda: D.dedup_exact_spans(docs),
+        "dedup_exact_spans_strip": lambda: D.dedup_exact_spans_strip(docs),
     }
 
     def _bpe_fertility(d):
