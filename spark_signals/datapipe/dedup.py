@@ -1395,10 +1395,8 @@ FROM kc"""
 SPAN_POS_BASE = 1 << 32
 
 
-def _span_hits(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, pos, is_canon) for every k-window whose digest occurs >= 2
-    times corpus-wide; is_canon marks the digest's globally first
-    occurrence (min (doc_id, pos))."""
+def _span_wins(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, digest) — one row per k-window of corpus-rule tokens."""
     from spark_signals.datapipe.util import GRAM_SEP
 
     base = (
@@ -1412,12 +1410,19 @@ def _span_hits(docs: DataFrame, k: int) -> DataFrame:
     )
     # posexplode through the concat_ws → split round-trip: explode_strings'
     # O(elements²) Generate-over-lambda rationale, plus the window's start
-    wins = base.select(
+    return base.select(
         "doc_id",
         F.posexplode(F.split(F.concat_ws(GRAM_SEP, grams), GRAM_SEP)).alias(
             "pos", "gram"
         ),
     ).select("doc_id", "pos", F.md5(F.col("gram")).alias("digest"))
+
+
+def _span_hits(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, is_canon) for every k-window whose digest occurs >= 2
+    times corpus-wide; is_canon marks the digest's globally first
+    occurrence (min (doc_id, pos))."""
+    wins = _span_wins(docs, k)
     # wins is deliberately NOT persisted although both the dup agg and the
     # join back consume it: it is a PER-TOKEN relation (~24 B/token), so at
     # corpus scale materializing it costs more IO than re-running the
@@ -1598,10 +1603,16 @@ def dedup_exact_spans_strip(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFram
     row-preserving on doc_id, and the rebuild is a per-row higher-order
     filter — O(words × cut_spans) per doc with no extra shuffle over text.
     """
+    return _strip_from_hits(docs, _span_hits(docs, k), k)
+
+
+def _strip_from_hits(docs: DataFrame, hits: DataFrame, k: int) -> DataFrame:
+    """Shared strip tail: hits → islands → cut intervals → case-preserving
+    per-row rebuild (the dedup_exact_spans_strip contract)."""
     raw_words = F.filter(
         F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != ""
     )
-    islands = _span_islands(_span_hits(docs, k), k)
+    islands = _span_islands(hits, k)
     cuts = (
         islands.filter(F.col("_keep") == 0)
         .select(
@@ -1663,6 +1674,124 @@ SELECT d.doc_id,
        CAST(COALESCE(c._spans, 0) AS INT) AS n_cut_spans,
        COALESCE(c._cut, 0) > 0 AS was_modified
 FROM d LEFT JOIN cuts c USING (doc_id)"""
+
+
+def span_index(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """(digest, min_key): the persistable exact-span window index of a
+    corpus snapshot — one row per DISTINCT window digest carrying its
+    earliest occurrence key (doc_id * 2^32 + pos). At warehouse scale
+    store it bucketed on digest (io.sinks.write_bucketed) so batch probes
+    shuffle only the batch side. Readers may hold MULTIPLE rows per digest
+    (append-only deltas); every consumer min-merges first."""
+    key = F.col("doc_id") * F.lit(SPAN_POS_BASE) + F.col("pos")
+    return (
+        _span_wins(docs, k)
+        .groupBy("digest")
+        .agg(F.min(key).alias("min_key"))
+    )
+
+
+def dedup_spans_incremental(
+    new_docs: DataFrame, index: DataFrame, k: int = PASSAGE_WORDS
+) -> tuple[DataFrame, DataFrame]:
+    """Strip an incoming batch's duplicated spans against a persisted
+    window index without re-processing history. Returns
+    ``(stripped, index_delta)``:
+
+    * ``stripped`` — every batch row in the dedup_exact_spans_strip
+      schema. EXACT-EQUIVALENCE INVARIANT (the lane's contract, pinned by
+      tests): the batch's rows are exactly what the GLOBAL
+      :func:`dedup_exact_spans_strip` over (history ∪ batch) emits for
+      the batch's doc_ids — regardless of how history and batch doc_ids
+      interleave. A batch occurrence is duplicated iff its digest occurs
+      >= 2 times in the batch OR at all in history (n_batch + n_hist >= 2
+      given n_batch >= 1 — the global count rule); its canonical key is
+      least(history min, batch min) — the global min. No probabilistic
+      slack anywhere: this is the exact operator, incrementalized. The
+      standard already-admitted caveat applies in BOTH directions: a
+      later duplicate cannot retro-cut an earlier emission, and — specific
+      to the island-merge policy — it also cannot retro-KEEP one (a
+      future duplicate can hand an already-cut island a canonical
+      neighbor it would have merged with in a full recompute; the planted
+      test pins this asymmetry). Re-running the corpus through
+      :func:`dedup_exact_spans_strip` is the compaction path, exactly
+      like the digest lane's snapshot rebuild.
+    * ``index_delta`` — (digest, min_key) rows to APPEND: digests the
+      index lacks, plus digests whose batch min UNDERCUTS the stored min
+      (out-of-order arrivals); consumers min-merge, so appends commute.
+
+    Replay-idempotent: re-running an admitted batch against the updated
+    index emits byte-identical rows (its own canonical keys match the
+    stored mins, so nothing new is cut) and an empty delta — with
+    batch-partition-overwrite storage the lane is exactly-once end to end.
+
+    Shape at 100 TB: batch windows are O(batch tokens); the index probe is
+    ONE digest equi-join (batch-side shuffle only against a
+    digest-bucketed index); islands/rebuild are the batch-local strip
+    tail. History text is never touched — the index alone carries enough
+    to reproduce the global answer.
+    """
+    key = F.col("doc_id") * F.lit(SPAN_POS_BASE) + F.col("pos")
+    wins_b = _span_wins(new_docs, k)
+    agg_b = wins_b.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_b"), F.min(key).alias("bmin")
+    ).persist()
+    try:
+        idx = index.groupBy("digest").agg(F.min("min_key").alias("hist_min"))
+        joined = agg_b.join(idx, "digest", "left")
+        info = joined.select(
+            "digest",
+            "bmin",
+            F.least(F.coalesce(F.col("hist_min"), F.col("bmin")), F.col("bmin")).alias(
+                "global_min"
+            ),
+            (
+                (F.col("n_b") >= 2)
+                | (F.col("hist_min").isNotNull() & (F.col("hist_min") != F.col("bmin")))
+            ).alias("dup_digest"),
+            (
+                F.col("hist_min").isNull() | (F.col("bmin") < F.col("hist_min"))
+            ).alias("fresh"),
+        )
+        # per-occurrence hit rule: within-batch dup, or a history occurrence
+        # under a DIFFERENT key (hist_min == bmin with n_b == 1 is the
+        # replayed-unique case — its only occurrence IS the stored canonical)
+        hits = (
+            wins_b.join(info.filter(F.col("dup_digest")), "digest")
+            .select("doc_id", "pos", (key == F.col("global_min")).alias("is_canon"))
+        )
+        stripped = _strip_from_hits(new_docs, hits, k).localCheckpoint(eager=True)
+        delta = (
+            info.filter(F.col("fresh"))
+            .select("digest", F.col("bmin").alias("min_key"))
+            .localCheckpoint(eager=True)
+        )
+        return stripped, delta
+    finally:
+        agg_b.unpersist()
+
+
+def dedup_spans_incr_snapshot(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """Driver-checkable face: the standard snapshot/batch split (batch =
+    doc_id % INCR_SPLIT_MOD == 0), batch stripped against the snapshot's
+    span index. By the exact-equivalence invariant the oracle is simply
+    the GLOBAL strip restricted to batch doc_ids — the strongest check the
+    lane can get (value-identical to the non-incremental operator)."""
+    snapshot = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    stripped, _delta = dedup_spans_incremental(batch, span_index(snapshot, k), k)
+    return stripped
+
+
+def sql_dedup_spans_incr_snapshot(
+    source: str = "documents", k: int = PASSAGE_WORDS
+) -> str:
+    """The global strip restricted to the batch split — exact by the
+    equivalence invariant (see dedup_spans_incremental)."""
+    inner = sql_dedup_exact_spans_strip(source, k)
+    return f"""
+WITH _global AS ({inner})
+SELECT * FROM _global WHERE doc_id % {INCR_SPLIT_MOD} = 0"""
 
 
 # ------------------------------------------------------ incremental dedup

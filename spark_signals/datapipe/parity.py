@@ -789,6 +789,15 @@ def _incoming_r12() -> dict:
             lambda spark, sf_dir: D.dedup_exact_spans_strip(_docs(spark, sf_dir)),
             D.sql_dedup_exact_spans_strip(),
         ),
+        # the incremental face (batch stripped against a persisted window
+        # index) — queued r14 with the strip; its oracle is the GLOBAL
+        # strip restricted to the batch split, exact by the lane's
+        # equivalence invariant (the strongest oracle an incremental lane
+        # can carry)
+        "dedup_spans_incr": (
+            lambda spark, sf_dir: D.dedup_spans_incr_snapshot(_docs(spark, sf_dir)),
+            D.sql_dedup_spans_incr_snapshot(),
+        ),
     }
 
 

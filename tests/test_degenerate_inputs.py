@@ -109,6 +109,7 @@ def _late_ops():
         # r12: the exact duplicated-span family
         "dedup_exact_spans": D.dedup_exact_spans,
         "dedup_exact_spans_strip": D.dedup_exact_spans_strip,
+        "dedup_spans_incr": D.dedup_spans_incr_snapshot,
     }
 
 

@@ -247,6 +247,111 @@ def test_strip_cross_engine_on_testdata(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+# -------------------------------------------------------- incremental lane
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_incremental_batches_match_global_strip(spark):
+    """The lane's equivalence invariant, composed over sequential batches:
+    each batch's output equals the global strip over (history ∪ batch)
+    restricted to the batch's doc_ids, and the first delta reproduces
+    span_index exactly."""
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    cut = 40  # two batches: [0, 40) then [40, ...)
+    b1 = docs.filter(f"doc_id < {cut}")
+    b2 = docs.filter(f"doc_id >= {cut}")
+    empty_idx = spark.createDataFrame([], "digest string, min_key long")
+    out1, d1 = D.dedup_spans_incremental(b1, empty_idx)
+    out2, d2 = D.dedup_spans_incremental(b2, empty_idx.unionByName(d1))
+    assert _rows_set(out1) == _rows_set(D.dedup_exact_spans_strip(b1))
+    ref2 = D.dedup_exact_spans_strip(docs).filter(f"doc_id >= {cut}")
+    assert _rows_set(out2) == _rows_set(ref2)
+    assert _rows_set(d1) == _rows_set(D.span_index(b1))
+    assert len(d2.columns) == 2
+
+
+def test_incremental_cannot_retro_keep_cut_island(spark):
+    """The documented asymmetry of the island-merge policy: a FUTURE
+    duplicate of a window adjacent to an already-cut island would, in a
+    full recompute, merge into a kept island — the lane (correctly, at
+    batch time) already cut it. Pins that the divergence is exactly the
+    already-admitted caveat, not a silent bug."""
+    w1 = _run(f"v{i}" for i in range(K))   # later duplicated by doc2 only
+    w2 = _run(f"y{i}" for i in range(K))   # canonical in doc0
+    rows = [w2, f"{w1} {w2}", w1]
+    docs = _docs(spark, rows)
+    b1 = docs.filter("doc_id < 2")
+    empty_idx = spark.createDataFrame([], "digest string, min_key long")
+    out1, _d1 = D.dedup_spans_incremental(b1, empty_idx)
+    r1 = {r["doc_id"]: r for r in out1.collect()}[1]
+    # at batch-1 time w1 is unique → doc1 cuts exactly the w2 island
+    assert r1["text_dedup"] == w1 and r1["n_cut_spans"] == 1
+    # the full recompute instead merges [w1 w2] into one KEPT island
+    g1 = {r["doc_id"]: r for r in D.dedup_exact_spans_strip(docs).collect()}[1]
+    assert g1["was_modified"] is False
+
+
+def test_incremental_replay_is_idempotent(spark):
+    """Re-running an admitted batch against the updated index emits
+    identical rows and an empty delta."""
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    idx = D.span_index(hist)
+    out1, d1 = D.dedup_spans_incremental(batch, idx)
+    out2, d2 = D.dedup_spans_incremental(batch, idx.unionByName(d1))
+    assert _rows_set(out1) == _rows_set(out2)
+    assert d2.count() == 0
+
+
+def test_incremental_out_of_order_batch_is_exact_vs_seen(spark):
+    """A batch whose doc_ids PRECEDE history keys still matches the global
+    strip over (history ∪ batch) restricted to the batch — least() makes
+    the batch's earlier occurrence the canonical one."""
+    p = _run(f"o{i}" for i in range(K))
+    rows = [f"{p} {UNIQ_A}", f"{UNIQ_B} {p}"]
+    docs = _docs(spark, rows)
+    hist = docs.filter("doc_id = 1")  # the LATER doc is history
+    batch = docs.filter("doc_id = 0")
+    out, _ = D.dedup_spans_incremental(batch, D.span_index(hist))
+    ref = D.dedup_exact_spans_strip(docs).filter("doc_id = 0")
+    assert _rows_set(out) == _rows_set(ref)
+    # the batch doc holds the earlier key: its occurrence is canonical
+    assert out.collect()[0]["was_modified"] is False
+
+
+def test_incr_snapshot_face_cross_engine(spark):
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    cols = ["doc_id", "text_dedup", "n_words", "n_cut_words", "n_cut_spans",
+            "was_modified"]
+    a = (
+        D.dedup_spans_incr_snapshot(docs)
+        .toPandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        con.execute(D.sql_dedup_spans_incr_snapshot())
+        .fetchdf()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_plan_stays_jvm_side(spark):
     docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
     plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()

@@ -162,6 +162,7 @@ def main() -> int:
         # r12 additions: the exact duplicated-span family
         "dedup_exact_spans": lambda: D.dedup_exact_spans(docs),
         "dedup_exact_spans_strip": lambda: D.dedup_exact_spans_strip(docs),
+        "dedup_spans_incr": lambda: D.dedup_spans_incr_snapshot(docs),
     }
 
     def _bpe_fertility(d):
