@@ -586,3 +586,86 @@ def serve_knn_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- span-dedup ingest lane
+def process_span_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    span_index_dir: str,
+    stripped_dir: str,
+) -> None:
+    """One idempotent span-dedup ingest step: strip the batch's duplicated
+    spans against every EARLIER batch's window-index partitions
+    (:func:`~spark_signals.datapipe.dedup.dedup_spans_incremental`), then
+    overwrite this batch's own ``batch_id=<id>`` partitions — the exact
+    lane's storage contract (process_ingest_batch) at window grain. A
+    replay excludes its own partition from the index read, so it sees the
+    IDENTICAL pre-batch state and rewrites identical files. Readers
+    min-merge the index partitions per digest (span_index's documented
+    consumer rule); the stripped directory is the corpus-with-hygiene
+    relation, partition-per-ingest-drop."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_signals.datapipe.dedup import dedup_spans_incremental
+
+    spark = batch_df.sparkSession
+    index_schema = T.StructType(
+        [
+            T.StructField("digest", T.StringType(), False),
+            T.StructField("min_key", T.LongType(), True),
+        ]
+    )
+    earlier = _earlier_batch_partitions(spark, span_index_dir, batch_id)
+    if earlier:
+        index = (
+            spark.read.option("basePath", span_index_dir)
+            .parquet(*earlier)
+            .select("digest", "min_key")
+        )
+    else:  # first batch (or batch-0 replay): no earlier index partitions
+        index = spark.createDataFrame([], index_schema)
+    stripped, delta = dedup_spans_incremental(batch_df, index)
+    # both are already eagerly pinned inside dedup_spans_incremental, so
+    # the delta's read of span_index_dir never overlaps its own write
+    stripped.write.mode("overwrite").parquet(
+        os.path.join(stripped_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(span_index_dir, f"batch_id={batch_id}")
+    )
+
+
+def ingest_spans_stream(
+    stream: DataFrame,
+    *,
+    span_index_dir: str,
+    stripped_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous duplicated-span hygiene: each micro-batch runs
+    :func:`process_span_ingest_batch` against the persisted window index —
+    batch N+1's spans are cut against everything batch N admitted, index
+    growth stays O(batch), and exactly-once output rides the
+    batch_id-partition overwrite like every ingest lane here. The batch
+    twin of :func:`~spark_signals.datapipe.dedup.dedup_exact_spans_strip`
+    under a scheduler, not a reimplementation (equivalence pinned in
+    tests/test_span_dedup.py)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_span_ingest_batch(
+            batch_df,
+            batch_id,
+            span_index_dir=span_index_dir,
+            stripped_dir=stripped_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -352,6 +352,76 @@ def test_incr_snapshot_face_cross_engine(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+# ---------------------------------------------------------- streaming lane
+def test_span_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """process_span_ingest_batch: the batch-id-partition overwrite makes a
+    foreachBatch replay byte-identical, and cross-batch cuts happen
+    through the persisted index partitions alone."""
+    from spark_signals.datapipe.streaming import process_span_ingest_batch
+
+    rows1 = [f"{SHARED} {UNIQ_A}", _run(f"d{i}" for i in range(K))]
+    rows2 = [f"{UNIQ_B} {SHARED}"]  # doc 2: SHARED cut vs history
+    b1 = _docs(spark, rows1)
+    b2 = spark.createDataFrame(
+        [(2, rows2[0], "en", "src", len(rows2[0]))], DOC_SCHEMA
+    )
+    dirs = dict(
+        span_index_dir=str(tmp_path / "span_idx"),
+        stripped_dir=str(tmp_path / "stripped"),
+    )
+    process_span_ingest_batch(b1, 0, **dirs)
+    process_span_ingest_batch(b2, 1, **dirs)
+    out = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(dirs["stripped_dir"]).collect()
+    }
+    assert out[0]["was_modified"] is False  # canonical occurrence kept
+    assert out[2]["text_dedup"] == UNIQ_B  # cut via persisted index only
+    snap = sorted(
+        tuple(r) for r in spark.read.parquet(dirs["stripped_dir"]).collect()
+    )
+    idx_snap = sorted(
+        tuple(r) for r in spark.read.parquet(dirs["span_index_dir"]).collect()
+    )
+    process_span_ingest_batch(b2, 1, **dirs)  # replay last batch
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dirs["stripped_dir"]).collect()
+    ) == snap
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dirs["span_index_dir"]).collect()
+    ) == idx_snap
+
+
+def test_span_stream_matches_sequential_batches(spark, tmp_path):
+    """Stream-vs-batch equivalence: two availableNow drops through
+    ingest_spans_stream produce exactly the rows of running
+    dedup_spans_incremental sequentially in batch."""
+    from spark_signals.datapipe import dedup as DD
+    from spark_signals.datapipe.streaming import ingest_spans_stream
+
+    rows1 = [f"{SHARED} {UNIQ_A}", _run(f"e{i}" for i in range(K))]
+    b1 = _docs(spark, rows1)
+    t2 = f"{UNIQ_B} {SHARED}"
+    b2 = spark.createDataFrame([(2, t2, "en", "src", len(t2))], DOC_SCHEMA)
+    src = str(tmp_path / "drops")
+    dirs = dict(
+        span_index_dir=str(tmp_path / "span_idx"),
+        stripped_dir=str(tmp_path / "stripped"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    for batch in (b1, b2):
+        batch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = ingest_spans_stream(stream, **dirs)
+        q.awaitTermination()
+    got = _rows_set(spark.read.parquet(dirs["stripped_dir"]).drop("batch_id"))
+    empty_idx = spark.createDataFrame([], "digest string, min_key long")
+    s1, d1 = DD.dedup_spans_incremental(b1, empty_idx)
+    s2, _ = DD.dedup_spans_incremental(b2, empty_idx.unionByName(d1))
+    assert got == _rows_set(s1) | _rows_set(s2)
+    assert len(got) == 3
+
+
 def test_plan_stays_jvm_side(spark):
     docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
     plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
