@@ -422,6 +422,58 @@ def test_span_stream_matches_sequential_batches(spark, tmp_path):
     assert len(got) == 3
 
 
+# ------------------------------------------------------ random invariants
+def test_random_corpora_hold_span_invariants(spark):
+    """Randomized semantic contract at k=4 over a 4-word alphabet (dense
+    collisions): (a) token conservation — stripped token count equals
+    n_words - n_cut_words; (b) keep-one — every duplicated k-gram of the
+    original corpus survives verbatim in some stripped text; (c) reporter
+    spans are per-doc disjoint, >= k words, and length-consistent."""
+    import random
+
+    k = 4
+    alphabet = ["aa", "bb", "cc", "dd"]
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = [
+            " ".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+            for _ in range(30)
+        ]
+        docs = _docs(spark, rows)
+        stripped = {
+            r["doc_id"]: r
+            for r in D.dedup_exact_spans_strip(docs, k=k).collect()
+        }
+        # (a) token conservation
+        for i, t in enumerate(rows):
+            r = stripped[i]
+            assert len(r["text_dedup"].split()) == r["n_words"] - r["n_cut_words"]
+        # (b) keep-one: every duplicated k-gram survives somewhere
+        grams: dict[str, int] = {}
+        for t in rows:
+            ws = t.split()
+            for p in range(len(ws) - k + 1):
+                g = " ".join(ws[p : p + k])
+                grams[g] = grams.get(g, 0) + 1
+        kept_texts = [r["text_dedup"] for r in stripped.values()]
+        for g, n in grams.items():
+            if n >= 2:
+                assert any(
+                    g in " ".join(t.split()) for t in kept_texts
+                ), f"seed {seed}: duplicated gram lost: {g!r}"
+        # (c) reporter span geometry
+        spans: dict[int, list] = {}
+        for r in D.dedup_exact_spans(docs, k=k).collect():
+            assert r["span_words"] == r["span_end"] - r["span_start"] + 1 >= k
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for ivs in spans.values():
+            ivs.sort()
+            for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
+                assert s2 > e1 + 1, "spans overlap or touch — not maximal"
+
+
 def test_plan_stays_jvm_side(spark):
     docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
     plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
