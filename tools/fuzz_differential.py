@@ -281,6 +281,12 @@ def gen_text_query(rng: random.Random):
         ("bigram_lm", TX.bigram_lm_quality, TX.SQL_BIGRAM_LM()),
         ("dedup_exact", DD.dedup_exact, DD.SQL_DEDUP_EXACT),
         ("dedup_passages", DD.dedup_passages, DD.SQL_DEDUP_PASSAGES),
+        ("dedup_exact_spans", DD.dedup_exact_spans, DD.sql_dedup_exact_spans()),
+        (
+            "dedup_exact_spans_strip",
+            DD.dedup_exact_spans_strip,
+            DD.sql_dedup_exact_spans_strip(),
+        ),
         ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
         ("decontaminate", DC.decontaminate, DC.sql_decontaminate()),
         ("sample_temperature", SM.sample_temperature, SM.sql_sample_temperature()),
