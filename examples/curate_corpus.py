@@ -69,17 +69,26 @@ def _substitute(docs, rewritten, text_col):
     )
 
 
-def _hygiene(raw):
+def _hygiene(raw, span_strip: bool = False):
     """Page hygiene (C4/CCNet order: clean BEFORE any dedup digesting):
     markup/control/whitespace cleanup, then CORPUS-wide boilerplate
     passage removal (nav chrome / cookie banners repeating across pages),
     then intra-page repeated-passage strip. Pure text rewrites — hygiene
     never DROPS a document (that is curation's job); wordless docs pass
-    through with their cleaned text."""
+    through with their cleaned text.
+
+    ``span_strip=True`` appends the cross-document exact duplicated-span
+    cut (dedup.dedup_exact_spans_strip, the Lee-et-al. keep-first pass) —
+    OPT-IN because it is a semantic choice, not pure hygiene: curate()'s
+    exact-dup gate later drops whole duplicate DOCUMENTS, while the span
+    pass rewrites partial overlaps (syndicated paragraphs, quoted blocks)
+    out of every non-first page. Corpora heavy in partial syndication
+    want it; defaults preserve the pinned artifact lineage."""
     from pyspark.sql import functions as F
 
     from spark_signals.datapipe.clean import clean_text
     from spark_signals.datapipe.dedup import (
+        dedup_exact_spans_strip,
         dedup_intra_doc,
         strip_boilerplate_passages,
     )
@@ -91,17 +100,20 @@ def _hygiene(raw):
     deboiled = _substitute(
         cleaned, strip_boilerplate_passages(cleaned), "text_strip"
     )
-    return _substitute(deboiled, dedup_intra_doc(deboiled), "text_dedup").withColumn(
-        "n_chars", F.length("text")
-    )
+    out = _substitute(deboiled, dedup_intra_doc(deboiled), "text_dedup")
+    if span_strip:
+        out = _substitute(out, dedup_exact_spans_strip(out), "text_dedup")
+    return out.withColumn("n_chars", F.length("text"))
 
 
-def run_pipeline(spark, corpus_path: str, out_dir: str) -> dict[str, int]:
+def run_pipeline(
+    spark, corpus_path: str, out_dir: str, span_strip: bool = False
+) -> dict[str, int]:
     # hygiene fans out into curate, the audit report, and the final join —
     # pin it once (stage boundary; a parquet write at warehouse scale);
     # unpersist in finally so a failed write cannot leak cached relations
     # into a long-lived session
-    docs = _hygiene(_load_corpus(spark, corpus_path)).persist()
+    docs = _hygiene(_load_corpus(spark, corpus_path), span_strip=span_strip).persist()
     try:
         return _run_pipeline_pinned(spark, docs, out_dir)
     finally:

@@ -422,6 +422,33 @@ def test_span_stream_matches_sequential_batches(spark, tmp_path):
     assert len(got) == 3
 
 
+# ------------------------------------------------ curate example opt-in
+def test_hygiene_span_strip_opt_in(spark):
+    """examples/curate_corpus._hygiene(span_strip=True) appends the
+    cross-document span cut; the default path is byte-identical to before
+    (the pinned artifact lineage must not move)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples")
+    )
+    from curate_corpus import _hygiene
+
+    rows = [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"]
+    docs = _docs(spark, rows)
+    base = {r["doc_id"]: r["text"] for r in _hygiene(docs).collect()}
+    # 2 occurrences < strip_boilerplate's min_occ, no intra-page repeats:
+    # default hygiene leaves the shared run in BOTH pages
+    assert base[0] == rows[0] and base[1] == rows[1]
+    cut = {
+        r["doc_id"]: r["text"]
+        for r in _hygiene(docs, span_strip=True).collect()
+    }
+    assert cut[0] == rows[0]  # first occurrence kept
+    assert cut[1] == UNIQ_B  # syndicated run cut from the later page
+
+
 # ------------------------------------------------------ random invariants
 def test_random_corpora_hold_span_invariants(spark):
     """Randomized semantic contract at k=4 over a 4-word alphabet (dense
