@@ -589,3 +589,92 @@ SELECT e.bench,
        CAST(coalesce(f.fuzzy_jaccard_u_max, 0) AS BIGINT) AS fuzzy_jaccard_u_max
 FROM ev_sizes e LEFT JOIN per_bench p USING (bench)
 CROSS JOIN total t LEFT JOIN fagg f USING (bench)"""
+
+
+# ------------------------------------------- contamination span localization
+def decontam_spans(
+    docs: DataFrame,
+    eval_source: str = EVAL_SOURCE,
+    k: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """WHERE a training document collides with the benchmark: maximal word
+    spans whose every overlapping k-gram appears verbatim in the eval
+    subset — the span-grain refinement of :func:`decontaminate` (which
+    only counts overlapping n-grams per doc). The output is the scrub
+    work-order: cut (doc_id, span_start..span_end) instead of dropping
+    the whole page, the surgical variant of the GPT-3 appendix-C
+    treatment.
+
+    Returns (doc_id, span_start, span_end, span_words, n_windows) — the
+    dedup_exact_spans geometry (0-based word positions, end inclusive),
+    built on the same windows/islands core (dedup._span_wins /
+    dedup._span_islands), so the two families stay tie-break- and
+    grain-consistent.
+
+    Shape at 100 TB: the benchmark digest set is eval-suite-sized and
+    BROADCASTS; training windows explode to (doc_id, pos, digest) rows
+    (linear) and semi-join the broadcast set map-side — the only
+    corpus-keyed shuffle is the per-doc island sort, over HIT rows only.
+    """
+    from spark_signals.datapipe.dedup import _span_islands, _span_wins
+
+    ev = (
+        _span_wins(docs.filter(F.col("source") == eval_source), k)
+        .select("digest")
+        .distinct()
+    )
+    hits = (
+        _span_wins(docs.filter(F.col("source") != eval_source), k)
+        .join(F.broadcast(ev), "digest")
+        .select("doc_id", "pos", F.lit(False).alias("is_canon"))
+    )
+    return _span_islands(hits, k).select(
+        "doc_id",
+        F.col("_start").cast("int").alias("span_start"),
+        (F.col("_last") + F.lit(k - 1)).cast("int").alias("span_end"),
+        (F.col("_last") - F.col("_start") + F.lit(k)).cast("int").alias(
+            "span_words"
+        ),
+        F.col("_n").cast("int").alias("n_windows"),
+    )
+
+
+def sql_decontam_spans(
+    eval_source: str = EVAL_SOURCE, k: int = DECONTAM_NGRAM, source: str = "documents"
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+  FROM {source}
+),
+w AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(words[(i+1):(i+{k})], ' ')) AS digest
+  FROM d, unnest(range(0, len(words) - {k} + 1)) AS t(i)
+  WHERE len(words) >= {k}
+),
+ev AS (SELECT DISTINCT digest FROM w WHERE source = '{eval_source}'),
+h AS (
+  SELECT w.doc_id, w.pos FROM w JOIN ev USING (digest)
+  WHERE w.source <> '{eval_source}'
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS new_span
+  FROM h
+),
+g AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM f
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {k - 1} AS INT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS span_words,
+       CAST(COUNT(*) AS INT) AS n_windows
+FROM g
+GROUP BY doc_id, span_id"""

@@ -770,6 +770,7 @@ def _incoming_r12() -> dict:
     (Lee-et-al. ExactSubstr at word grain, dedup.dedup_exact_spans), the
     one classic LLM-dedup family the tree lacked. Both queued for r13
     slots (rotation note in __spark_entry__.py)."""
+    from spark_signals.datapipe import decontam as DCT
     from spark_signals.datapipe import similarity as S
 
     return {
@@ -797,6 +798,13 @@ def _incoming_r12() -> dict:
         "dedup_spans_incr": (
             lambda spark, sf_dir: D.dedup_spans_incr_snapshot(_docs(spark, sf_dir)),
             D.sql_dedup_spans_incr_snapshot(),
+        ),
+        # contamination span localization (the scrub work-order: WHERE a
+        # training doc collides with the benchmark, on the span core) —
+        # queued r14 with the family
+        "decontam_spans": (
+            lambda spark, sf_dir: DCT.decontam_spans(_docs(spark, sf_dir)),
+            DCT.sql_decontam_spans(),
         ),
     }
 

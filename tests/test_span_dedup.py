@@ -422,6 +422,84 @@ def test_span_stream_matches_sequential_batches(spark, tmp_path):
     assert len(got) == 3
 
 
+# --------------------------------------------- contamination localization
+def test_decontam_spans_localizes_benchmark_collisions(spark):
+    """decontam_spans reports exactly WHERE a training doc collides with
+    the eval subset: planted benchmark runs localize to their word
+    positions, train-side-only duplicates never flag, and two gapped
+    collisions stay separate spans."""
+    from spark_signals.datapipe import decontam as DC
+
+    n = DC.DECONTAM_NGRAM
+    bench = _run(f"q{i}" for i in range(n + 2))  # 7-word benchmark passage
+    other = _run(f"r{i}" for i in range(n))
+    gap = _run(f"g{i}" for i in range(n + 1))  # > n gap keeps spans apart
+    trainshared = _run(f"t{i}" for i in range(n))  # dup among train only
+    rows = [
+        # doc0: the benchmark (source flips to the eval source below)
+        f"{bench} {other}",
+        # doc1: bench passage at word 3, then gap, then the other eval run
+        f"x0 x1 x2 {bench} {gap} {other}",
+        # doc2/doc3: train-side duplicate — must NOT flag
+        f"{trainshared} y0 y1",
+        f"z0 {trainshared}",
+    ]
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                t,
+                "en",
+                DC.EVAL_SOURCE if i == 0 else "train",
+                len(t),
+            )
+            for i, t in enumerate(rows)
+        ],
+        DOC_SCHEMA,
+    )
+    out = {}
+    for r in DC.decontam_spans(docs).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_words"])
+        )
+    # doc1: bench run covers words [3, 3+n+1]; the trailing `other` run
+    # starts after the gap at 3+(n+2)+(n+1) and covers n words
+    o_start = 3 + (n + 2) + (n + 1)
+    assert sorted(out[1]) == [
+        (3, 3 + n + 1, n + 2),
+        (o_start, o_start + n - 1, n),
+    ]
+    assert 2 not in out and 3 not in out  # train-train dup is dedup's job
+    assert 0 not in out  # the eval doc itself is never reported
+
+
+def test_decontam_spans_cross_engine(spark):
+    from spark_signals.datapipe import decontam as DC
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.1", "documents")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    )
+    cols = ["doc_id", "span_start", "span_end", "span_words", "n_windows"]
+    a = (
+        DC.decontam_spans(docs)
+        .toPandas()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        con.execute(DC.sql_decontam_spans())
+        .fetchdf()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 # ------------------------------------------------ curate example opt-in
 def test_hygiene_span_strip_opt_in(spark):
     """examples/curate_corpus._hygiene(span_strip=True) appends the

@@ -163,6 +163,7 @@ def main() -> int:
         "dedup_exact_spans": lambda: D.dedup_exact_spans(docs),
         "dedup_exact_spans_strip": lambda: D.dedup_exact_spans_strip(docs),
         "dedup_spans_incr": lambda: D.dedup_spans_incr_snapshot(docs),
+        "decontam_spans": lambda: _decontam_spans(docs),
     }
 
     def _bpe_fertility(d):
@@ -200,6 +201,11 @@ def main() -> int:
         from spark_signals.datapipe.multimodal import media_phash_incr_snapshot
 
         return media_phash_incr_snapshot(d)
+
+    def _decontam_spans(d):
+        from spark_signals.datapipe.decontam import decontam_spans
+
+        return decontam_spans(d)
 
     def _embedding_incr(e):
         from spark_signals.datapipe.dedup import embedding_incr_neardup_snapshot
