@@ -581,7 +581,20 @@ def test_random_corpora_hold_span_invariants(spark):
 
 def test_plan_stays_jvm_side(spark):
     docs = _docs(spark, [f"{SHARED} {UNIQ_A}", f"{UNIQ_B} {SHARED}"])
-    plan = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
-    for bad in ("EvalPython", "FlatMapGroupsInPandas", "CartesianProduct",
-                "BroadcastNestedLoopJoin"):
-        assert bad not in plan, f"{bad} leaked into the span-dedup plan"
+    rep = D.dedup_exact_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    strip = (
+        D.dedup_exact_spans_strip(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for plan, tag in ((rep, "reporter"), (strip, "strip")):
+        for bad in ("EvalPython", "FlatMapGroupsInPandas", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            assert bad not in plan, f"{bad} leaked into the span {tag} plan"
+    # shuffle budget (the linear shape's signature): digest agg + digest
+    # join side + doc-keyed island window = 3 for the reporter; the strip
+    # adds the cut-interval agg and the rebuild join. An extra exchange
+    # here means a lost partial agg or a join that stopped co-locating.
+    assert rep.count("Exchange hashpartitioning") <= 3, rep
+    assert strip.count("Exchange hashpartitioning") <= 5, strip
