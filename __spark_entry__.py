@@ -163,8 +163,9 @@ DRIVER_CAP = 50
 # corpus-token k-gram digest machinery — the cross-document span face of
 # the passage-grain family). The remaining r12-wave incoming faces
 # (dedup_exact_spans_strip, the keep-first rewrite; dedup_spans_incr,
-# the persisted-index incremental lane; decontam_spans, contamination
-# span localization) queue r14 behind their reporter — the r13 plan
+# the persisted-index incremental lane; decontam_spans + decontam_scrub,
+# contamination localization and its applied cut) queue r14 behind their
+# reporter — the r13 plan
 # funds exactly two extra slots. After r13 executes, no r10 deadline
 # remains; r11/r12 retirees come due r14/r15 in waves of ≤13.
 # Due-by ledger (retiree -> latest re-check round): remaining r10

@@ -678,3 +678,103 @@ SELECT doc_id,
        CAST(COUNT(*) AS INT) AS n_windows
 FROM g
 GROUP BY doc_id, span_id"""
+
+
+def decontam_scrub(
+    docs: DataFrame,
+    eval_source: str = EVAL_SOURCE,
+    k: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """APPLY the :func:`decontam_spans` work-order: re-emit every training
+    document with its benchmark-colliding spans cut — the surgical
+    alternative to :func:`decontaminate`'s whole-document drop (GPT-3
+    appendix C discusses both; scrubbing keeps the page's clean remainder
+    in the corpus). Benchmark spans have no canonical occurrence to keep
+    (the eval suite is external by definition), so EVERY contaminated
+    island is cut — dedup._strip_from_hits with all-False canon flags,
+    which keeps the two families' rebuild semantics identical
+    (case-preserving tokens, whitespace collapse, was_modified contract).
+
+    Returns (doc_id, text_dedup, n_words, n_cut_words, n_cut_spans,
+    was_modified) over the TRAINING split only.
+
+    Shape at 100 TB: decontam_spans' broadcast probe plus the strip tail —
+    the cut-interval relation is island-sized, its join back is
+    row-preserving on doc_id, and the rebuild is the per-row
+    higher-order filter. Corpus text shuffles nowhere.
+    """
+    from spark_signals.datapipe.dedup import _span_wins, _strip_from_hits
+
+    train = docs.filter(F.col("source") != eval_source)
+    ev = (
+        _span_wins(docs.filter(F.col("source") == eval_source), k)
+        .select("digest")
+        .distinct()
+    )
+    hits = (
+        _span_wins(train, k)
+        .join(F.broadcast(ev), "digest")
+        .select("doc_id", "pos", F.lit(False).alias("is_canon"))
+    )
+    return _strip_from_hits(train, hits, k)
+
+
+def sql_decontam_scrub(
+    eval_source: str = EVAL_SOURCE, k: int = DECONTAM_NGRAM, source: str = "documents"
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS raw
+  FROM {source}
+),
+dl AS (
+  SELECT doc_id, source, raw,
+         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS cmp
+  FROM d
+),
+w AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(cmp[(i+1):(i+{k})], ' ')) AS digest
+  FROM dl, unnest(range(0, len(raw) - {k} + 1)) AS t(i)
+  WHERE len(raw) >= {k}
+),
+ev AS (SELECT DISTINCT digest FROM w WHERE source = '{eval_source}'),
+h AS (
+  SELECT w.doc_id, w.pos FROM w JOIN ev USING (digest)
+  WHERE w.source <> '{eval_source}'
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS new_span
+  FROM h
+),
+g AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM f
+),
+cuts AS (
+  SELECT doc_id,
+         list(struct_pack(s := _start, e := _end)) AS ivs,
+         COUNT(*) AS _spans,
+         SUM(_end - _start + 1) AS _cut
+  FROM (
+    SELECT doc_id, MIN(pos) AS _start, MAX(pos) + {k - 1} AS _end
+    FROM g GROUP BY doc_id, span_id
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(CASE WHEN c.ivs IS NULL THEN array_to_string(d.raw, ' ')
+            ELSE array_to_string(
+              list_filter(d.raw, (w, i) -> len(list_filter(c.ivs,
+                x -> (i-1) >= x.s AND (i-1) <= x.e)) = 0), ' ')
+       END, '') AS text_dedup,
+       CAST(len(d.raw) AS INT) AS n_words,
+       CAST(COALESCE(c._cut, 0) AS INT) AS n_cut_words,
+       CAST(COALESCE(c._spans, 0) AS INT) AS n_cut_spans,
+       COALESCE(c._cut, 0) > 0 AS was_modified
+FROM dl d LEFT JOIN cuts c USING (doc_id)
+WHERE d.source <> '{eval_source}'"""

@@ -806,6 +806,12 @@ def _incoming_r12() -> dict:
             lambda spark, sf_dir: DCT.decontam_spans(_docs(spark, sf_dir)),
             DCT.sql_decontam_spans(),
         ),
+        # ...and its applied form: cut every benchmark-colliding span,
+        # keep the page (the surgical alternative to whole-doc drop)
+        "decontam_scrub": (
+            lambda spark, sf_dir: DCT.decontam_scrub(_docs(spark, sf_dir)),
+            DCT.sql_decontam_scrub(),
+        ),
     }
 
 

@@ -111,6 +111,7 @@ def _late_ops():
         "dedup_exact_spans_strip": D.dedup_exact_spans_strip,
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
+        "decontam_scrub": DC.decontam_scrub,
     }
 
 

@@ -473,6 +473,30 @@ def test_decontam_spans_localizes_benchmark_collisions(spark):
     assert 0 not in out  # the eval doc itself is never reported
 
 
+def test_decontam_scrub_cuts_only_benchmark_spans(spark):
+    """decontam_scrub applies the work-order: the planted benchmark run is
+    cut from the training page (original case preserved in the
+    remainder), train-side duplicates survive untouched, and the eval doc
+    never appears in the output."""
+    from spark_signals.datapipe import decontam as DC
+
+    n = DC.DECONTAM_NGRAM
+    bench = _run(f"q{i}" for i in range(n))
+    keep = " ".join(f"K{i}" for i in range(3))  # uppercase, must survive
+    rows = [bench, f"{keep} {bench}", f"{keep} nothing shared here at all"]
+    docs = spark.createDataFrame(
+        [
+            (i, t, "en", DC.EVAL_SOURCE if i == 0 else "train", len(t))
+            for i, t in enumerate(rows)
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in DC.decontam_scrub(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text_dedup"] == keep and out[1]["n_cut_words"] == n
+    assert out[2]["text_dedup"] == rows[2] and not out[2]["was_modified"]
+
+
 def test_decontam_spans_cross_engine(spark):
     from spark_signals.datapipe import decontam as DC
     from spark_signals.io.sources import read_table

@@ -289,6 +289,8 @@ def gen_text_query(rng: random.Random):
         ),
         ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
         ("decontaminate", DC.decontaminate, DC.sql_decontaminate()),
+        ("decontam_spans", DC.decontam_spans, DC.sql_decontam_spans()),
+        ("decontam_scrub", DC.decontam_scrub, DC.sql_decontam_scrub()),
         ("sample_temperature", SM.sample_temperature, SM.sql_sample_temperature()),
         ("pack_sequences", PK.pack_sequences, PK.sql_pack_sequences()),
         ("quality_logreg", CL.quality_logreg, CL.sql_quality_logreg()),

@@ -164,6 +164,7 @@ def main() -> int:
         "dedup_exact_spans_strip": lambda: D.dedup_exact_spans_strip(docs),
         "dedup_spans_incr": lambda: D.dedup_spans_incr_snapshot(docs),
         "decontam_spans": lambda: _decontam_spans(docs),
+        "decontam_scrub": lambda: _decontam_scrub(docs),
     }
 
     def _bpe_fertility(d):
@@ -206,6 +207,11 @@ def main() -> int:
         from spark_signals.datapipe.decontam import decontam_spans
 
         return decontam_spans(d)
+
+    def _decontam_scrub(d):
+        from spark_signals.datapipe.decontam import decontam_scrub
+
+        return decontam_scrub(d)
 
     def _embedding_incr(e):
         from spark_signals.datapipe.dedup import embedding_incr_neardup_snapshot
