@@ -24,12 +24,16 @@ Usage::
 
 Defaults to the sf0.001 testdata. Stages are lazy DataFrames, but the two
 fan-out points — the hygiene output and the sampled corpus — are PINNED
-(persist) before the seven writes read them: separate Spark actions share
-no plan, so without the pin every artifact write re-ran the whole
-hygiene + curate lineage from scratch (measured r10 at sf0.001: the
-end-to-end example test fell from ~23 min to under 6 once the boundaries
-were pinned). At warehouse scale the same boundaries are parquet stage
-writes.
+before the seven writes read them: separate Spark actions share no plan,
+so without the pin every artifact write re-ran the whole hygiene + curate
+lineage from scratch (measured r10 at sf0.001: the end-to-end example
+test fell from ~23 min to under 6 once the boundaries were pinned).
+r12 refinement: the hygiene pin is an eager localCheckpoint, not a
+persist — caching reuses the ROWS but every write still re-ran Catalyst
+analysis over the deep hygiene tree, and that driver-side replanning was
+most of the remaining wall (432 s → 51 s at sf0.001 from the swap alone;
+see run_pipeline). At warehouse scale the same boundaries are parquet
+stage writes.
 """
 
 from __future__ import annotations
@@ -110,14 +114,19 @@ def run_pipeline(
     spark, corpus_path: str, out_dir: str, span_strip: bool = False
 ) -> dict[str, int]:
     # hygiene fans out into curate, the audit report, and the final join —
-    # pin it once (stage boundary; a parquet write at warehouse scale);
-    # unpersist in finally so a failed write cannot leak cached relations
-    # into a long-lived session
-    docs = _hygiene(_load_corpus(spark, corpus_path), span_strip=span_strip).persist()
-    try:
-        return _run_pipeline_pinned(spark, docs, out_dir)
-    finally:
-        docs.unpersist()
+    # pin AND TRUNCATE it once. persist() alone is not enough: the cached
+    # rows are reused, but every artifact write still re-runs Catalyst
+    # ANALYSIS over the full hygiene tree (windows + nested higher-order
+    # lambdas are expensive to replan), and that driver-side cost
+    # dominated wall — measured at sf0.001: 432 s → 51 s default,
+    # 1,200 s → 83 s with span_strip, identical counts, just by swapping
+    # the persist for an eager localCheckpoint whose leaf plan makes
+    # every downstream replan O(1). At warehouse scale the same boundary
+    # is a parquet stage write (which truncates lineage the same way);
+    # on a real cluster swap localCheckpoint for a reliable checkpoint.
+    docs = _hygiene(_load_corpus(spark, corpus_path), span_strip=span_strip)
+    docs = docs.localCheckpoint(eager=True)
+    return _run_pipeline_pinned(spark, docs, out_dir)
 
 
 def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
