@@ -159,16 +159,14 @@ def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
     # 2. rebalance sources (temperature sampling keeps the decision per-row
     #    and deterministic — re-runs pick the same documents)
     # the sampled corpus fans out into shards + five audit artifacts —
-    # the second pinned stage boundary (unpersist in finally below)
+    # the second pinned stage boundary; localCheckpoint for the same
+    # replanning-tax reason as the hygiene pin (run_pipeline)
     sampled = kept.join(
         sample_temperature(kept.select("doc_id", "source", "n_chars", "lang", "text"))
         .select("doc_id"),
         "doc_id",
-    ).persist()
-    try:
-        return _write_artifacts(spark, docs, kept, sampled, out_dir)
-    finally:
-        sampled.unpersist()
+    ).localCheckpoint(eager=True)
+    return _write_artifacts(spark, docs, kept, sampled, out_dir)
 
 
 def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]:
