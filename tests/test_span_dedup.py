@@ -551,6 +551,36 @@ def test_hygiene_span_strip_opt_in(spark):
     assert cut[1] == UNIQ_B  # syndicated run cut from the later page
 
 
+def test_bucketed_span_index_probe_shuffles_batch_side_only(spark, tmp_path):
+    """span_index's warehouse layout claim, proven on the plan: with the
+    index written digest-bucketed (io.sinks.write_bucketed), the probe
+    join plans exactly ONE hash exchange — the batch side — while the
+    index scans shuffle-free."""
+    from spark_signals.datapipe.dedup import _span_wins
+    from spark_signals.io.sources import read_table
+    from spark_signals.io.sinks import write_bucketed
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    write_bucketed(
+        D.span_index(docs),
+        "bkt_span_idx",
+        str(tmp_path / "bkt_span_idx"),
+        key="digest",
+        buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = _span_wins(docs, K).join(spark.table("bkt_span_idx"), "digest")
+        p = probe._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert "SortMergeJoin" in p
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_span_idx")
+
+
 # ------------------------------------------------------ random invariants
 def test_random_corpora_hold_span_invariants(spark):
     """Randomized semantic contract at k=4 over a 4-word alphabet (dense
