@@ -41,6 +41,7 @@ else
     tests/test_degenerate_inputs.py
     tests/test_streaming.py
     tests/test_streaming_media_lane.py
+    tests/test_span_dedup.py
   )
   FILES=("${SLOW[@]}")
   while IFS= read -r f; do
