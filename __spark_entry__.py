@@ -141,46 +141,92 @@ DRIVER_CAP = 50
 #   AND hybrid_rrf_ivf_topk both chain the identical BM25 arm inline before
 #   fusion, both staying). Active set: 50 of 50 slots.
 #
-# r13 rotation plan (queued): the remaining 22 r10 retirees hit their
-# ≤3-round deadline at r13 — all 22 come IN. Slots: the twelve r12
-# returners re-retire after their green round (12), the two r12
-# promotions re-retire behind their checked lane siblings after one green
-# round (2), and eight more r11 promotions/new-ops with checked siblings
-# re-retire early (hybrid_rrf_ivf_topk behind hybrid_rrf_topk,
-# dedup_incr_neardup behind the two promoted incremental-lane faces,
-# cluster_composition behind dedup_canonical_quality's cluster family,
-# dsir_logratio + mixture_curriculum behind mixture_manifest_by_lang,
-# strip_boilerplate behind text_clean_markup, knn_join_ivf_sampled behind
-# ann_ivf_trained_topk's shared trained-IVF machinery,
-# media_phash_neardup_decoded behind media_phash_incr_snapshot — each
-# holding ≥1 green round by then). 12+2+8 = 22 slots. ALSO queued for
-# r13: BOTH r12-wave incoming faces (knn_serve_snapshot, the continuous-
-# serving face; dedup_exact_spans, the Lee-et-al. exact duplicated-span
-# reporter — each with local hash evidence), funded by two more early
-# re-retirements of r10 promotions with ≥3 green rounds and checked
-# siblings: corpus_diff_snapshots behind dedup_canonical_quality's digest
-# family, and dedup_intra_doc behind dedup_exact_spans itself (the same
-# corpus-token k-gram digest machinery — the cross-document span face of
-# the passage-grain family). The remaining r12-wave incoming faces
-# (dedup_exact_spans_strip, the keep-first rewrite; dedup_spans_incr,
-# the persisted-index incremental lane; decontam_spans + decontam_scrub,
-# contamination localization and its applied cut) queue r14 behind their
-# reporter — the r13 plan
-# funds exactly two extra slots. After r13 executes, no r10 deadline
-# remains; r11/r12 retirees come due r14/r15 in waves of ≤13.
-# Due-by ledger (retiree -> latest re-check round): remaining r10
-# retirees -> r13; r11 retirees -> r14; r12 retirees -> r15. No deadline
-# before r13 is outstanding.
+# r13 rotation (executed this round, exactly as queued in the recorded
+# r12 plan):
+# - IN, returners (22): ALL 22 remaining r10 retirees at their ≤3-round
+#   deadline (doc_fingerprint_minhash1, position_returns,
+#   semi_join_has_lineitems, topk_events, position_transitions,
+#   pack_windows_composition, semdedup_cells, quality_logreg_score,
+#   mixture_manifest_uniform, embed_chunks_hashed,
+#   strategy_summary_filter_agg, dedup_clusters_canonical, ann_ivfpq_topk,
+#   dedup_incremental, repetition_gopher_quality, decontam_ngram_overlap,
+#   lm_unigram_quality, dedup_passages, pii_scrub_redact,
+#   vocab_coverage_topv, bm25_topk_lexical, dedup_cluster_stats) — no r10
+#   deadline remains outstanding.
+# - IN, promotions (2): both r12-wave faces (knn_serve_snapshot, the
+#   continuous-KNN-serving face; dedup_exact_spans, the Lee-et-al. exact
+#   duplicated-span reporter), funded by the corpus_diff_snapshots /
+#   dedup_intra_doc early re-retirements.
+# - OUT (24): the twelve r12 returners re-retire after their green
+#   re-check round, the two r12 promotions re-retire behind their lane
+#   families after one green round, eight r11 promotions/new-ops with
+#   checked siblings re-retire early, and two r10 promotions with ≥3
+#   green rounds fund the promotion slots (entries tagged "r13 rotation"
+#   below). 12+2+8+2 = 24 = 22 returners + 2 promotions. Active: 50/50.
+#
+# r14 rotation plan (queued): the 22 r11-rotation retirees hit their
+# ≤3-round deadline at r14 — all 22 come IN — and the four r14-queued
+# span faces promote (dedup_exact_spans_strip, dedup_spans_incr,
+# decontam_spans, decontam_scrub). IN = 26. Slots: the 22 r13 returners
+# re-retire after their green re-check round (22); knn_serve_snapshot
+# re-retires after its first green round behind staying
+# ann_ivf_trained_topk (shared versioned-IVF probe machinery — the r08
+# first-green-plus-sibling precedent) (1); dedup_exact_spans re-retires
+# after its first green round behind the four promoting span faces (the
+# same island core, now carrying the family's driver evidence) (1); and
+# two r10 promotions with ≥4 green rounds re-retire early behind
+# returning direct siblings: ann_index_delta behind returning
+# ann_ivf_topk + ann_lsh_hyperplane_pairs + staying ann_ivf_trained_topk,
+# and mixture_manifest_by_lang behind returning sample_stratified_hash +
+# lang_id_heuristic (its group-key producer) with the uniform twin
+# re-retiring only after its own green round (2). 22+1+1+2 = 26. After
+# r14 executes, no r11 deadline remains; the 13 r12 retirees come due
+# r15 and the 24 r13 retirees come due r16 — both waves fit the slack
+# freed by the 26 r14 entrants re-retiring.
+# Due-by ledger (retiree -> latest re-check round): r11 retirees -> r14;
+# r12 retirees -> r15; r13 retirees -> r16. No deadline before r14 is
+# outstanding.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is
     # CURRENTLY retired; returners re-retiring carry their full green
     # history in their tag.
-    # r12 rotation (this round): the 10 r11 returners re-retire after
-    # their green re-check round, plus 3 r11 promotions with a green
-    # round and checked siblings; the freed slots took the 12
-    # thinnest-coverage r10 retirees one round ahead of their r13
-    # deadline plus the 2 incremental-lane promotions. Due re-check r15.
+    # r13 rotation (this round): the 12 r12 returners re-retire after
+    # their green re-check round, the 2 r12 promotions re-retire behind
+    # their lane families after one green round, 8 r11 promotions/new-ops
+    # with checked siblings re-retire early, and 2 r10 promotions with ≥3
+    # green rounds fund the knn_serve_snapshot + dedup_exact_spans slots;
+    # the freed 24 slots took ALL 22 r10 retirees at their ≤3-round
+    # deadline plus both r12-wave promotions. Due re-check r16.
+    "normalized_prices": "r13 rotation; returner re-check green r12; the P1-P2 normalize stage runs inline in checked positions_costs/executions/strategy_metrics (green r01-r09, r12)",
+    "signals_decisions": "r13 rotation; returner re-check green r12; the P3-P4 decision stage runs inline in the checked positions chain AND as the entry() flagship smoke every round (green r01-r09, r12)",
+    "asof_join_tolerance": "r13 rotation; returner re-check green r12; tolerance variant of staying asof_join_trade_quote (same backward-join core, one bound predicate) (green r02-r09, r12)",
+    "recent_ticks_per_instrument": "r13 rotation; returner re-check green r12; top-k serving family checked via returning topk_events (green r01-r09, r12)",
+    "dedup_minhash_lsh": "r13 rotation; returner re-check green r12; minhash family checked via returning doc_fingerprint_minhash1 + dedup_incremental (the band-index probe shape) + staying decontam_suite_chained's minhash band probe (green r01-r09, r12)",
+    "dedup_simhash": "r13 rotation; returner re-check green r12; hamming-banded family checked via staying winnow_zipf_chained (winnowing fingerprints); exact-jaccard verify twin dedup_ngram_jaccard due back r14 (green r01-r09, r12)",
+    "ann_bruteforce_topk": "r13 rotation; returner re-check green r12; ANN family checked via staying ann_ivf_trained_topk + returning ann_ivfpq_topk; exact-cosine baseline stays the recall oracle in tests/test_ann_recall.py (green r01-r09, r12)",
+    "tfidf_top_terms": "r13 rotation; returner re-check green r12; lexical-scoring family checked via staying hybrid_rrf_topk (chains the BM25 arm inline) + returning bm25_topk_lexical (green r01-r09, r12)",
+    "length_band_approx": "r13 rotation; returner re-check green r12; percentile family twin value_percentiles_exact due its r14 re-check; stays tested + --extended (green r05-r09, r12)",
+    "sample_quota_per_source": "r13 rotation; returner re-check green r12; sampling family checked via staying mixture_manifest_by_lang + returning mixture_manifest_uniform (green r05-r09, r12)",
+    "curate_keep_decision": "r13 rotation; returner re-check green r12; composed stages checked via staying text_clean_markup + decontam_suite_chained + returning quality_logreg_score/repetition_gopher_quality; composition pinned by tests/test_curation_ops.py (green r05-r09, r12)",
+    "split_train_val_test": "r13 rotation; returner re-check green r12; deterministic-hash split family checked via staying shuffle_windows (same exact-int64 hash core); direct twin sample_stratified_hash due r14 (green r08, r09, r12)",
+    "media_phash_incr_snapshot": "r13 rotation; promoted r12, green r12, re-retires behind its lane family per the queued plan (raw-byte face media_phash_neardup due back r15); decoded + incremental faces stay tested + --extended, streaming media lane pinned by tests/test_streaming_datapipe.py",
+    "embedding_incr_neardup": "r13 rotation; promoted r12, green r12, re-retires behind staying ann_ivf_trained_topk's vector machinery; embedding_cosine_neardup (the pair face) due back r14; stays tested + --extended",
+    "hybrid_rrf_ivf_topk": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying hybrid_rrf_topk (identical BM25+RRF fusion; the IVF dense arm stays checked via ann_ivf_trained_topk)",
+    "dedup_incr_neardup": "r13 rotation; promoted r11, green r11-r12, early re-retire behind returning dedup_incremental (the digest-incremental probe shape); stays tested + --extended",
+    "cluster_composition": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying dedup_canonical_quality's cluster family + returning dedup_cluster_stats + semdedup_cells",
+    "dsir_logratio": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying mixture_manifest_by_lang (same broadcast-rate sampling family)",
+    "mixture_curriculum": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying mixture_manifest_by_lang + returning mixture_manifest_uniform",
+    "strip_boilerplate": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying text_clean_markup (same zero-shuffle JVM regex hygiene shape)",
+    "knn_join_ivf_sampled": "r13 rotation; added r11, green r11-r12, early re-retire behind staying ann_ivf_trained_topk (shared trained-IVF assign/probe machinery); both KNN-join faces stay tested + --extended",
+    "media_phash_neardup_decoded": "r13 rotation; promoted r11 (planted face), green r11-r12, early re-retire per the queued plan; media family due back r15 via media_phash_neardup, decoded + incremental faces stay tested + --extended",
+    "corpus_diff_snapshots": "r13 rotation; promoted r10, green r10-r12, early re-retire behind staying dedup_canonical_quality's digest family + returning dedup_incremental — funds the knn_serve_snapshot slot",
+    "dedup_intra_doc": "r13 rotation; promoted r10, green r10-r12, early re-retire behind promoting dedup_exact_spans (the same corpus-token k-gram digest machinery, cross-document face) + returning dedup_passages — funds the dedup_exact_spans slot",
+    # r12 rotation: the 10 r11 returners re-retired after their green
+    # re-check round, plus 3 r11 promotions with a green round and
+    # checked siblings; the freed slots took the 12 thinnest-coverage r10
+    # retirees one round ahead of their r13 deadline plus the 2
+    # incremental-lane promotions. Due re-check r15.
     "ticks_source": "r12 rotation; returner re-check green r11; the S1 typed tick source feeds EVERY checked pipeline query inline (positions_costs, executions, strategy_metrics, streaming chain) (green r01-r06, r07, r11)",
     "nation_region_rollup": "r12 rotation; returner re-check green r11; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning tfidf_top_terms's agg shapes; 3-way-join sibling segment_revenue_3way_join stays checked (green r01-r06, r07, r11)",
     "segment_revenue_3way_join": "r12 rotation; returner re-check green r11; J3-J5 listing-join family checked via staying anti_join_parts_never_shipped + segment_revenue_bucketed (green r01-r06, r07, r11)",
@@ -220,36 +266,6 @@ RETIRED = {
     "pricing_summary_q1": "r11 rotation; returner re-check green r10; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning nation_region_rollup (green r01-r06, r10)",
     "runs_listing_join_topn": "r11 rotation; returner re-check green r10; listing-join family checked via staying anti_join_parts_never_shipped + returning segment_revenue_3way_join (green r01-r06, r10)",
     "session_window_per_user": "r11 rotation; returner re-check green r10; T6 family checked via returning sliding_window_counts + staying streaming_metrics_5m (green r01-r06, r10)",
-    # r10 rotation (this round): 34 slots freed for the 22 due returners,
-    # 9 promotions, and 3 chained consolidation queries. Due re-check r13.
-    # -- the five r08 returners re-retire after TWO green rounds (r08+r09):
-    "doc_fingerprint_minhash1": "r10 rotation; returner green r08+r09; fingerprint family checked via winnow_zipf_chained (winnowing fingerprints) + returning dedup_exact_hash (digest stage)",
-    "position_returns": "r10 rotation; returner green r08+r09; the per-position return stage runs inline in checked strategy_metrics (green r01-r04, r08, r09)",
-    "semi_join_has_lineitems": "r10 rotation; returner green r08+r09; join-family twin of checked anti_join_parts_never_shipped (same shape, EXISTS vs NOT EXISTS) (green r01-r04, r08, r09)",
-    "topk_events": "r10 rotation; returner green r08+r09; top-k serving family checked via returning latest_price_per_instrument (green r01-r04, r08, r09)",
-    "position_transitions": "r10 rotation; returner green r08+r09; the transition filter runs inline in the checked positions chain (positions_costs/executions) (green r01-r04, r08, r09)",
-    # -- the five r07-promoted operators with two green rounds (r08+r09)
-    #    and checked same-family siblings (eligibility rule (2) of the
-    #    recorded r09 plan):
-    "pack_windows_composition": "r10 rotation; promoted r07, green r07-r09; promoted shuffle_windows chains the same pack_windows stage as its input",
-    "semdedup_cells": "r10 rotation; promoted r07, green r07-r09; shares the Lloyd-trained centroid machinery with checked ann_ivf_trained_topk; cell-stat audit via promoted dedup_canonical_quality's cluster family",
-    "quality_logreg_score": "r10 rotation; promoted r07, green r07-r09; its feature stages run inline in returning text_stats_quality; int64-exact gradient aggs stay tested (tests/test_training_data_ops.py)",
-    "mixture_manifest_uniform": "r10 rotation; promoted r07, green r07-r09; same operator as promoted mixture_manifest_by_lang (group_col='source' vs 'lang')",
-    "embed_chunks_hashed": "r10 rotation; promoted r07, green r07-r09; chunk → hashed-embed chain stays tested + --extended; dense-arm consumers checked via promoted hybrid_rrf_topk",
-    # -- veterans whose families stay checked via this round's
-    #    returners/promotions (long green histories, all ≥4 rounds):
-    "strategy_summary_filter_agg": "r10 rotation; A5-A6 FILTER-aggregate family checked via returning pricing_summary_q1 + staying segment_revenue_bucketed (green r01-r09)",
-    "dedup_clusters_canonical": "r10 rotation; promoted dedup_canonical_quality runs the same CC clustering with quality-aware canonical selection (superset) (green r01-r09)",
-    "ann_ivfpq_topk": "r10 rotation; PQ variant of staying ann_ivf_trained_topk (shared IVF probe; PQ distance tables tested) (green r01-r09)",
-    "dedup_incremental": "r10 rotation; digest-incremental family checked via returning dedup_exact_hash (the digest stage) + decontam_suite_chained (the band-index probe shape) (green r06-r09)",
-    "repetition_gopher_quality": "r10 rotation; text-quality family checked via returning text_stats_quality + promoted ccnet_lm_buckets (green r05-r09)",
-    "decontam_ngram_overlap": "r10 rotation; decontam_suite_chained is its per-benchmark superset (same digest-broadcast overlap chain, exact + fuzzy arms) (green r05-r09)",
-    "lm_unigram_quality": "r10 rotation; LM-scoring family checked via promoted ccnet_lm_buckets (same token/model/broadcast-score stages, bucketed) (green r06-r09)",
-    "dedup_passages": "r10 rotation; passage-grain family checked via promoted dedup_intra_doc (same passage explode + digest) (green r06-r09)",
-    "pii_scrub_redact": "r10 rotation; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape); scrub regexes stay fuzz-tested (tests/test_pii_fuzz.py) (green r06-r09)",
-    "vocab_coverage_topv": "r10 rotation; promoted tokenize_with_vocab builds and applies the same top-V vocabulary (superset: adds the OOV segmentation) (green r08, r09)",
-    "bm25_topk_lexical": "r10 rotation; promoted hybrid_rrf_topk chains the identical BM25 arm inline before fusion (green r08, r09)",
-    "dedup_cluster_stats": "r10 rotation; cluster-audit family checked via promoted dedup_canonical_quality (same CC clusters, quality-keyed) (green r08, r09)",
 }
 
 

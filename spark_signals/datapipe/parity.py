@@ -818,6 +818,21 @@ def _incoming_r12() -> dict:
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r12())
 
 
+# r13 rotation: the r12-wave continuous-serving and span-reporter faces
+# promote, exactly as queued in the recorded r12 plan (__spark_entry__.py
+# rotation note) — funded by the corpus_diff_snapshots / dedup_intra_doc
+# early re-retirements. Both verified non-vacuous in the r12 judge sweep
+# (knn_serve_snapshot rows=500, dedup_exact_spans rows=45 at sf0.01). The
+# four remaining span faces (strip / incr / decontam localize / scrub)
+# stay queued for r14 behind their reporter.
+_R13_PROMOTED = (
+    "knn_serve_snapshot",
+    "dedup_exact_spans",
+)
+for _n in _R13_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""
