@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import sys
+from contextlib import contextmanager
 
 
 def _load_corpus(spark, corpus_path: str):
@@ -110,7 +111,39 @@ def _hygiene(raw, span_strip: bool = False):
     return out.withColumn("n_chars", F.length("text"))
 
 
+@contextmanager
+def _checkpoint_scope(spark):
+    """Deterministically free localCheckpoint blocks created in the scope.
+
+    localCheckpointed blocks stay in the block manager until the JVM-side
+    DataFrame is garbage-collected (ContextCleaner), so repeated
+    run_pipeline calls in a long-lived session would accumulate storage —
+    the leak the pre-r12 persist/unpersist pairing guarded against. The
+    library's own persists are already paired with unpersist in finally,
+    so any persistent RDD the scope leaves behind IS a pinned checkpoint:
+    diff the context's persistent-RDD map and unpersist the additions.
+    (Cluster caveat unchanged: localCheckpoint data is unrecoverable on
+    executor loss — swap for a reliable checkpoint dir at cluster scale,
+    spark_signals.checkpoint.pin.)"""
+    jsc = spark.sparkContext._jsc
+    before = {rid for rid in jsc.getPersistentRDDs().keySet().toArray()}
+    try:
+        yield
+    finally:
+        persistent = jsc.getPersistentRDDs()
+        for rid in persistent.keySet().toArray():
+            if rid not in before:
+                persistent.get(rid).unpersist(False)
+
+
 def run_pipeline(
+    spark, corpus_path: str, out_dir: str, span_strip: bool = False
+) -> dict[str, int]:
+    with _checkpoint_scope(spark):
+        return _run_pipeline_inner(spark, corpus_path, out_dir, span_strip)
+
+
+def _run_pipeline_inner(
     spark, corpus_path: str, out_dir: str, span_strip: bool = False
 ) -> dict[str, int]:
     # hygiene fans out into curate, the audit report, and the final join —
@@ -123,14 +156,19 @@ def run_pipeline(
     # the persist for an eager localCheckpoint whose leaf plan makes
     # every downstream replan O(1). At warehouse scale the same boundary
     # is a parquet stage write (which truncates lineage the same way);
-    # on a real cluster swap localCheckpoint for a reliable checkpoint.
+    # durability is one config key: spark.signals.checkpointDir routes
+    # every pin to a reliable checkpoint (spark_signals.checkpoint.pin).
     docs = _hygiene(_load_corpus(spark, corpus_path), span_strip=span_strip)
-    docs = docs.localCheckpoint(eager=True)
+    from spark_signals.checkpoint import pin
+
+    docs = docs.transform(pin)
     return _run_pipeline_pinned(spark, docs, out_dir)
 
 
 def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
     from pyspark.sql import functions as F
+
+    from spark_signals.checkpoint import pin
 
     from spark_signals.datapipe.curate import curate, curate_stats
     from spark_signals.datapipe.pack import pack_sequences
@@ -165,7 +203,7 @@ def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
         sample_temperature(kept.select("doc_id", "source", "n_chars", "lang", "text"))
         .select("doc_id"),
         "doc_id",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     return _write_artifacts(spark, docs, kept, sampled, out_dir)
 
 

@@ -68,7 +68,9 @@ def run_pipeline(spark, corpus_path: str, out_dir: str, queries=None) -> dict:
     docs = _load_corpus(spark, corpus_path)
 
     # ---- offline index build: chunks → embeddings → trained centroids
-    chunk_emb = embed_chunks(docs).localCheckpoint(eager=True)
+    from spark_signals.checkpoint import pin
+
+    chunk_emb = embed_chunks(docs).transform(pin)
     centroids = kmeans_train(
         chunk_emb.select("vec_id", "embedding")
     )  # (cluster_id, dim, c_val) — the persistable index artifact

@@ -66,7 +66,7 @@ lineage with a checkpoint every 4th round. Jobs per merge come out well
 under 1 (asserted in tests/test_bpe.py), against the 2 jobs per merge of
 the exact serial loop; the checkpoints follow the same
 iterate-materialize contract as classifier.quality_logreg and
-similarity.kmeans_train (swap for reliable checkpoints on a cluster).
+similarity.kmeans_train (reliable under spark.signals.checkpointDir).
 No driver-side .collect() anywhere — kept merges re-enter the plan as a
 1-row broadcast array, and an empty round is a structural no-op (empty
 array folds to the unchanged repr).
@@ -80,6 +80,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from spark_signals.checkpoint import pin
 
 from spark_signals.datapipe.text import words_col
 from spark_signals.datapipe.util import explode_strings
@@ -293,13 +295,13 @@ def _train_loop(
     spark = docs.sparkSession
     wf = _word_freq(docs, text_col)
     if min_freq > 1:
-        wf = wf.localCheckpoint(eager=True)  # reused by the pruned branch
+        wf = wf.transform(pin)  # reused by the pruned branch
         trainable = wf.filter(F.col("freq") >= min_freq)
     else:
         trainable = wf
     reprs = trainable.select(
         "word", "freq", _wrap_chars(F.col("word")).alias("repr")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # Per round, the ONLY eager materialization is the 1-row kept array
     # (its plan carries the round's pair-count shuffle). The reprs fold
     # chain references each parent exactly once (the kept side is already
@@ -312,12 +314,12 @@ def _train_loop(
         sel = (
             _select_batch(_pair_counts(reprs), cap)
             .withColumn("round", F.lit(rnd))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         sel_rounds.append(sel)
         reprs = _fold_sel(reprs, sel)
         if rnd % CKPT_EVERY == 0:
-            reprs = reprs.localCheckpoint(eager=True)
+            reprs = reprs.transform(pin)
     if not sel_rounds:  # n_merges=0: a pure char-level tokenizer
         return reprs, _empty_merges(spark)
     sel_all = sel_rounds[0]
@@ -411,7 +413,7 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, text_col: str = "text") -> Dat
     exactly as BPE specifies (greedy by merge rank from characters)."""
     wf = _word_freq(docs, text_col)
     reprs = wf.select("word", "freq", _wrap_chars(F.col("word")).alias("repr"))
-    reprs = _fold_rows(reprs, merges, ["merge_rank"]).localCheckpoint(eager=True)
+    reprs = _fold_rows(reprs, merges, ["merge_rank"]).transform(pin)
     seg = reprs.select("word", F.size(_syms(F.col("repr"))).alias("n_syms"))
     return _price_docs(docs, seg, text_col)
 

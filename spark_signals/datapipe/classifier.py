@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 LABEL_SOURCE = "src0"  # the curated-subset stand-in (see decontam.EVAL_SOURCE)
 LOGREG_ITERS = 5
 LOGREG_LR = 1.0
@@ -104,7 +106,7 @@ def logreg_train(
     try:
         w = feats.sparkSession.range(1).select(
             *[F.lit(0.0).alias(f"w{j}") for j in range(5)]
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         for _ in range(iters):
             z = (
                 F.col("w0")
@@ -139,7 +141,7 @@ def logreg_train(
                         for j in range(5)
                     ]
                 )
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
         return w
     finally:

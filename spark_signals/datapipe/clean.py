@@ -17,7 +17,10 @@ Rule order matters and is part of the contract:
                        breaks), BEFORE whitespace collapse destroys the
                        newline evidence
 3. control strip     — C0 controls except \\t \\n \\r become spaces
-4. whitespace fold   — any \\s+ run → one space, then trim
+4. whitespace fold   — any run of the explicit whitespace class
+                       ``[ \\t\\n\\x0b\\f\\r]+`` → one space, then trim
+                       (never Java ``\\s``, whose membership differs from
+                       RE2's — the repo-wide oracle-parity rule)
 """
 
 from __future__ import annotations

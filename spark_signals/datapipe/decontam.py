@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 from spark_signals.datapipe.text import SQL_SHINGLES, shingles_col, words_col
 from spark_signals.datapipe.util import spread_small_input
 
@@ -206,7 +208,7 @@ def _fuzzy_verified(
                 F.count(F.lit(1)).alias("n_eval_matches"),
                 F.max("jaccard_u").alias("max_jaccard_u"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     finally:
         sh_t.unpersist()
@@ -645,13 +647,18 @@ def sql_decontam_spans(
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+         COALESCE(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> ''), []) AS raw
   FROM {source}
+),
+dl AS (
+  SELECT doc_id, source,
+         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ' || chr(1), 'abcdefghijklmnopqrstuvwxyz')) AS words
+  FROM d
 ),
 w AS (
   SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
          md5(array_to_string(words[(i+1):(i+{k})], ' ')) AS digest
-  FROM d, unnest(range(0, len(words) - {k} + 1)) AS t(i)
+  FROM dl, unnest(range(0, len(words) - {k} + 1)) AS t(i)
   WHERE len(words) >= {k}
 ),
 ev AS (SELECT DISTINCT digest FROM w WHERE source = '{eval_source}'),
@@ -725,12 +732,12 @@ def sql_decontam_scrub(
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS raw
+         COALESCE(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> ''), []) AS raw
   FROM {source}
 ),
 dl AS (
   SELECT doc_id, source, raw,
-         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS cmp
+         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ' || chr(1), 'abcdefghijklmnopqrstuvwxyz')) AS cmp
   FROM d
 ),
 w AS (

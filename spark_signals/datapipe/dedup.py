@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 from spark_signals.datapipe.text import SQL_SHINGLES, ascii_lower, shingles_col, words_col
 from spark_signals.datapipe.util import spread_small_input
 
@@ -198,13 +200,13 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     # duration of this call — the result is materialized eagerly while the
     # cache is warm, then the cache is released in the finally (measured
     # 3.4x slower without the share). The checkpointed result's own storage
-    # is freed by the ContextCleaner when the caller drops the DataFrame; at
-    # cluster scale swap localCheckpoint for a reliable checkpoint dir.
+    # is freed by the ContextCleaner when the caller drops the DataFrame;
+    # durability at cluster scale is the one-key switch (checkpoint.pin).
     sh = _km_row_sigs(
         _with_shingles(docs).select("doc_id", "shingles"), "shingles", NUM_HASHES, "shingles"
     ).persist()
     try:
-        return _minhash_pairs(sh).localCheckpoint(eager=True)
+        return _minhash_pairs(sh).transform(pin)
     finally:
         sh.unpersist()
 
@@ -341,7 +343,7 @@ def dedup_ngram_jaccard(docs: DataFrame) -> DataFrame:
         .persist()
     )
     try:
-        return _ngram_pairs(keyed).localCheckpoint(eager=True)
+        return _ngram_pairs(keyed).transform(pin)
     finally:
         keyed.unpersist()
 
@@ -697,7 +699,7 @@ def semdedup(
     rel = (
         embeddings.join(cells, "vec_id")
         .select("vec_id", "embedding", F.col("cluster_id").alias("cell"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # within-cell close-pair COUNTS as cogrouped Arrow matmuls (the r11
     # constant-factor fix, same economics as the KNN candidate scorer):
@@ -921,8 +923,8 @@ def connected_components_star(
     Cost model at 100 TB: each round is one groupBy shuffle over the current
     edge list (large-star additionally symmetrizes, a map-side union); edges
     only re-point at ever-smaller labels, so the set shrinks toward one star
-    per component. Lineage is truncated per round (localCheckpoint; swap for
-    a reliable checkpoint dir on a real cluster) so plans don't grow.
+    per component. Lineage is truncated per round (checkpoint.pin — local by
+    default, reliable under spark.signals.checkpointDir) so plans don't grow.
     Convergence = the edge set reaches a fixed point, checked with a single
     short-circuiting exceptAll ``limit(1)`` probe per round.
     """
@@ -930,10 +932,10 @@ def connected_components_star(
         edges.selectExpr("src AS u", "dst AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).transform(pin)
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
         )
@@ -971,15 +973,16 @@ def connected_components(
     is one distributed join + min-aggregate keyed by vertex id. Near-dup
     graphs are unions of small dense clusters, so diameter — and the
     iteration count — stays tiny even at billions of docs. Lineage is
-    truncated per iteration (localCheckpoint; a reliable checkpoint dir at
-    cluster scale), so plans don't grow with iterations. The alternating
+    truncated per iteration (checkpoint.pin — reliable under
+    spark.signals.checkpointDir at cluster scale), so plans don't grow
+    with iterations. The alternating
     large-star/small-star variant (O(log n) rounds on adversarial chains)
     is the documented upgrade path if diameters ever grow.
     """
     sym = edges.selectExpr("src", "dst").unionAll(edges.selectExpr("dst AS src", "src AS dst"))
     labels = vertices.select(F.col("id"), F.col("id").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = labels.transform(pin)
+    sym = sym.transform(pin)
     changed = 0
     for _ in range(max_iter):
         msgs = (
@@ -990,7 +993,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             new_labels.alias("n")
@@ -1396,12 +1399,30 @@ SPAN_POS_BASE = 1 << 32
 
 
 def _span_wins(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, pos, digest) — one row per k-window of corpus-rule tokens."""
+    """(doc_id, pos, digest) — one row per k-window of corpus-rule tokens.
+
+    The comparison tokens additionally DELETE the GRAM_SEP byte (\\x01)
+    token-internally: the concat_ws → split explode round-trip below uses
+    \\x01 as its separator, so a literal \\x01 inside a token would
+    fragment its gram and shift every subsequent window position — and
+    unlike the digest-only operators this family uses positions to CUT
+    words in _strip_from_hits. Deletion is within-token (an all-\\x01
+    token stays a now-empty token, never filtered), so token count and
+    word positions remain aligned with the raw rebuild stream; the DuckDB
+    twins delete the same byte in their cmp transform (translate with a
+    longer from-set drops the extras in both engines).
+    """
     from spark_signals.datapipe.util import GRAM_SEP
 
     base = (
         spread_small_input(docs)
-        .withColumn("words", words_col(F.col("text")))
+        .withColumn(
+            "words",
+            F.transform(
+                words_col(F.col("text")),
+                lambda w: F.translate(w, GRAM_SEP, ""),
+            ),
+        )
         .filter(F.size("words") >= k)
     )
     grams = F.expr(
@@ -1516,12 +1537,12 @@ def _sql_span_ctes(source: str, k: int) -> str:
     return f"""
 d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS raw
+         COALESCE(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> ''), []) AS raw
   FROM {source}
 ),
 dl AS (
   SELECT doc_id, raw,
-         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS cmp
+         list_transform(raw, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ' || chr(1), 'abcdefghijklmnopqrstuvwxyz')) AS cmp
   FROM d
 ),
 w AS (
@@ -1608,9 +1629,17 @@ def dedup_exact_spans_strip(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFram
 
 def _strip_from_hits(docs: DataFrame, hits: DataFrame, k: int) -> DataFrame:
     """Shared strip tail: hits → islands → cut intervals → case-preserving
-    per-row rebuild (the dedup_exact_spans_strip contract)."""
-    raw_words = F.filter(
-        F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != ""
+    per-row rebuild (the dedup_exact_spans_strip contract).
+
+    NULL text coalesces to an EMPTY token array before sizing: Spark's
+    size(NULL) is -1 where DuckDB's len(NULL) is NULL, so without the
+    coalesce the two engines diverge on n_words for NULL-text rows (the
+    SQL twins coalesce the same way in their d/raw CTEs)."""
+    raw_words = F.coalesce(
+        F.filter(
+            F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != ""
+        ),
+        F.array().cast("array<string>"),
     )
     islands = _span_islands(hits, k)
     cuts = (
@@ -1725,6 +1754,18 @@ def dedup_spans_incremental(
     stored mins, so nothing new is cut) and an empty delta — with
     batch-partition-overwrite storage the lane is exactly-once end to end.
 
+    PRECONDITION (unique doc_id per corpus): replay idempotence rests on
+    the hist_min == bmin carve-out — a batch occurrence whose key EQUALS
+    the stored canonical is read as "this occurrence IS the stored one
+    replayed", not as a duplicate of it. A pipeline that re-ingests a
+    genuinely NEW copy of a document under an already-indexed doc_id
+    (same digest at the same position) is indistinguishable from a replay
+    and is silently treated as unique; the exact-equivalence invariant
+    therefore holds for fresh doc_ids and exact replays only. Same
+    identity discipline as the digest lane (doc_id is the corpus key,
+    batch_id-partition overwrite dedups redelivery); assign fresh doc_ids
+    to genuinely new ingests.
+
     Shape at 100 TB: batch windows are O(batch tokens); the index probe is
     ONE digest equi-join (batch-side shuffle only against a
     digest-bucketed index); islands/rebuild are the batch-local strip
@@ -1760,11 +1801,11 @@ def dedup_spans_incremental(
             wins_b.join(info.filter(F.col("dup_digest")), "digest")
             .select("doc_id", "pos", (key == F.col("global_min")).alias("is_canon"))
         )
-        stripped = _strip_from_hits(new_docs, hits, k).localCheckpoint(eager=True)
+        stripped = _strip_from_hits(new_docs, hits, k).transform(pin)
         delta = (
             info.filter(F.col("fresh"))
             .select("digest", F.col("bmin").alias("min_key"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         return stripped, delta
     finally:
@@ -2083,15 +2124,13 @@ def dedup_incremental_neardup(
             .distinct()
         )
         drops = hist_dups.unionByName(batch_dups).distinct()
-        survivors = new_docs.join(drops, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        survivors = new_docs.join(drops, "doc_id", "left_anti").transform(pin)
         delta = (
             bands_b.join(
                 survivors.select("doc_id"), "doc_id", "left_semi"
             )
             .select("band", "k1", "k2", "doc_id")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         return survivors, delta
     finally:
@@ -2276,8 +2315,8 @@ def winnow_fingerprint_pairs(
     pinned-for-the-call shape as dedup_minhash_lsh — because both the
     count pass and the collect pass consume it and the winnowing md5
     chain is the expensive stage (recomputing it doubled the query wall
-    time when measured at sf0.01). At cluster scale swap localCheckpoint
-    for a reliable checkpoint dir.
+    time when measured at sf0.01). At cluster scale set
+    spark.signals.checkpointDir (checkpoint.pin's durability switch).
     """
     sized = winnow_fingerprints(docs, k, w).select(
         "doc_id",
@@ -2287,7 +2326,7 @@ def winnow_fingerprint_pairs(
     try:
         return _winnow_pairs_from_sized(
             sized, min_shared, min_resemblance, fp_max_docs
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     finally:
         sized.unpersist()
 
@@ -2664,13 +2703,11 @@ def embedding_neardup_incremental(
             .distinct()
         )
         drops = hist_dups.unionByName(batch_dups).distinct()
-        survivors = new_vectors.join(drops, "vec_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        survivors = new_vectors.join(drops, "vec_id", "left_anti").transform(pin)
         delta = (
             sigs.join(survivors.select("vec_id"), "vec_id", "left_semi")
             .select("bucket", "vec_id", "embedding")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         return survivors, delta
     finally:

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_signals.checkpoint import pin
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -882,13 +884,11 @@ def media_phash_incremental(
             F.col("media_b").alias("media_id")
         ).distinct()
         drops = hist_dups.unionByName(batch_dups).distinct()
-        survivors = new_media.join(drops, "media_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        survivors = new_media.join(drops, "media_id", "left_anti").transform(pin)
         delta = (
             bands_b.join(survivors.select("media_id"), "media_id", "left_semi")
             .select("kind", "band", "bkey", "media_id", "sig")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         return survivors, delta
     finally:

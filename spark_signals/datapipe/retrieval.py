@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 from spark_signals.datapipe.text import ASCII_LO, ASCII_UP, words_col
 
 BM25_K1 = 1.2
@@ -275,7 +277,7 @@ def bm25_topk_queries(
             F.col("s.n_matched_terms").alias("n_matched_terms"),
             (F.col("pos") + 1).alias("rank"),
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(pin)
     finally:
         tf.unpersist()
 
@@ -425,9 +427,9 @@ def build_dense_ivf_index(
     iters = KMEANS_ITERS if iters is None else iters
     emb = hash_embed(spread_small_input(docs)).select(
         F.col("doc_id").alias("vec_id"), "embedding"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cents = kmeans_train(emb, n_cells, iters)  # (cluster_id, dim, c_val)
-    cells = kmeans_assign_arrow(emb, cents).localCheckpoint(eager=True)
+    cells = kmeans_assign_arrow(emb, cents).transform(pin)
     return emb, cents, cells
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 from spark_signals.parity import sround
 
 N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
@@ -906,7 +908,7 @@ def kmeans_train(
     connected_components_star); values are bit-identical, only the lineage
     is truncated. A cluster that loses every member keeps its previous
     centroid (left join + coalesce), so k never decays. On a real cluster
-    swap localCheckpoint for a reliable checkpoint dir.
+    set spark.signals.checkpointDir (checkpoint.pin's durability switch).
     """
     dims = _long_dims(embeddings).persist()
     wide = embeddings.select("vec_id", "embedding").persist()
@@ -915,7 +917,7 @@ def kmeans_train(
         centroids = (
             seeds.join(dims, "vec_id")
             .select("cluster_id", "dim", F.col("val").alias("c_val"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         for _ in range(iters):
             # Arrow matmul assignment (kmeans_assign_arrow): the per-iter
@@ -935,7 +937,7 @@ def kmeans_train(
                     "dim",
                     F.coalesce(F.col("m.m_val"), F.col("p.c_val")).alias("c_val"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
         return centroids
     finally:
@@ -961,7 +963,7 @@ def ann_ivf_trained_topk(
     relabeled = (
         embeddings.join(cells, "vec_id")
         .select("vec_id", "embedding", F.col("cluster_id").cast("int").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     return ann_ivf_topk(relabeled)
 
@@ -1277,7 +1279,7 @@ def ivf_serving_index(
             "embedding",
             F.col("cluster_id").cast("int").alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     return centroids, index
 
@@ -1307,9 +1309,7 @@ def knn_serve_batch(
     # (narrow: two longs per row) because the mega-cell guard counts
     # probers per cell from it — without the pin that count agg would
     # re-run the probe matmul.
-    probes = probe_cells_arrow(queries, centroids, NPROBE).localCheckpoint(
-        eager=True
-    )
+    probes = probe_cells_arrow(queries, centroids, NPROBE).transform(pin)
     probers = probes.join(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

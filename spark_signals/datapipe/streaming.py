@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_signals.checkpoint import pin
+
 # THE batch exact-dedup digest, re-exported so streaming callers share one
 # definition with dedup.dedup_exact / digest_index (a padding-only
 # redelivery must hash identically in both lanes — see content_digest's
@@ -332,8 +334,8 @@ def process_ingest_batch(
     # pin results before any write: the delta's plan reads index_dir,
     # which the delta write itself replaces — materialize first so the read
     # and the write never overlap
-    survivors = survivors.localCheckpoint(eager=True)
-    delta = delta.localCheckpoint(eager=True)
+    survivors = survivors.transform(pin)
+    delta = delta.transform(pin)
     survivors.write.mode("overwrite").parquet(
         os.path.join(survivors_dir, f"batch_id={batch_id}")
     )
@@ -341,7 +343,7 @@ def process_ingest_batch(
         os.path.join(index_dir, f"batch_id={batch_id}")
     )
     if band_delta is not None:
-        band_delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        band_delta.transform(pin).write.mode("overwrite").parquet(
             os.path.join(band_index_dir, f"batch_id={batch_id}")
         )
 

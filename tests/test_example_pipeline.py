@@ -15,7 +15,17 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     from curate_corpus import run_pipeline
 
     out = str(tmp_path / "curated")
+    blocks_before = len(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     counts = run_pipeline(spark, "/root/testdata/sf0.001", out)
+    # r12 ADVICE #2: the stage-boundary localCheckpoints must not leak —
+    # repeated runs in a long-lived session would otherwise accumulate
+    # block-manager storage until JVM GC happens to collect the frames
+    blocks_after = len(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert blocks_after <= blocks_before
     assert counts["input_docs"] == 500
     assert 0 < counts["sampled_docs"] <= counts["kept_docs"] < counts["input_docs"]
     assert counts["packed_docs"] == counts["sampled_docs"]

@@ -247,6 +247,83 @@ def test_strip_cross_engine_on_testdata(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+STRIP_COLS = [
+    "doc_id", "text_dedup", "n_words", "n_cut_words", "n_cut_spans",
+    "was_modified",
+]
+
+
+def _assert_strip_cross_engine(spark_df, con):
+    a = spark_df.toPandas()[STRIP_COLS].sort_values("doc_id").reset_index(drop=True)
+    b = (
+        con.execute(D.sql_dedup_exact_spans_strip())
+        .fetchdf()[STRIP_COLS]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+def test_gram_sep_byte_inside_tokens_is_position_safe(spark):
+    """r12 ADVICE #1: a literal \\x01 — the explode round-trip's GRAM_SEP —
+    inside a token must neither fragment its gram nor shift any later
+    window position. Comparison tokens delete the byte in BOTH engines
+    (position-preservingly: an all-\\x01 token stays a now-empty token),
+    so the dirtied run still collides with its clean twin and the strip
+    cuts exactly the right words."""
+    dirty = SHARED.replace("s3", "s\x01\x013")  # \x01 *inside* a token
+    rows = [
+        f"{dirty} {UNIQ_A}",  # doc0: dirtied copy of the shared run
+        f"{UNIQ_B} {SHARED}",  # doc1: clean copy
+        f"\x01 {SHARED}",  # doc2: all-\x01 token shifts later positions by 1
+    ]
+    spans = {}
+    for r in D.dedup_exact_spans(_docs(spark, rows)).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # deletion makes dirty == clean: all three docs report the shared run,
+    # doc2's span shifted by its leading (empty-after-deletion) token
+    assert spans[0] == [(0, K + 3)]
+    assert spans[1] == [(10, 10 + K + 3)]
+    assert spans[2] == [(1, K + 4)]
+    con = _duck_on(rows)
+    _assert_cross_engine(D.dedup_exact_spans(_docs(spark, rows)), con)
+    a = _assert_strip_cross_engine(D.dedup_exact_spans_strip(_docs(spark, rows)), con)
+    # the canonical (first) occurrence keeps its text VERBATIM — \x01 and
+    # all — later copies are cut (doc2 keeps its non-duplicated "\x01" word)
+    assert a.loc[0, "text_dedup"] == f"{dirty} {UNIQ_A}"
+    assert a.loc[1, "text_dedup"] == UNIQ_B
+    assert a.loc[2, "text_dedup"] == "\x01"
+
+
+def test_null_and_empty_text_strip_cross_engine(spark):
+    """r12 ADVICE #4: NULL text must not diverge cross-engine in the strip
+    faces — Spark's size(NULL) is -1 where DuckDB's len(NULL) is NULL;
+    both coalesce to an empty token array (n_words = 0, text_dedup '')."""
+    rows = [(0, f"{SHARED} {UNIQ_A}"), (1, None), (2, ""), (3, f"{UNIQ_B} {SHARED}")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", 0) for i, t in rows], DOC_SCHEMA
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "text": [t for _, t in rows],
+                "lang": "en",
+                "source": "src",
+                "n_chars": 0,
+            }
+        ),
+    )
+    a = _assert_strip_cross_engine(D.dedup_exact_spans_strip(docs), con)
+    assert list(a["n_words"]) == [K + 24, 0, 0, K + 14]
+    assert a.loc[1, "text_dedup"] == "" and not a.loc[1, "was_modified"]
+
+
 # -------------------------------------------------------- incremental lane
 def _rows_set(df):
     return {tuple(r) for r in df.collect()}

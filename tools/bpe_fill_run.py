@@ -51,6 +51,9 @@ def build_lexicon(size: int) -> list[str]:
     return list(seen)
 
 
+from spark_signals.checkpoint import pin
+
+
 def build_docs(spark, n_docs: int, lexicon: list[str], words_per_doc: int = 200):
     import math
 
@@ -86,9 +89,7 @@ def main() -> int:
 
     spark = get_spark("bpe-fill-run")
     lex = build_lexicon(args.lexicon)
-    docs = build_docs(spark, args.docs, lex).repartition(32).localCheckpoint(
-        eager=True
-    )
+    docs = build_docs(spark, args.docs, lex).repartition(32).transform(pin)
     n_distinct = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .select("w")
