@@ -818,6 +818,27 @@ def _incoming_r12() -> dict:
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r12())
 
 
+def _incoming_r13() -> dict:
+    """The r13 wave: the D3 secondary-index substitute SURVEY.md §2 names
+    — Z-order clustering + zone-map data skipping (io/layout.py). The
+    face returns BOTH layouts' per-file zones with the canned predicate's
+    would_scan flag, so the pruning arithmetic itself is value-checked
+    (at sf0.1: Z-order scans 6/64 files vs ingestion order's 64/64).
+    Queued r15: the recorded r14 plan's 26 slots are fully committed to
+    the r11-retiree deadline wave + the four span faces."""
+    from spark_signals.io.layout import sql_zorder_zonemap, zorder_zonemap
+
+    return {
+        "zorder_zonemap_skipping": (
+            lambda spark, sf_dir: zorder_zonemap(_docs(spark, sf_dir)),
+            sql_zorder_zonemap(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r13())
+
+
 # r13 rotation: the r12-wave continuous-serving and span-reporter faces
 # promote, exactly as queued in the recorded r12 plan (__spark_entry__.py
 # rotation note) — funded by the corpus_diff_snapshots / dedup_intra_doc

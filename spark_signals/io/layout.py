@@ -1,0 +1,287 @@
+"""Multi-column data-skipping layout: Z-order clustering + zone maps (D3).
+
+The reference keeps secondary B-tree indexes on every serving table
+(CREATE INDEX ... time DESC / by-instrument / by-component,
+docker/postgres/init/02_schema.sql:65-66,90-91,116-117,135-136,161-162) so
+point/range lookups on non-key columns stay cheap. A 100 TB Spark
+warehouse does not build row-level index structures; the idiomatic
+substitute — the one SURVEY.md §2's D3 row names — is LAYOUT:
+
+1. cluster the table so every file covers a tight range of EVERY
+   commonly-filtered column simultaneously (Z-order: interleave the bits
+   of the quantized columns, then range-partition + sort by the derived
+   key — multi-dimensional locality from a one-dimensional sort);
+2. record per-file min/max of those columns (the zone map — parquet
+   row-group footers carry exactly these stats natively, so the scan-time
+   pruning is free once the layout exists);
+3. at read time a conjunctive range predicate skips every file whose
+   zone does not intersect it. One column's filter prunes a sorted
+   layout; Z-order prunes on ALL clustered columns at once, at the cost
+   of each being a bit coarser.
+
+Everything here is deterministic, JVM-side arithmetic (shifts/masks under
+whole-stage codegen — no sampling, no UDFs), so the whole chain has an
+exact DuckDB twin and the zone-map face is value-checkable like any
+other operator. The production writer (``write_zordered``) uses
+``repartitionByRange`` — Spark's sampled range boundaries, the right tool
+at scale but not bit-reproducible across engines; the auditable face
+(``zorder_zonemap``) assigns files by exact ``ntile`` over the total
+(zkey, id) order so both engines agree file-for-file.
+
+Shape at 100 TB: quantization bounds are one tiny min/max aggregate
+(broadcast scalars); the z-key is a per-row projection; the layout write
+is ONE range exchange + per-file sort (the same cost profile as any
+sorted write); the zone map is one file-keyed aggregate over file-local
+rows. Nothing scans twice, nothing collects to the driver beyond the
+2-row bounds relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# quantization resolution per clustered column: 8 bits = 256 cells/dim.
+# Finer buys little once files are ~100 MB (a file holds many cells
+# regardless); coarser starts merging genuinely distant values.
+ZORDER_BITS = 8
+# the auditable face's file count at test scale; production picks
+# n_files = table_bytes / target_file_bytes
+ZORDER_FILES = 64
+
+
+def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Value-scale ``col`` into [0, 2^bits): floor((x-lo)*(2^bits-1)/(hi-lo)).
+
+    Value-based (not rank-based) quantization: exact, needs only global
+    min/max (no global sort per column), and has a bit-identical SQL
+    twin. Trade-off vs Delta's rank-style OPTIMIZE ZORDER: heavy skew in
+    a column wastes some of its cells — acceptable because skipping
+    degrades gracefully (zones widen, pruning weakens, results never
+    change).
+
+    Exact-integer floor division (the repo's standing cross-engine rule):
+    Spark's BIGINT ``/`` is DOUBLE division, whose rounding can bump a
+    just-below-integer quotient up across the floor; subtracting
+    ``x % span`` first makes the numerator exactly divisible, so the
+    double quotient is the exact integer — matching DuckDB's ``//``
+    bit-for-bit. Precondition: (hi-lo) * (2^bits - 1) < 2^53 (any real
+    column at 8-16 bits).
+    """
+    span = F.greatest(hi - lo, F.lit(1)).cast("bigint")
+    x = (col.cast("bigint") - lo.cast("bigint")) * F.lit((1 << bits) - 1)
+    return ((x - x % span) / span).cast("bigint")
+
+
+def zorder_key(quantized: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Interleave the bit-planes of already-quantized columns into one
+    BIGINT Morton key: bit b of column i lands at position b*ncols + i.
+    Pure shift/mask arithmetic — whole-stage codegen, no Python."""
+    ncols = len(quantized)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+            ).cast("bigint")
+    return key
+
+
+def sql_zorder_key(quantized: list[str], bits: int = ZORDER_BITS) -> str:
+    """The DuckDB twin of :func:`zorder_key` over pre-quantized SQL
+    expressions — generated from the same loop so the bit layout cannot
+    drift between engines."""
+    ncols = len(quantized)
+    terms = [
+        f"((({q} >> {b}) & 1) << {b * ncols + i})"
+        for b in range(bits)
+        for i, q in enumerate(quantized)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = ZORDER_FILES,
+    bits: int = ZORDER_BITS,
+) -> str:
+    """Production layout writer: Z-order ``df`` on ``cols`` into
+    ``n_files`` parquet files. Each file's footer then carries tight
+    min/max for every clustered column, so ANY engine reading the table
+    (Spark row-group pruning, DuckDB parquet_metadata, Trino) skips
+    non-intersecting files/row-groups without a separate index artifact —
+    the D3 story with zero extra serving infrastructure.
+
+    One range exchange on the Morton key + per-partition sort; bounds are
+    Spark's sampled range boundaries (scale-right, not bit-reproducible —
+    the oracle-checked face uses exact ntile instead).
+    """
+    bounds = df.agg(
+        *[f(c).cast("bigint").alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
+    )
+    b = F.broadcast(bounds)
+    withb = df.crossJoin(b)
+    qs = [
+        _quantize(F.col(c), F.col(f"lo_{c}"), F.col(f"hi_{c}"), bits)
+        for c in cols
+    ]
+    keyed = withb.withColumn("_zkey", zorder_key(qs, bits)).drop(
+        *[f"{n}_{c}" for c in cols for n in ("lo", "hi")]
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def zorder_zonemap(
+    docs: DataFrame,
+    n_files: int = ZORDER_FILES,
+    bits: int = ZORDER_BITS,
+    lo_chars: int = 150,
+    hi_chars: int = 250,
+    lang: str = "de",
+) -> DataFrame:
+    """The auditable D3 face: zone maps of the ``documents`` table under
+    two layouts — ingestion order (files = doc_id ntiles, the layout you
+    get for free) and Z-order on (n_chars, lang) — each annotated with
+    whether the canned serving predicate ``lang = :lang AND n_chars
+    BETWEEN :lo AND :hi`` must scan the file.
+
+    lang enters the key as its two-byte ASCII code (ascii(c1)*256 +
+    ascii(c2)) — order-preserving for the 2-letter tags the corpus uses,
+    and identical arithmetic in both engines. Returns one row per
+    (layout, file_id): the per-file min/max zones of both predicate
+    columns, the row count, and ``would_scan`` — so the pruning
+    arithmetic itself is value-checked, not just a summary claim.
+    File population is exact ntile over the total (sort_key, doc_id)
+    order: deterministic and engine-agnostic, unlike sampled range
+    boundaries.
+    """
+    from pyspark.sql import Window
+
+    lang_code = (
+        F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1))
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), lang_code.alias("lang_code")
+    )
+    bounds = base.agg(
+        F.min("n_chars").alias("lo_c"),
+        F.max("n_chars").alias("hi_c"),
+        F.min("lang_code").alias("lo_l"),
+        F.max("lang_code").alias("hi_l"),
+    )
+    withb = base.crossJoin(F.broadcast(bounds))
+    zkey = zorder_key(
+        [
+            _quantize(F.col("n_chars"), F.col("lo_c"), F.col("hi_c"), bits),
+            _quantize(F.col("lang_code"), F.col("lo_l"), F.col("hi_l"), bits),
+        ],
+        bits,
+    )
+    keyed = withb.select(
+        "doc_id",
+        "n_chars",
+        "lang_code",
+        zkey.alias("zkey"),
+    )
+    probe_code = ord(lang[0]) * 256 + ord(lang[1])
+
+    def zones(df: DataFrame, order: list[str], layout: str) -> DataFrame:
+        w = Window.orderBy(*[F.col(c) for c in order])
+        return (
+            df.withColumn("file_id", F.ntile(n_files).over(w))
+            .groupBy("file_id")
+            .agg(
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+                F.min("lang_code").alias("min_lang"),
+                F.max("lang_code").alias("max_lang"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "file_id",
+                "min_chars",
+                "max_chars",
+                "min_lang",
+                "max_lang",
+                "n_rows",
+                (
+                    (F.col("min_lang") <= F.lit(probe_code))
+                    & (F.col("max_lang") >= F.lit(probe_code))
+                    & (F.col("min_chars") <= F.lit(hi_chars))
+                    & (F.col("max_chars") >= F.lit(lo_chars))
+                ).alias("would_scan"),
+            )
+        )
+
+    return zones(keyed, ["zkey", "doc_id"], "zorder").unionByName(
+        zones(keyed, ["doc_id"], "ingest")
+    )
+
+
+def sql_zorder_zonemap(
+    source: str = "documents",
+    n_files: int = ZORDER_FILES,
+    bits: int = ZORDER_BITS,
+    lo_chars: int = 150,
+    hi_chars: int = 250,
+    lang: str = "de",
+) -> str:
+    probe_code = ord(lang[0]) * 256 + ord(lang[1])
+    maxq = (1 << bits) - 1
+    zexpr = sql_zorder_key(["qc", "ql"], bits)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ascii(lang[1]) * 256 + ascii(lang[2]) AS BIGINT) AS lang_code
+  FROM {source}
+),
+bounds AS (
+  SELECT MIN(n_chars) AS lo_c, MAX(n_chars) AS hi_c,
+         MIN(lang_code) AS lo_l, MAX(lang_code) AS hi_l
+  FROM base
+),
+q AS (
+  SELECT doc_id, n_chars, lang_code,
+         CAST(((n_chars - lo_c) * {maxq}) // GREATEST(hi_c - lo_c, 1) AS BIGINT) AS qc,
+         CAST(((lang_code - lo_l) * {maxq}) // GREATEST(hi_l - lo_l, 1) AS BIGINT) AS ql
+  FROM base, bounds
+),
+k AS (
+  SELECT doc_id, n_chars, lang_code, {zexpr} AS zkey FROM q
+),
+zf AS (
+  SELECT *, ntile({n_files}) OVER (ORDER BY zkey, doc_id) AS file_id FROM k
+),
+nf AS (
+  SELECT *, ntile({n_files}) OVER (ORDER BY doc_id) AS file_id FROM k
+),
+zz AS (
+  SELECT 'zorder' AS layout, file_id,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         MIN(lang_code) AS min_lang, MAX(lang_code) AS max_lang,
+         COUNT(*) AS n_rows
+  FROM zf GROUP BY file_id
+),
+nz AS (
+  SELECT 'ingest' AS layout, file_id,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         MIN(lang_code) AS min_lang, MAX(lang_code) AS max_lang,
+         COUNT(*) AS n_rows
+  FROM nf GROUP BY file_id
+),
+u AS (SELECT * FROM zz UNION ALL SELECT * FROM nz)
+SELECT layout, file_id, min_chars, max_chars, min_lang, max_lang, n_rows,
+       (min_lang <= {probe_code} AND max_lang >= {probe_code}
+        AND min_chars <= {hi_chars} AND max_chars >= {lo_chars}) AS would_scan
+FROM u"""

@@ -1,0 +1,157 @@
+"""Z-order clustering + zone-map data skipping (io/layout.py) — the D3
+secondary-index substitute: multi-column locality from one sort, per-file
+min/max pruning from parquet's own footers."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spark_signals.io import layout as L
+
+
+def test_morton_interleave_bit_layout(spark):
+    """Bit b of column i lands at position b*ncols + i — pinned on hand
+    values: q0=0b101, q1=0b011 → bit-pairs from the LSB are (q0.b0=1 →
+    pos0, q1.b0=1 → pos1), (q0.b1=0, q1.b1=1 → pos3), (q0.b2=1 → pos4,
+    q1.b2=0), so the key is 0b011011 = 27."""
+    row = spark.range(1).select(
+        L.zorder_key([F.lit(0b101).cast("bigint"), F.lit(0b011).cast("bigint")], bits=3).alias("k")
+    )
+    assert row.first()["k"] == 0b011011
+    con = duckdb.connect()
+    sql = L.sql_zorder_key(["5", "3"], bits=3)
+    assert con.execute(f"SELECT {sql}").fetchone()[0] == 0b011011
+
+
+def test_zorder_locality_beats_linear_order(spark):
+    """On a 2-D grid, consecutive Morton keys stay spatially close: every
+    file of a Morton-sorted 16x16 grid split into 16 files covers a 4x4
+    block (max per-file span 3 in BOTH dims), while row-major order gives
+    files spanning the full 15-wide second dimension."""
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("bigint").alias("y")
+    )
+    keyed = grid.withColumn(
+        "zkey", L.zorder_key([F.col("x"), F.col("y")], bits=4)
+    ).toPandas()
+    keyed["zfile"] = keyed["zkey"].rank(method="first").sub(1).floordiv(16)
+    spans = keyed.groupby("zfile").agg(
+        x_span=("x", lambda s: s.max() - s.min()),
+        y_span=("y", lambda s: s.max() - s.min()),
+    )
+    assert int(spans["x_span"].max()) == 3 and int(spans["y_span"].max()) == 3
+    rowmajor = keyed.sort_values(["y", "x"]).reset_index(drop=True)
+    rowmajor["file"] = rowmajor.index // 16
+    rspans = rowmajor.groupby("file").agg(x_span=("x", lambda s: s.max() - s.min()))
+    assert int(rspans["x_span"].max()) == 15
+
+
+def _duck(df_pd):
+    con = duckdb.connect()
+    con.register("documents", df_pd)
+    return con
+
+
+def test_zonemap_cross_engine_and_pruning_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = (
+        L.zorder_zonemap(docs)
+        .toPandas()
+        .sort_values(["layout", "file_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    b = (
+        con.execute(L.sql_zorder_zonemap())
+        .fetchdf()
+        .sort_values(["layout", "file_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+    # zone maps partition the corpus exactly, in both layouts
+    n_docs = docs.count()
+    per_layout = a.groupby("layout").n_rows.sum()
+    assert set(per_layout) == {n_docs}
+    # the pruning claim itself: the Z-order layout scans strictly fewer
+    # files AND strictly fewer rows than ingestion order for the canned
+    # (lang, n_chars-band) predicate, and skips most of the table
+    z = a[a.layout == "zorder"]
+    n = a[a.layout == "ingest"]
+    z_files, n_files = int(z.would_scan.sum()), int(n.would_scan.sum())
+    z_rows = int(z[z.would_scan].n_rows.sum())
+    n_rows = int(n[n.would_scan].n_rows.sum())
+    assert 0 < z_files < n_files
+    assert 0 < z_rows < n_rows
+    assert z_files <= len(z) // 4  # skips >= 3/4 of the files
+
+
+def test_zonemap_never_loses_a_matching_row(spark):
+    """Safety over selectivity: every row matching the predicate lives in
+    a file flagged would_scan (zone pruning may over-scan, never
+    under-scan)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    zm = L.zorder_zonemap(docs).toPandas()
+    matching = docs.filter(
+        (F.col("lang") == "de") & F.col("n_chars").between(150, 250)
+    ).count()
+    assert matching > 0  # predicate is non-vacuous on the corpus
+    for layout in ("zorder", "ingest"):
+        zones = zm[zm.layout == layout]
+        scanned_rows = int(zones[zones.would_scan].n_rows.sum())
+        assert scanned_rows >= matching, layout
+
+
+def test_zonemap_plan_stays_jvm_side(spark):
+    """The whole chain is shift/mask/aggregate built-ins — no Python
+    stage anywhere in the physical plan (the repo's batch-path rule)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = L.zorder_zonemap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_write_zordered_lands_tight_parquet_footers(spark, tmp_path):
+    """The production writer's layout is real: per-file parquet footer
+    min/max stats for the clustered columns are tight enough that the
+    canned predicate prunes most files with NO engine cooperation beyond
+    reading footers (pyarrow here, standing in for any scan planner)."""
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    coded = docs.withColumn(
+        "lang_code",
+        (F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1))).cast("bigint"),
+    )
+    out = str(tmp_path / "zorded")
+    L.write_zordered(coded, out, ["n_chars", "lang_code"], n_files=16)
+    ds = pq.ParquetDataset(out)
+    zones = []
+    for frag in ds.fragments:
+        md = frag.metadata
+        mins = {"n_chars": None, "lang_code": None}
+        maxs = {"n_chars": None, "lang_code": None}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name in mins and c.statistics is not None:
+                    s = c.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        zones.append((mins, maxs))
+    assert len(zones) > 4
+    code = ord("d") * 256 + ord("e")
+    scan = [
+        1
+        for mins, maxs in zones
+        if mins["lang_code"] <= code <= maxs["lang_code"]
+        and mins["n_chars"] <= 250
+        and maxs["n_chars"] >= 150
+    ]
+    assert 0 < sum(scan) <= len(zones) // 2  # footers alone prune >= half
