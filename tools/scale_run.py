@@ -165,7 +165,14 @@ def main() -> int:
         "dedup_spans_incr": lambda: D.dedup_spans_incr_snapshot(docs),
         "decontam_spans": lambda: _decontam_spans(docs),
         "decontam_scrub": lambda: _decontam_scrub(docs),
+        # r13 addition: the D3 layout face (zone maps of both layouts)
+        "zorder_zonemap": lambda: _zorder_zonemap(docs),
     }
+
+    def _zorder_zonemap(d):
+        from spark_signals.io.layout import zorder_zonemap
+
+        return zorder_zonemap(d)
 
     def _bpe_fertility(d):
         from spark_signals.datapipe.bpe import bpe_fertility_by_lang
