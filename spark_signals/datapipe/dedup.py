@@ -1531,9 +1531,10 @@ def dedup_exact_spans(docs: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     )
 
 
-def _sql_span_ctes(source: str, k: int) -> str:
-    """The shared CTE chain: raw tokens → lowered windows → duplicated
-    digests with canonical key → island ids. Ends inside a WITH list."""
+def _sql_span_win_ctes(source: str, k: int) -> str:
+    """The window-relation CTE prefix shared by every span twin: raw
+    tokens → lowered (\\x01-stripped) comparison tokens → one (doc_id,
+    pos, digest) row per k-window. Ends inside a WITH list."""
     return f"""
 d AS (
   SELECT doc_id,
@@ -1550,7 +1551,13 @@ w AS (
          md5(array_to_string(cmp[(i+1):(i+{k})], ' ')) AS digest
   FROM dl, unnest(range(0, len(raw) - {k} + 1)) AS t(i)
   WHERE len(raw) >= {k}
-),
+)"""
+
+
+def _sql_span_ctes(source: str, k: int) -> str:
+    """The shared CTE chain: raw tokens → lowered windows → duplicated
+    digests with canonical key → island ids. Ends inside a WITH list."""
+    return f"""{_sql_span_win_ctes(source, k)},
 occ AS (
   SELECT digest, MIN(doc_id * {SPAN_POS_BASE} + pos) AS min_key
   FROM w GROUP BY 1 HAVING COUNT(*) >= 2
@@ -1588,6 +1595,177 @@ SELECT doc_id,
        CAST(_last + {k - 1} AS INT) AS span_end,
        CAST(_last - _start + {k} AS INT) AS span_words,
        CAST(_n AS INT) AS n_windows
+FROM isl"""
+
+
+# partner-doc cap for the attribution face: per duplicated digest, only
+# the cap globally-smallest occurrence keys travel (deterministic — the
+# corpus's earliest copies, which is what provenance wants), and each
+# island's final partner list is re-capped after the distinct/merge.
+ATTRIB_PARTNERS_CAP = 8
+
+
+def dedup_exact_spans_attrib(
+    docs: DataFrame, k: int = PASSAGE_WORDS, cap: int = ATTRIB_PARTNERS_CAP
+) -> DataFrame:
+    """Span provenance: :func:`dedup_exact_spans` geometry, each span
+    annotated with WHICH other documents share it — the forensic face
+    (where did this boilerplate come from? which pages syndicate this
+    paragraph? which training doc leaked this benchmark passage?) that
+    the reporter's bare coordinates can't answer.
+
+    Per duplicated digest, the ``cap`` globally-smallest occurrence keys
+    (the corpus's earliest copies — deterministic, and the copies
+    provenance cares about) are kept; per island, the union of its
+    windows' occurrence docs minus the island's own doc, distinct,
+    sorted, re-capped at ``cap``. ``partner_docs`` is emitted as a
+    comma-joined string ('' when every captured occurrence is
+    within-document) so the value-hash oracle sees a scalar;
+    ``max_window_occ`` is the hottest window's corpus-wide occurrence
+    count — >> n_partners+1 flags boilerplate hotter than the cap.
+
+    Shape at 100 TB: the reporter's two window-relation passes plus a
+    per-digest ``row_number`` cap — but the cap's sort runs ONLY over the
+    duplicated-window subset: the dup-digest aggregate (the reporter's
+    existing agg) filters first, the surviving windows pin as a small
+    materialized relation, and the occurrence-cap sort + both remaining
+    joins consume that pinned subset. First drafted as row_number over
+    the FULL window relation — sorting every unique window too — which
+    measured 213-385 s at decade scale vs the reporter's 35 s; this
+    dup-subset form removes that corpus-sized sort (SCALE.md r13). The
+    cap bounds the hot-key dimension (a boilerplate digest repeated
+    millions of times carries exactly ``cap`` keys + a count, never its
+    row list — the mega-cell/hot-bucket bounded-state discipline);
+    per-island partner state is bounded by n_windows × cap longs before
+    the final distinct. Doc ids are recovered from keys by
+    ``shiftright(key, 32)`` (exact integer bit-shift in both engines;
+    key/2^32 through doubles would corrupt above 2^53).
+    """
+    from pyspark.sql import Window
+
+    from spark_signals.checkpoint import pin
+
+    wins = _span_wins(docs, k)
+    key = F.col("doc_id") * F.lit(SPAN_POS_BASE) + F.col("pos")
+    dup = (
+        wins.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min(key).alias("min_key"))
+        .filter(F.col("n_occ") >= 2)
+    )
+    # duplicated windows only — small vs the corpus; pinned because the
+    # occurrence-cap aggregate and the hit projection both consume it
+    dwins = (
+        wins.join(dup, "digest")
+        .select("doc_id", "pos", "digest", "n_occ", "min_key", key.alias("key"))
+        .transform(pin)
+    )
+    w = Window.partitionBy("digest").orderBy(F.col("key").asc())
+    occk = (
+        dwins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .groupBy("digest")
+        .agg(F.sort_array(F.collect_list("key")).alias("occ_keys"))
+    )
+    hits = dwins.join(occk, "digest").select(
+        "doc_id",
+        "pos",
+        (F.col("key") == F.col("min_key")).alias("is_canon"),
+        "n_occ",
+        F.array_distinct(
+            F.transform(F.col("occ_keys"), lambda x: F.shiftright(x, 32))
+        ).alias("occ_docs"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(dw)
+    islands = (
+        hits.withColumn(
+            "new_span",
+            F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(dw.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("_start"),
+            F.max("pos").alias("_last"),
+            F.count(F.lit(1)).alias("_n"),
+            F.max("n_occ").alias("max_occ"),
+            F.flatten(F.collect_list("occ_docs")).alias("_praw"),
+        )
+    )
+    partners = F.slice(
+        F.sort_array(
+            F.array_except(F.array_distinct("_praw"), F.array(F.col("doc_id")))
+        ),
+        1,
+        cap,
+    )
+    return islands.select(
+        "doc_id",
+        F.col("_start").cast("int").alias("span_start"),
+        (F.col("_last") + F.lit(k - 1)).cast("int").alias("span_end"),
+        F.col("_n").cast("int").alias("n_windows"),
+        F.col("max_occ").cast("bigint").alias("max_window_occ"),
+        F.concat_ws(
+            ",", F.transform(partners, lambda x: x.cast("string"))
+        ).alias("partner_docs"),
+        F.size(partners).cast("int").alias("n_partners"),
+    )
+
+
+def sql_dedup_exact_spans_attrib(
+    source: str = "documents", k: int = PASSAGE_WORDS, cap: int = ATTRIB_PARTNERS_CAP
+) -> str:
+    """Oracle twin: DuckDB aggregates full per-digest key lists (the
+    small-scale oracle needs value equality, not plan parity) and slices
+    to the same cap-smallest set the Spark row_number keeps."""
+    return f"""
+WITH {_sql_span_win_ctes(source, k)},
+wk AS (
+  SELECT doc_id, pos, digest, doc_id * {SPAN_POS_BASE} + pos AS key FROM w
+),
+occ AS (
+  SELECT digest, COUNT(*) AS n_occ, MIN(key) AS min_key,
+         list_slice(list_sort(list(key)), 1, {cap}) AS occ_keys
+  FROM wk GROUP BY digest HAVING COUNT(*) >= 2
+),
+h AS (
+  SELECT wk.doc_id, wk.pos, occ.n_occ,
+         list_distinct(list_transform(occ.occ_keys, x -> x >> 32)) AS occ_docs
+  FROM wk JOIN occ USING (digest)
+),
+f AS (
+  SELECT doc_id, pos, n_occ, occ_docs,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS new_span
+  FROM h
+),
+g AS (
+  SELECT doc_id, pos, n_occ, occ_docs,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM f
+),
+isl AS (
+  SELECT doc_id, span_id,
+         MIN(pos) AS _start, MAX(pos) AS _last, COUNT(*) AS _n,
+         MAX(n_occ) AS max_occ,
+         list_slice(
+           list_sort(list_filter(list_distinct(flatten(list(occ_docs))),
+                                 x -> x <> doc_id)), 1, {cap}) AS partners
+  FROM g GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       CAST(_start AS INT) AS span_start,
+       CAST(_last + {k - 1} AS INT) AS span_end,
+       CAST(_n AS INT) AS n_windows,
+       CAST(max_occ AS BIGINT) AS max_window_occ,
+       COALESCE(array_to_string(partners, ','), '') AS partner_docs,
+       CAST(len(partners) AS INT) AS n_partners
 FROM isl"""
 
 

@@ -824,14 +824,22 @@ def _incoming_r13() -> dict:
     face returns BOTH layouts' per-file zones with the canned predicate's
     would_scan flag, so the pruning arithmetic itself is value-checked
     (at sf0.1: Z-order scans 6/64 files vs ingestion order's 64/64).
-    Queued r15: the recorded r14 plan's 26 slots are fully committed to
-    the r11-retiree deadline wave + the four span faces."""
+    Plus the span-provenance face (dedup.dedup_exact_spans_attrib): each
+    duplicated span annotated with WHICH other documents share it, under
+    the bounded per-digest occurrence cap (forensics for boilerplate /
+    syndication / leaked-benchmark questions the bare reporter can't
+    answer). Both queued r15: the recorded r14 plan's 26 slots are fully
+    committed to the r11-retiree deadline wave + the four span faces."""
     from spark_signals.io.layout import sql_zorder_zonemap, zorder_zonemap
 
     return {
         "zorder_zonemap_skipping": (
             lambda spark, sf_dir: zorder_zonemap(_docs(spark, sf_dir)),
             sql_zorder_zonemap(),
+        ),
+        "dedup_exact_spans_attrib": (
+            lambda spark, sf_dir: D.dedup_exact_spans_attrib(_docs(spark, sf_dir)),
+            D.sql_dedup_exact_spans_attrib(),
         ),
     }
 

@@ -324,6 +324,103 @@ def test_null_and_empty_text_strip_cross_engine(spark):
     assert a.loc[1, "text_dedup"] == "" and not a.loc[1, "was_modified"]
 
 
+# ------------------------------------------------------- attribution face
+def _attrib(spark, rows, **kw):
+    out = {}
+    for r in D.dedup_exact_spans_attrib(_docs(spark, rows), **kw).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (
+                r["span_start"],
+                r["span_end"],
+                r["max_window_occ"],
+                r["partner_docs"],
+                r["n_partners"],
+            )
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_attrib_reports_exact_partner_sets(spark):
+    """Three docs sharing one run: each span names the other two; a
+    within-doc-only repeat has NO partners (empty string, the oracle's
+    array_to_string([]) contract)."""
+    p = _run(f"x{i}" for i in range(K))
+    filler = _run(f"f{i}" for i in range(K + 2))
+    rows = [
+        f"{SHARED} {UNIQ_A}",
+        f"{UNIQ_B} {SHARED}",
+        f"{SHARED}",
+        f"{p} {filler} {p}",  # doc3: repeats only itself
+    ]
+    at = _attrib(spark, rows)
+    assert at[0] == [(0, K + 3, 3, "1,2", 2)]
+    assert at[1] == [(10, 10 + K + 3, 3, "0,2", 2)]
+    assert at[2] == [(0, K + 3, 3, "0,1", 2)]
+    assert at[3] == [(0, K - 1, 2, "", 0), (2 * K + 2, 3 * K + 1, 2, "", 0)]
+
+
+def test_attrib_hot_digest_cap_keeps_earliest_partners(spark):
+    """A run shared by MORE docs than the cap: per-digest state is bounded
+    at the cap globally-smallest occurrence keys, so later docs report
+    exactly the cap earliest docs and early docs report cap-1 (self
+    excluded); max_window_occ still counts ALL occurrences."""
+    rows = [f"{SHARED} " + _run(f"u{i}_{j}" for i in range(4)) for j in range(6)]
+    at = _attrib(spark, rows, cap=3)
+    n = 6
+    for j in range(n):
+        spans = at[j]
+        assert len(spans) == 1
+        start, end, occ, partners, np_ = spans[0]
+        assert (start, end) == (0, K + 3)
+        assert occ == n  # count is corpus-wide, never capped
+        if j <= 2:  # among the 3 earliest copies: the other 2 earliest
+            assert partners == ",".join(str(d) for d in range(3) if d != j)
+            assert np_ == 2
+        else:  # later copies see the 3 earliest
+            assert partners == "0,1,2" and np_ == 3
+
+
+def test_attrib_cross_engine(spark):
+    rows = [
+        f"{SHARED} {UNIQ_A}",
+        f"{UNIQ_B} {SHARED}",
+        SHARED.upper(),
+        _run(f"m{i}" for i in range(K)),
+        f"\x01 {SHARED}",
+    ]
+    cols = [
+        "doc_id", "span_start", "span_end", "n_windows", "max_window_occ",
+        "partner_docs", "n_partners",
+    ]
+    a = (
+        D.dedup_exact_spans_attrib(_docs(spark, rows))
+        .toPandas()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _duck_on(rows)
+        .execute(D.sql_dedup_exact_spans_attrib())
+        .fetchdf()[cols]
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert a["n_partners"].max() >= 3
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_attrib_geometry_matches_reporter(spark):
+    """Attribution must never change the geometry: (doc_id, span_start,
+    span_end, n_windows) equals dedup_exact_spans exactly on testdata."""
+    from spark_signals.io.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    geo = ["doc_id", "span_start", "span_end", "n_windows"]
+    a = sorted(map(tuple, D.dedup_exact_spans_attrib(docs).select(geo).collect()))
+    b = sorted(map(tuple, D.dedup_exact_spans(docs).select(geo).collect()))
+    assert a == b and len(a) > 0
+
+
 # -------------------------------------------------------- incremental lane
 def _rows_set(df):
     return {tuple(r) for r in df.collect()}

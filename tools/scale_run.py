@@ -165,8 +165,10 @@ def main() -> int:
         "dedup_spans_incr": lambda: D.dedup_spans_incr_snapshot(docs),
         "decontam_spans": lambda: _decontam_spans(docs),
         "decontam_scrub": lambda: _decontam_scrub(docs),
-        # r13 addition: the D3 layout face (zone maps of both layouts)
+        # r13 additions: the D3 layout face (zone maps of both layouts)
+        # and the span-provenance face (capped partner attribution)
         "zorder_zonemap": lambda: _zorder_zonemap(docs),
+        "dedup_exact_spans_attrib": lambda: D.dedup_exact_spans_attrib(docs),
     }
 
     def _zorder_zonemap(d):
