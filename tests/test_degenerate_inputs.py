@@ -112,7 +112,16 @@ def _late_ops():
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
         "decontam_scrub": DC.decontam_scrub,
+        # r13: span provenance + the D3 layout face
+        "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
+        "zorder_zonemap": _zorder_zonemap,
     }
+
+
+def _zorder_zonemap(docs):
+    from spark_signals.io.layout import zorder_zonemap
+
+    return zorder_zonemap(docs)
 
 
 def _bpe_train_small(docs):

@@ -816,7 +816,13 @@ def test_plan_stays_jvm_side(spark):
         .executedPlan()
         .toString()
     )
-    for plan, tag in ((rep, "reporter"), (strip, "strip")):
+    attrib = (
+        D.dedup_exact_spans_attrib(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for plan, tag in ((rep, "reporter"), (strip, "strip"), (attrib, "attrib")):
         for bad in ("EvalPython", "FlatMapGroupsInPandas", "CartesianProduct",
                     "BroadcastNestedLoopJoin"):
             assert bad not in plan, f"{bad} leaked into the span {tag} plan"
@@ -826,3 +832,8 @@ def test_plan_stays_jvm_side(spark):
     # here means a lost partial agg or a join that stopped co-locating.
     assert rep.count("Exchange hashpartitioning") <= 3, rep
     assert strip.count("Exchange hashpartitioning") <= 5, strip
+    # attrib consumes the PINNED dup-window subset: its visible plan is
+    # the occurrence-cap window + two digest joins + the island window
+    # over a leaf scan — the corpus-sized sort the first draft had must
+    # never reappear (SCALE.md r13: 213-385 s -> 35 s)
+    assert attrib.count("Exchange hashpartitioning") <= 5, attrib
