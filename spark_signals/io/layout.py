@@ -285,3 +285,78 @@ SELECT layout, file_id, min_chars, max_chars, min_lang, max_lang, n_rows,
        (min_lang <= {probe_code} AND max_lang >= {probe_code}
         AND min_chars <= {hi_chars} AND max_chars >= {lo_chars}) AS would_scan
 FROM u"""
+
+
+# ----------------------------------------------------- pruned read path
+def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
+    """Control-plane zone map of a written parquet table: one dict per
+    file with ``file``, ``n_rows``, and ``min_<c>`` / ``max_<c>`` for
+    each requested column, read from the files' own footers (pyarrow).
+
+    Driver-side by design — the same control-plane bound as
+    ``sinks.apply_retention``: one footer read per file, no data pages
+    touched. At 100k-file scale persist the result as its own parquet
+    relation next to the table and append per-batch deltas (the
+    incremental-lane pattern) instead of re-walking footers per query.
+    """
+    import pyarrow.parquet as pq
+
+    zones = []
+    ds = pq.ParquetDataset(path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        z = {"file": frag.path, "n_rows": md.num_rows}
+        for c in cols:
+            z[f"min_{c}"] = None
+            z[f"max_{c}"] = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo, hi = z[f"min_{name}"], z[f"max_{name}"]
+                    z[f"min_{name}"] = s.min if lo is None else min(lo, s.min)
+                    z[f"max_{name}"] = s.max if hi is None else max(hi, s.max)
+        zones.append(z)
+    return zones
+
+
+def read_pruned(spark, path: str, ranges: dict) -> "DataFrame":
+    """File-level data skipping over a (Z-ordered) parquet table: read
+    ONLY the files whose footer zones intersect every ``{col: (lo, hi)}``
+    range, then re-apply the predicate exactly on the survivors.
+
+    Spark's own parquet reader prunes ROW GROUPS from pushed filters but
+    still plans, opens, and footer-reads every file of the table; at
+    100k-file scale the open/plan overhead dominates selective serving
+    reads. Pruning from the zone map first hands Spark a file list
+    (typically a few % of the table when the layout was Z-ordered on the
+    filtered columns — the D3 secondary-index read path, end to end),
+    and correctness never depends on the zones: a file with missing
+    stats is conservatively scanned, and the exact predicate re-applies
+    on everything read. Returns the SAME rows as the unpruned filtered
+    read (pinned by tests/test_zorder_layout.py).
+    """
+    cols = list(ranges)
+    zones = zone_map_from_footers(path, cols)
+    keep = []
+    for z in zones:
+        scan = True
+        for c, (lo, hi) in ranges.items():
+            zmin, zmax = z[f"min_{c}"], z[f"max_{c}"]
+            if zmin is not None and zmax is not None and (zmax < lo or zmin > hi):
+                scan = False
+                break
+        if scan:
+            keep.append(z["file"])
+    if not keep:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    pred = None
+    for c, (lo, hi) in ranges.items():
+        clause = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = clause if pred is None else (pred & clause)
+    return df.filter(pred) if pred is not None else df

@@ -155,3 +155,34 @@ def test_write_zordered_lands_tight_parquet_footers(spark, tmp_path):
         and maxs["n_chars"] >= 150
     ]
     assert 0 < sum(scan) <= len(zones) // 2  # footers alone prune >= half
+
+
+def test_read_pruned_skips_files_and_loses_no_rows(spark, tmp_path):
+    """The D3 read path end to end: write Z-ordered → prune files from
+    footer zones → read survivors → exact predicate re-applied. Same
+    rows as the unpruned filtered read, from a fraction of the files."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    coded = docs.withColumn(
+        "lang_code",
+        (F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1))).cast("bigint"),
+    )
+    out = str(tmp_path / "z")
+    L.write_zordered(coded, out, ["n_chars", "lang_code"], n_files=16)
+    code = ord("d") * 256 + ord("e")
+    ranges = {"n_chars": (150, 250), "lang_code": (code, code)}
+    pruned = L.read_pruned(spark, out, ranges)
+    full = spark.read.parquet(out).filter(
+        F.col("n_chars").between(150, 250) & (F.col("lang_code") == code)
+    )
+    assert sorted(r["doc_id"] for r in pruned.collect()) == sorted(
+        r["doc_id"] for r in full.collect()
+    )
+    assert full.count() > 0  # non-vacuous predicate
+    # the pruned plan scans a strict subset of the table's files
+    zones = L.zone_map_from_footers(out, ["n_chars", "lang_code"])
+    kept = {f for f in pruned.inputFiles()}
+    assert 0 < len(kept) <= len(zones) // 2
+    # an out-of-range predicate prunes EVERYTHING and still returns a
+    # well-formed empty frame
+    nothing = L.read_pruned(spark, out, {"n_chars": (10**6, 10**7)})
+    assert nothing.count() == 0
