@@ -21,6 +21,12 @@ CASES = [
     "segment_revenue_3way_join",
     "latency_metrics_rollup",
     "sma_crossover_signals",
+    # r13: the capped partner attribution (row_number over the dup-window
+    # subset must pick the same cap-smallest keys at any parallelism) and
+    # the layout zone map (exact ntile file population + integer
+    # quantization must be partition-count-blind)
+    "dedup_exact_spans_attrib",
+    "zorder_zonemap_skipping",
 ]
 
 
@@ -28,7 +34,11 @@ CASES = [
 def test_results_identical_across_shuffle_partition_counts(spark, name):
     import __spark_entry__ as entrymod
 
-    fn = {**entrymod.queries(), **entrymod.extended_queries()}[name]
+    fn = {
+        **entrymod.queries(),
+        **entrymod.extended_queries(),
+        **entrymod.incoming_queries(),
+    }[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:

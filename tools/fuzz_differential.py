@@ -287,6 +287,11 @@ def gen_text_query(rng: random.Random):
             DD.dedup_exact_spans_strip,
             DD.sql_dedup_exact_spans_strip(),
         ),
+        (
+            "dedup_exact_spans_attrib",
+            DD.dedup_exact_spans_attrib,
+            DD.sql_dedup_exact_spans_attrib(),
+        ),
         ("pii_scrub", SC.pii_scrub, SC.sql_pii_scrub()),
         ("decontaminate", DC.decontaminate, DC.sql_decontaminate()),
         ("decontam_spans", DC.decontam_spans, DC.sql_decontam_spans()),
