@@ -360,3 +360,96 @@ def read_pruned(spark, path: str, ranges: dict) -> "DataFrame":
         clause = F.col(c).between(F.lit(lo), F.lit(hi))
         pred = clause if pred is None else (pred & clause)
     return df.filter(pred) if pred is not None else df
+
+
+# ------------------------------------------- persisted zone-map registry
+def _prune_zone_dicts(zones: list[dict], ranges: dict) -> list[str]:
+    """Files whose zones intersect every range (missing stats → scan)."""
+    keep = []
+    for z in zones:
+        scan = True
+        for c, (lo, hi) in ranges.items():
+            zmin, zmax = z.get(f"min_{c}"), z.get(f"max_{c}")
+            if zmin is not None and zmax is not None and (zmax < lo or zmin > hi):
+                scan = False
+                break
+        if scan:
+            keep.append(z["file"])
+    return keep
+
+
+def write_zone_registry(spark, table_path: str, registry_path: str, cols: list[str]) -> int:
+    """Materialize the footer zone map as its own parquet relation, so
+    serving reads plan from ONE small registry scan instead of walking
+    footers per query — the persisted-index discipline of the incremental
+    dedup lanes, applied to layout stats. Numeric (integer) zone columns
+    only — the clustered columns are quantized BIGINTs by construction.
+    Returns the number of files registered."""
+    zones = zone_map_from_footers(table_path, cols)
+    rows = [tuple(z[k] for k in _zone_fields(cols)) for z in zones]
+    spark.createDataFrame(rows, _zone_schema(cols)).write.mode(
+        "overwrite"
+    ).parquet(registry_path)
+    return len(zones)
+
+
+def _zone_fields(cols: list[str]) -> list[str]:
+    return ["file", "n_rows"] + [f"{n}_{c}" for c in cols for n in ("min", "max")]
+
+
+def _zone_schema(cols: list[str]) -> str:
+    parts = ["file string", "n_rows long"] + [
+        f"{n}_{c} long" for c in cols for n in ("min", "max")
+    ]
+    return ", ".join(parts)
+
+
+def zone_registry_delta(spark, table_path: str, registry_path: str, cols: list[str]) -> int:
+    """Register zones for table files the registry does not know yet —
+    O(new files), append-only (the digest-index delta contract: appends
+    commute, re-running after a crash re-appends nothing). Returns the
+    number of files appended."""
+    import pyarrow.parquet as pq
+
+    known = {
+        r["file"] for r in spark.read.parquet(registry_path).select("file").collect()
+    }
+    fresh = [
+        z
+        for z in zone_map_from_footers(table_path, cols)
+        if z["file"] not in known
+    ]
+    if fresh:
+        rows = [tuple(z[k] for k in _zone_fields(cols)) for z in fresh]
+        spark.createDataFrame(rows, _zone_schema(cols)).write.mode(
+            "append"
+        ).parquet(registry_path)
+    return len(fresh)
+
+
+def read_pruned_registered(spark, table_path: str, registry_path: str, ranges: dict) -> "DataFrame":
+    """:func:`read_pruned` planned from the persisted registry instead of
+    a per-query footer walk. Correctness survives a STALE registry: the
+    actual file listing is reconciled against it and any unregistered
+    file (e.g. an appended batch whose delta has not run) is scanned
+    conservatively — zones only ever REMOVE work, never rows."""
+    import pyarrow.parquet as pq
+
+    reg = [r.asDict() for r in spark.read.parquet(registry_path).collect()]
+    known = {z["file"] for z in reg}
+    actual = list(pq.ParquetDataset(table_path).files)
+    unregistered = [f for f in actual if f not in known]
+    keep = [
+        f
+        for f in _prune_zone_dicts(reg, ranges)
+        if f in set(actual)  # registry rows for deleted files drop out
+    ] + unregistered
+    if not keep:
+        df = spark.read.parquet(table_path).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    pred = None
+    for c, (lo, hi) in ranges.items():
+        clause = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = clause if pred is None else (pred & clause)
+    return df.filter(pred) if pred is not None else df

@@ -186,3 +186,59 @@ def test_read_pruned_skips_files_and_loses_no_rows(spark, tmp_path):
     # well-formed empty frame
     nothing = L.read_pruned(spark, out, {"n_chars": (10**6, 10**7)})
     assert nothing.count() == 0
+
+
+def test_zone_registry_lane_survives_stale_and_delta(spark, tmp_path):
+    """The persisted-registry lane under the incremental-index contract:
+    (1) registry-planned reads match footer-planned reads; (2) a STALE
+    registry (appended batch, delta not yet run) loses no rows — the
+    unregistered files scan conservatively; (3) the delta registers
+    exactly the new files, appends commute (re-run = 0), and pruning
+    then skips non-intersecting new files too."""
+
+    def coded(df):
+        return df.withColumn(
+            "lang_code",
+            (
+                F.ascii(F.substring("lang", 1, 1)) * 256
+                + F.ascii(F.substring("lang", 2, 1))
+            ).cast("bigint"),
+        )
+
+    docs = coded(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    table = str(tmp_path / "t")
+    reg = str(tmp_path / "reg")
+    L.write_zordered(docs, table, ["n_chars", "lang_code"], n_files=8)
+    n0 = L.write_zone_registry(spark, table, reg, ["n_chars", "lang_code"])
+    assert n0 == len(L.zone_map_from_footers(table, ["n_chars"]))
+    code = ord("d") * 256 + ord("e")
+    ranges = {"n_chars": (150, 250), "lang_code": (code, code)}
+
+    def rows(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    expect = rows(
+        spark.read.parquet(table).filter(
+            F.col("n_chars").between(150, 250) & (F.col("lang_code") == code)
+        )
+    )
+    assert expect and rows(L.read_pruned_registered(spark, table, reg, ranges)) == expect
+
+    # append a batch of matching docs WITHOUT updating the registry:
+    # stale-registry reads must still see them (conservative scan)
+    extra = docs.limit(40).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    extra.write.mode("append").parquet(table)
+    expect2 = rows(
+        spark.read.parquet(table).filter(
+            F.col("n_chars").between(150, 250) & (F.col("lang_code") == code)
+        )
+    )
+    assert len(expect2) > len(expect)
+    assert rows(L.read_pruned_registered(spark, table, reg, ranges)) == expect2
+
+    # delta: exactly the appended files register; re-running appends none
+    added = L.zone_registry_delta(spark, table, reg, ["n_chars", "lang_code"])
+    assert added > 0
+    assert L.zone_registry_delta(spark, table, reg, ["n_chars", "lang_code"]) == 0
+    assert spark.read.parquet(reg).count() == n0 + added
+    assert rows(L.read_pruned_registered(spark, table, reg, ranges)) == expect2
