@@ -316,9 +316,14 @@ def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
                 name = col.path_in_schema
                 if name in cols and col.statistics is not None:
                     s = col.statistics
+                    # string-column footer stats surface as BYTES in
+                    # pyarrow; decode so zone values compare against str
+                    # predicates (parquet string stats are UTF-8)
+                    smin = s.min.decode() if isinstance(s.min, bytes) else s.min
+                    smax = s.max.decode() if isinstance(s.max, bytes) else s.max
                     lo, hi = z[f"min_{name}"], z[f"max_{name}"]
-                    z[f"min_{name}"] = s.min if lo is None else min(lo, s.min)
-                    z[f"max_{name}"] = s.max if hi is None else max(hi, s.max)
+                    z[f"min_{name}"] = smin if lo is None else min(lo, smin)
+                    z[f"max_{name}"] = smax if hi is None else max(hi, smax)
         zones.append(z)
     return zones
 

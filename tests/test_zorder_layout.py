@@ -188,6 +188,26 @@ def test_read_pruned_skips_files_and_loses_no_rows(spark, tmp_path):
     assert nothing.count() == 0
 
 
+def test_string_column_zones_decode_and_prune(spark, tmp_path):
+    """Parquet footer stats for string columns surface as bytes in
+    pyarrow; the zone map must hand back str so string-range predicates
+    prune correctly (lexicographic, same as Spark's BETWEEN)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "s")
+    # layout sorted BY the string column so its zones are tight
+    docs.repartitionByRange(8, "lang").sortWithinPartitions("lang").write.mode(
+        "overwrite"
+    ).parquet(out)
+    zones = L.zone_map_from_footers(out, ["lang"])
+    assert all(isinstance(z["min_lang"], str) for z in zones)
+    pruned = L.read_pruned(spark, out, {"lang": ("de", "de")})
+    full = spark.read.parquet(out).filter(F.col("lang") == "de")
+    assert sorted(r["doc_id"] for r in pruned.collect()) == sorted(
+        r["doc_id"] for r in full.collect()
+    )
+    assert 0 < len(pruned.inputFiles()) < len(zones)
+
+
 def test_zone_registry_lane_survives_stale_and_delta(spark, tmp_path):
     """The persisted-registry lane under the incremental-index contract:
     (1) registry-planned reads match footer-planned reads; (2) a STALE
