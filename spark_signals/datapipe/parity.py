@@ -841,6 +841,14 @@ def _incoming_r13() -> dict:
             lambda spark, sf_dir: D.dedup_exact_spans_attrib(_docs(spark, sf_dir)),
             D.sql_dedup_exact_spans_attrib(),
         ),
+        # cross-split near-dup leakage (eval integrity): hash splits do
+        # not stop near-duplicates straddling train/val/test — on the
+        # synthetic corpus the report finds real test<->train pairs at
+        # Jaccard ~0.99 (non-vacuous at every sf)
+        "split_leakage_report": (
+            lambda spark, sf_dir: SMP.split_leakage_report(_docs(spark, sf_dir)),
+            SMP.sql_split_leakage_report(),
+        ),
     }
 
 

@@ -684,3 +684,127 @@ SELECT c.epoch, c.{group_col}, c.temperature, c.n_tokens_available,
        {tgt} AS target_tokens,
        floor(CAST({tgt} AS DOUBLE) / c.n_tokens_available * 1e6 + 0.5000001) / 1e6 AS repeat_factor
 FROM crossed c JOIN z USING (epoch)"""
+
+
+# ------------------------------------------------ split leakage (eval QA)
+def split_leakage_report(
+    docs: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+) -> DataFrame:
+    """Eval-integrity QA: near-duplicate pairs grouped by the splits they
+    land in — a val/test document with a near-dup twin in train leaks
+    training signal into evaluation even after benchmark decontamination
+    (Lee et al. 2022 §6.2 measure exactly this val↔train overlap
+    inflating perplexity wins). Deterministic-hash splits do NOT prevent
+    it: near-duplicates hash independently, so they straddle splits at
+    the background dup rate.
+
+    Composes the verified MinHash-LSH pair relation with the
+    hash-bucket split: one row per (split_lo, split_hi) class —
+    ``is_cross_split`` marks the leakage classes, within-split classes
+    stay as the dup-density baseline. ``n_docs`` counts distinct
+    documents involved on either side; ``max_jaccard_u`` is the hottest
+    pair on the exact 1e-6 grid (the repo's float-parity currency).
+    Remediation is the existing machinery: route flagged pairs through
+    dedup_clusters' canonical rule, or re-split at the CLUSTER grain
+    (hash the canonical doc_id, the Lee-et-al. recommendation).
+
+    Shape at 100 TB: the pair relation is the banding-bounded,
+    candidate-verified MinHash output (never all-pairs); the split
+    relation is a per-row projection; attaching splits is two doc_id
+    equi-joins with the (small) pair side driving; the report aggregate
+    is three-ish rows. Nothing new shuffles the corpus.
+    """
+    from spark_signals.datapipe.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(docs)
+    spl = split_train_val_test(docs, val_frac, test_frac).select("doc_id", "split")
+    j = (
+        pairs.join(
+            spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            spl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 1e6 + F.lit(0.5000001))
+            .cast("bigint")
+            .alias("j_u"),
+        )
+    )
+    per_pair = j.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("j_u").alias("max_jaccard_u"),
+    )
+    members = j.select("split_lo", "split_hi", F.col("doc_a").alias("doc_id")).unionByName(
+        j.select("split_lo", "split_hi", F.col("doc_b").alias("doc_id"))
+    )
+    per_doc = members.groupBy("split_lo", "split_hi").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return per_pair.join(per_doc, ["split_lo", "split_hi"]).select(
+        "split_lo",
+        "split_hi",
+        (F.col("split_lo") != F.col("split_hi")).alias("is_cross_split"),
+        F.col("n_pairs").cast("bigint"),
+        F.col("n_docs").cast("bigint"),
+        F.col("max_jaccard_u").cast("bigint"),
+    )
+
+
+def sql_split_leakage_report(
+    val_frac: float = SPLIT_VAL_FRAC, test_frac: float = SPLIT_TEST_FRAC
+) -> str:
+    from spark_signals.datapipe.dedup import SQL_DEDUP_MINHASH
+
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(jaccard * 1e6 + 0.5000001) AS BIGINT) AS j_u
+  FROM ({SQL_DEDUP_MINHASH}) mh
+),
+spl AS (
+  SELECT doc_id,
+         CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                < CAST({test_frac!r} AS DOUBLE) * 4294967296.0 THEN 'test'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                < CAST({test_frac + val_frac!r} AS DOUBLE) * 4294967296.0 THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM documents
+),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         p.doc_a, p.doc_b, p.j_u
+  FROM pairs p
+  JOIN spl sa ON sa.doc_id = p.doc_a
+  JOIN spl sb ON sb.doc_id = p.doc_b
+),
+per_pair AS (
+  SELECT split_lo, split_hi, COUNT(*) AS n_pairs, MAX(j_u) AS max_jaccard_u
+  FROM j GROUP BY split_lo, split_hi
+),
+members AS (
+  SELECT split_lo, split_hi, doc_a AS doc_id FROM j
+  UNION ALL
+  SELECT split_lo, split_hi, doc_b AS doc_id FROM j
+),
+per_doc AS (
+  SELECT split_lo, split_hi, COUNT(DISTINCT doc_id) AS n_docs
+  FROM members GROUP BY split_lo, split_hi
+)
+SELECT p.split_lo, p.split_hi,
+       p.split_lo <> p.split_hi AS is_cross_split,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(p.max_jaccard_u AS BIGINT) AS max_jaccard_u
+FROM per_pair p JOIN per_doc d USING (split_lo, split_hi)"""

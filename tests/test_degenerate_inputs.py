@@ -112,9 +112,10 @@ def _late_ops():
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
         "decontam_scrub": DC.decontam_scrub,
-        # r13: span provenance + the D3 layout face
+        # r13: span provenance + the D3 layout face + split-leakage QA
         "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
         "zorder_zonemap": _zorder_zonemap,
+        "split_leakage_report": SMP.split_leakage_report,
     }
 
 

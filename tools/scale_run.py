@@ -169,6 +169,7 @@ def main() -> int:
         # and the span-provenance face (capped partner attribution)
         "zorder_zonemap": lambda: _zorder_zonemap(docs),
         "dedup_exact_spans_attrib": lambda: D.dedup_exact_spans_attrib(docs),
+        "split_leakage_report": lambda: SMP.split_leakage_report(docs),
     }
 
     def _zorder_zonemap(d):
