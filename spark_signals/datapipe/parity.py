@@ -828,8 +828,11 @@ def _incoming_r13() -> dict:
     duplicated span annotated with WHICH other documents share it, under
     the bounded per-digest occurrence cap (forensics for boilerplate /
     syndication / leaked-benchmark questions the bare reporter can't
-    answer). Both queued r15: the recorded r14 plan's 26 slots are fully
-    committed to the r11-retiree deadline wave + the four span faces."""
+    answer), and the cross-split leakage QA (sampling.split_leakage_report).
+    All three queued r15: the recorded r14 plan's 26 slots are fully
+    committed to the r11-retiree deadline wave + the four span faces;
+    r15 takes the 13 r12 retirees due plus these three (16 IN against
+    the 26 r14 entrants' re-retirement slack)."""
     from spark_signals.io.layout import sql_zorder_zonemap, zorder_zonemap
 
     return {
