@@ -828,11 +828,12 @@ def _incoming_r13() -> dict:
     duplicated span annotated with WHICH other documents share it, under
     the bounded per-digest occurrence cap (forensics for boilerplate /
     syndication / leaked-benchmark questions the bare reporter can't
-    answer), and the cross-split leakage QA (sampling.split_leakage_report).
-    All three queued r15: the recorded r14 plan's 26 slots are fully
-    committed to the r11-retiree deadline wave + the four span faces;
-    r15 takes the 13 r12 retirees due plus these three (16 IN against
-    the 26 r14 entrants' re-retirement slack)."""
+    answer), the cross-split leakage QA (sampling.split_leakage_report),
+    and its verified-zero remediation (split_leakage_clustered over the
+    cluster-grain split). All four queued r15: the recorded r14 plan's
+    26 slots are fully committed to the r11-retiree deadline wave + the
+    four span faces; r15 takes the 13 r12 retirees due plus these four
+    (17 IN against the 26 r14 entrants' re-retirement slack)."""
     from spark_signals.io.layout import sql_zorder_zonemap, zorder_zonemap
 
     return {
@@ -851,6 +852,13 @@ def _incoming_r13() -> dict:
         "split_leakage_report": (
             lambda spark, sf_dir: SMP.split_leakage_report(_docs(spark, sf_dir)),
             SMP.sql_split_leakage_report(),
+        ),
+        # ...and its remediation, verified-zero: the cluster-grain split
+        # (near-dup twins co-travel by construction) with the SAME report
+        # showing within-split classes only
+        "split_clustered_leakproof": (
+            lambda spark, sf_dir: SMP.split_leakage_clustered(_docs(spark, sf_dir)),
+            SMP.sql_split_leakage_clustered(),
         ),
     }
 

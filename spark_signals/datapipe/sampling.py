@@ -691,6 +691,7 @@ def split_leakage_report(
     docs: DataFrame,
     val_frac: float = SPLIT_VAL_FRAC,
     test_frac: float = SPLIT_TEST_FRAC,
+    split_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-integrity QA: near-duplicate pairs grouped by the splits they
     land in — a val/test document with a near-dup twin in train leaks
@@ -719,7 +720,11 @@ def split_leakage_report(
     from spark_signals.datapipe.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(docs)
-    spl = split_train_val_test(docs, val_frac, test_frac).select("doc_id", "split")
+    spl = (
+        split_rel
+        if split_rel is not None
+        else split_train_val_test(docs, val_frac, test_frac).select("doc_id", "split")
+    )
     j = (
         pairs.join(
             spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
@@ -781,6 +786,147 @@ spl AS (
          END AS split
   FROM documents
 ),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         p.doc_a, p.doc_b, p.j_u
+  FROM pairs p
+  JOIN spl sa ON sa.doc_id = p.doc_a
+  JOIN spl sb ON sb.doc_id = p.doc_b
+),
+per_pair AS (
+  SELECT split_lo, split_hi, COUNT(*) AS n_pairs, MAX(j_u) AS max_jaccard_u
+  FROM j GROUP BY split_lo, split_hi
+),
+members AS (
+  SELECT split_lo, split_hi, doc_a AS doc_id FROM j
+  UNION ALL
+  SELECT split_lo, split_hi, doc_b AS doc_id FROM j
+),
+per_doc AS (
+  SELECT split_lo, split_hi, COUNT(DISTINCT doc_id) AS n_docs
+  FROM members GROUP BY split_lo, split_hi
+)
+SELECT p.split_lo, p.split_hi,
+       p.split_lo <> p.split_hi AS is_cross_split,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(p.max_jaccard_u AS BIGINT) AS max_jaccard_u
+FROM per_pair p JOIN per_doc d USING (split_lo, split_hi)"""
+
+
+def split_train_val_test_clustered(
+    docs: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+) -> DataFrame:
+    """The leakage-proof split — :func:`split_leakage_report`'s
+    remediation, implemented: bucket on the near-dup CLUSTER id instead
+    of the doc id, so every detected near-duplicate twin lands in the
+    SAME split by construction (re-splitting at the cluster grain, the
+    Lee-et-al.-2022 recommendation). Returns (doc_id, cluster_id,
+    split); singleton documents keep cluster_id = doc_id, so on a
+    dup-free corpus this IS :func:`split_train_val_test`.
+
+    The split fractions now apportion CLUSTERS, not documents — on real
+    corpora (dup clusters are a small minority and sizes are Zipfian)
+    the realized doc-level fractions drift negligibly; the report face
+    quantifies the residual (zero cross-split pairs, by construction,
+    for every pair the detector finds — undetected sub-threshold twins
+    remain, as they do under any detector).
+
+    Shape at 100 TB: the CC labels are the existing O(log n)
+    alternating-star passes over the banding-bounded pair relation; the
+    split is then a per-row hash of the label. One doc_id equi-join
+    attaches labels to documents.
+    """
+    from spark_signals.datapipe.dedup import dedup_clusters
+
+    cl = dedup_clusters(docs).select("doc_id", "cluster_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(bucket < F.lit(float(test_frac)) * F.lit(_HASH_SPACE), F.lit("test"))
+        .when(
+            bucket < F.lit(float(test_frac + val_frac)) * F.lit(_HASH_SPACE),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return cl.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def _sql_km_pairs_cc(val_frac: float, test_frac: float) -> str:
+    """Shared oracle CTE chain: KM-family MinHash pairs (the SAME banding
+    the Spark side uses — never mixed with SQL_DEDUP_CLUSTERS' alternate
+    banding, so pairs and clusters stay one formulation end-to-end) →
+    recursive connected components → cluster-hash split."""
+    from spark_signals.datapipe.dedup import SQL_DEDUP_MINHASH
+
+    return f"""
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(jaccard * 1e6 + 0.5000001) AS BIGINT) AS j_u
+  FROM ({SQL_DEDUP_MINHASH}) mh
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS node, r.comp
+  FROM reach r JOIN edges e ON e.dst = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+),
+spl AS (
+  SELECT doc_id, cluster_id,
+         CASE
+           WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                < CAST({test_frac!r} AS DOUBLE) * 4294967296.0 THEN 'test'
+           WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                < CAST({test_frac + val_frac!r} AS DOUBLE) * 4294967296.0 THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM comp
+)"""
+
+
+def sql_split_train_val_test_clustered(
+    val_frac: float = SPLIT_VAL_FRAC, test_frac: float = SPLIT_TEST_FRAC
+) -> str:
+    return f"""
+WITH RECURSIVE {_sql_km_pairs_cc(val_frac, test_frac)}
+SELECT doc_id, cluster_id, split FROM spl"""
+
+
+def split_leakage_clustered(
+    docs: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+) -> DataFrame:
+    """:func:`split_leakage_report` evaluated against the CLUSTERED split
+    — the verified-zero face: every pair the detector finds has both
+    members in one cluster, hence one split, so the report contains
+    within-split classes ONLY (the dup-density baseline) and its
+    emptiness of cross-split rows is the remediation's proof, checked
+    value-level like everything else."""
+    spl = split_train_val_test_clustered(docs, val_frac, test_frac).select(
+        "doc_id", "split"
+    )
+    return split_leakage_report(docs, val_frac, test_frac, split_rel=spl)
+
+
+def sql_split_leakage_clustered(
+    val_frac: float = SPLIT_VAL_FRAC, test_frac: float = SPLIT_TEST_FRAC
+) -> str:
+    return f"""
+WITH RECURSIVE {_sql_km_pairs_cc(val_frac, test_frac)},
 j AS (
   SELECT least(sa.split, sb.split) AS split_lo,
          greatest(sa.split, sb.split) AS split_hi,

@@ -116,6 +116,7 @@ def _late_ops():
         "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
         "zorder_zonemap": _zorder_zonemap,
         "split_leakage_report": SMP.split_leakage_report,
+        "split_leakage_clustered": SMP.split_leakage_clustered,
     }
 
 
