@@ -692,6 +692,7 @@ def split_leakage_report(
     val_frac: float = SPLIT_VAL_FRAC,
     test_frac: float = SPLIT_TEST_FRAC,
     split_rel: DataFrame | None = None,
+    pairs_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-integrity QA: near-duplicate pairs grouped by the splits they
     land in — a val/test document with a near-dup twin in train leaks
@@ -719,7 +720,7 @@ def split_leakage_report(
     """
     from spark_signals.datapipe.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(docs)
+    pairs = pairs_rel if pairs_rel is not None else dedup_minhash_lsh(docs)
     spl = (
         split_rel
         if split_rel is not None
@@ -916,10 +917,34 @@ def split_leakage_clustered(
     within-split classes ONLY (the dup-density baseline) and its
     emptiness of cross-split rows is the remediation's proof, checked
     value-level like everything else."""
-    spl = split_train_val_test_clustered(docs, val_frac, test_frac).select(
-        "doc_id", "split"
+    from spark_signals.datapipe.dedup import connected_components, dedup_minhash_lsh
+
+    # ONE MinHash pass shared by the cluster labels and the report: the
+    # pair relation is already pinned (materialized) inside
+    # dedup_minhash_lsh, so both consumers read the same blocks —
+    # measured at decade scale this halves the face (296 s -> see
+    # SCALE.md r13) vs recomputing pairs inside dedup_clusters.
+    pairs = dedup_minhash_lsh(docs)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("id")),
     )
-    return split_leakage_report(docs, val_frac, test_frac, split_rel=spl)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    spl = comp.select(
+        F.col("id").alias("doc_id"),
+        F.when(bucket < F.lit(float(test_frac)) * F.lit(_HASH_SPACE), F.lit("test"))
+        .when(
+            bucket < F.lit(float(test_frac + val_frac)) * F.lit(_HASH_SPACE),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return split_leakage_report(
+        docs, val_frac, test_frac, split_rel=spl, pairs_rel=pairs
+    )
 
 
 def sql_split_leakage_clustered(

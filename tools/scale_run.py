@@ -170,6 +170,7 @@ def main() -> int:
         "zorder_zonemap": lambda: _zorder_zonemap(docs),
         "dedup_exact_spans_attrib": lambda: D.dedup_exact_spans_attrib(docs),
         "split_leakage_report": lambda: SMP.split_leakage_report(docs),
+        "split_clustered_leakproof": lambda: SMP.split_leakage_clustered(docs),
     }
 
     def _zorder_zonemap(d):
