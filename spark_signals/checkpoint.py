@@ -18,6 +18,22 @@ tax. Every such boundary in the library routes through :func:`pin`
   (HDFS/S3) and survive executor loss. The 100 TB durability switch,
   flipped in one place instead of editing ~40 call sites.
 
+RETENTION under the reliable mode: Spark deletes reliable-checkpoint
+files only when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+is true (a STATIC SparkConf key — it configures the ContextCleaner at
+SparkContext construction, so set it at submit time alongside the
+durability flag, not via ``spark.conf.set`` mid-session). Without it a
+long-lived session accumulates one checkpoint directory per pin()
+until the application exits; Spark never reclaims them, and the
+curate-example ``_checkpoint_scope`` cleanup only unpersists
+localCheckpoint blocks. Recommended submit-time pairing::
+
+    --conf spark.signals.checkpointDir=hdfs://.../ck \\
+    --conf spark.cleaner.referenceTracking.cleanCheckpoints=true
+
+For batch jobs that exit per run, the per-application subdirectory can
+instead be removed by the job scheduler after success.
+
 The key is read per call, so a long-lived session can turn durability on
 for a critical job and off again; ``setCheckpointDir`` is applied once
 per (SparkContext, dir) — Spark creates a fresh unique subdirectory per

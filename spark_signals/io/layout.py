@@ -195,7 +195,11 @@ def zorder_zonemap(
     probe_code = ord(lang[0]) * 256 + ord(lang[1])
 
     def zones(df: DataFrame, order: list[str], layout: str) -> DataFrame:
-        w = Window.orderBy(*[F.col(c) for c in order])
+        # Spark's default sort order is NULLS FIRST, DuckDB's is NULLS
+        # LAST — a NULL zkey (NULL n_chars or lang) would land in a
+        # different ntile bucket per engine. Pin NULLS LAST to match the
+        # SQL twin's default.
+        w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order])
         return (
             df.withColumn("file_id", F.ntile(n_files).over(w))
             .groupBy("file_id")
@@ -316,6 +320,16 @@ def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
                 name = col.path_in_schema
                 if name in cols and col.statistics is not None:
                     s = col.statistics
+                    # an all-NULL row group carries a statistics object
+                    # with no min/max (has_min_max False, s.min/s.max
+                    # None); merging those would compare None with a
+                    # value. Skipping the group is the conservative
+                    # direction — zones only ever shrink the scan, and a
+                    # file that is all-NULL in a column keeps min/max
+                    # None there, which _prune_zone_dicts treats as
+                    # "always scan".
+                    if not s.has_min_max:
+                        continue
                     # string-column footer stats surface as BYTES in
                     # pyarrow; decode so zone values compare against str
                     # predicates (parquet string stats are UTF-8)
@@ -414,8 +428,6 @@ def zone_registry_delta(spark, table_path: str, registry_path: str, cols: list[s
     O(new files), append-only (the digest-index delta contract: appends
     commute, re-running after a crash re-appends nothing). Returns the
     number of files appended."""
-    import pyarrow.parquet as pq
-
     known = {
         r["file"] for r in spark.read.parquet(registry_path).select("file").collect()
     }
@@ -443,11 +455,12 @@ def read_pruned_registered(spark, table_path: str, registry_path: str, ranges: d
     reg = [r.asDict() for r in spark.read.parquet(registry_path).collect()]
     known = {z["file"] for z in reg}
     actual = list(pq.ParquetDataset(table_path).files)
+    actual_set = set(actual)
     unregistered = [f for f in actual if f not in known]
     keep = [
         f
         for f in _prune_zone_dicts(reg, ranges)
-        if f in set(actual)  # registry rows for deleted files drop out
+        if f in actual_set  # registry rows for deleted files drop out
     ] + unregistered
     if not keep:
         df = spark.read.parquet(table_path).limit(0)

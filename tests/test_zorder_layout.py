@@ -262,3 +262,114 @@ def test_zone_registry_lane_survives_stale_and_delta(spark, tmp_path):
     assert L.zone_registry_delta(spark, table, reg, ["n_chars", "lang_code"]) == 0
     assert spark.read.parquet(reg).count() == n0 + added
     assert rows(L.read_pruned_registered(spark, table, reg, ranges)) == expect2
+
+
+def test_all_null_row_group_does_not_break_zone_map(spark, tmp_path):
+    """A parquet file can mix an all-NULL row group (statistics object
+    present, has_min_max False, min/max None) with stats-bearing ones on
+    a nullable zone column; the footer walk must skip the stat-less
+    group instead of comparing None with a value, and every pruned-read
+    face built on it must keep returning exact rows (NULL never matches
+    a range predicate, in the zone map or in the re-applied filter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "nullable"
+    out.mkdir()
+    # row_group_size=4 → first group all-NULL in v, second group has stats
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "v": pa.array([None] * 4 + [10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(out / "part-0.parquet"), row_group_size=4)
+    # a second file fully outside the probe range, prunable
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(range(8, 12), type=pa.int64()),
+            "v": pa.array([900, 910, 920, 930], type=pa.int64()),
+        }
+    )
+    pq.write_table(t2, str(out / "part-1.parquet"), row_group_size=4)
+
+    zones = L.zone_map_from_footers(str(out), ["v"])
+    by_file = {z["file"].rsplit("/", 1)[-1]: z for z in zones}
+    assert by_file["part-0.parquet"]["min_v"] == 10  # NULL group skipped
+    assert by_file["part-0.parquet"]["max_v"] == 40
+    assert by_file["part-1.parquet"]["min_v"] == 900
+
+    pruned = L.read_pruned(spark, str(out), {"v": (15, 35)})
+    assert sorted(r["doc_id"] for r in pruned.collect()) == [5, 6]
+    assert len(pruned.inputFiles()) == 1  # part-1 pruned
+
+    # the registry lane tolerates the same footers
+    reg = str(tmp_path / "reg")
+    assert L.write_zone_registry(spark, str(out), reg, ["v"]) == 2
+    assert L.zone_registry_delta(spark, str(out), reg, ["v"]) == 0
+    got = L.read_pruned_registered(spark, str(out), reg, {"v": (15, 35)})
+    assert sorted(r["doc_id"] for r in got.collect()) == [5, 6]
+
+
+def test_all_null_file_scans_conservatively(spark, tmp_path):
+    """A file whose zone column is entirely NULL has no min/max at all:
+    its zones stay None and pruning must SCAN it (zones only remove
+    certainly-disjoint work), with the exact re-applied predicate then
+    dropping the NULL rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "allnull"
+    out.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "v": pa.array([None, None], type=pa.int64())}),
+        str(out / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([2, 3], type=pa.int64()),
+                  "v": pa.array([5, 6], type=pa.int64())}),
+        str(out / "b.parquet"),
+    )
+    zones = L.zone_map_from_footers(str(out), ["v"])
+    nulls = [z for z in zones if z["min_v"] is None]
+    assert len(nulls) == 1
+    pruned = L.read_pruned(spark, str(out), {"v": (5, 5)})
+    assert [r["doc_id"] for r in pruned.collect()] == [2]
+    assert len(pruned.inputFiles()) == 2  # the stat-less file scanned
+
+
+def test_zonemap_null_zkey_rows_agree_cross_engine(spark):
+    """A NULL n_chars (→ NULL zkey) row must land in the SAME ntile
+    bucket in both engines: Spark's default NULLS FIRST is pinned to
+    asc_nulls_last to match DuckDB's ASC default."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(24),
+            "n_chars": [None if i == 5 else 100 + 7 * i for i in range(24)],
+            "lang": ["de" if i % 3 == 0 else "en" for i in range(24)],
+        }
+    )
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None), "doc_id long, n_chars long, lang string"
+    )
+    a = (
+        L.zorder_zonemap(sdf, n_files=4)
+        .toPandas()
+        .sort_values(["layout", "file_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    b = (
+        con.execute(L.sql_zorder_zonemap(n_files=4))
+        .fetchdf()
+        .sort_values(["layout", "file_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+    # the NULL row is counted in some bucket in both engines
+    assert int(a[a.layout == "zorder"].n_rows.sum()) == 24
