@@ -164,40 +164,98 @@ DRIVER_CAP = 50
 #   green rounds fund the promotion slots (entries tagged "r13 rotation"
 #   below). 12+2+8+2 = 24 = 22 returners + 2 promotions. Active: 50/50.
 #
-# r14 rotation plan (queued): the 22 r11-rotation retirees hit their
-# ≤3-round deadline at r14 — all 22 come IN — and the four r14-queued
-# span faces promote (dedup_exact_spans_strip, dedup_spans_incr,
-# decontam_spans, decontam_scrub). IN = 26. Slots: the 22 r13 returners
-# re-retire after their green re-check round (22); knn_serve_snapshot
-# re-retires after its first green round behind staying
-# ann_ivf_trained_topk (shared versioned-IVF probe machinery — the r08
-# first-green-plus-sibling precedent) (1); dedup_exact_spans re-retires
-# after its first green round behind the four promoting span faces (the
-# same island core, now carrying the family's driver evidence) (1); and
-# two r10 promotions with ≥4 green rounds re-retire early behind
-# returning direct siblings: ann_index_delta behind returning
-# ann_ivf_topk + ann_lsh_hyperplane_pairs + staying ann_ivf_trained_topk,
-# and mixture_manifest_by_lang behind returning sample_stratified_hash +
+# r14 rotation (executed this round, exactly as queued in the recorded
+# r13 plan): the 22 r11-rotation retirees hit their ≤3-round deadline at
+# r14 — all 22 came IN — and the four r14-queued span faces promoted
+# (dedup_exact_spans_strip, dedup_spans_incr, decontam_spans,
+# decontam_scrub). IN = 26. Slots: the 22 r13 returners re-retired after
+# their green re-check round (22); knn_serve_snapshot re-retired after
+# its first green round behind staying ann_ivf_trained_topk (shared
+# versioned-IVF probe machinery — the r08 first-green-plus-sibling
+# precedent) (1); dedup_exact_spans re-retired after its first green
+# round behind the four promoting span faces (the same island core, now
+# carrying the family's driver evidence) (1); and two r10 promotions
+# with ≥4 green rounds re-retired early behind returning direct
+# siblings: ann_index_delta behind returning ann_ivf_topk +
+# ann_lsh_hyperplane_pairs + staying ann_ivf_trained_topk, and
+# mixture_manifest_by_lang behind returning sample_stratified_hash +
 # lang_id_heuristic (its group-key producer) with the uniform twin
 # re-retiring only after its own green round (2). 22+1+1+2 = 26. After
-# r14 executes, no r11 deadline remains; the 13 r12 retirees come due
-# r15 and the 24 r13 retirees come due r16 — both waves fit the slack
-# freed by the 26 r14 entrants re-retiring.
-# Due-by ledger (retiree -> latest re-check round): r11 retirees -> r14;
-# r12 retirees -> r15; r13 retirees -> r16. No deadline before r14 is
+# r14, no r11 deadline remains outstanding.
+#
+# r15 rotation plan (queued): the 13 r12-rotation retirees hit their
+# ≤3-round deadline at r15 — all 13 come IN (ticks_source,
+# nation_region_rollup, segment_revenue_3way_join, sliding_window_counts,
+# length_band_filter, sample_temperature_source, pack_sequences_manifest,
+# curate_stats_by_source, chunk_documents_overlap, lm_bigram_quality,
+# knn_join_ivf, media_phash_neardup, bm25_topk_queries) — and the four
+# r13-wave INCOMING faces promote (zorder_zonemap_skipping,
+# dedup_exact_spans_attrib, split_leakage_report,
+# split_clustered_leakproof). IN = 17. Slots: the four r14-promoted span
+# faces re-retire after their first green round behind promoting
+# dedup_exact_spans_attrib — the same span-island core, the r08
+# first-green-plus-sibling precedent (4); and 13 of the 22 r14 returners
+# with inline/staying family coverage re-retire after their green
+# re-check round: sma_crossover_signals, positions_forward_fill,
+# j1_signal_rejoin, union_live_replay, performance_windows_5m,
+# signal_counts_5m, metrics_hourly_rollup, dedup_exact_hash,
+# dedup_ngram_jaccard, ann_ivf_topk, ann_lsh_hyperplane_pairs,
+# pricing_summary_q1, session_window_per_user (13). 4+13 = 17. The
+# other nine r14 returners (latest_price_per_instrument,
+# breakout_band_signals, value_percentiles_exact,
+# embedding_cosine_neardup, streaming_interval_join,
+# sample_stratified_hash, lang_id_heuristic, text_stats_quality,
+# runs_listing_join_topn) stay checked through r15; at r16 the 24 r13
+# retirees come due against 17 r15 entrants + those 9 re-retiring
+# (26 slack ≥ 24 — the wave closes).
+# Due-by ledger (retiree -> latest re-check round): r12 retirees -> r15;
+# r13 retirees -> r16; r14 retirees -> r17. No deadline before r15 is
 # outstanding.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is
     # CURRENTLY retired; returners re-retiring carry their full green
     # history in their tag.
-    # r13 rotation (this round): the 12 r12 returners re-retire after
-    # their green re-check round, the 2 r12 promotions re-retire behind
-    # their lane families after one green round, 8 r11 promotions/new-ops
-    # with checked siblings re-retire early, and 2 r10 promotions with ≥3
-    # green rounds fund the knn_serve_snapshot + dedup_exact_spans slots;
-    # the freed 24 slots took ALL 22 r10 retirees at their ≤3-round
-    # deadline plus both r12-wave promotions. Due re-check r16.
+    # r14 rotation (this round): the 22 r13 returners re-retire after
+    # their green re-check round, the two r13 promotions re-retire after
+    # one green round behind their staying/promoting families, and two
+    # r10 promotions with ≥4 green rounds re-retire early behind
+    # returning direct siblings; the freed 26 slots took ALL 22 r11
+    # retirees at their ≤3-round deadline plus the four span-face
+    # promotions. Due re-check r17.
+    "doc_fingerprint_minhash1": "r14 rotation; returner re-check green r13; fingerprint family checked via staying winnow_zipf_chained (winnowing fingerprints) + returning dedup_exact_hash (digest stage) (green r08, r09, r13)",
+    "position_returns": "r14 rotation; returner re-check green r13; the per-position return stage runs inline in checked strategy_metrics (green r01-r04, r08, r09, r13)",
+    "semi_join_has_lineitems": "r14 rotation; returner re-check green r13; join-family twin of staying anti_join_parts_never_shipped (same shape, EXISTS vs NOT EXISTS) (green r01-r04, r08, r09, r13)",
+    "topk_events": "r14 rotation; returner re-check green r13; top-k serving family checked via returning latest_price_per_instrument (green r01-r04, r08, r09, r13)",
+    "position_transitions": "r14 rotation; returner re-check green r13; the transition filter runs inline in the checked positions chain (positions_costs/executions) (green r01-r04, r08, r09, r13)",
+    "pack_windows_composition": "r14 rotation; returner re-check green r13; staying shuffle_windows chains the same pack_windows stage as its input (green r07-r09, r13)",
+    "semdedup_cells": "r14 rotation; returner re-check green r13; shares the Lloyd-trained centroid machinery with staying ann_ivf_trained_topk; cluster-audit family via staying dedup_canonical_quality (green r07-r09, r13)",
+    "quality_logreg_score": "r14 rotation; returner re-check green r13; its feature stages run inline in returning text_stats_quality; int64-exact gradient aggs stay tested (tests/test_training_data_ops.py) (green r07-r09, r13)",
+    "mixture_manifest_uniform": "r14 rotation; returner re-check green r13; sampling family checked via returning sample_stratified_hash (hash-predicate core) + lang_id_heuristic (group-key producer); by-lang twin re-retires alongside (same operator, group_col) (green r07-r09, r13)",
+    "embed_chunks_hashed": "r14 rotation; returner re-check green r13; chunk → hashed-embed chain stays tested + --extended; dense-arm consumers checked via staying hybrid_rrf_topk (green r07-r09, r13)",
+    "strategy_summary_filter_agg": "r14 rotation; returner re-check green r13; A5-A6 FILTER-aggregate family checked via returning pricing_summary_q1 + staying segment_revenue_bucketed (green r01-r09, r13)",
+    "dedup_clusters_canonical": "r14 rotation; returner re-check green r13; staying dedup_canonical_quality runs the same CC clustering with quality-aware canonical selection (superset) (green r01-r09, r13)",
+    "ann_ivfpq_topk": "r14 rotation; returner re-check green r13; PQ variant of staying ann_ivf_trained_topk (shared IVF probe; PQ distance tables tested) (green r01-r09, r13)",
+    "dedup_incremental": "r14 rotation; returner re-check green r13; digest-incremental family checked via returning dedup_exact_hash (the digest stage) + staying decontam_suite_chained (the band-index probe shape) + promoted dedup_spans_incr (the newest incremental lane) (green r06-r09, r13)",
+    "repetition_gopher_quality": "r14 rotation; returner re-check green r13; text-quality family checked via returning text_stats_quality + staying ccnet_lm_buckets (green r05-r09, r13)",
+    "decontam_ngram_overlap": "r14 rotation; returner re-check green r13; staying decontam_suite_chained is its per-benchmark superset (same digest-broadcast overlap chain); promoted decontam_spans/decontam_scrub carry the family's span faces (green r05-r09, r13)",
+    "lm_unigram_quality": "r14 rotation; returner re-check green r13; LM-scoring family checked via staying ccnet_lm_buckets (same token/model/broadcast-score stages, bucketed) (green r06-r09, r13)",
+    "dedup_passages": "r14 rotation; returner re-check green r13; passage-grain family checked via promoted dedup_exact_spans_strip (span-grain rewrite, the stronger face); dedup_intra_doc stays tested + --extended (green r06-r09, r13)",
+    "pii_scrub_redact": "r14 rotation; returner re-check green r13; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape); scrub regexes stay fuzz-tested (tests/test_pii_fuzz.py) (green r06-r09, r13)",
+    "vocab_coverage_topv": "r14 rotation; returner re-check green r13; staying tokenize_with_vocab builds and applies the same top-V vocabulary (superset: adds the OOV segmentation) (green r08, r09, r13)",
+    "bm25_topk_lexical": "r14 rotation; returner re-check green r13; staying hybrid_rrf_topk chains the identical BM25 arm inline before fusion (green r08, r09, r13)",
+    "dedup_cluster_stats": "r14 rotation; returner re-check green r13; cluster-audit family checked via staying dedup_canonical_quality (same CC clusters, quality-keyed) (green r08, r09, r13)",
+    "knn_serve_snapshot": "r14 rotation; promoted r13, green r13, re-retires after its first green round behind staying ann_ivf_trained_topk (shared versioned-IVF assign/probe machinery — the r08 first-green-plus-sibling precedent); serving lane stays pinned by tests/test_knn_serving.py + --extended",
+    "dedup_exact_spans": "r14 rotation; promoted r13, green r13, re-retires after its first green round behind the four promoting span faces (dedup_exact_spans_strip / dedup_spans_incr / decontam_spans / decontam_scrub — the same span-island core now carries the family's driver evidence); reporter stays tested + --extended",
+    "ann_index_delta": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning ann_ivf_topk + ann_lsh_hyperplane_pairs and staying ann_ivf_trained_topk (the IVF/banded probe family); delta lane stays tested + --extended",
+    "mixture_manifest_by_lang": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning sample_stratified_hash + lang_id_heuristic (its group-key producer); uniform twin re-retires after its own r13 green round (same operator, group_col='lang' vs 'source')",
+    # r13 rotation: the 12 r12 returners re-retired after their green
+    # re-check round, the 2 r12 promotions re-retired behind their lane
+    # families after one green round, 8 r11 promotions/new-ops with
+    # checked siblings re-retired early, and 2 r10 promotions with ≥3
+    # green rounds funded the knn_serve_snapshot + dedup_exact_spans
+    # slots; the freed 24 slots took ALL 22 r10 retirees at their
+    # ≤3-round deadline plus both r12-wave promotions. Due re-check r16.
     "normalized_prices": "r13 rotation; returner re-check green r12; the P1-P2 normalize stage runs inline in checked positions_costs/executions/strategy_metrics (green r01-r09, r12)",
     "signals_decisions": "r13 rotation; returner re-check green r12; the P3-P4 decision stage runs inline in the checked positions chain AND as the entry() flagship smoke every round (green r01-r09, r12)",
     "asof_join_tolerance": "r13 rotation; returner re-check green r12; tolerance variant of staying asof_join_trade_quote (same backward-join core, one bound predicate) (green r02-r09, r12)",
@@ -240,32 +298,6 @@ RETIRED = {
     "knn_join_ivf": "r12 rotation; promoted r11, green r11, early re-retire on the r08 first-green-plus-sibling precedent; knn_join_ivf_sampled stays checked and runs the SAME assign/probe/score chain (sampled trainer = the production default branch); full-trainer face stays tested + --extended",
     "media_phash_neardup": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; the production DECODED face (media_phash_neardup_decoded) stays checked and the incremental media face (media_phash_incr_snapshot) promotes in — both run the same banded-dHash pair machinery; raw-byte face stays tested + --extended",
     "bm25_topk_queries": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; staying hybrid_rrf_topk AND hybrid_rrf_ivf_topk chain the identical BM25 arm inline before fusion; standalone face stays tested + --extended",
-    # r11 rotation (this round): the 22 r10 returners re-retire after
-    # their green re-check round; the freed slots took the 10 r08 retirees
-    # back for their ≤3-round re-check plus all 10 incoming promotions.
-    # Due re-check r14.
-    "sma_crossover_signals": "r11 rotation; returner re-check green r10; the P3/P4 signal CASE runs inline in the checked positions chain AND the entry() flagship smoke every round (green r01-r05, r10)",
-    "positions_forward_fill": "r11 rotation; returner re-check green r10; the W4 ignore-nulls forward-fill stage runs inline in checked positions_costs + streaming_positions_costs (green r01-r05, r10)",
-    "latest_price_per_instrument": "r11 rotation; returner re-check green r10; top-k serving family (topk_events, recent_ticks_per_instrument) due its r13 re-check; stays tested + --extended (green r01-r05, r10)",
-    "breakout_band_signals": "r11 rotation; returner re-check green r10; rolling-band window stage shared with checked strategy_metrics; §2.9 strategy family stays checked via ewma_zscore_strategy (green r01-r05, r10)",
-    "value_percentiles_exact": "r11 rotation; returner re-check green r10; percentile family twin length_band_approx due its r13 re-check; exact-percentile SQL stays tested (green r01-r05, r10)",
-    "embedding_cosine_neardup": "r11 rotation; returner re-check green r10; cosine-pair family checked via promoted knn_join_ivf + staying ann_ivf_trained_topk (green r01-r05, r10)",
-    "streaming_interval_join": "r11 rotation; returner re-check green r10; streaming temporal family checked via staying streaming_metrics_5m/streaming_positions_costs + batch range_join_tick_stats (green r01-r05, r10)",
-    "j1_signal_rejoin": "r11 rotation; returner re-check green r10; the J1 equi-join runs inline in checked positions_costs/executions (green r01-r06, r10)",
-    "union_live_replay": "r11 rotation; returner re-check green r10; the U1 union stage stays tested; replay side stays checked via replay_backtest_window (green r01-r06, r10)",
-    "sample_stratified_hash": "r11 rotation; returner re-check green r10; hash-predicate sampling family checked via staying mixture_manifest_by_lang + promoted mixture_curriculum + returning sample_temperature_source (green r01-r06, r10)",
-    "lang_id_heuristic": "r11 rotation; returner re-check green r10; lang-keyed consumers stay checked (mixture_manifest_by_lang, winnow_zipf_chained per-lang stats) (green r01-r06, r10)",
-    "performance_windows_5m": "r11 rotation; returner re-check green r10; the A1 tumbling-metrics stage feeds checked strategy_metrics inline (its window-to-window join input) (green r01-r06, r10)",
-    "signal_counts_5m": "r11 rotation; returner re-check green r10; A2 count family checked via staying strategy_metrics + streaming_metrics_5m (green r01-r06, r10)",
-    "metrics_hourly_rollup": "r11 rotation; returner re-check green r10; the A4 fused rollup runs inline in checked streaming_hourly_rollup_chained (green r01-r06, r10)",
-    "dedup_exact_hash": "r11 rotation; returner re-check green r10; digest family checked via staying dedup_canonical_quality + corpus_diff_snapshots + promoted dedup_incr_neardup (green r01-r06, r10)",
-    "dedup_ngram_jaccard": "r11 rotation; returner re-check green r10; exact-jaccard verify family checked via staying dedup_intra_doc + decontam_suite_chained fuzzy arm + promoted dedup_incr_neardup (green r01-r06, r10)",
-    "ann_ivf_topk": "r11 rotation; returner re-check green r10; IVF probe family checked via staying ann_ivf_trained_topk + promoted knn_join_ivf + hybrid_rrf_ivf_topk (green r01-r06, r10)",
-    "ann_lsh_hyperplane_pairs": "r11 rotation; returner re-check green r10; banded-blocking ANN family checked via staying ann_index_delta + promoted knn_join_ivf (green r01-r06, r10)",
-    "text_stats_quality": "r11 rotation; returner re-check green r10; text-quality family checked via staying ccnet_lm_buckets + returning curate_stats_by_source (its stats consumer) (green r01-r06, r10)",
-    "pricing_summary_q1": "r11 rotation; returner re-check green r10; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning nation_region_rollup (green r01-r06, r10)",
-    "runs_listing_join_topn": "r11 rotation; returner re-check green r10; listing-join family checked via staying anti_join_parts_never_shipped + returning segment_revenue_3way_join (green r01-r06, r10)",
-    "session_window_per_user": "r11 rotation; returner re-check green r10; T6 family checked via returning sliding_window_counts + staying streaming_metrics_5m (green r01-r06, r10)",
 }
 
 

@@ -881,6 +881,26 @@ for _n in _R13_PROMOTED:
     DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+# r14 rotation: the four remaining span faces promote, exactly as queued
+# in the recorded r13 plan (__spark_entry__.py rotation note) — the
+# strip/incremental rewrite grains and the contamination
+# localize/scrub pair, funded by the dedup_exact_spans reporter's
+# first-green-plus-sibling re-retirement plus the knn_serve_snapshot /
+# ann_index_delta / mixture_manifest_by_lang slots. All four verified
+# non-vacuous in the r13 extended sweep (strip rows=500, incr rows=100,
+# decontam_spans rows=2, decontam_scrub rows=475 at sf0.01). The
+# r13-wave quartet (zorder_zonemap_skipping, dedup_exact_spans_attrib,
+# split_leakage_report, split_clustered_leakproof) stays queued for r15.
+_R14_PROMOTED = (
+    "dedup_exact_spans_strip",
+    "dedup_spans_incr",
+    "decontam_spans",
+    "decontam_scrub",
+)
+for _n in _R14_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""
