@@ -39,6 +39,7 @@ else
     tests/test_training_data_ops.py
     tests/test_curation_ops.py
     tests/test_degenerate_inputs.py
+    tests/test_degenerate_inputs_b.py
     tests/test_streaming.py
     tests/test_streaming_media_lane.py
     tests/test_span_dedup.py
