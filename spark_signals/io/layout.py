@@ -106,6 +106,7 @@ def write_zordered(
     cols: list[str],
     n_files: int = ZORDER_FILES,
     bits: int = ZORDER_BITS,
+    tiebreak: list[str] | None = None,
 ) -> str:
     """Production layout writer: Z-order ``df`` on ``cols`` into
     ``n_files`` parquet files. Each file's footer then carries tight
@@ -117,6 +118,16 @@ def write_zordered(
     One range exchange on the Morton key + per-partition sort; bounds are
     Spark's sampled range boundaries (scale-right, not bit-reproducible —
     the oracle-checked face uses exact ntile instead).
+
+    ``tiebreak``: extra high-cardinality column(s) (e.g. the row id)
+    appended to the range key. Spark's range partitioner cannot split a
+    single key value across partitions, so without a tiebreak the file
+    count is capped by the number of DISTINCT Morton keys (bits*ncols
+    quantization cells actually populated) — at 8 bits x 2 columns that
+    is at most 65k files and often far fewer. Any 100 TB table whose
+    target file count exceeds its populated cell count needs the
+    tiebreak; zones stay exactly as tight (files still cover contiguous
+    zkey runs).
     """
     bounds = df.agg(
         *[f(c).cast("bigint").alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
@@ -130,9 +141,10 @@ def write_zordered(
     keyed = withb.withColumn("_zkey", zorder_key(qs, bits)).drop(
         *[f"{n}_{c}" for c in cols for n in ("lo", "hi")]
     )
+    order = ["_zkey"] + list(tiebreak or [])
     (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
+        keyed.repartitionByRange(n_files, *order)
+        .sortWithinPartitions(*order)
         .drop("_zkey")
         .write.mode("overwrite")
         .parquet(path)
@@ -292,6 +304,29 @@ FROM u"""
 
 
 # ----------------------------------------------------- pruned read path
+def _list_parquet_files(path: str) -> list[str]:
+    """Recursive data-file listing of a parquet table, Spark-convention:
+    skip FILES whose basename starts with ``_`` or ``.`` (_SUCCESS,
+    .crc, _metadata) but descend into ANY directory — pyarrow's own
+    dataset discovery treats underscore-prefixed DIRECTORIES as hidden,
+    which silently empties tables partitioned on columns like
+    ``_batch_id`` (the streaming sinks' idempotency key)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, base = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, base = pafs.LocalFileSystem(), path
+    infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=True))
+    return sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and not i.base_name.startswith(("_", "."))
+        and i.base_name.endswith(".parquet")
+    )
+
+
 def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
     """Control-plane zone map of a written parquet table: one dict per
     file with ``file``, ``n_rows``, and ``min_<c>`` / ``max_<c>`` for
@@ -303,13 +338,18 @@ def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
     relation next to the table and append per-batch deltas (the
     incremental-lane pattern) instead of re-walking footers per query.
     """
+    return _zones_for_files(_list_parquet_files(path), cols)
+
+
+def _zones_for_files(files: list[str], cols: list[str]) -> list[dict]:
+    """Footer-walk an explicit file list (the delta lane passes only the
+    files the registry does not know, keeping its cost O(new files))."""
     import pyarrow.parquet as pq
 
     zones = []
-    ds = pq.ParquetDataset(path)
-    for frag in ds.fragments:
-        md = frag.metadata
-        z = {"file": frag.path, "n_rows": md.num_rows}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        z = {"file": f, "n_rows": md.num_rows}
         for c in cols:
             z[f"min_{c}"] = None
             z[f"max_{c}"] = None
@@ -401,14 +441,17 @@ def write_zone_registry(spark, table_path: str, registry_path: str, cols: list[s
     """Materialize the footer zone map as its own parquet relation, so
     serving reads plan from ONE small registry scan instead of walking
     footers per query — the persisted-index discipline of the incremental
-    dedup lanes, applied to layout stats. Numeric (integer) zone columns
-    only — the clustered columns are quantized BIGINTs by construction.
+    dedup lanes, applied to layout stats. Zone columns may be integer,
+    floating, or string (each min/max registry column is typed from the
+    table's own parquet schema — a serving predicate on a raw ``lang``
+    column prunes from the registry the same as a quantized BIGINT).
     Returns the number of files registered."""
     zones = zone_map_from_footers(table_path, cols)
     rows = [tuple(z[k] for k in _zone_fields(cols)) for z in zones]
-    spark.createDataFrame(rows, _zone_schema(cols)).write.mode(
-        "overwrite"
-    ).parquet(registry_path)
+    schema = _zone_schema(cols, _zone_col_types(table_path, cols))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        registry_path
+    )
     return len(zones)
 
 
@@ -416,9 +459,38 @@ def _zone_fields(cols: list[str]) -> list[str]:
     return ["file", "n_rows"] + [f"{n}_{c}" for c in cols for n in ("min", "max")]
 
 
-def _zone_schema(cols: list[str]) -> str:
+def _zone_col_types(table_path: str, cols: list[str]) -> dict[str, str]:
+    """Registry value type per zone column, read from the TABLE's parquet
+    schema (not guessed from sampled zone values — an all-NULL first file
+    would leave the type undecidable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = _list_parquet_files(table_path)
+    if not files:
+        raise ValueError(f"no parquet data files under {table_path!r}")
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    types: dict[str, str] = {}
+    for c in cols:
+        t = schema.field(c).type
+        if pa.types.is_integer(t):
+            types[c] = "long"
+        elif pa.types.is_floating(t):
+            types[c] = "double"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            types[c] = "string"
+        else:
+            raise ValueError(
+                f"zone column {c!r} has unsupported type {t} — zone maps "
+                "cover integer/floating/string columns (nested or binary "
+                "columns have no ordered min/max predicate to prune on)"
+            )
+    return types
+
+
+def _zone_schema(cols: list[str], types: dict[str, str]) -> str:
     parts = ["file string", "n_rows long"] + [
-        f"{n}_{c} long" for c in cols for n in ("min", "max")
+        f"{n}_{c} {types[c]}" for c in cols for n in ("min", "max")
     ]
     return ", ".join(parts)
 
@@ -426,21 +498,32 @@ def _zone_schema(cols: list[str]) -> str:
 def zone_registry_delta(spark, table_path: str, registry_path: str, cols: list[str]) -> int:
     """Register zones for table files the registry does not know yet —
     O(new files), append-only (the digest-index delta contract: appends
-    commute, re-running after a crash re-appends nothing). Returns the
+    commute, re-running after a crash re-appends nothing). A missing
+    registry bootstraps as empty (the first delta registers everything),
+    so streaming sinks can call this per micro-batch without a separate
+    build step. Stale rows for files an idempotent batch-replay rewrote
+    are harmless: ``read_pruned_registered`` reconciles the registry
+    against the actual listing and dangling rows drop out. Returns the
     number of files appended."""
-    known = {
-        r["file"] for r in spark.read.parquet(registry_path).select("file").collect()
-    }
-    fresh = [
-        z
-        for z in zone_map_from_footers(table_path, cols)
-        if z["file"] not in known
-    ]
+    from pyspark.errors import AnalysisException
+
+    try:
+        known = {
+            r["file"]
+            for r in spark.read.parquet(registry_path).select("file").collect()
+        }
+    except AnalysisException:
+        known = set()
+    # list first, footer-read ONLY the unknown files — a per-micro-batch
+    # delta over a 100k-file table must not re-walk 100k footers
+    fresh_files = [f for f in _list_parquet_files(table_path) if f not in known]
+    fresh = _zones_for_files(fresh_files, cols)
     if fresh:
         rows = [tuple(z[k] for k in _zone_fields(cols)) for z in fresh]
-        spark.createDataFrame(rows, _zone_schema(cols)).write.mode(
-            "append"
-        ).parquet(registry_path)
+        schema = _zone_schema(cols, _zone_col_types(table_path, cols))
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            registry_path
+        )
     return len(fresh)
 
 
@@ -450,11 +533,9 @@ def read_pruned_registered(spark, table_path: str, registry_path: str, ranges: d
     actual file listing is reconciled against it and any unregistered
     file (e.g. an appended batch whose delta has not run) is scanned
     conservatively — zones only ever REMOVE work, never rows."""
-    import pyarrow.parquet as pq
-
     reg = [r.asDict() for r in spark.read.parquet(registry_path).collect()]
     known = {z["file"] for z in reg}
-    actual = list(pq.ParquetDataset(table_path).files)
+    actual = _list_parquet_files(table_path)
     actual_set = set(actual)
     unregistered = [f for f in actual if f not in known]
     keep = [

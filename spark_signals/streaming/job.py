@@ -161,13 +161,27 @@ def build_streaming_features(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     return stateful_features(ticks.withWatermark("event_time", cfg.watermark_delay), cfg)
 
 
-def multi_sink_writer(out_dir: str, cfg: EngineConfig):
+def multi_sink_writer(
+    out_dir: str,
+    cfg: EngineConfig,
+    zone_registry_cols: dict[str, list[str]] | None = None,
+):
     """foreachBatch callback fanning one micro-batch out to the reference's
     sink tables (S2/S3/S6/S7 analogs) as partitioned parquet.
 
     The shared prefix is persisted once per micro-batch — the hand-managed
     equivalent of the reference StatementSet's common-subplan reuse
     (SURVEY.md §4). Writes are `replaceWhere`-style idempotent per batch id.
+
+    ``zone_registry_cols`` ({sink name: [zone columns]}) opts a sink into
+    the persisted zone-map registry (io/layout.py): after each batch's
+    write, ``zone_registry_delta`` appends zones for exactly the files the
+    batch landed — O(batch) per trigger, never a full footer re-walk — so
+    serving reads can plan from ``<sink>_zones`` immediately. A replayed
+    batch (idempotent partition overwrite) leaves dangling registry rows
+    for the replaced files; ``read_pruned_registered`` reconciles against
+    the live listing, so the lane keeps the same exactly-once-ish contract
+    as the sink itself.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -228,6 +242,13 @@ def multi_sink_writer(out_dir: str, cfg: EngineConfig):
                     .partitionBy("_batch_id")
                     .parquet(os.path.join(out_dir, name))
                 )
+            for name, zcols in (zone_registry_cols or {}).items():
+                from spark_signals.io.layout import zone_registry_delta
+
+                table = os.path.join(out_dir, name)
+                zone_registry_delta(
+                    batch_df.sparkSession, table, table + "_zones", zcols
+                )
         finally:
             batch_df.unpersist()
 
@@ -243,12 +264,14 @@ def run_streaming_job(
     dedupe: bool = False,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    zone_registry_cols: dict[str, list[str]] | None = None,
 ):
     """End-to-end streaming run: source → features → multi-sink fan-out.
 
     ``available_now=True`` drains existing files then stops (deterministic
     backtest / test mode — T7); otherwise it runs continuously with the
-    60s-checkpoint cadence of the reference.
+    60s-checkpoint cadence of the reference. ``zone_registry_cols`` opts
+    sinks into the per-batch zone-registry delta (see multi_sink_writer).
     """
     cfg = cfg or EngineConfig()
     ticks = read_tick_stream(spark, source_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger)
@@ -259,7 +282,9 @@ def run_streaming_job(
     else:
         features = build_streaming_features(ticks, cfg)
     writer = (
-        features.writeStream.foreachBatch(multi_sink_writer(out_dir, cfg))
+        features.writeStream.foreachBatch(
+            multi_sink_writer(out_dir, cfg, zone_registry_cols=zone_registry_cols)
+        )
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
         .outputMode("append")
     )

@@ -395,3 +395,63 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
 
     want = _sorted_rows(_costs(spark, SF), CHECK_COLS)
     assert got == want
+
+
+def test_zone_registry_delta_per_microbatch(spark, tmp_path):
+    """A sink opted into zone_registry_cols registers each micro-batch's
+    new files via zone_registry_delta — O(batch) appends, never a full
+    footer re-walk — and the registry-planned read prunes the OTHER
+    batches' files while returning exact rows. A replayed batch (the
+    idempotent overwrite) leaves only dangling registry rows, which the
+    reconciling read ignores."""
+    from spark_signals.config import EngineConfig
+    from spark_signals.io.layout import read_pruned_registered
+    from spark_signals.parity import _costs
+    from spark_signals.streaming.job import multi_sink_writer
+    import os as _os
+
+    cfg = EngineConfig()
+    out = str(tmp_path / "zreg")
+    feats = (
+        _costs(spark, SF)
+        .withColumn(
+            "signal_type",
+            F.when(F.col("position_change") > 0, F.lit("LONG"))
+            .when(F.col("position_change") < 0, F.lit("SHORT"))
+            .otherwise(F.lit("HOLD")),
+        )
+        .withColumn("confidence", F.abs(F.col("position_change")))
+        .withColumn("fast_sma", F.col("mid_price"))
+        .withColumn("slow_sma", F.col("mid_price"))
+    )
+    writer = multi_sink_writer(
+        out, cfg, zone_registry_cols={"prices_normalized": ["sequence", "product_id"]}
+    )
+    table = _os.path.join(out, "prices_normalized")
+    reg = table + "_zones"
+
+    writer(feats, 0)
+    n0 = spark.read.parquet(reg).count()
+    assert n0 > 0  # bootstrapped from the first delta, no separate build
+
+    # second micro-batch in a disjoint sequence range
+    writer(feats.withColumn("sequence", F.col("sequence") + F.lit(1_000_000)), 1)
+    n1 = spark.read.parquet(reg).count()
+    assert n1 > n0  # delta appended exactly the new batch's files
+
+    ranges = {"sequence": (1_000_000, 2_000_000)}
+    got = read_pruned_registered(spark, table, reg, ranges)
+    expect = spark.read.parquet(table).filter(
+        F.col("sequence").between(1_000_000, 2_000_000)
+    )
+    assert got.count() == expect.count() == 1000
+    # batch 0's files were pruned from the plan entirely
+    assert all("_batch_id=1" in f for f in got.inputFiles())
+
+    # replay batch 1 (at-least-once redelivery): rows stay exact through
+    # the reconciling read despite dangling registry rows for the
+    # replaced files
+    writer(feats.withColumn("sequence", F.col("sequence") + F.lit(1_000_000)), 1)
+    got2 = read_pruned_registered(spark, table, reg, ranges)
+    assert got2.count() == 1000
+    assert all("_batch_id=1" in f for f in got2.inputFiles())

@@ -373,3 +373,50 @@ def test_zonemap_null_zkey_rows_agree_cross_engine(spark):
     pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
     # the NULL row is counted in some bucket in both engines
     assert int(a[a.layout == "zorder"].n_rows.sum()) == 24
+
+
+def test_string_zone_registry_round_trips_and_prunes(spark, tmp_path):
+    """The persisted registry on a raw STRING zone column: registry-planned
+    reads return the same survivors as the per-query footer walk, the
+    registry schema carries str min/max (not long), and the delta lane
+    appends string zones for new files."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = str(tmp_path / "t")
+    reg = str(tmp_path / "reg")
+    docs.repartitionByRange(8, "lang").sortWithinPartitions("lang").write.mode(
+        "overwrite"
+    ).parquet(table)
+    n0 = L.write_zone_registry(spark, table, reg, ["lang", "n_chars"])
+    assert n0 > 0
+    schema = dict(spark.read.parquet(reg).dtypes)
+    assert schema["min_lang"] == "string" and schema["max_lang"] == "string"
+    assert schema["min_n_chars"] == "bigint"
+
+    ranges = {"lang": ("de", "de"), "n_chars": (0, 10**9)}
+    via_reg = L.read_pruned_registered(spark, table, reg, ranges)
+    via_footers = L.read_pruned(spark, table, ranges)
+    assert sorted(r["doc_id"] for r in via_reg.collect()) == sorted(
+        r["doc_id"] for r in via_footers.collect()
+    )
+    assert set(via_reg.inputFiles()) == set(via_footers.inputFiles())
+    assert 0 < len(via_reg.inputFiles()) < n0  # string zones actually prune
+
+    # delta on the string-typed registry: appended files register as str
+    extra = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    extra.write.mode("append").parquet(table)
+    added = L.zone_registry_delta(spark, table, reg, ["lang", "n_chars"])
+    assert added > 0
+    assert dict(spark.read.parquet(reg).dtypes)["min_lang"] == "string"
+    expect = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(table)
+        .filter((F.col("lang") == "de") & F.col("n_chars").between(0, 10**9))
+        .collect()
+    )
+    assert (
+        sorted(
+            r["doc_id"]
+            for r in L.read_pruned_registered(spark, table, reg, ranges).collect()
+        )
+        == expect
+    )
