@@ -12,6 +12,10 @@ this engine actually assembles:
          LM band, decontamination, length
          band; PII redacted in-place)
       → temperature-rebalanced sampling         datapipe.sampling
+      → (opt-in) split-then-verify: cluster-    datapipe.sampling
+        grain train/val/test splits + the         .split_then_verify
+        leakage report proving zero
+        cross-split near-dup pairs
       → packing manifest (ctx windows)          datapipe.pack
       → size-bounded training shards            io.docs.write_training_shards
       + audit artifacts: per-source curation report + mixing manifest
@@ -20,9 +24,10 @@ this engine actually assembles:
 
 Usage::
 
-    python examples/curate_corpus.py [corpus_path_or_sf_dir] [out_dir]
+    python examples/curate_corpus.py [corpus_path_or_sf_dir] [out_dir] [--leak-check]
 
-Defaults to the sf0.001 testdata. Stages are lazy DataFrames, but the two
+Defaults to the sf0.001 testdata. ``--leak-check`` runs the
+split-then-verify stage and writes splits/ + leakage_report/. Stages are lazy DataFrames, but the two
 fan-out points — the hygiene output and the sampled corpus — are PINNED
 before the seven writes read them: separate Spark actions share no plan,
 so without the pin every artifact write re-ran the whole hygiene + curate
@@ -137,14 +142,24 @@ def _checkpoint_scope(spark):
 
 
 def run_pipeline(
-    spark, corpus_path: str, out_dir: str, span_strip: bool = False
+    spark,
+    corpus_path: str,
+    out_dir: str,
+    span_strip: bool = False,
+    leak_check: bool = False,
 ) -> dict[str, int]:
     with _checkpoint_scope(spark):
-        return _run_pipeline_inner(spark, corpus_path, out_dir, span_strip)
+        return _run_pipeline_inner(
+            spark, corpus_path, out_dir, span_strip, leak_check
+        )
 
 
 def _run_pipeline_inner(
-    spark, corpus_path: str, out_dir: str, span_strip: bool = False
+    spark,
+    corpus_path: str,
+    out_dir: str,
+    span_strip: bool = False,
+    leak_check: bool = False,
 ) -> dict[str, int]:
     # hygiene fans out into curate, the audit report, and the final join —
     # pin AND TRUNCATE it once. persist() alone is not enough: the cached
@@ -162,10 +177,12 @@ def _run_pipeline_inner(
     from spark_signals.checkpoint import pin
 
     docs = docs.transform(pin)
-    return _run_pipeline_pinned(spark, docs, out_dir)
+    return _run_pipeline_pinned(spark, docs, out_dir, leak_check=leak_check)
 
 
-def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
+def _run_pipeline_pinned(
+    spark, docs, out_dir: str, leak_check: bool = False
+) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from spark_signals.checkpoint import pin
@@ -204,6 +221,24 @@ def _run_pipeline_pinned(spark, docs, out_dir: str) -> dict[str, int]:
         .select("doc_id"),
         "doc_id",
     ).transform(pin)
+
+    if leak_check:
+        # 2b. split-then-verify (opt-in, like the span strip): publish
+        # cluster-grain train/val/test splits of the SAMPLED corpus plus
+        # the leakage report over them — near-dup twins co-travel by
+        # construction, so the report's cross-split classes are empty
+        # and the artifact pair is the publishable eval-integrity proof
+        # (Lee et al. 2022 §6.2). One shared MinHash pass serves both.
+        from spark_signals.datapipe.sampling import split_then_verify
+
+        splits, leak_report = split_then_verify(
+            sampled.select("doc_id", "text", "lang", "source", "n_chars")
+        )
+        splits.write.mode("overwrite").parquet(os.path.join(out_dir, "splits"))
+        leak_report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "leakage_report")
+        )
+
     return _write_artifacts(spark, docs, kept, sampled, out_dir)
 
 
@@ -323,6 +358,8 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    leak_check = "--leak-check" in argv
+    argv = [a for a in argv if a != "--leak-check"]
     corpus = argv[0] if argv else "/root/testdata/sf0.001"
     out_dir = argv[1] if len(argv) > 1 else "/tmp/spark_signals_curated"
 
@@ -330,7 +367,7 @@ def main(argv: list[str] | None = None) -> int:
     from spark_signals.session import get_spark
 
     spark = get_spark("curate-corpus")
-    counts = run_pipeline(spark, corpus, out_dir)
+    counts = run_pipeline(spark, corpus, out_dir, leak_check=leak_check)
     counts.update(run_streaming_ingest(spark, corpus, os.path.join(out_dir, "stream")))
     for k, v in counts.items():
         print(f"{k}: {v}")

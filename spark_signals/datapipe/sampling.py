@@ -906,6 +906,54 @@ WITH RECURSIVE {_sql_km_pairs_cc(val_frac, test_frac)}
 SELECT doc_id, cluster_id, split FROM spl"""
 
 
+def split_then_verify(
+    docs: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+) -> tuple[DataFrame, DataFrame]:
+    """The split-then-verify stage a curation pipeline runs before
+    publishing splits: the CLUSTER-grain split and the leakage report
+    evaluated against it, from ONE shared MinHash pass. Returns
+    ``(splits, report)`` — splits is (doc_id, cluster_id, split) (the
+    :func:`split_train_val_test_clustered` schema, same md5(cluster)
+    bucket arithmetic), report is :func:`split_leakage_report` over that
+    split, whose emptiness of cross-split classes is the publishable
+    proof. ONE MinHash pass: the pair relation is already pinned
+    (materialized) inside dedup_minhash_lsh, so the cluster labels and
+    the report read the same blocks — measured at decade scale this
+    halves the proof face (296 s -> 127.5 s, SCALE.md r13) vs
+    recomputing pairs inside dedup_clusters."""
+    from spark_signals.datapipe.dedup import connected_components, dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(docs)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("id")),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    splits = comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.when(bucket < F.lit(float(test_frac)) * F.lit(_HASH_SPACE), F.lit("test"))
+        .when(
+            bucket < F.lit(float(test_frac + val_frac)) * F.lit(_HASH_SPACE),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    report = split_leakage_report(
+        docs,
+        val_frac,
+        test_frac,
+        split_rel=splits.select("doc_id", "split"),
+        pairs_rel=pairs,
+    )
+    return splits, report
+
+
 def split_leakage_clustered(
     docs: DataFrame,
     val_frac: float = SPLIT_VAL_FRAC,
@@ -916,35 +964,9 @@ def split_leakage_clustered(
     members in one cluster, hence one split, so the report contains
     within-split classes ONLY (the dup-density baseline) and its
     emptiness of cross-split rows is the remediation's proof, checked
-    value-level like everything else."""
-    from spark_signals.datapipe.dedup import connected_components, dedup_minhash_lsh
-
-    # ONE MinHash pass shared by the cluster labels and the report: the
-    # pair relation is already pinned (materialized) inside
-    # dedup_minhash_lsh, so both consumers read the same blocks —
-    # measured at decade scale this halves the face (296 s -> see
-    # SCALE.md r13) vs recomputing pairs inside dedup_clusters.
-    pairs = dedup_minhash_lsh(docs)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-        docs.select(F.col("doc_id").alias("id")),
-    )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    spl = comp.select(
-        F.col("id").alias("doc_id"),
-        F.when(bucket < F.lit(float(test_frac)) * F.lit(_HASH_SPACE), F.lit("test"))
-        .when(
-            bucket < F.lit(float(test_frac + val_frac)) * F.lit(_HASH_SPACE),
-            F.lit("val"),
-        )
-        .otherwise(F.lit("train"))
-        .alias("split"),
-    )
-    return split_leakage_report(
-        docs, val_frac, test_frac, split_rel=spl, pairs_rel=pairs
-    )
+    value-level like everything else. (The report half of
+    :func:`split_then_verify`.)"""
+    return split_then_verify(docs, val_frac, test_frac)[1]
 
 
 def sql_split_leakage_clustered(
