@@ -901,6 +901,25 @@ for _n in _R14_PROMOTED:
     DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+def _incoming_r14() -> dict:
+    """The r14 wave: the token-budget mixture manifest — the KEEP-LIST
+    execution of a data card's mixing table ("exactly B tokens at these
+    weights"): driver-exact largest-remainder apportionment + per-source
+    md5-ordered greedy fill, one hash-partitioned window (see
+    sampling.mixture_budget_manifest). Queued r16: the recorded r15 plan's
+    17 slots are committed to the r12-retiree deadline wave + the four
+    r13-wave faces."""
+    return {
+        "mixture_budget_manifest": (
+            lambda spark, sf_dir: SMP.mixture_budget_manifest(_docs(spark, sf_dir)),
+            SMP.sql_mixture_budget_manifest(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r14())
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

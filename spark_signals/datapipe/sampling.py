@@ -323,6 +323,185 @@ SELECT {group_col}, n_docs, n_tokens_available,
 FROM counts CROSS JOIN s"""
 
 
+def _budget_targets(budget_tokens: int, weights: dict[str, float]) -> dict[str, int]:
+    """Exact integer apportionment of ``budget_tokens`` across sources by
+    ``weights`` (largest-remainder / Hamilton method, ties by source
+    name): targets are nonnegative ints summing EXACTLY to the budget.
+    Computed driver-side from the two literal inputs, so both engines
+    receive identical target literals — no float share ever reaches a
+    plan."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quota = {s: budget_tokens * (float(w) / total) for s, w in weights.items()}
+    base = {s: int(quota[s]) for s in quota}
+    leftover = budget_tokens - sum(base.values())
+    for s in sorted(quota, key=lambda s: (-(quota[s] - base[s]), s))[:leftover]:
+        base[s] += 1
+    return base
+
+
+def mixture_budget_manifest(
+    docs: DataFrame,
+    budget_tokens: int = MIXTURE_BUDGET_TOKENS // 10,
+    weights: dict[str, float] | None = None,
+    group_col: str = "source",
+    token_counter: str | None = None,
+) -> DataFrame:
+    """The KEEP-LIST form of the mixing plan: which documents make the cut
+    when the trainer wants EXACTLY ``budget_tokens`` tokens at the given
+    mixture — "sample 1T tokens at these weights", the operator a data
+    card's mixture table is actually executed with. :func:`mixture_manifest`
+    prices the plan (rates + epochs per source); this one materializes it
+    as a deterministic document selection.
+
+    Two exact-integer stages:
+
+    1. apportion the budget into per-source integer targets — explicit
+       ``weights`` via driver-side largest remainder (identical literals
+       to both engines, strict key validation like mixture_manifest);
+       default uniform via in-engine equal split (B div S, the first
+       B mod S sources by name take +1) since S is data-dependent;
+    2. per source, keep documents in md5-hash order (an unbiased
+       without-replacement sample, stable as the corpus grows) while the
+       running token total has not yet reached the target: a document is
+       kept iff the tokens BEFORE it are < target, so the budget is
+       overshot by less than one document and never undershot while
+       supply lasts. A source with fewer tokens than its target keeps
+       everything (the repeat-factor/epochs story for topping up is
+       mixture_manifest's).
+
+    Output: one row per kept document (doc_id, group, n_tokens,
+    cum_tokens, target_tokens) — the manifest a shard writer consumes
+    and an auditor can re-add.
+
+    Shape at 100 TB: pricing is a per-row projection; the targets
+    relation is S rows broadcast; the fill is ONE hash-partitioned
+    window (exchange on group + in-partition sort on the hash), i.e. the
+    same single-shuffle shape as any per-source ranking; integer window
+    sums keep it partition-count- and engine-exact (Σ tokens < 2^63).
+    """
+    from pyspark.sql import Window
+
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, n_tokens_col
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
+    priced = docs.select(
+        "doc_id",
+        group_col,
+        n_tokens_col(F.col("text"), counter).cast("bigint").alias("n_tokens"),
+        _hash_bucket().alias("bucket"),
+    )
+    observed = priced.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if weights:
+        tmap = _budget_targets(budget_tokens, weights)
+        tdf = docs.sparkSession.createDataFrame(
+            sorted(tmap.items()), f"{group_col} string, target_tokens long"
+        )
+        joined = observed.join(F.broadcast(tdf), group_col, "full_outer")
+        # strict key validation, plan-side like mixture_manifest (r06
+        # advisory: a typo'd weight key must fail loudly, not zero a slice)
+        target = (
+            F.when(
+                F.col("n_docs").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("mixture_budget_manifest: weight key matches no "),
+                        F.lit("observed " + group_col + ": "),
+                        F.col(group_col),
+                    )
+                ).cast("long"),
+            )
+            .when(
+                F.col("target_tokens").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("mixture_budget_manifest: observed " + group_col),
+                        F.lit(" has no weight key: "),
+                        F.col(group_col),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("target_tokens"))
+        )
+        targets = joined.select(group_col, target.alias("target_tokens"))
+    else:
+        whole = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        n_sources = F.count(F.lit(1)).over(whole)
+        rn = F.row_number().over(Window.orderBy(group_col))
+        b = F.lit(int(budget_tokens)).cast("bigint")
+        base = ((b - b % n_sources) / n_sources).cast("bigint")
+        targets = observed.select(
+            group_col,
+            (base + F.when(rn <= b % n_sources, F.lit(1)).otherwise(F.lit(0))).alias(
+                "target_tokens"
+            ),
+        )
+    fill = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        priced.join(F.broadcast(targets), group_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(fill))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("target_tokens"))
+        .select("doc_id", group_col, "n_tokens", "cum_tokens", "target_tokens")
+    )
+
+
+def sql_mixture_budget_manifest(
+    budget_tokens: int = MIXTURE_BUDGET_TOKENS // 10,
+    weights: dict[str, float] | None = None,
+    group_col: str = "source",
+    token_counter: str | None = None,
+) -> str:
+    """Oracle twin of :func:`mixture_budget_manifest` (happy path; the
+    strict-weights validation is a Spark plan behavior)."""
+    from spark_signals.datapipe.text import TOKEN_COUNTER_DEFAULT, sql_n_tokens
+
+    counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
+    if weights:
+        tmap = _budget_targets(budget_tokens, weights)
+        case = f"CASE {group_col} " + " ".join(
+            f"WHEN '{s}' THEN CAST({t} AS BIGINT)" for s, t in sorted(tmap.items())
+        ) + " END"
+        tgt_cte = f"""tgt AS (
+  SELECT {group_col}, {case} AS target_tokens FROM srcs
+)"""
+    else:
+        tgt_cte = f"""tgt AS (
+  SELECT {group_col},
+         CAST({budget_tokens} // (SELECT count(*) FROM srcs) AS BIGINT)
+         + CASE WHEN row_number() OVER (ORDER BY {group_col})
+                     <= {budget_tokens} % (SELECT count(*) FROM srcs)
+                THEN 1 ELSE 0 END AS target_tokens
+  FROM srcs
+)"""
+    return f"""
+WITH priced AS (
+  SELECT doc_id, {group_col},
+         CAST({sql_n_tokens("text", counter)} AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+),
+srcs AS (SELECT DISTINCT {group_col} FROM priced),
+{tgt_cte},
+cum AS (
+  SELECT p.doc_id, p.{group_col}, p.n_tokens,
+         SUM(p.n_tokens) OVER (PARTITION BY p.{group_col}
+                               ORDER BY p.bucket, p.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         t.target_tokens
+  FROM priced p JOIN tgt t USING ({group_col})
+)
+SELECT doc_id, {group_col}, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens, target_tokens
+FROM cum WHERE cum_tokens - n_tokens < target_tokens"""
+
+
 # ------------------------------------------------------- dataset splitting
 # Held-out evaluation needs train/val/test cuts that are (a) disjoint and
 # exhaustive, (b) stable across runs/engines/partitionings, and (c) safe

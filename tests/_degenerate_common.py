@@ -115,6 +115,8 @@ def _late_ops():
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
         "decontam_scrub": DC.decontam_scrub,
+        # r14: the token-budget keep-list
+        "mixture_budget_manifest": SMP.mixture_budget_manifest,
         # r13: span provenance + the D3 layout face + split-leakage QA
         "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
         "zorder_zonemap": _zorder_zonemap,

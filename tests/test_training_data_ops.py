@@ -613,3 +613,127 @@ def test_dsir_scores_target_like_docs_higher(spark):
     again = {r["doc_id"]: r["logratio_u"]
              for r in dsir_logratio(raw.repartition(7), target).collect()}
     assert again == {d: r["logratio_u"] for d, r in out.items()}
+
+
+# ----------------------------------------------- token-budget keep-list
+def test_budget_manifest_fills_each_source_to_its_target(spark):
+    """Greedy-fill contract per source: kept tokens reach the target with
+    overshoot < one document, or the source is supply-bounded and keeps
+    everything; and uniform targets sum EXACTLY to the budget."""
+    from spark_signals.datapipe.sampling import mixture_budget_manifest
+    from spark_signals.datapipe.text import n_tokens_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 7_001  # deliberately not divisible by n_sources
+    out = mixture_budget_manifest(docs, budget_tokens=budget).collect()
+    assert out
+    targets = {}
+    by_src = {}
+    for r in out:
+        targets[r["source"]] = r["target_tokens"]
+        by_src.setdefault(r["source"], []).append(r)
+    assert sum(targets.values()) == budget  # exact apportionment
+    assert max(targets.values()) - min(targets.values()) <= 1  # uniform
+    supply = {
+        r["source"]: (r["tok"], r["n"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(n_tokens_col(F.col("text"))).alias("tok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for src, rows in by_src.items():
+        kept = sum(r["n_tokens"] for r in rows)
+        tgt = targets[src]
+        if kept < tgt:
+            # supply-bounded: every document of the source was kept
+            assert len(rows) == supply[src][1] and kept == supply[src][0]
+        else:
+            # budget reached; dropping the last kept doc goes under target
+            assert kept - max(r["n_tokens"] for r in rows if r["cum_tokens"] == max(
+                x["cum_tokens"] for x in rows
+            )) < tgt
+        # every kept doc individually satisfies the keep rule
+        assert all(r["cum_tokens"] - r["n_tokens"] < tgt for r in rows)
+
+
+def test_budget_manifest_explicit_weights_match_oracle_and_apportion(spark):
+    """Largest-remainder targets sum exactly to the budget, follow the
+    weights, and the full keep-list value-matches DuckDB."""
+    import duckdb
+
+    from spark_signals.datapipe.sampling import (
+        _budget_targets,
+        mixture_budget_manifest,
+        sql_mixture_budget_manifest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = {s: float(i + 1) for i, s in enumerate(observed)}
+    budget = 9_999
+    tmap = _budget_targets(budget, weights)
+    assert sum(tmap.values()) == budget
+    # monotone in the weight (ties aside, a bigger weight never gets less)
+    ordered = sorted(observed, key=lambda s: weights[s])
+    assert all(
+        tmap[a] <= tmap[b] + 1 for a, b in zip(ordered, ordered[1:])
+    )
+    got = sorted(
+        tuple(r)
+        for r in mixture_budget_manifest(
+            docs, budget_tokens=budget, weights=weights
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_mixture_budget_manifest(budget_tokens=budget, weights=weights)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_budget_manifest_rejects_mismatched_weights(spark):
+    """The r06 strictness precedent: a typo'd weight key or an uncovered
+    observed source fails loudly instead of zeroing a slice."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from spark_signals.datapipe.sampling import mixture_budget_manifest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5), (2, "d e f", "en", "books", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, PythonException, Exception)):
+        mixture_budget_manifest(
+            docs, budget_tokens=10, weights={"wub": 1.0, "books": 1.0, "web": 1.0}
+        ).collect()
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, PythonException, Exception)):
+        mixture_budget_manifest(docs, budget_tokens=10, weights={"books": 1.0}).collect()
+
+
+def test_budget_manifest_is_partition_invariant(spark):
+    """Integer window sums + hash ordering: the keep-list is identical at
+    any partitioning (the 1000-executor property)."""
+    from spark_signals.datapipe.sampling import mixture_budget_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        tuple(r) for r in mixture_budget_manifest(docs, budget_tokens=5_000).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in mixture_budget_manifest(
+            docs.repartition(17), budget_tokens=5_000
+        ).collect()
+    )
+    assert a == b and a
