@@ -171,6 +171,11 @@ def main() -> int:
         "dedup_exact_spans_attrib": lambda: D.dedup_exact_spans_attrib(docs),
         "split_leakage_report": lambda: SMP.split_leakage_report(docs),
         "split_clustered_leakproof": lambda: SMP.split_leakage_clustered(docs),
+        # r14 addition: the token-budget keep-list (budget scaled with the
+        # corpus so the fill stays a strict subset at any replica count)
+        "mixture_budget_manifest": lambda: SMP.mixture_budget_manifest(
+            docs, budget_tokens=10_000 * max(1, args.repl)
+        ),
     }
 
     def _zorder_zonemap(d):
