@@ -420,3 +420,32 @@ def test_string_zone_registry_round_trips_and_prunes(spark, tmp_path):
         )
         == expect
     )
+
+
+def test_write_zordered_tiebreak_reaches_target_file_count(spark, tmp_path):
+    """Spark's range partitioner cannot split one key value across
+    partitions, so without a tiebreak the file count caps at the number
+    of distinct Morton keys; the tiebreak column lifts the cap while
+    keeping zones exactly as tight (files still cover contiguous zkey
+    runs — pruning still skips most files)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 3).alias("band")
+    )
+    # band has 3 distinct values; quantized zkey entropy is tiny, so a
+    # 32-file request cannot be met without the tiebreak
+    capped = str(tmp_path / "capped")
+    L.write_zordered(docs, capped, ["band"], n_files=32)
+    n_capped = len(L.zone_map_from_footers(capped, ["band"]))
+    assert n_capped < 32
+
+    tied = str(tmp_path / "tied")
+    L.write_zordered(docs, tied, ["band"], n_files=32, tiebreak=["doc_id"])
+    zones = L.zone_map_from_footers(tied, ["band"])
+    assert len(zones) == 32
+    # zones stay tight: a single-band predicate still prunes most files
+    pruned = L.read_pruned(spark, tied, {"band": (1, 1)})
+    full = spark.read.parquet(tied).filter(F.col("band") == 1)
+    assert sorted(r["doc_id"] for r in pruned.collect()) == sorted(
+        r["doc_id"] for r in full.collect()
+    )
+    assert 0 < len(pruned.inputFiles()) <= len(zones) // 2
