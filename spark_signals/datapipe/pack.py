@@ -265,3 +265,97 @@ SELECT shard, "window", n_docs, n_window_tokens,
        CAST(('0x' || substr(md5(CAST(shard AS VARCHAR) || ':' || CAST("window" AS VARCHAR)), 1, 8))::BIGINT % {n_readers} AS INT) AS reader
 FROM wins"""
     )
+
+
+# --------------------------------------------------- packing efficiency
+def pack_efficiency_report(
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
+) -> DataFrame:
+    """The tuning report for the packing stage: one row per shard pricing
+    what a ctx_len choice costs — the numbers a trainer compares when
+    picking window length and shard count.
+
+    Columns: ``n_docs`` / ``doc_tokens`` (real content), ``eos_tokens``
+    (separator overhead, EOS_TOKENS per document), ``stream_tokens``
+    (what the windows must carry), ``n_windows`` (ceil(stream/ctx)),
+    ``tail_waste`` (padding in the shard's final partial window — the
+    ONLY padding dense concatenation pays), ``n_boundary_docs`` /
+    ``boundary_doc_tokens`` (documents a window boundary cuts — the
+    attention-masking cost: larger ctx buys fewer cut documents at more
+    cross-document attention to mask), and ``fill_rate_u`` = content
+    tokens per window-capacity token on the exact 1e-6 grid.
+
+    Shape: the manifest's single shard shuffle collapsed by one
+    aggregate — S = num_shards rows out; every column is exact int64
+    except the one gridded ratio (the repo's float-parity currency).
+    """
+    m = pack_sequences(docs, ctx_len, num_shards, token_counter)
+    agg = m.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("doc_tokens"),
+        (F.count(F.lit(1)) * F.lit(EOS_TOKENS)).cast("bigint").alias("eos_tokens"),
+        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_boundary_docs"),
+        F.sum(
+            F.when(F.col("spans_boundary"), F.col("n_tokens")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("boundary_doc_tokens"),
+    )
+    stream = F.col("doc_tokens") + F.col("eos_tokens")
+    # exact ceil(stream/ctx) for stream >= 1 via the repo's exact-int
+    # floor-division rule; a shard only appears if it has >= 1 document,
+    # and every document contributes at least its EOS, so stream >= 1
+    prev = stream - F.lit(1)
+    n_windows = ((prev - prev % F.lit(ctx_len)) / F.lit(ctx_len)).cast("bigint") + F.lit(1)
+    capacity = n_windows * F.lit(ctx_len)
+    fill_u = F.floor(
+        F.col("doc_tokens").cast("double") / capacity.cast("double") * 1e6
+        + F.lit(0.5000001)
+    ).cast("bigint")
+    return agg.select(
+        "shard",
+        "n_docs",
+        "doc_tokens",
+        "eos_tokens",
+        stream.cast("bigint").alias("stream_tokens"),
+        n_windows.alias("n_windows"),
+        (capacity - stream).cast("bigint").alias("tail_waste"),
+        "n_boundary_docs",
+        "boundary_doc_tokens",
+        fill_u.alias("fill_rate_u"),
+    )
+
+
+def sql_pack_efficiency_report(
+    ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+) -> str:
+    ctes = _sql_pack_ctes(ctx_len, num_shards)
+    ctes.append(
+        f"""agg AS (
+  SELECT shard,
+         count(*)::BIGINT AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS doc_tokens,
+         CAST(count(*) * {EOS_TOKENS} AS BIGINT) AS eos_tokens,
+         CAST(SUM(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+         CAST(SUM(CASE WHEN spans_boundary THEN n_tokens ELSE 0 END) AS BIGINT) AS boundary_doc_tokens
+  FROM manifest GROUP BY shard
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT shard, n_docs, doc_tokens, eos_tokens,
+       CAST(doc_tokens + eos_tokens AS BIGINT) AS stream_tokens,
+       CAST((doc_tokens + eos_tokens - 1) // {ctx_len} + 1 AS BIGINT) AS n_windows,
+       CAST(((doc_tokens + eos_tokens - 1) // {ctx_len} + 1) * {ctx_len}
+            - (doc_tokens + eos_tokens) AS BIGINT) AS tail_waste,
+       n_boundary_docs, boundary_doc_tokens,
+       CAST(floor(CAST(doc_tokens AS DOUBLE)
+            / CAST(((doc_tokens + eos_tokens - 1) // {ctx_len} + 1) * {ctx_len} AS DOUBLE)
+            * 1e6 + 0.5000001) AS BIGINT) AS fill_rate_u
+FROM agg"""
+    )

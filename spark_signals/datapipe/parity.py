@@ -909,10 +909,22 @@ def _incoming_r14() -> dict:
     sampling.mixture_budget_manifest). Queued r16: the recorded r15 plan's
     17 slots are committed to the r12-retiree deadline wave + the four
     r13-wave faces."""
+    from spark_signals.datapipe.pack import (
+        pack_efficiency_report,
+        sql_pack_efficiency_report,
+    )
+
     return {
         "mixture_budget_manifest": (
             lambda spark, sf_dir: SMP.mixture_budget_manifest(_docs(spark, sf_dir)),
             SMP.sql_mixture_budget_manifest(),
+        ),
+        # the packing-stage tuning report: per-shard fill rate, separator
+        # overhead, tail padding, and boundary-cut cost under the dense
+        # concatenation scheme — the ctx_len/shard-count comparison table
+        "pack_efficiency_report": (
+            lambda spark, sf_dir: pack_efficiency_report(_docs(spark, sf_dir)),
+            sql_pack_efficiency_report(),
         ),
     }
 

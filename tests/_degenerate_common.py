@@ -115,8 +115,9 @@ def _late_ops():
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
         "decontam_scrub": DC.decontam_scrub,
-        # r14: the token-budget keep-list
+        # r14: the token-budget keep-list + the packing tuning report
         "mixture_budget_manifest": SMP.mixture_budget_manifest,
+        "pack_efficiency_report": _pack_efficiency,
         # r13: span provenance + the D3 layout face + split-leakage QA
         "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
         "zorder_zonemap": _zorder_zonemap,
@@ -193,6 +194,12 @@ def _media_phash(docs):
     from spark_signals.datapipe.multimodal import media_phash_neardup, synthesize_media
 
     return media_phash_neardup(synthesize_media(docs))
+
+
+def _pack_efficiency(docs):
+    from spark_signals.datapipe.pack import pack_efficiency_report
+
+    return pack_efficiency_report(docs)
 
 
 OPS.update(_late_ops())

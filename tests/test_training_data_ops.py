@@ -737,3 +737,44 @@ def test_budget_manifest_is_partition_invariant(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_pack_efficiency_reconciles_with_manifest_and_windows(spark):
+    """The efficiency report is an exact marginal of the packing manifest:
+    stream lengths, window counts, boundary censuses, and tail waste all
+    re-derive from pack_sequences/pack_windows on the same corpus."""
+    from spark_signals.datapipe.pack import (
+        CTX_LEN,
+        EOS_TOKENS,
+        pack_efficiency_report,
+        pack_sequences,
+        pack_windows,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = {r["shard"]: r for r in pack_efficiency_report(docs).collect()}
+    man = pack_sequences(docs).collect()
+    by_shard = {}
+    for r in man:
+        by_shard.setdefault(r["shard"], []).append(r)
+    win_counts = {
+        r["shard"]: r["mw"]
+        for r in pack_windows(docs)
+        .groupBy("shard")
+        .agg(F.max("window").alias("mw"))
+        .collect()
+    }
+    for shard, rows in by_shard.items():
+        e = rep[shard]
+        assert e["n_docs"] == len(rows)
+        assert e["doc_tokens"] == sum(r["n_tokens"] for r in rows)
+        assert e["eos_tokens"] == len(rows) * EOS_TOKENS
+        assert e["stream_tokens"] == e["doc_tokens"] + e["eos_tokens"]
+        assert e["n_boundary_docs"] == sum(1 for r in rows if r["spans_boundary"])
+        # the stream's windows: every window the writer emits fits, and the
+        # report's count covers at least the last DOCUMENT-touched window
+        # (trailing EOS may add one more)
+        assert e["n_windows"] * CTX_LEN >= e["stream_tokens"]
+        assert 0 <= e["tail_waste"] < CTX_LEN
+        assert e["n_windows"] >= win_counts[shard] + 1
+        assert 0 < e["fill_rate_u"] <= 1_000_000
