@@ -906,9 +906,13 @@ def _incoming_r14() -> dict:
     execution of a data card's mixing table ("exactly B tokens at these
     weights"): driver-exact largest-remainder apportionment + per-source
     md5-ordered greedy fill, one hash-partitioned window (see
-    sampling.mixture_budget_manifest). Queued r16: the recorded r15 plan's
-    17 slots are committed to the r12-retiree deadline wave + the four
-    r13-wave faces."""
+    sampling.mixture_budget_manifest) — plus the packing-efficiency
+    tuning report. Queued r16: the recorded r15 plan's 17 slots are
+    committed to the r12-retiree deadline wave + the four r13-wave
+    faces. r16 arithmetic: 24 r13 retirees due + these 2 faces = 26 IN
+    vs 26 slack (the 17 r15 entrants re-retiring after their green round
+    + the 9 r14 returners held through r15) — zero-slack but closing,
+    the r13-wave precedent."""
     from spark_signals.datapipe.pack import (
         pack_efficiency_report,
         sql_pack_efficiency_report,
