@@ -299,6 +299,18 @@ def gen_text_query(rng: random.Random):
         ("sample_temperature", SM.sample_temperature, SM.sql_sample_temperature()),
         ("pack_sequences", PK.pack_sequences, PK.sql_pack_sequences()),
         ("quality_logreg", CL.quality_logreg, CL.sql_quality_logreg()),
+        # r14: the token-budget keep-list (a small budget so random tiny
+        # corpora still exercise the cut) and the packing tuning report
+        (
+            "mixture_budget_manifest",
+            lambda d: SM.mixture_budget_manifest(d, budget_tokens=97),
+            SM.sql_mixture_budget_manifest(budget_tokens=97),
+        ),
+        (
+            "pack_efficiency",
+            PK.pack_efficiency_report,
+            PK.sql_pack_efficiency_report(),
+        ),
     ]
     tag, op, sql = ops[rng.randrange(len(ops))]
     texts = _gen_docs(rng)
