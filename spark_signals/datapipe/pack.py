@@ -359,3 +359,142 @@ SELECT shard, n_docs, doc_tokens, eos_tokens,
             * 1e6 + 0.5000001) AS BIGINT) AS fill_rate_u
 FROM agg"""
     )
+
+
+# --------------------------------------------------- incremental packing
+def pack_tail(
+    docs: DataFrame,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
+) -> DataFrame:
+    """The persistable resume state of the packing stage: one row per
+    shard with the concatenation stream's current length —
+    (shard, stream_tokens). A nightly corpus drop extends each shard's
+    stream from here without re-pricing the first 100 TB (the
+    digest-index discipline applied to packing)."""
+    return (
+        docs.select(
+            (F.col("doc_id") % num_shards).alias("shard"),
+            (n_tokens_col(F.col("text"), token_counter) + F.lit(EOS_TOKENS)).alias(
+                "stride"
+            ),
+        )
+        .groupBy("shard")
+        .agg(F.sum("stride").cast("bigint").alias("stream_tokens"))
+    )
+
+
+def pack_incremental(
+    batch_docs: DataFrame,
+    tail: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """Pack an incoming batch as an EXTENSION of the existing shard
+    streams — O(batch) work against the persisted :func:`pack_tail`
+    state, never a corpus re-pack.
+
+    Returns ``(manifest, new_tail)``: ``manifest`` has exactly
+    :func:`pack_sequences`'s schema for the batch documents, with
+    ``tok_offset`` continuing from the tail; ``new_tail`` is the full
+    updated per-shard state (tail rows for untouched shards pass
+    through).
+
+    EXACT-EQUIVALENCE INVARIANT (the lane's oracle): under the
+    append-only id discipline — every batch doc_id sorts after every
+    already-packed doc_id — this equals the GLOBAL
+    ``pack_sequences(old ∪ batch)`` restricted to batch documents,
+    value-identical, because per-shard concatenation order is doc_id and
+    the tail is precisely the prior stream length. Out-of-order ids
+    violate the precondition the same way they would violate any
+    append-only log; the caller owns id monotonicity (the ingest lanes'
+    batch_id discipline provides it).
+    """
+    toks = batch_docs.select(
+        "doc_id",
+        (F.col("doc_id") % num_shards).alias("shard"),
+        n_tokens_col(F.col("text"), token_counter).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stride = F.col("n_tokens") + F.lit(EOS_TOKENS)
+    based = (
+        toks.withColumn(
+            "off_in_batch",
+            F.coalesce(F.sum(stride).over(w), F.lit(0)).cast("bigint"),
+        )
+        .join(F.broadcast(tail.withColumnRenamed("stream_tokens", "base")), "shard", "left")
+        .withColumn("base", F.coalesce(F.col("base"), F.lit(0)).cast("bigint"))
+        .withColumn("tok_offset", (F.col("base") + F.col("off_in_batch")).cast("bigint"))
+    )
+    last_tok = F.col("tok_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    manifest = based.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / ctx_len).cast("bigint").alias("first_window"),
+        F.floor(last_tok / ctx_len).cast("bigint").alias("last_window"),
+        (
+            F.floor(F.col("tok_offset") / ctx_len) != F.floor(last_tok / ctx_len)
+        ).alias("spans_boundary"),
+    )
+    batch_sums = (
+        toks.select("shard", stride.alias("stride"))
+        .groupBy("shard")
+        .agg(F.sum("stride").cast("bigint").alias("batch_tokens"))
+    )
+    new_tail = (
+        tail.join(batch_sums, "shard", "full_outer")
+        .select(
+            "shard",
+            (
+                F.coalesce(F.col("stream_tokens"), F.lit(0))
+                + F.coalesce(F.col("batch_tokens"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("stream_tokens"),
+        )
+    )
+    return manifest, new_tail
+
+
+def pack_incremental_snapshot(
+    docs: DataFrame,
+    ctx_len: int = CTX_LEN,
+    num_shards: int = NUM_SHARDS,
+    token_counter: str = TOKEN_COUNTER_DEFAULT,
+) -> DataFrame:
+    """Driver-checkable face of the incremental packing lane: the corpus
+    splits at the 4/5 doc_id threshold (append-only ids — the batch is
+    the ids ABOVE the cut, unlike the mod-split faces, because offsets
+    are order-dependent), the snapshot's tail is built, and the batch is
+    packed against it. By the exact-equivalence invariant the oracle is
+    the GLOBAL manifest restricted to batch ids."""
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    # threshold = floor(4*(max+1)/5), exact-integer floor division
+    num = (F.col("mx") + F.lit(1)) * F.lit(4)
+    thresh = ((num - num % F.lit(5)) / F.lit(5)).cast("bigint")
+    witht = docs.crossJoin(F.broadcast(mx.select(thresh.alias("t"))))
+    snapshot = witht.filter(F.col("doc_id") < F.col("t")).drop("t")
+    batch = witht.filter(F.col("doc_id") >= F.col("t")).drop("t")
+    manifest, _tail = pack_incremental(
+        batch, pack_tail(snapshot, num_shards, token_counter), ctx_len, num_shards, token_counter
+    )
+    return manifest
+
+
+def sql_pack_incremental_snapshot(
+    ctx_len: int = CTX_LEN, num_shards: int = NUM_SHARDS
+) -> str:
+    """The global manifest restricted to the batch split — exact by the
+    equivalence invariant (see pack_incremental)."""
+    inner = sql_pack_sequences(ctx_len, num_shards)
+    return f"""
+WITH _global AS ({inner}),
+_t AS (SELECT (4 * (MAX(doc_id) + 1)) // 5 AS t FROM documents)
+SELECT g.* FROM _global g, _t WHERE g.doc_id >= _t.t"""

@@ -907,15 +907,21 @@ def _incoming_r14() -> dict:
     weights"): driver-exact largest-remainder apportionment + per-source
     md5-ordered greedy fill, one hash-partitioned window (see
     sampling.mixture_budget_manifest) — plus the packing-efficiency
-    tuning report. Queued r16: the recorded r15 plan's 17 slots are
-    committed to the r12-retiree deadline wave + the four r13-wave
-    faces. r16 arithmetic: 24 r13 retirees due + these 2 faces = 26 IN
-    vs 26 slack (the 17 r15 entrants re-retiring after their green round
-    + the 9 r14 returners held through r15) — zero-slack but closing,
-    the r13-wave precedent."""
+    tuning report and the incremental packing lane's face (batch packed
+    as an O(batch) extension of the persisted per-shard tail). Queued
+    r16: the recorded r15 plan's 17 slots are committed to the
+    r12-retiree deadline wave + the four r13-wave faces. r16 arithmetic:
+    24 r13 retirees due + these 3 faces = 27 IN vs 26 base slack (the 17
+    r15 entrants re-retiring after their green round + the 9 r14
+    returners held through r15); the 27th slot funds by ONE early
+    re-retirement of a multi-green r15 returner behind a checked sibling
+    (named when the r15 rotation records its plan — the
+    first-green-plus-sibling precedent gives several candidates)."""
     from spark_signals.datapipe.pack import (
         pack_efficiency_report,
+        pack_incremental_snapshot,
         sql_pack_efficiency_report,
+        sql_pack_incremental_snapshot,
     )
 
     return {
@@ -929,6 +935,14 @@ def _incoming_r14() -> dict:
         "pack_efficiency_report": (
             lambda spark, sf_dir: pack_efficiency_report(_docs(spark, sf_dir)),
             sql_pack_efficiency_report(),
+        ),
+        # the incremental packing lane's checkable face: batch packed as
+        # an O(batch) extension of the persisted per-shard tail; oracle =
+        # the global manifest restricted to the batch split (exact by the
+        # append-only equivalence invariant)
+        "pack_incremental": (
+            lambda spark, sf_dir: pack_incremental_snapshot(_docs(spark, sf_dir)),
+            sql_pack_incremental_snapshot(),
         ),
     }
 

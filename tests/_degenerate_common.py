@@ -115,9 +115,11 @@ def _late_ops():
         "dedup_spans_incr": D.dedup_spans_incr_snapshot,
         "decontam_spans": DC.decontam_spans,
         "decontam_scrub": DC.decontam_scrub,
-        # r14: the token-budget keep-list + the packing tuning report
+        # r14: the token-budget keep-list, the packing tuning report, and
+        # the incremental packing lane's face
         "mixture_budget_manifest": SMP.mixture_budget_manifest,
         "pack_efficiency_report": _pack_efficiency,
+        "pack_incremental": _pack_incremental,
         # r13: span provenance + the D3 layout face + split-leakage QA
         "dedup_exact_spans_attrib": D.dedup_exact_spans_attrib,
         "zorder_zonemap": _zorder_zonemap,
@@ -200,6 +202,12 @@ def _pack_efficiency(docs):
     from spark_signals.datapipe.pack import pack_efficiency_report
 
     return pack_efficiency_report(docs)
+
+
+def _pack_incremental(docs):
+    from spark_signals.datapipe.pack import pack_incremental_snapshot
+
+    return pack_incremental_snapshot(docs)
 
 
 OPS.update(_late_ops())

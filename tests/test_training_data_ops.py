@@ -778,3 +778,53 @@ def test_pack_efficiency_reconciles_with_manifest_and_windows(spark):
         assert 0 <= e["tail_waste"] < CTX_LEN
         assert e["n_windows"] >= win_counts[shard] + 1
         assert 0 < e["fill_rate_u"] <= 1_000_000
+
+
+def test_pack_incremental_chains_equal_global_pack(spark):
+    """The lane's equivalence invariant, chained: packing three sequential
+    append-only drops against the threaded tail reproduces the global
+    manifest EXACTLY (offsets, windows, boundary flags), and the final
+    tail equals the whole corpus's tail."""
+    from spark_signals.datapipe.pack import (
+        pack_incremental,
+        pack_sequences,
+        pack_tail,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cuts = [0, 200, 350, 10**9]
+    tail = pack_tail(docs.filter(F.lit(False)))  # empty initial state
+    got = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = docs.filter(F.col("doc_id").between(lo, hi - 1))
+        manifest, tail = pack_incremental(batch, tail)
+        got.extend(tuple(r) for r in manifest.collect())
+    want = [tuple(r) for r in pack_sequences(docs).collect()]
+    assert sorted(got) == sorted(want)
+    final_tail = {r["shard"]: r["stream_tokens"] for r in tail.collect()}
+    expect_tail = {
+        r["shard"]: r["stream_tokens"] for r in pack_tail(docs).collect()
+    }
+    assert final_tail == expect_tail
+
+
+def test_pack_incremental_empty_batch_and_fresh_tail(spark):
+    """An empty drop changes nothing; a first drop against an empty tail
+    IS the plain pack."""
+    from spark_signals.datapipe.pack import (
+        pack_incremental,
+        pack_sequences,
+        pack_tail,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    empty = docs.filter(F.lit(False))
+    m, t = pack_incremental(empty, pack_tail(docs))
+    assert m.count() == 0
+    assert {r["shard"]: r["stream_tokens"] for r in t.collect()} == {
+        r["shard"]: r["stream_tokens"] for r in pack_tail(docs).collect()
+    }
+    m2, _ = pack_incremental(docs, pack_tail(empty))
+    assert sorted(tuple(r) for r in m2.collect()) == sorted(
+        tuple(r) for r in pack_sequences(docs).collect()
+    )
