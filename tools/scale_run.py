@@ -176,7 +176,20 @@ def main() -> int:
         "mixture_budget_manifest": lambda: SMP.mixture_budget_manifest(
             docs, budget_tokens=10_000 * max(1, args.repl)
         ),
+        "pack_efficiency": lambda: _pack_efficiency(docs),
+        "pack_incremental": lambda: _pack_incremental(docs),
     }
+
+
+    def _pack_efficiency(d):
+        from spark_signals.datapipe.pack import pack_efficiency_report
+
+        return pack_efficiency_report(d)
+
+    def _pack_incremental(d):
+        from spark_signals.datapipe.pack import pack_incremental_snapshot
+
+        return pack_incremental_snapshot(d)
 
     def _zorder_zonemap(d):
         from spark_signals.io.layout import zorder_zonemap
