@@ -179,6 +179,8 @@ def ingest_dedup_stream(
     survivors_dir: str,
     checkpoint_dir: str,
     band_index_dir: str | None = None,
+    pack_tail_dir: str | None = None,
+    pack_manifest_dir: str | None = None,
 ):
     """Continuous-ingestion exact dedup: each micro-batch runs
     :func:`~spark_signals.datapipe.dedup.dedup_incremental` against the
@@ -210,6 +212,8 @@ def ingest_dedup_stream(
             index_dir=index_dir,
             survivors_dir=survivors_dir,
             band_index_dir=band_index_dir,
+            pack_tail_dir=pack_tail_dir,
+            pack_manifest_dir=pack_manifest_dir,
         )
 
     return (
@@ -249,6 +253,8 @@ def process_ingest_batch(
     index_dir: str,
     survivors_dir: str,
     band_index_dir: str | None = None,
+    pack_tail_dir: str | None = None,
+    pack_manifest_dir: str | None = None,
 ) -> None:
     """One idempotent ingest step (module-level so replay semantics are
     directly testable): dedup the batch against every EARLIER batch's index
@@ -345,6 +351,39 @@ def process_ingest_batch(
     if band_delta is not None:
         band_delta.transform(pin).write.mode("overwrite").parquet(
             os.path.join(band_index_dir, f"batch_id={batch_id}")
+        )
+    if pack_manifest_dir is not None and pack_tail_dir is not None:
+        # PACKING lane: the ADMITTED documents extend the per-shard
+        # concatenation streams from the persisted tail (pack.pack_tail's
+        # resume state) — O(batch) window work, never a corpus re-pack.
+        # The tail read takes the per-shard MAX over earlier partitions
+        # (streams only grow, so max = latest; a replayed batch excludes
+        # its own partition and recomputes the identical manifest).
+        # Precondition: ingest drops carry monotonically increasing
+        # doc_ids (pack_incremental's append-only id discipline — the
+        # same ordering the ingest source contract already provides).
+        from spark_signals.datapipe.pack import pack_incremental
+
+        earlier_tails = _earlier_batch_partitions(spark, pack_tail_dir, batch_id)
+        if earlier_tails:
+            tail = (
+                spark.read.option("basePath", pack_tail_dir)
+                .parquet(*earlier_tails)
+                .groupBy("shard")
+                .agg(F.max("stream_tokens").alias("stream_tokens"))
+            )
+        else:
+            tail = spark.createDataFrame([], "shard long, stream_tokens long")
+        manifest, new_tail = pack_incremental(survivors, tail)
+        # pin before writing: new_tail's plan reads pack_tail_dir, which
+        # the tail write below replaces (same overlap rule as the delta)
+        manifest = manifest.transform(pin)
+        new_tail = new_tail.transform(pin)
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(pack_manifest_dir, f"batch_id={batch_id}")
+        )
+        new_tail.write.mode("overwrite").parquet(
+            os.path.join(pack_tail_dir, f"batch_id={batch_id}")
         )
 
 

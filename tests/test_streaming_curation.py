@@ -470,3 +470,69 @@ def test_streaming_neardup_lane_matches_single_batch_over_union(spark, tmp_path)
     batched = {r["doc_id"] for r in batch_survivors.collect()}
 
     assert streamed == batched == {0, 1, 2, 13}
+
+
+def test_ingest_batch_packing_lane_accumulates_and_replays(spark, tmp_path):
+    """The pack_tail_dir/pack_manifest_dir flags turn on per-batch
+    incremental packing of the ADMITTED documents: across drops the
+    accumulated manifest equals the global pack_sequences over the
+    accumulated survivors (the lane's equivalence invariant, here through
+    the streaming plumbing), the persisted tail equals the survivors'
+    pack_tail, and a replayed batch leaves both byte-identical."""
+    from spark_signals.datapipe.pack import pack_sequences, pack_tail
+    from spark_signals.datapipe.streaming import process_ingest_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    dirs = dict(
+        index_dir=str(tmp_path / "idx"),
+        survivors_dir=str(tmp_path / "sur"),
+        pack_tail_dir=str(tmp_path / "tail"),
+        pack_manifest_dir=str(tmp_path / "man"),
+    )
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    process_ingest_batch(b1, 0, **dirs)
+    process_ingest_batch(b2, 1, **dirs)
+
+    survivors = spark.read.parquet(dirs["survivors_dir"]).select(*docs.columns)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dirs["pack_manifest_dir"])
+        .drop("batch_id")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in pack_sequences(survivors).collect())
+    assert got == want and got
+    # the latest tail (per-shard max across partitions) is the survivors' tail
+    latest_tail = {
+        r["shard"]: r["st"]
+        for r in spark.read.parquet(dirs["pack_tail_dir"])
+        .groupBy("shard")
+        .agg(F.max("stream_tokens").alias("st"))
+        .collect()
+    }
+    assert latest_tail == {
+        r["shard"]: r["stream_tokens"] for r in pack_tail(survivors).collect()
+    }
+    # replay the last batch: manifest + tail byte-identical
+    man_snap = sorted(
+        tuple(r) for r in spark.read.parquet(dirs["pack_manifest_dir"]).collect()
+    )
+    tail_snap = sorted(
+        tuple(r) for r in spark.read.parquet(dirs["pack_tail_dir"]).collect()
+    )
+    process_ingest_batch(b2, 1, **dirs)
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.read.parquet(dirs["pack_manifest_dir"]).collect()
+        )
+        == man_snap
+    )
+    assert (
+        sorted(
+            tuple(r) for r in spark.read.parquet(dirs["pack_tail_dir"]).collect()
+        )
+        == tail_snap
+    )
