@@ -324,6 +324,12 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
         # near-dup), and admitted documents append their band rows —
         # near-dup memory stays O(batch) per ingest like the digest index
         band_index_dir=os.path.join(out_dir, "band_index"),
+        # PACKING lane on: each drop's admitted documents extend the
+        # per-shard concatenation streams from the persisted tail, so the
+        # training manifest is ready the moment ingest admits a drop —
+        # O(drop) per batch, never a corpus re-pack
+        pack_tail_dir=os.path.join(out_dir, "pack_tail"),
+        pack_manifest_dir=os.path.join(out_dir, "stream_pack_manifest"),
     )
     for batch in (
         docs.filter(F.col("doc_id") <= mid),
@@ -352,6 +358,8 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
         "neardup_index_docs": spark.read.parquet(dirs["band_index_dir"])
         .select("doc_id")
         .distinct()
+        .count(),
+        "stream_packed_docs": spark.read.parquet(dirs["pack_manifest_dir"])
         .count(),
     }
 

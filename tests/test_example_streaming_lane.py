@@ -49,3 +49,19 @@ def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
     cur = spark.read.parquet(os.path.join(out, "stream_curation"))
     assert cur.count() == len(want_ids)
     assert 0 < counts["stream_kept_docs"] <= counts["ingested_survivors"]
+    # the packing lane packed exactly the admitted documents, and the
+    # accumulated streaming manifest equals the global pack over them
+    # (the incremental lane's equivalence invariant, via the example)
+    from spark_signals.datapipe.pack import pack_sequences
+
+    assert counts["stream_packed_docs"] == len(want_ids)
+    got_man = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "stream_pack_manifest"))
+        .drop("batch_id")
+        .collect()
+    )
+    survivors = spark.read.parquet(os.path.join(out, "ingest_survivors")).select(
+        *docs.columns
+    )
+    assert got_man == sorted(tuple(r) for r in pack_sequences(survivors).collect())
