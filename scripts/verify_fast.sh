@@ -43,6 +43,7 @@ else
     tests/test_streaming.py
     tests/test_streaming_media_lane.py
     tests/test_span_dedup.py
+    tests/test_span_dedup_b.py
   )
   FILES=("${SLOW[@]}")
   while IFS= read -r f; do
