@@ -907,16 +907,17 @@ def _incoming_r14() -> dict:
     weights"): driver-exact largest-remainder apportionment + per-source
     md5-ordered greedy fill, one hash-partitioned window (see
     sampling.mixture_budget_manifest) — plus the packing-efficiency
-    tuning report and the incremental packing lane's face (batch packed
-    as an O(batch) extension of the persisted per-shard tail). Queued
-    r16: the recorded r15 plan's 17 slots are committed to the
-    r12-retiree deadline wave + the four r13-wave faces. r16 arithmetic:
-    24 r13 retirees due + these 3 faces = 27 IN vs 26 base slack (the 17
-    r15 entrants re-retiring after their green round + the 9 r14
-    returners held through r15); the 27th slot funds by ONE early
-    re-retirement of a multi-green r15 returner behind a checked sibling
-    (named when the r15 rotation records its plan — the
-    first-green-plus-sibling precedent gives several candidates)."""
+    tuning report, the incremental packing lane's face (batch packed as
+    an O(batch) extension of the persisted per-shard tail), and the ANN
+    recall@k acceptance report. Queued r16: the recorded r15 plan's 17
+    slots are committed to the r12-retiree deadline wave + the four
+    r13-wave faces. r16 arithmetic: 24 r13 retirees due + these 4 faces
+    = 28 IN vs 26 base slack (the 17 r15 entrants re-retiring after
+    their green round + the 9 r14 returners held through r15); the
+    remaining 2 slots fund by early re-retirements of multi-green r15
+    returners behind checked siblings (named when the r15 rotation
+    records its plan — the first-green-plus-sibling precedent gives
+    several candidates among the 13 r12 returners)."""
     from spark_signals.datapipe.pack import (
         pack_efficiency_report,
         pack_incremental_snapshot,
@@ -943,6 +944,13 @@ def _incoming_r14() -> dict:
         "pack_incremental": (
             lambda spark, sf_dir: pack_incremental_snapshot(_docs(spark, sf_dir)),
             sql_pack_incremental_snapshot(),
+        ),
+        # the ANN acceptance test: recall@k of the trained-IVF index vs
+        # the exact brute-force ranking, per benchmark query — the table
+        # probe/cell tuning reads; value-checked like everything else
+        "ann_recall_report": (
+            lambda spark, sf_dir: SIM.ann_recall_report(_emb(spark, sf_dir)),
+            SIM.sql_ann_recall_report(),
         ),
     }
 

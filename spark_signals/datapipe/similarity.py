@@ -1540,3 +1540,73 @@ def sql_knn_serve_snapshot(
         + ",\n".join(ctes)
         + f"\nSELECT query_id, match_id, cosine, rank FROM kranked WHERE rank <= {k_neighbors}"
     )
+
+
+# ----------------------------------------------------------- recall audit
+RECALL_KS = (1, 5, 10)
+
+
+def ann_recall_report(embeddings: DataFrame, ks: tuple[int, ...] = RECALL_KS) -> DataFrame:
+    """Index-quality audit: recall@k of the TRAINED IVF index against the
+    exact brute-force ranking, per benchmark query — the acceptance test
+    every ANN deployment runs before serving traffic (probe count /
+    cell count tuning reads exactly this table).
+
+    One row per (query_id, k): ``hits`` = |IVF top-k ∩ exact top-k| and
+    ``recall_u`` = hits/k on the exact 1e-6 grid. Both rankings break
+    cosine ties by match_id, so the intersection is deterministic and
+    engine-exact (each input face already hash-matches its own oracle).
+
+    Shape at scale: both inputs are top-k relations (N_QUERIES × k rows)
+    — everything here is broadcast-sized; the expensive part is the two
+    rankings the report audits, not the audit itself.
+    """
+    for k in ks:
+        if k > TOP_K:
+            raise ValueError(f"recall k={k} exceeds the ranked depth TOP_K={TOP_K}")
+    spark = embeddings.sparkSession
+    ks_df = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in sorted(ks)], "k int")
+    )
+    exact = ann_bruteforce_topk(embeddings).select("query_id", "match_id", "rank")
+    approx = ann_ivf_trained_topk(embeddings).select("query_id", "match_id", "rank")
+    e = exact.crossJoin(ks_df).filter(F.col("rank") <= F.col("k")).select(
+        "query_id", "match_id", "k"
+    )
+    a = approx.crossJoin(ks_df).filter(F.col("rank") <= F.col("k")).select(
+        "query_id", "match_id", "k"
+    )
+    hits = e.join(a, ["query_id", "match_id", "k"]).groupBy("query_id", "k").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    base = (
+        exact.select("query_id").distinct().crossJoin(ks_df).select("query_id", "k")
+    )
+    recall_u = F.floor(
+        F.col("hits").cast("double") / F.col("k").cast("double") * 1e6
+        + F.lit(0.5000001)
+    ).cast("bigint")
+    return (
+        base.join(hits, ["query_id", "k"], "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)).cast("bigint"))
+        .select("query_id", "k", "hits", recall_u.alias("recall_u"))
+    )
+
+
+def sql_ann_recall_report(ks: tuple[int, ...] = RECALL_KS) -> str:
+    ks_values = ", ".join(f"({int(k)})" for k in sorted(ks))
+    return f"""
+WITH exact AS ({SQL_ANN_BRUTEFORCE}),
+approx AS ({sql_ann_ivf_trained()}),
+ks(k) AS (VALUES {ks_values}),
+e AS (SELECT query_id, match_id, k FROM exact CROSS JOIN ks WHERE rank <= k),
+a AS (SELECT query_id, match_id, k FROM approx CROSS JOIN ks WHERE rank <= k),
+hits AS (
+  SELECT e.query_id, e.k, count(*)::BIGINT AS hits
+  FROM e JOIN a ON a.query_id = e.query_id AND a.match_id = e.match_id AND a.k = e.k
+  GROUP BY e.query_id, e.k
+)
+SELECT b.query_id, b.k, COALESCE(h.hits, 0)::BIGINT AS hits,
+       CAST(floor(CAST(COALESCE(h.hits, 0) AS DOUBLE) / b.k * 1e6 + 0.5000001) AS BIGINT) AS recall_u
+FROM (SELECT DISTINCT query_id, k FROM exact CROSS JOIN ks) b
+LEFT JOIN hits h ON h.query_id = b.query_id AND h.k = b.k"""

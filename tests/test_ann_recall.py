@@ -296,3 +296,42 @@ def test_arrow_assign_cancellation_guard(spark):
     arrow_assign = {tuple(r) for r in kmeans_assign_arrow(emb, cents).collect()}
     assert arrow_assign == sql_assign
     assert dict(sql_assign)[1] == 0  # the direct-form tie-break verdict
+
+
+def test_recall_report_rederives_from_the_two_rankings(spark):
+    """The report's hits column equals a direct intersection of the two
+    top-k relations, every recall is a valid gridded ratio in (0, 1e6],
+    and the report covers every (query, k) cell."""
+    import pytest
+
+    from spark_signals.datapipe.similarity import (
+        N_QUERIES,
+        RECALL_KS,
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivf_trained_topk,
+        ann_recall_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = ann_recall_report(emb).collect()
+    assert len(rep) == N_QUERIES * len(RECALL_KS)
+    exact = {
+        (r["query_id"], r["match_id"], r["rank"]) for r in ann_bruteforce_topk(emb).collect()
+    }
+    approx = {
+        (r["query_id"], r["match_id"], r["rank"])
+        for r in ann_ivf_trained_topk(emb).collect()
+    }
+    for r in rep:
+        q, k = r["query_id"], r["k"]
+        e = {m for (qq, m, rk) in exact if qq == q and rk <= k}
+        a = {m for (qq, m, rk) in approx if qq == q and rk <= k}
+        assert r["hits"] == len(e & a) <= k
+        assert 0 <= r["recall_u"] <= 1_000_000
+        assert r["recall_u"] == int(r["hits"] * 1e6 / k + 0.5000001)
+    # non-vacuous both ways on the synthetic corpus: the trained index
+    # finds true neighbors, and at least one cell shows it is approximate
+    assert sum(r["hits"] for r in rep) > 0
+    with pytest.raises(ValueError):
+        ann_recall_report(emb, ks=(TOP_K + 1,)).collect()
