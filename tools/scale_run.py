@@ -178,8 +178,15 @@ def main() -> int:
         ),
         "pack_efficiency": lambda: _pack_efficiency(docs),
         "pack_incremental": lambda: _pack_incremental(docs),
+        "ann_recall_report": lambda: _ann_recall(emb),
     }
 
+
+
+    def _ann_recall(e):
+        from spark_signals.datapipe.similarity import ann_recall_report
+
+        return ann_recall_report(e)
 
     def _pack_efficiency(d):
         from spark_signals.datapipe.pack import pack_efficiency_report
