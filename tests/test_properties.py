@@ -135,3 +135,38 @@ def test_chunking_properties(spark, texts, chunk, ov):
         )
     for doc_id, n in n_words.items():
         assert covered.get(doc_id, set()) == set(range(n))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    budget=st.integers(min_value=0, max_value=10**12),
+    weights=st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=8,
+        ),
+        st.floats(
+            min_value=1e-6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_budget_apportionment_properties(budget, weights):
+    """Pure largest-remainder invariants, no Spark: targets are
+    nonnegative ints summing EXACTLY to the budget; every target is
+    within 1 of its real quota (Hamilton's method never deviates more);
+    and the result is independent of dict insertion order."""
+    from spark_signals.datapipe.sampling import _budget_targets
+
+    t = _budget_targets(budget, weights)
+    assert set(t) == set(weights)
+    assert all(isinstance(v, int) and v >= 0 for v in t.values())
+    assert sum(t.values()) == budget
+    total = sum(weights.values())
+    for s, w in weights.items():
+        quota = budget * (w / total)
+        assert quota - 1 < t[s] < quota + 1
+    shuffled = dict(sorted(weights.items(), reverse=True))
+    assert _budget_targets(budget, shuffled) == t
