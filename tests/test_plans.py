@@ -529,3 +529,41 @@ def test_winnow_zipf_chained_stays_jvm_side(spark):
     assert count_op(p, "CartesianProduct") == 0
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
     assert count_op(p, "TakeOrderedAndProject") >= 1
+
+
+def test_budget_manifest_one_corpus_exchange_no_python(spark):
+    """mixture_budget_manifest: the corpus pays exactly ONE hash exchange
+    (the per-source fill window); the targets side is S-row aggregates +
+    one broadcast; no Python stage, no cartesian product."""
+    from spark_signals.datapipe.sampling import mixture_budget_manifest
+
+    p = plan_str(mixture_budget_manifest(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "BroadcastExchange") == 1
+    # corpus-side shuffle bounded: hashpartitioning exchanges only (the
+    # S-row targets side adds tiny agg/window exchanges; total stays small)
+    assert count_op(p, "Exchange") <= 4
+
+
+def test_pack_efficiency_single_exchange_no_python(spark):
+    """pack_efficiency_report collapses the manifest's one shard shuffle
+    into S rows: exactly one exchange, zero Python stages, no joins."""
+    from spark_signals.datapipe.pack import pack_efficiency_report
+
+    p = plan_str(pack_efficiency_report(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert count_op(p, "Exchange") == 1
+    assert "Join" not in p
+
+
+def test_pack_incremental_stays_jvm_side(spark):
+    """The incremental-pack face: the batch pays one window exchange and
+    the tail/threshold sides are broadcast scalars — never a cartesian
+    over data (the only nested-loop joins are 1-row scalar broadcasts),
+    never a Python stage."""
+    from spark_signals.datapipe.pack import pack_incremental_snapshot
+
+    p = plan_str(pack_incremental_snapshot(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert count_op(p, "CartesianProduct") == 0
