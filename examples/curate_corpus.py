@@ -382,7 +382,9 @@ def main(argv: list[str] | None = None) -> int:
     print(
         f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
         f"mixture_manifest/ tokens_report/ cluster_composition/ "
-        f"curriculum_schedule/ window_order/ stream/stream_curation/"
+        f"curriculum_schedule/ window_order/ stream/stream_curation/ "
+        f"stream/stream_pack_manifest/"
+        + (" splits/ leakage_report/" if leak_check else "")
     )
     return 0
 
