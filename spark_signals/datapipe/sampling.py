@@ -16,6 +16,8 @@ always lands on the same side (stable incremental re-runs).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -231,7 +233,7 @@ def mixture_manifest(
         F.sum(n_tokens_col(F.col("text"), counter)).alias("n_tokens_available"),
     )
     if weights:
-        total_w = float(sum(weights.values()))
+        total_w = math.fsum(weights.values())  # exactly-rounded: order-free shares
         wdf = docs.sparkSession.createDataFrame(
             [(s, float(wt) / total_w) for s, wt in sorted(weights.items())],
             f"{group_col} string, weight_share double",
@@ -300,7 +302,7 @@ def sql_mixture_manifest(
     counter = TOKEN_COUNTER_DEFAULT if token_counter is None else token_counter
 
     if weights:
-        total_w = float(sum(weights.values()))
+        total_w = math.fsum(weights.values())  # exactly-rounded: order-free shares
         case = f"CASE {group_col} "
         for src, wt in sorted(weights.items()):
             case += f"WHEN '{src}' THEN CAST({float(wt) / total_w!r} AS DOUBLE) "
@@ -329,8 +331,21 @@ def _budget_targets(budget_tokens: int, weights: dict[str, float]) -> dict[str, 
     name): targets are nonnegative ints summing EXACTLY to the budget.
     Computed driver-side from the two literal inputs, so both engines
     receive identical target literals — no float share ever reaches a
-    plan."""
-    total = float(sum(weights.values()))
+    plan.
+
+    ``math.fsum`` (exactly-rounded summation) makes the normalization
+    permutation-invariant: plain float ``sum()`` is order-dependent, and
+    for near-tied quotas the rounding difference flips which source wins
+    the largest-remainder unit — two semantically-equal weight dicts in
+    different insertion orders apportioned differently (found by
+    ``test_budget_apportionment_properties``, falsifying example pinned
+    there)."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be nonnegative")
+    for s, w in weights.items():
+        if float(w) < 0:
+            raise ValueError(f"weight for {s!r} must be nonnegative, got {w!r}")
+    total = math.fsum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
     quota = {s: budget_tokens * (float(w) / total) for s, w in weights.items()}

@@ -7,7 +7,7 @@ but each asserts the full invariant set over a generated series.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -153,6 +153,14 @@ def test_chunking_properties(spark, texts, chunk, ov):
         max_size=12,
     ),
 )
+# r14 verdict's falsifying example: plain float sum() over the weights is
+# insertion-order-dependent (2000000.5000009998 vs 2000000.500001 reversed),
+# flipping which of the two near-tied quotas wins the largest-remainder
+# unit. math.fsum is exactly-rounded, hence permutation-invariant.
+@example(
+    budget=113,
+    weights={"a": 1e-06, "b": 0.5, "c": 1000000.0, "aa": 999999.9999999999},
+)
 def test_budget_apportionment_properties(budget, weights):
     """Pure largest-remainder invariants, no Spark: targets are
     nonnegative ints summing EXACTLY to the budget; every target is
@@ -170,3 +178,23 @@ def test_budget_apportionment_properties(budget, weights):
         assert quota - 1 < t[s] < quota + 1
     shuffled = dict(sorted(weights.items(), reverse=True))
     assert _budget_targets(budget, shuffled) == t
+    # rotate the insertion order too — fsum makes ANY permutation equal
+    items = list(weights.items())
+    rotated = dict(items[len(items) // 2 :] + items[: len(items) // 2])
+    assert _budget_targets(budget, rotated) == t
+
+
+def test_budget_apportionment_rejects_negative_inputs():
+    """A negative weight would make int() truncate toward zero past the
+    quota, drive leftover negative, and silently corrupt targets via a
+    negative slice (advisor r14); both bad inputs must raise instead."""
+    import pytest
+
+    from spark_signals.datapipe.sampling import _budget_targets
+
+    with pytest.raises(ValueError, match="nonnegative"):
+        _budget_targets(100, {"a": 1.0, "b": -0.5})
+    with pytest.raises(ValueError, match="nonnegative"):
+        _budget_targets(-1, {"a": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        _budget_targets(100, {"a": 0.0})
