@@ -344,11 +344,56 @@ def zone_map_from_footers(path: str, cols: list[str]) -> list[dict]:
 def _zones_for_files(files: list[str], cols: list[str]) -> list[dict]:
     """Footer-walk an explicit file list (the delta lane passes only the
     files the registry does not know, keeping its cost O(new files))."""
+    zones, _ = _zones_and_types_for_files(files, cols)
+    return zones
+
+
+def _classify_zone_type(t, col: str, fname: str) -> str:
+    """Registry value class for one arrow type: integer widths collapse to
+    ``long`` and float widths to ``double`` (the registry stores the widest,
+    so int32→int64 evolution across files is fine); anything else has no
+    ordered min/max predicate to prune on and raises."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "long"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    raise ValueError(
+        f"zone column {col!r} has unsupported type {t} in {fname!r} — zone "
+        "maps cover integer/floating/string columns (nested or binary "
+        "columns have no ordered min/max predicate to prune on)"
+    )
+
+
+def _zones_and_types_for_files(
+    files: list[str], cols: list[str]
+) -> tuple[list[dict], dict[str, str]]:
+    """Footer-walk + per-file type check in ONE pass (each footer is read
+    once). Every file's zone columns must classify to the same registry
+    value class — a column that widened from int to string across an
+    evolved schema would otherwise miscast or fail opaquely at
+    ``createDataFrame`` time (advisor r14); mismatches raise with the
+    offending file named."""
     import pyarrow.parquet as pq
 
-    zones = []
+    zones: list[dict] = []
+    types: dict[str, str] = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        schema = pf.schema_arrow
+        for c in cols:
+            cls = _classify_zone_type(schema.field(c).type, c, f)
+            prev = types.setdefault(c, cls)
+            if prev != cls:
+                raise ValueError(
+                    f"zone column {c!r} changed value class across files: "
+                    f"{prev} in earlier files vs {cls} in {f!r} — rebuild "
+                    "the table with one schema before registering zones"
+                )
+        md = pf.metadata
         z = {"file": f, "n_rows": md.num_rows}
         for c in cols:
             z[f"min_{c}"] = None
@@ -379,7 +424,7 @@ def _zones_for_files(files: list[str], cols: list[str]) -> list[dict]:
                     z[f"min_{name}"] = smin if lo is None else min(lo, smin)
                     z[f"max_{name}"] = smax if hi is None else max(hi, smax)
         zones.append(z)
-    return zones
+    return zones, types
 
 
 def read_pruned(spark, path: str, ranges: dict) -> "DataFrame":
@@ -413,7 +458,10 @@ def read_pruned(spark, path: str, ranges: dict) -> "DataFrame":
     if not keep:
         df = spark.read.parquet(path).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        # basePath keeps directory-partition columns (e.g. the streaming
+        # sinks' _batch_id=N/ layout) in the schema of a by-file read, so
+        # both branches — and the unpruned table — present ONE schema
+        df = spark.read.option("basePath", path).parquet(*keep)
     pred = None
     for c, (lo, hi) in ranges.items():
         clause = F.col(c).between(F.lit(lo), F.lit(hi))
@@ -445,10 +493,15 @@ def write_zone_registry(spark, table_path: str, registry_path: str, cols: list[s
     floating, or string (each min/max registry column is typed from the
     table's own parquet schema — a serving predicate on a raw ``lang``
     column prunes from the registry the same as a quantized BIGINT).
-    Returns the number of files registered."""
-    zones = zone_map_from_footers(table_path, cols)
+    Every file's zone columns are type-checked in the same footer pass
+    (an evolved/mixed schema raises instead of miscasting). Returns the
+    number of files registered."""
+    files = _list_parquet_files(table_path)
+    if not files:
+        raise ValueError(f"no parquet data files under {table_path!r}")
+    zones, types = _zones_and_types_for_files(files, cols)
     rows = [tuple(z[k] for k in _zone_fields(cols)) for z in zones]
-    schema = _zone_schema(cols, _zone_col_types(table_path, cols))
+    schema = _zone_schema(cols, types)
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         registry_path
     )
@@ -457,35 +510,6 @@ def write_zone_registry(spark, table_path: str, registry_path: str, cols: list[s
 
 def _zone_fields(cols: list[str]) -> list[str]:
     return ["file", "n_rows"] + [f"{n}_{c}" for c in cols for n in ("min", "max")]
-
-
-def _zone_col_types(table_path: str, cols: list[str]) -> dict[str, str]:
-    """Registry value type per zone column, read from the TABLE's parquet
-    schema (not guessed from sampled zone values — an all-NULL first file
-    would leave the type undecidable)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    files = _list_parquet_files(table_path)
-    if not files:
-        raise ValueError(f"no parquet data files under {table_path!r}")
-    schema = pq.ParquetFile(files[0]).schema_arrow
-    types: dict[str, str] = {}
-    for c in cols:
-        t = schema.field(c).type
-        if pa.types.is_integer(t):
-            types[c] = "long"
-        elif pa.types.is_floating(t):
-            types[c] = "double"
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            types[c] = "string"
-        else:
-            raise ValueError(
-                f"zone column {c!r} has unsupported type {t} — zone maps "
-                "cover integer/floating/string columns (nested or binary "
-                "columns have no ordered min/max predicate to prune on)"
-            )
-    return types
 
 
 def _zone_schema(cols: list[str], types: dict[str, str]) -> str:
@@ -504,27 +528,70 @@ def zone_registry_delta(spark, table_path: str, registry_path: str, cols: list[s
     build step. Stale rows for files an idempotent batch-replay rewrote
     are harmless: ``read_pruned_registered`` reconciles the registry
     against the actual listing and dangling rows drop out. Returns the
-    number of files appended."""
-    from pyspark.errors import AnalysisException
+    number of files appended.
 
+    "Registry missing" is decided by an explicit listing, NOT by
+    catching the read's AnalysisException: a registry that EXISTS but
+    fails analysis (corrupt file, conflicting schema from a mixed-type
+    append) must propagate so the micro-batch retries — swallowing it as
+    "empty" would silently re-append every table file (advisor r14)."""
     try:
-        known = {
-            r["file"]
-            for r in spark.read.parquet(registry_path).select("file").collect()
-        }
-    except AnalysisException:
+        registry_exists = bool(_list_parquet_files(registry_path))
+    except (FileNotFoundError, OSError):
+        registry_exists = False
+    if registry_exists:
+        reg_df = spark.read.parquet(registry_path)
+        reg_types = _registry_types(reg_df, cols, registry_path)
+        known = {r["file"] for r in reg_df.select("file").collect()}
+    else:
+        reg_types = None
         known = set()
     # list first, footer-read ONLY the unknown files — a per-micro-batch
     # delta over a 100k-file table must not re-walk 100k footers
     fresh_files = [f for f in _list_parquet_files(table_path) if f not in known]
-    fresh = _zones_for_files(fresh_files, cols)
-    if fresh:
+    if fresh_files:
+        fresh, types = _zones_and_types_for_files(fresh_files, cols)
+        if reg_types is not None and types != reg_types:
+            raise ValueError(
+                f"zone registry {registry_path!r} was built with column "
+                f"types {reg_types} but the new files carry {types} — a "
+                "mixed-type append would corrupt the registry; rebuild it "
+                "with write_zone_registry after fixing the table schema"
+            )
         rows = [tuple(z[k] for k in _zone_fields(cols)) for z in fresh]
-        schema = _zone_schema(cols, _zone_col_types(table_path, cols))
+        schema = _zone_schema(cols, types)
         spark.createDataFrame(rows, schema).write.mode("append").parquet(
             registry_path
         )
-    return len(fresh)
+    return len(fresh_files)
+
+
+# spark simpleString -> registry value class (see _classify_zone_type)
+_SPARK_ZONE_CLASSES = {"bigint": "long", "double": "double", "string": "string"}
+
+
+def _registry_types(reg_df: DataFrame, cols: list[str], registry_path: str) -> dict[str, str]:
+    """Value class per zone column as the EXISTING registry declares it,
+    so a delta append can refuse type drift instead of writing a schema
+    conflict the next reader trips over."""
+    names = set(reg_df.columns)
+    types: dict[str, str] = {}
+    for c in cols:
+        if f"min_{c}" not in names:
+            raise ValueError(
+                f"zone registry {registry_path!r} has no zones for column "
+                f"{c!r} (columns: {sorted(names)}) — it was built with a "
+                "different col list; rebuild with write_zone_registry"
+            )
+        simple = reg_df.schema[f"min_{c}"].dataType.simpleString()
+        if simple not in _SPARK_ZONE_CLASSES:
+            raise ValueError(
+                f"zone registry {registry_path!r} column min_{c} has "
+                f"unexpected type {simple} — registry is corrupt or was "
+                "written by something else; rebuild with write_zone_registry"
+            )
+        types[c] = _SPARK_ZONE_CLASSES[simple]
+    return types
 
 
 def read_pruned_registered(spark, table_path: str, registry_path: str, ranges: dict) -> "DataFrame":
@@ -546,7 +613,9 @@ def read_pruned_registered(spark, table_path: str, registry_path: str, ranges: d
     if not keep:
         df = spark.read.parquet(table_path).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        # basePath: see read_pruned — partition columns must survive the
+        # by-file read or the pruned result's schema diverges from the table
+        df = spark.read.option("basePath", table_path).parquet(*keep)
     pred = None
     for c, (lo, hi) in ranges.items():
         clause = F.col(c).between(F.lit(lo), F.lit(hi))

@@ -449,3 +449,86 @@ def test_write_zordered_tiebreak_reaches_target_file_count(spark, tmp_path):
         r["doc_id"] for r in full.collect()
     )
     assert 0 < len(pruned.inputFiles()) <= len(zones) // 2
+
+
+def test_pruned_reads_keep_partition_columns(spark, tmp_path):
+    """A by-file read drops directory-partition columns unless basePath
+    anchors it (advisor r14): prune a table partitioned on _batch_id and
+    both pruned readers must present the SAME schema as the unpruned
+    table — including _batch_id — on the keep branch AND the
+    prune-everything branch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 4).alias("_batch_id")
+    )
+    table = str(tmp_path / "p")
+    docs.repartitionByRange(4, "n_chars").sortWithinPartitions(
+        "n_chars"
+    ).write.partitionBy("_batch_id").mode("overwrite").parquet(table)
+    reg = str(tmp_path / "reg")
+    L.write_zone_registry(spark, table, reg, ["n_chars"])
+
+    full = spark.read.parquet(table)
+    lo = int(docs.agg(F.min("n_chars")).first()[0])
+    ranges = {"n_chars": (lo, lo + 50)}
+    for got in (
+        L.read_pruned(spark, table, ranges),
+        L.read_pruned_registered(spark, table, reg, ranges),
+    ):
+        assert set(got.columns) == set(full.columns)  # _batch_id survives
+        assert got.filter(F.col("_batch_id").isNotNull()).count() == got.count()
+        assert got.count() == full.filter(F.col("n_chars").between(lo, lo + 50)).count()
+    # empty-prune branch: same schema as the keep branch
+    nothing = L.read_pruned(spark, table, {"n_chars": (10**8, 10**9)})
+    assert set(nothing.columns) == set(full.columns) and nothing.count() == 0
+
+
+def test_zone_registry_delta_corrupt_registry_propagates(spark, tmp_path):
+    """A registry that EXISTS but cannot be read must raise, not be
+    silently treated as empty (which would re-append every table file and
+    duplicate registry rows — advisor r14)."""
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = str(tmp_path / "t")
+    docs.limit(50).write.parquet(table)
+    reg = tmp_path / "reg"
+    reg.mkdir()
+    (reg / "garbage.parquet").write_bytes(b"not a parquet file at all")
+    with pytest.raises(Exception):
+        L.zone_registry_delta(spark, str(table), str(reg), ["n_chars"])
+    # and a genuinely MISSING registry still bootstraps from empty
+    fresh = str(tmp_path / "reg2")
+    n = L.zone_registry_delta(spark, str(table), fresh, ["n_chars"])
+    assert n == len(L._list_parquet_files(str(table)))
+
+
+def test_zone_registry_refuses_type_drift(spark, tmp_path):
+    """Zone-column types are validated per file (advisor r14): a table
+    whose zone column changed value class across files fails the build
+    with the offending file named, and a delta whose new files drift from
+    the existing registry's declared types refuses the append."""
+    import pytest
+
+    table = tmp_path / "t"
+    spark.createDataFrame([(1, 10)], "doc_id long, k long").write.parquet(
+        str(table / "a")
+    )
+    spark.createDataFrame([(2, "x")], "doc_id long, k string").write.parquet(
+        str(table / "b")
+    )
+    with pytest.raises(ValueError, match="changed value class"):
+        L.write_zone_registry(spark, str(table), str(tmp_path / "reg"), ["k"])
+
+    # delta vs an existing registry built with k: long, new files k: string
+    good = tmp_path / "g"
+    spark.createDataFrame([(1, 10)], "doc_id long, k long").write.parquet(str(good))
+    reg = str(tmp_path / "greg")
+    L.write_zone_registry(spark, str(good), reg, ["k"])
+    spark.createDataFrame([(2, "x")], "doc_id long, k string").write.mode(
+        "append"
+    ).parquet(str(good))
+    with pytest.raises(ValueError, match="mixed-type append"):
+        L.zone_registry_delta(spark, str(good), reg, ["k"])
+    # and a registry built on DIFFERENT cols is named, not miscast
+    with pytest.raises(ValueError, match="no zones for column"):
+        L.zone_registry_delta(spark, str(good), reg, ["doc_id"])
