@@ -183,33 +183,50 @@ DRIVER_CAP = 50
 # re-retiring only after its own green round (2). 22+1+1+2 = 26. After
 # r14, no r11 deadline remains outstanding.
 #
-# r15 rotation plan (queued): the 13 r12-rotation retirees hit their
-# ≤3-round deadline at r15 — all 13 come IN (ticks_source,
-# nation_region_rollup, segment_revenue_3way_join, sliding_window_counts,
-# length_band_filter, sample_temperature_source, pack_sequences_manifest,
+# r15 rotation (executed this round, exactly as queued in the recorded
+# r14 plan): the 13 r12-rotation retirees hit their ≤3-round deadline at
+# r15 — all 13 came IN (ticks_source, nation_region_rollup,
+# segment_revenue_3way_join, sliding_window_counts, length_band_filter,
+# sample_temperature_source, pack_sequences_manifest,
 # curate_stats_by_source, chunk_documents_overlap, lm_bigram_quality,
 # knn_join_ivf, media_phash_neardup, bm25_topk_queries) — and the four
-# r13-wave INCOMING faces promote (zorder_zonemap_skipping,
+# r13-wave INCOMING faces promoted (zorder_zonemap_skipping,
 # dedup_exact_spans_attrib, split_leakage_report,
 # split_clustered_leakproof). IN = 17. Slots: the four r14-promoted span
-# faces re-retire after their first green round behind promoting
+# faces re-retired after their first green round behind promoting
 # dedup_exact_spans_attrib — the same span-island core, the r08
-# first-green-plus-sibling precedent (4); and 13 of the 22 r14 returners
-# with inline/staying family coverage re-retire after their green
-# re-check round: sma_crossover_signals, positions_forward_fill,
-# j1_signal_rejoin, union_live_replay, performance_windows_5m,
-# signal_counts_5m, metrics_hourly_rollup, dedup_exact_hash,
-# dedup_ngram_jaccard, ann_ivf_topk, ann_lsh_hyperplane_pairs,
-# pricing_summary_q1, session_window_per_user (13). 4+13 = 17. The
-# other nine r14 returners (latest_price_per_instrument,
-# breakout_band_signals, value_percentiles_exact,
-# embedding_cosine_neardup, streaming_interval_join,
-# sample_stratified_hash, lang_id_heuristic, text_stats_quality,
-# runs_listing_join_topn) stay checked through r15; at r16 the 24 r13
-# retirees come due against 17 r15 entrants + those 9 re-retiring
-# (26 slack ≥ 24 — the wave closes).
-# Due-by ledger (retiree -> latest re-check round): r12 retirees -> r15;
-# r13 retirees -> r16; r14 retirees -> r17. No deadline before r15 is
+# first-green-plus-sibling precedent (4); and the 13 named r14 returners
+# with inline/staying family coverage re-retired after their green
+# re-check round (entries tagged "r15 rotation" below). 4+13 = 17.
+# After r15, no r12 deadline remains outstanding.
+#
+# r16 rotation plan (queued): the 24 r13-rotation retirees hit their
+# ≤3-round deadline at r16 — all 24 come IN (normalized_prices,
+# signals_decisions, asof_join_tolerance, recent_ticks_per_instrument,
+# dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
+# length_band_approx, sample_quota_per_source, curate_keep_decision,
+# split_train_val_test, media_phash_incr_snapshot, embedding_incr_neardup,
+# hybrid_rrf_ivf_topk, dedup_incr_neardup, cluster_composition,
+# dsir_logratio, mixture_curriculum, strip_boilerplate,
+# knn_join_ivf_sampled, media_phash_neardup_decoded,
+# corpus_diff_snapshots, dedup_intra_doc) — and the four r14-wave
+# INCOMING faces promote (mixture_budget_manifest, pack_efficiency_report,
+# pack_incremental, ann_recall_report). IN = 28. Slots: the 17 r15
+# entrants re-retire after their green r15 round (17); the nine r14
+# returners held through r15 re-retire after two green rounds
+# (latest_price_per_instrument, breakout_band_signals,
+# value_percentiles_exact, embedding_cosine_neardup,
+# streaming_interval_join, sample_stratified_hash, lang_id_heuristic,
+# text_stats_quality, runs_listing_join_topn) (9); and TWO NAMED early
+# re-retirements of multi-green staying queries behind returning direct
+# siblings close the gap: hybrid_rrf_topk (green r10-r15) behind
+# returning hybrid_rrf_ivf_topk — both chain the identical BM25 arm +
+# RRF fusion, the IVF face being the stricter superset — and
+# asof_join_trade_quote (green r02-r15) behind returning
+# asof_join_tolerance — the same backward as-of join core with the bound
+# predicate added (2). 17+9+2 = 28.
+# Due-by ledger (retiree -> latest re-check round): r13 retirees -> r16;
+# r14 retirees -> r17; r15 retirees -> r18. No deadline before r16 is
 # outstanding.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
@@ -223,6 +240,29 @@ RETIRED = {
     # returning direct siblings; the freed 26 slots took ALL 22 r11
     # retirees at their ≤3-round deadline plus the four span-face
     # promotions. Due re-check r17.
+    # r15 rotation (this round): the four r14-promoted span faces
+    # re-retire after their first green round behind promoting
+    # dedup_exact_spans_attrib, and the 13 named r14 returners re-retire
+    # after their green re-check round; the freed 17 slots took ALL 13
+    # r12 retirees at their ≤3-round deadline plus the four r13-wave
+    # promotions. Due re-check r18.
+    "dedup_exact_spans_strip": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (the same span-island core, now carrying the family's driver evidence — the r08 first-green-plus-sibling precedent); strip face stays tested + --extended",
+    "dedup_spans_incr": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (same span-island core); the incremental window-index lane stays pinned by tests/test_span_dedup_incr.py + --extended",
+    "decontam_spans": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (same span-island core, contamination-localize face); stays tested + --extended",
+    "decontam_scrub": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (same span-island core, scrub-apply face); scrub semantics stay pinned by the decontam suite tests + --extended",
+    "sma_crossover_signals": "r15 rotation; returner re-check green r14; the P3/P4 signal CASE runs inline in the checked positions chain AND the entry() flagship smoke every round (green r01-r05, r10, r14)",
+    "positions_forward_fill": "r15 rotation; returner re-check green r14; the W4 ignore-nulls forward-fill stage runs inline in checked positions_costs + streaming_positions_costs (green r01-r05, r10, r14)",
+    "j1_signal_rejoin": "r15 rotation; returner re-check green r14; the J1 equi-join runs inline in checked positions_costs/executions (green r01-r06, r10, r14)",
+    "union_live_replay": "r15 rotation; returner re-check green r14; the U1 union stage stays tested; replay side stays checked via replay_backtest_window (green r01-r06, r10, r14)",
+    "performance_windows_5m": "r15 rotation; returner re-check green r14; the A1 tumbling-metrics stage feeds checked strategy_metrics inline (its window-to-window join input) (green r01-r06, r10, r14)",
+    "signal_counts_5m": "r15 rotation; returner re-check green r14; A2 count family checked via staying strategy_metrics + streaming_metrics_5m (green r01-r06, r10, r14)",
+    "metrics_hourly_rollup": "r15 rotation; returner re-check green r14; the A4 fused rollup runs inline in checked streaming_hourly_rollup_chained (green r01-r06, r10, r14)",
+    "dedup_exact_hash": "r15 rotation; returner re-check green r14; digest family checked via staying dedup_canonical_quality (same digest stage) + decontam_suite_chained's digest-broadcast overlap (green r01-r06, r10, r14)",
+    "dedup_ngram_jaccard": "r15 rotation; returner re-check green r14; exact-jaccard verify family checked via staying decontam_suite_chained's fuzzy arm + winnow_zipf_chained's n-gram fingerprints (green r01-r06, r10, r14)",
+    "ann_ivf_topk": "r15 rotation; returner re-check green r14; IVF probe family checked via staying ann_ivf_trained_topk + returning knn_join_ivf (green r01-r06, r10, r14)",
+    "ann_lsh_hyperplane_pairs": "r15 rotation; returner re-check green r14; banded-blocking ANN family checked via staying embedding_cosine_neardup (LSH-bucketed cosine pairs) + ann_ivf_trained_topk (green r01-r06, r10, r14)",
+    "pricing_summary_q1": "r15 rotation; returner re-check green r14; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning nation_region_rollup (green r01-r06, r10, r14)",
+    "session_window_per_user": "r15 rotation; returner re-check green r14; T6 family checked via returning sliding_window_counts + staying streaming_metrics_5m (green r01-r06, r10, r14)",
     "doc_fingerprint_minhash1": "r14 rotation; returner re-check green r13; fingerprint family checked via staying winnow_zipf_chained (winnowing fingerprints) + returning dedup_exact_hash (digest stage) (green r08, r09, r13)",
     "position_returns": "r14 rotation; returner re-check green r13; the per-position return stage runs inline in checked strategy_metrics (green r01-r04, r08, r09, r13)",
     "semi_join_has_lineitems": "r14 rotation; returner re-check green r13; join-family twin of staying anti_join_parts_never_shipped (same shape, EXISTS vs NOT EXISTS) (green r01-r04, r08, r09, r13)",
@@ -285,19 +325,6 @@ RETIRED = {
     # checked siblings; the freed slots took the 12 thinnest-coverage r10
     # retirees one round ahead of their r13 deadline plus the 2
     # incremental-lane promotions. Due re-check r15.
-    "ticks_source": "r12 rotation; returner re-check green r11; the S1 typed tick source feeds EVERY checked pipeline query inline (positions_costs, executions, strategy_metrics, streaming chain) (green r01-r06, r07, r11)",
-    "nation_region_rollup": "r12 rotation; returner re-check green r11; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning tfidf_top_terms's agg shapes; 3-way-join sibling segment_revenue_3way_join stays checked (green r01-r06, r07, r11)",
-    "segment_revenue_3way_join": "r12 rotation; returner re-check green r11; J3-J5 listing-join family checked via staying anti_join_parts_never_shipped + segment_revenue_bucketed (green r01-r06, r07, r11)",
-    "sliding_window_counts": "r12 rotation; returner re-check green r11; T6 sliding-window family checked via staying streaming_metrics_5m + streaming_hourly_rollup_chained (green r01-r06, r07, r11)",
-    "length_band_filter": "r12 rotation; returner re-check green r11; length-band family checked via returning length_band_approx (its approx-percentile twin) (green r01-r06, r07, r11)",
-    "sample_temperature_source": "r12 rotation; returner re-check green r08, r11; sampling family checked via staying mixture_manifest_by_lang + mixture_curriculum + returning sample_quota_per_source (green r01-r07, r08, r11)",
-    "pack_sequences_manifest": "r12 rotation; returner re-check green r08, r11; packing family checked via staying shuffle_windows (chains the same pack stage) (green r07, r08, r11)",
-    "curate_stats_by_source": "r12 rotation; returner re-check green r08, r11; curation-stats family checked via returning curate_keep_decision (the stats stage runs inline in its composition) (green r07, r08, r11)",
-    "chunk_documents_overlap": "r12 rotation; returner re-check green r08, r11; chunk family checked via staying dedup_intra_doc (same passage explode) + tested embed_chunks_hashed chain (green r07, r08, r11)",
-    "lm_bigram_quality": "r12 rotation; returner re-check green r08, r11; LM-scoring family checked via staying ccnet_lm_buckets (same token/model/broadcast-score stages) (green r07, r08, r11)",
-    "knn_join_ivf": "r12 rotation; promoted r11, green r11, early re-retire on the r08 first-green-plus-sibling precedent; knn_join_ivf_sampled stays checked and runs the SAME assign/probe/score chain (sampled trainer = the production default branch); full-trainer face stays tested + --extended",
-    "media_phash_neardup": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; the production DECODED face (media_phash_neardup_decoded) stays checked and the incremental media face (media_phash_incr_snapshot) promotes in — both run the same banded-dHash pair machinery; raw-byte face stays tested + --extended",
-    "bm25_topk_queries": "r12 rotation; promoted r11, green r11, early re-retire on the r08 precedent; staying hybrid_rrf_topk AND hybrid_rrf_ivf_topk chain the identical BM25 arm inline before fusion; standalone face stays tested + --extended",
 }
 
 

@@ -910,14 +910,16 @@ def _incoming_r14() -> dict:
     tuning report, the incremental packing lane's face (batch packed as
     an O(batch) extension of the persisted per-shard tail), and the ANN
     recall@k acceptance report. Queued r16: the recorded r15 plan's 17
-    slots are committed to the r12-retiree deadline wave + the four
-    r13-wave faces. r16 arithmetic: 24 r13 retirees due + these 4 faces
-    = 28 IN vs 26 base slack (the 17 r15 entrants re-retiring after
-    their green round + the 9 r14 returners held through r15); the
-    remaining 2 slots fund by early re-retirements of multi-green r15
-    returners behind checked siblings (named when the r15 rotation
-    records its plan — the first-green-plus-sibling precedent gives
-    several candidates among the 13 r12 returners)."""
+    slots were committed to the r12-retiree deadline wave + the four
+    r13-wave faces (executed r15). r16 arithmetic: 24 r13 retirees due +
+    these 4 faces = 28 IN vs 26 base slack (the 17 r15 entrants
+    re-retiring after their green round + the 9 r14 returners held
+    through r15); the remaining 2 slots fund by the NAMED early
+    re-retirements recorded in the r16 plan (__spark_entry__.py):
+    hybrid_rrf_topk behind returning hybrid_rrf_ivf_topk (identical
+    BM25 arm + RRF fusion, IVF face the stricter superset) and
+    asof_join_trade_quote behind returning asof_join_tolerance (same
+    backward as-of core plus the bound predicate). 17+9+2 = 28."""
     from spark_signals.datapipe.pack import (
         pack_efficiency_report,
         pack_incremental_snapshot,
@@ -956,6 +958,26 @@ def _incoming_r14() -> dict:
 
 
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r14())
+
+
+# r15 rotation: the r13-wave quartet promotes, exactly as queued in the
+# recorded r14 plan (__spark_entry__.py rotation note) — the D3
+# layout/zone-map face, the span-provenance reporter, and the
+# cross-split leakage QA pair — funded by the four r14 span faces'
+# first-green re-retirement behind dedup_exact_spans_attrib plus the 13
+# named r14 returners. All four verified non-vacuous in the r14 extended
+# sweep (zorder 128 zone rows, attrib/leakage/clustered all >0 rows at
+# sf0.01). The r14-wave quartet (mixture_budget_manifest,
+# pack_efficiency_report, pack_incremental, ann_recall_report) stays
+# queued for r16.
+_R15_PROMOTED = (
+    "zorder_zonemap_skipping",
+    "dedup_exact_spans_attrib",
+    "split_leakage_report",
+    "split_clustered_leakproof",
+)
+for _n in _R15_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
