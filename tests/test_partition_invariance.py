@@ -27,6 +27,11 @@ CASES = [
     # quantization must be partition-count-blind)
     "dedup_exact_spans_attrib",
     "zorder_zonemap_skipping",
+    # r15: the token-budget keep-list — integer window sums over the one
+    # hash exchange must keep the kept set identical at any parallelism
+    # (weight-dict-order invariance is pinned separately in
+    # test_training_data_ops; this pins the partitioning axis)
+    "mixture_budget_manifest",
 ]
 
 

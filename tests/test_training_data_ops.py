@@ -828,3 +828,34 @@ def test_pack_incremental_empty_batch_and_fresh_tail(spark):
     assert sorted(tuple(r) for r in m2.collect()) == sorted(
         tuple(r) for r in pack_sequences(docs).collect()
     )
+
+
+def test_budget_manifest_invariant_to_weight_dict_order(spark):
+    """The keep-list must be identical under ANY insertion order of the
+    same weights (r14 verdict: float sum() normalization was
+    order-dependent and could flip a largest-remainder unit between
+    near-tied sources; math.fsum closes it). Near-tied weights on real
+    sources, three orders, one answer."""
+    from spark_signals.datapipe.sampling import mixture_budget_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    # adversarial shape from the falsifying example: two near-tied huge
+    # weights whose float-sum rounding used to depend on position
+    vals = [1e-06, 0.5, 1000000.0, 999999.9999999999]
+    weights = {s: vals[i % len(vals)] for i, s in enumerate(observed)}
+    orders = [
+        dict(sorted(weights.items())),
+        dict(sorted(weights.items(), reverse=True)),
+        dict(list(weights.items())[::2] + list(weights.items())[1::2]),
+    ]
+    results = [
+        sorted(
+            tuple(r)
+            for r in mixture_budget_manifest(
+                docs, budget_tokens=113, weights=w
+            ).collect()
+        )
+        for w in orders
+    ]
+    assert results[0] == results[1] == results[2]
