@@ -228,6 +228,14 @@ DRIVER_CAP = 50
 # Due-by ledger (retiree -> latest re-check round): r13 retirees -> r16;
 # r14 retirees -> r17; r15 retirees -> r18. No deadline before r16 is
 # outstanding.
+#
+# r17 queue (built r15, INCOMING): the release-audit quartet
+# (filter_ablation, token_yield_report, kanon_suppression,
+# minhash_calibration — datapipe/parity._incoming_r15) promotes r17
+# alongside the 26 r14-rotation retirees due that round (30 IN); funding
+# comes from the 28 r16 entrants' re-retirement slack plus two early
+# re-retirements the r16 round must NAME when it executes (the same
+# closing-slot discipline every round has followed since r10).
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is

@@ -219,3 +219,109 @@ SELECT doc_id, source, lm_band, has_pii,
        len(list_filter([{reasons}], x -> x IS NOT NULL)) = 0 AS keep,
        text_clean
 FROM flags"""
+
+
+# ------------------------------------------------------- filter ablation grid
+# Flag thresholds for the ablation dimensions (deliberately the CHEAP
+# row-local proxies, not the full curate() chain: the grid's job is fast
+# what-if arithmetic over filter interactions, re-run at every threshold
+# proposal — the full audited decision stays curate()'s).
+ABLATION_SHORT_WORDS = 10      # f_short: fewer words than this
+ABLATION_QUALITY_MIN = 0.25    # f_lowq: deterministic quality score below
+
+
+def filter_ablation(docs: DataFrame) -> DataFrame:
+    """Quality-filter ablation grid: document/token mass under EVERY
+    combination of filter flags, via ``CUBE`` over the flag columns.
+
+    Answers the questions a filter-tuning pass actually asks — "how much
+    mass does each filter uniquely claim", "what returns if I relax X",
+    "how big is the overlap between the duplicate filter and the quality
+    filter" — in ONE relation instead of 2^k filtered re-counts. Cells
+    where a dimension is aggregated-away carry ``'all'``; flag dimensions
+    are emitted as strings ('y'/'n'/'all') so the grid has no nullable
+    booleans (cross-engine NULL-boolean pandas representation is fragile;
+    the aggregation NULL is the only NULL either engine produces here).
+
+    Dimensions: f_dup (exact-digest duplicate), f_short (< {short} words),
+    f_lowq (quality score < {q}), f_nonen (lang ≠ 'en'). ``n_dropped``
+    counts docs any flag would drop under the OR-policy.
+
+    Scale: one digest shuffle (dedup_exact) + one doc_id equi-join + one
+    grouping-sets aggregate. Spark plans CUBE as a single Expand +
+    hash-aggregate — partial-aggregated map-side, one shuffle whose key
+    space is 16 grouping sets × ≤16 flag combos; output ≤ 3^4 rows at any
+    corpus size. Token sums are associative BIGINT adds.
+    """
+    from spark_signals.datapipe import dedup as DD
+
+    st = T.text_stats(docs).select(
+        "doc_id", "lang", "n_words", "n_tokens_bpe", "quality_score"
+    )
+    ex = DD.dedup_exact(docs).select("doc_id", F.col("is_duplicate").alias("f_dup"))
+    flags = st.join(ex, "doc_id").select(
+        "n_tokens_bpe",
+        "f_dup",
+        (F.col("n_words") < F.lit(ABLATION_SHORT_WORDS)).alias("f_short"),
+        (F.col("quality_score") < F.lit(ABLATION_QUALITY_MIN)).alias("f_lowq"),
+        (F.coalesce(F.col("lang"), F.lit("")) != F.lit("en")).alias("f_nonen"),
+    )
+    dropped = (
+        (F.col("f_dup") | F.col("f_short") | F.col("f_lowq") | F.col("f_nonen"))
+        .cast("long")
+    )
+    cube = flags.cube("f_dup", "f_short", "f_lowq", "f_nonen").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens_bpe").cast("long")).alias("n_tokens"),
+        F.sum(dropped).alias("n_dropped"),
+    )
+
+    def dim(c: str) -> F.Column:
+        return (
+            F.when(F.col(c).isNull(), F.lit("all"))
+            .when(F.col(c), F.lit("y"))
+            .otherwise(F.lit("n"))
+            .alias(c)
+        )
+
+    return cube.select(
+        dim("f_dup"), dim("f_short"), dim("f_lowq"), dim("f_nonen"),
+        "n_docs", "n_tokens", "n_dropped",
+    )
+
+
+filter_ablation.__doc__ = filter_ablation.__doc__.format(
+    short=ABLATION_SHORT_WORDS, q=ABLATION_QUALITY_MIN
+)
+
+
+def sql_filter_ablation() -> str:
+    def dim(c: str) -> str:
+        return f"CASE WHEN {c} IS NULL THEN 'all' WHEN {c} THEN 'y' ELSE 'n' END AS {c}"
+
+    return f"""
+WITH st AS (
+  SELECT doc_id, lang, n_words, n_tokens_bpe, quality_score
+  FROM ({T.SQL_TEXT_STATS()}) t
+),
+ex AS (
+  SELECT doc_id, is_duplicate AS f_dup FROM ({D.SQL_DEDUP_EXACT}) t
+),
+flags AS (
+  SELECT st.n_tokens_bpe, ex.f_dup,
+         st.n_words < {ABLATION_SHORT_WORDS} AS f_short,
+         st.quality_score < CAST({ABLATION_QUALITY_MIN!r} AS DOUBLE) AS f_lowq,
+         COALESCE(st.lang, '') <> 'en' AS f_nonen
+  FROM st JOIN ex USING (doc_id)
+),
+cube_agg AS (
+  SELECT f_dup, f_short, f_lowq, f_nonen,
+         count(*) AS n_docs,
+         CAST(SUM(CAST(n_tokens_bpe AS BIGINT)) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN f_dup OR f_short OR f_lowq OR f_nonen THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM flags
+  GROUP BY CUBE (f_dup, f_short, f_lowq, f_nonen)
+)
+SELECT {dim('f_dup')}, {dim('f_short')}, {dim('f_lowq')}, {dim('f_nonen')},
+       n_docs, n_tokens, n_dropped
+FROM cube_agg"""

@@ -2962,3 +2962,229 @@ batchdrop AS (
 drops AS (SELECT vec_id FROM histdrop UNION SELECT vec_id FROM batchdrop)
 SELECT vec_id, label FROM embeddings
 WHERE vec_id % {mod} = 0 AND vec_id NOT IN (SELECT vec_id FROM drops)"""
+
+
+# ----------------------------------------------- dedup-aware token accounting
+def token_yield_report(docs: DataFrame) -> DataFrame:
+    """Per-source effective-token yield after near-dup clustering — the
+    "how many tokens do I actually have" accounting from the
+    data-constrained-scaling literature (Muennighoff et al. 2023,
+    arXiv:2305.16264): raw token mass vs the unique mass a canonical-only
+    materialization keeps, and the implied epoch multiplier (one pass over
+    the raw corpus = ``implied_epochs`` passes over its unique content).
+
+    Cluster grain is the MinHash-LSH connected-component family
+    (:func:`dedup_clusters`), so near-dup mass counts as duplicated — the
+    number exact-digest dedup underestimates on templated corpora. Unique
+    tokens attribute each cluster to its CANONICAL document's source
+    (min doc_id), the same attribution the materialized corpus would see;
+    a source whose duplicates all canonicalize elsewhere honestly reports
+    near-zero unique yield.
+
+    Scale: token counts are per-row JVM regex work riding the existing
+    corpus scan; the join to the CC output is a doc_id equi-join and the
+    report is one S-row aggregate — the O(log n) CC passes dominate, and
+    everything downstream of them is integer sums (associative, exact at
+    any partitioning; Σtokens < 2^63 at any corpus size).
+    """
+    from spark_signals.datapipe.text import n_tokens_col
+
+    cl = dedup_clusters(docs)
+    toks = docs.select(
+        "doc_id", "source", n_tokens_col(F.col("text"), "bpe").cast("long").alias("n_tok")
+    )
+    j = toks.join(cl, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        F.sum("n_tok").alias("raw_tokens"),
+        F.sum(F.when(F.col("is_canonical"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "unique_tokens"
+        ),
+    )
+    dup_tokens = F.col("raw_tokens") - F.col("unique_tokens")
+    dup_frac = dup_tokens.cast("double") / F.greatest(F.col("raw_tokens"), F.lit(1))
+    epochs = F.col("raw_tokens").cast("double") / F.greatest(F.col("unique_tokens"), F.lit(1))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_canonical",
+        "raw_tokens",
+        "unique_tokens",
+        dup_tokens.alias("dup_tokens"),
+        (F.floor(dup_frac * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)).alias(
+            "dup_token_frac"
+        ),
+        (F.floor(epochs * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)).alias(
+            "implied_epochs"
+        ),
+    )
+
+
+def sql_token_yield_report() -> str:
+    from spark_signals.datapipe.text import sql_n_tokens
+
+    return f"""
+WITH c AS ({SQL_DEDUP_CLUSTERS}),
+tk AS (
+  SELECT doc_id, source, CAST({sql_n_tokens("text", "bpe")} AS BIGINT) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT t.source,
+         count(*) AS n_docs,
+         CAST(SUM(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         CAST(SUM(t.n_tok) AS BIGINT) AS raw_tokens,
+         CAST(SUM(CASE WHEN c.is_canonical THEN t.n_tok ELSE 0 END) AS BIGINT) AS unique_tokens
+  FROM tk t JOIN c USING (doc_id)
+  GROUP BY t.source
+)
+SELECT source, n_docs, n_canonical, raw_tokens, unique_tokens,
+       raw_tokens - unique_tokens AS dup_tokens,
+       floor(CAST(raw_tokens - unique_tokens AS DOUBLE) / greatest(raw_tokens, 1) * 1e6 + 0.5000001) / 1e6 AS dup_token_frac,
+       floor(CAST(raw_tokens AS DOUBLE) / greatest(unique_tokens, 1) * 1e6 + 0.5000001) / 1e6 AS implied_epochs
+FROM agg"""
+
+
+# ------------------------------------------------- minhash estimator audit
+def minhash_calibration_report(docs: DataFrame) -> DataFrame:
+    """MinHash estimator calibration — the dedup lane's acceptance report,
+    twin of the ANN family's recall@k audit (similarity.ann_recall_report):
+    over every band-colliding candidate pair, the signature-agreement
+    estimate (matches/NUM_HASHES) against the exact shingle Jaccard, binned
+    by exact-Jaccard decile. Answers "is 12 hashes enough at my threshold"
+    with data instead of the Broder formula, BEFORE a 100 TB dedup run
+    commits to the parameters.
+
+    The population is candidates (pairs sharing ≥1 LSH band), matching what
+    the production lane actually adjudicates — stated on the report because
+    calibration conditioned on collision skews low-Jaccard bins toward
+    estimator over-counts (collision requires ≥1 agreeing band).
+
+    Exactness: per-pair doubles (estimate, exact Jaccard, |error|) are
+    gridded to integer 1e-6 units BEFORE the per-bin mean, so the sums are
+    associative BIGINT adds — bin means are bit-identical at any partition
+    count and across engines. Same blocking as the dedup lane: no all-pairs
+    relation anywhere.
+    """
+    sh = _km_row_sigs(
+        _with_shingles(docs).select("doc_id", "shingles"), "shingles", NUM_HASHES, "shingles"
+    ).persist()
+    try:
+        bands = _band_keys(sh)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(b, ["band", "k1", "k2"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        left = sh.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+        )
+        right = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+        )
+        pairs = cand.join(left, "doc_a").join(right, "doc_b")
+        matches = None
+        for i in range(NUM_HASHES):
+            t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            matches = t if matches is None else matches + t
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union
+        est = matches.cast("double") / F.lit(float(NUM_HASHES))
+        graded = pairs.select(
+            F.least(F.floor(jac * F.lit(10)).cast("long"), F.lit(9).cast("long")).alias(
+                "jaccard_bin"
+            ),
+            matches.cast("long").alias("matches"),
+            F.floor(jac * F.lit(1e6) + F.lit(0.5000001)).cast("long").alias("jac_u"),
+            F.floor(F.abs(est - jac) * F.lit(1e6) + F.lit(0.5000001))
+            .cast("long")
+            .alias("err_u"),
+        )
+        out = graded.groupBy("jaccard_bin").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("matches").alias("sig_matches"),
+            F.sum("jac_u").alias("sum_jac_u"),
+            F.sum("err_u").alias("sum_err_u"),
+        )
+        result = out.select(
+            "jaccard_bin",
+            "n_pairs",
+            "sig_matches",
+            (
+                F.col("sig_matches").cast("double")
+                / (F.col("n_pairs") * F.lit(float(NUM_HASHES)))
+            ).alias("mean_est"),
+            (F.col("sum_jac_u").cast("double") / (F.col("n_pairs") * F.lit(1e6))).alias(
+                "mean_exact"
+            ),
+            (F.col("sum_err_u").cast("double") / (F.col("n_pairs") * F.lit(1e6))).alias(
+                "mean_abs_err"
+            ),
+        )
+        return result.transform(pin)
+    finally:
+        sh.unpersist()
+
+
+def sql_minhash_calibration_report() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_sql_shingle_docs()},
+g AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min((h1 + {i + 1} * h2) % {MINHASH_P}) AS m{i}" for i in range(NUM_HASHES))}
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         [{", ".join(f"m{2 * b}" for b in range(NUM_BANDS))}][b + 1] AS k1,
+         [{", ".join(f"m{2 * b + 1}" for b in range(NUM_BANDS))}][b + 1] AS k2
+  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+  WHERE a.doc_id < b.doc_id
+),
+pair AS (
+  SELECT doc_a, doc_b,
+         ({match_sum}) AS matches,
+         CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+           / (len(ha.shingles) + len(hb.shingles) - len(list_intersect(ha.shingles, hb.shingles))) AS jac
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  JOIN sh ha ON ha.doc_id = doc_a
+  JOIN sh hb ON hb.doc_id = doc_b
+),
+u AS (
+  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS jaccard_bin,
+         matches,
+         CAST(floor(jac * 1e6 + 0.5000001) AS BIGINT) AS jac_u,
+         CAST(floor(abs(matches / {float(NUM_HASHES)!r} - jac) * 1e6 + 0.5000001) AS BIGINT) AS err_u
+  FROM pair
+)
+SELECT jaccard_bin,
+       count(*) AS n_pairs,
+       CAST(SUM(matches) AS BIGINT) AS sig_matches,
+       CAST(SUM(matches) AS DOUBLE) / (count(*) * {float(NUM_HASHES)!r}) AS mean_est,
+       CAST(SUM(jac_u) AS DOUBLE) / (count(*) * 1e6) AS mean_exact,
+       CAST(SUM(err_u) AS DOUBLE) / (count(*) * 1e6) AS mean_abs_err
+FROM u GROUP BY jaccard_bin"""

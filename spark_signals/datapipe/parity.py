@@ -980,6 +980,53 @@ for _n in _R15_PROMOTED:
     DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+def _incoming_r15() -> dict:
+    """The r15 wave: the release-audit quartet — corpus accounting and
+    acceptance reports a 100 TB curation run signs off on before training
+    starts. filter_ablation is the filter-tuning grid: doc/token mass
+    under every combination of filter flags via ONE CUBE aggregate (the
+    first grouping-sets surface in the tree) instead of 2^k filtered
+    re-counts. token_yield_report is the data-constrained-scaling
+    arithmetic (Muennighoff et al. 2023): per-source raw vs unique token
+    mass at near-dup-cluster grain and the implied epoch multiplier.
+    kanonymity_report is the metadata-side privacy gate PII regexes don't
+    cover (Sweeney k-anonymity over (lang, source, length-band), with the
+    one-step generalization remediation in the same relation). And
+    minhash_calibration_report is the dedup lane's acceptance audit —
+    signature-agreement estimate vs exact Jaccard per decile bin, the
+    twin of ann_recall_report for the MinHash family (per-pair values
+    gridded to integer 1e-6 units before the bin means, so every mean is
+    an associative BIGINT sum). Queued r17: the recorded r16 plan's 28
+    slots are fully committed to the r13-retiree deadline wave + the four
+    r14-wave faces; r17 takes the 26 r14-rotation retirees due plus these
+    four (30 IN against the 28 r16 entrants' re-retirement slack + the
+    named early re-retirements the r16 round must record)."""
+    from spark_signals.datapipe.curate import filter_ablation, sql_filter_ablation
+    from spark_signals.datapipe.scrub import kanonymity_report, sql_kanonymity_report
+
+    return {
+        "filter_ablation": (
+            lambda spark, sf_dir: filter_ablation(_docs(spark, sf_dir)),
+            sql_filter_ablation(),
+        ),
+        "token_yield_report": (
+            lambda spark, sf_dir: D.token_yield_report(_docs(spark, sf_dir)),
+            D.sql_token_yield_report(),
+        ),
+        "kanon_suppression": (
+            lambda spark, sf_dir: kanonymity_report(_docs(spark, sf_dir)),
+            sql_kanonymity_report(),
+        ),
+        "minhash_calibration": (
+            lambda spark, sf_dir: D.minhash_calibration_report(_docs(spark, sf_dir)),
+            D.sql_minhash_calibration_report(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r15())
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -77,3 +77,84 @@ SELECT doc_id, source, {', '.join('n_' + n for n in PII_PATTERNS)},
        ({total}) > 0 AS has_pii,
        {clean} AS text_clean
 FROM c"""
+
+
+# ---------------------------------------------------------- k-anonymity audit
+# Quasi-identifier grain: (lang, source, character-length band). k is the
+# classic re-identification floor; the coarse band is the one-step
+# generalization remediation (4 fine bands -> 1 coarse band).
+KANON_K = 5
+KANON_BAND_CHARS = 256
+KANON_COARSE_FACTOR = 4
+
+
+def kanonymity_report(docs: DataFrame) -> DataFrame:
+    """k-anonymity audit over the documents' quasi-identifier metadata —
+    the privacy-side release gate PII regexes don't cover: a document whose
+    (lang, source, length-band) combination is shared by fewer than k
+    others is re-identifiable from metadata alone even with the text fully
+    redacted (Sweeney 2002, k-anonymity).
+
+    Per fine QI group: its population, the ``suppressed`` verdict
+    (population < k), and the same verdict after one generalization step
+    (length band widened {factor}×) — so the report shows BOTH what a
+    release must suppress today and how much of that suppression
+    generalization would recover, in one relation.
+
+    Scale: one hash aggregate to the fine-group grain (map-side combined;
+    group count « corpus size), then a window sum over the coarse key on
+    that already-tiny relation — no second corpus-wide pass, no joins. At
+    100 TB the fine-group relation is bounded by the QI cardinality
+    (langs × sources × bands), not the row count.
+    """
+    from pyspark.sql import Window
+
+    fine = (
+        docs.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / F.lit(KANON_BAND_CHARS)).cast("long").alias(
+                "band_fine"
+            ),
+        )
+        .groupBy("lang", "source", "band_fine")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    band_coarse = F.floor(F.col("band_fine") / F.lit(KANON_COARSE_FACTOR)).cast("long")
+    w = Window.partitionBy("lang", "source", band_coarse)
+    risk = F.lit(1.0) / F.col("n_docs")
+    return fine.select(
+        "lang",
+        "source",
+        "band_fine",
+        band_coarse.alias("band_coarse"),
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_docs_coarse"),
+        (F.col("n_docs") < F.lit(KANON_K)).alias("suppressed"),
+        (F.sum("n_docs").over(w) < F.lit(KANON_K)).alias(
+            "suppressed_after_generalization"
+        ),
+        (F.floor(risk * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)).alias("risk"),
+    )
+
+
+kanonymity_report.__doc__ = kanonymity_report.__doc__.format(factor=KANON_COARSE_FACTOR)
+
+
+def sql_kanonymity_report() -> str:
+    return f"""
+WITH fine AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / {KANON_BAND_CHARS}) AS BIGINT) AS band_fine,
+         count(*) AS n_docs
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, band_fine,
+       CAST(floor(band_fine / {KANON_COARSE_FACTOR}) AS BIGINT) AS band_coarse,
+       n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY lang, source, floor(band_fine / {KANON_COARSE_FACTOR})) AS BIGINT) AS n_docs_coarse,
+       n_docs < {KANON_K} AS suppressed,
+       CAST(SUM(n_docs) OVER (PARTITION BY lang, source, floor(band_fine / {KANON_COARSE_FACTOR})) AS BIGINT) < {KANON_K} AS suppressed_after_generalization,
+       floor(1.0 / n_docs * 1e6 + 0.5000001) / 1e6 AS risk
+FROM fine"""

@@ -32,6 +32,14 @@ CASES = [
     # (weight-dict-order invariance is pinned separately in
     # test_training_data_ops; this pins the partitioning axis)
     "mixture_budget_manifest",
+    # r15 release-audit wave: the CUBE grid and yield/k-anon/calibration
+    # reports are pure integer-sum aggregates (token masses, group
+    # counts, 1e-6-unit gridded means) — all four must be bit-identical
+    # at any parallelism
+    "filter_ablation",
+    "token_yield_report",
+    "kanon_suppression",
+    "minhash_calibration",
 ]
 
 

@@ -567,3 +567,55 @@ def test_pack_incremental_stays_jvm_side(spark):
     p = plan_str(pack_incremental_snapshot(read_table(spark, SF, "documents")))
     assert "EvalPython" not in p and "FlatMapGroupsInPandas" not in p
     assert count_op(p, "CartesianProduct") == 0
+
+
+def test_filter_ablation_single_expand_no_python(spark):
+    """The ablation grid runs CUBE as ONE Expand + hash aggregate (not
+    2^k re-scans): one digest exchange, broadcast doc_id joins at this
+    size, zero Python stages, no cartesian product."""
+    from spark_signals.datapipe.curate import filter_ablation
+
+    p = plan_str(filter_ablation(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "Expand") == 1
+    assert count_op(p, "Exchange") <= 3
+
+
+def test_kanon_report_is_two_exchanges_no_joins(spark):
+    """k-anonymity: one map-side-combined aggregate to the QI grain, one
+    window over the (already tiny) group relation — no joins, no second
+    corpus pass, no Python."""
+    from spark_signals.datapipe.scrub import kanonymity_report
+
+    p = plan_str(kanonymity_report(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert count_op(p, "Exchange") <= 2
+    assert count_op(p, "Window") == 1
+
+
+def test_token_yield_downstream_of_cc_is_bounded(spark):
+    """Token-yield accounting downstream of the pinned CC output: doc_id
+    equi-joins + one S-row aggregate — no cartesian, no Python, bounded
+    exchanges."""
+    from spark_signals.datapipe.dedup import token_yield_report
+
+    p = plan_str(token_yield_report(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "Exchange") <= 4
+
+
+def test_minhash_calibration_stays_banded_no_python(spark, monkeypatch):
+    """The calibration report keeps the dedup lane's blocking: band-bucket
+    equi-joins only (pin() is bypassed here so the WHOLE pre-checkpoint
+    plan is audited) — no cartesian product, no Python stage, and the
+    per-bin means are plain hash aggregates over integer units."""
+    import spark_signals.datapipe.dedup as DD
+
+    monkeypatch.setattr(DD, "pin", lambda df: df)
+    p = plan_str(DD.minhash_calibration_report(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p and "pythonUDF" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "BroadcastNestedLoopJoin") == 0

@@ -1,0 +1,182 @@
+"""Semantics of the r15 release-audit quartet: the filter-ablation CUBE
+grid, dedup-aware token-yield accounting, the k-anonymity metadata gate,
+and the MinHash calibration report. Cross-engine value parity is covered
+by the --extended oracle sweep (INCOMING registry); these tests pin the
+operator CONTRACTS on hand-built corpora where the right answer is
+checkable by eye.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _long_en(i: int) -> str:
+    # 30 words, stopword-rich and punctuation-free: passes every ablation
+    # flag except the ones a test plants deliberately
+    return ("the quick brown fox jumps over the lazy dog and then "
+            f"it runs far away into the green fields of farm {i} "
+            "while the sun is high and the wind is calm now")
+
+
+# ------------------------------------------------------- filter ablation grid
+def test_ablation_grand_total_and_marginals(spark):
+    """The all-'all' cell is the corpus total, and y+n = all along every
+    dimension (the CUBE arithmetic users rely on for what-if deltas)."""
+    from spark_signals.datapipe.curate import filter_ablation
+
+    rows = [(i, _long_en(i), "en", "src", 120) for i in range(8)]
+    rows += [(100, "tiny", "en", "src", 4),          # f_short + f_lowq
+             (101, _long_en(0), "en", "src", 120),   # exact dup of doc 0
+             (102, _long_en(2), "de", "src", 120)]   # f_nonen dup? no: unique i=2 text... but doc 2 exists
+    # doc 102 duplicates doc 2's text -> f_dup AND f_nonen
+    out = {(
+        r["f_dup"], r["f_short"], r["f_lowq"], r["f_nonen"]): r
+        for r in filter_ablation(_docs(spark, rows)).collect()}
+    total = out[("all", "all", "all", "all")]
+    assert total["n_docs"] == len(rows)
+    # y + n = all along the f_dup axis
+    y = out[("y", "all", "all", "all")]
+    n = out[("n", "all", "all", "all")]
+    assert y["n_docs"] + n["n_docs"] == total["n_docs"]
+    assert y["n_tokens"] + n["n_tokens"] == total["n_tokens"]
+    assert y["n_dropped"] + n["n_dropped"] == total["n_dropped"]
+    # the two planted duplicates (doc 101 dups 0, doc 102 dups 2)
+    assert y["n_docs"] == 2
+    # every doc in a y-cell of any dimension counts as dropped
+    assert y["n_dropped"] == y["n_docs"]
+
+
+def test_ablation_fully_specified_cells_isolate_overlap(spark):
+    """A doc failing two filters lands in the (y, y) joint cell — the
+    overlap mass relaxing ONE of the two would not recover."""
+    from spark_signals.datapipe.curate import filter_ablation
+
+    rows = [(i, _long_en(i), "en", "src", 120) for i in range(6)]
+    rows += [(50, "kurz", "de", "src", 4)]  # short AND non-en (and low-q)
+    grid = {(
+        r["f_dup"], r["f_short"], r["f_lowq"], r["f_nonen"]): r["n_docs"]
+        for r in filter_ablation(_docs(spark, rows)).collect()}
+    assert grid[("n", "y", "y", "y")] == 1
+    assert grid.get(("n", "y", "all", "all")) == 1
+    assert grid[("n", "n", "n", "n")] == 6
+
+
+# --------------------------------------------------- dedup-aware token yield
+def test_token_yield_reconciles_and_counts_epochs(spark):
+    """raw = unique + dup per source, and a source that is one document
+    repeated k times implies ~k epochs."""
+    from spark_signals.datapipe.dedup import token_yield_report
+
+    base = _long_en(7)
+    rows = [(i, base, "en", "dup4", 120) for i in range(4)]          # 4 copies
+    # genuinely dissimilar texts (template reuse would minhash-cluster them)
+    uniq_texts = [
+        "gravity bends light around massive clusters in deep space surveys",
+        "the sourdough starter doubled overnight after the third rye feeding",
+        "quarterly freight volumes rebounded across the northern rail corridor",
+    ]
+    rows += [(10 + i, t, "en", "uniq", 60) for i, t in enumerate(uniq_texts)]
+    out = {r["source"]: r for r in token_yield_report(_docs(spark, rows)).collect()}
+    for r in out.values():
+        assert r["raw_tokens"] == r["unique_tokens"] + r["dup_tokens"]
+        assert r["n_canonical"] <= r["n_docs"]
+    d4 = out["dup4"]
+    assert d4["n_canonical"] == 1
+    assert d4["implied_epochs"] == 4.0
+    assert d4["dup_tokens"] == 3 * d4["unique_tokens"]
+    uq = out["uniq"]
+    assert uq["n_canonical"] == 3
+    assert uq["dup_tokens"] == 0
+    assert uq["implied_epochs"] == 1.0
+
+
+def test_token_yield_attributes_cluster_to_canonical_source(spark):
+    """A source whose only doc canonicalizes into another source's cluster
+    reports zero unique yield — the materialized corpus's truth."""
+    from spark_signals.datapipe.dedup import token_yield_report
+
+    base = _long_en(3)
+    rows = [(1, base, "en", "first", 120), (2, base, "en", "second", 120)]
+    out = {r["source"]: r for r in token_yield_report(_docs(spark, rows)).collect()}
+    assert out["first"]["unique_tokens"] == out["first"]["raw_tokens"]
+    assert out["second"]["unique_tokens"] == 0
+    assert out["second"]["dup_token_frac"] == 1.0
+
+
+# ------------------------------------------------------------- k-anonymity
+def test_kanon_suppression_and_generalization(spark):
+    """Groups below k suppress; adjacent fine bands pooled by the coarse
+    band can clear k after one generalization step."""
+    from spark_signals.datapipe.scrub import kanonymity_report
+
+    # fine band = floor(n_chars/256): three docs at band 0, two at band 1
+    # -> both fine groups < 5, but the coarse band (0) holds 5 -> recovered
+    rows = [(i, "x", "en", "s", 10) for i in range(3)]
+    rows += [(10 + i, "x", "en", "s", 300) for i in range(2)]
+    # a big group that never suppresses: six docs in band 8 (coarse 2)
+    rows += [(20 + i, "x", "en", "s", 2100) for i in range(6)]
+    out = {r["band_fine"]: r for r in kanonymity_report(_docs(spark, rows)).collect()}
+    assert out[0]["suppressed"] and out[1]["suppressed"]
+    assert not out[0]["suppressed_after_generalization"]
+    assert not out[1]["suppressed_after_generalization"]
+    assert out[0]["n_docs_coarse"] == 5
+    assert not out[8]["suppressed"]
+    assert out[8]["risk"] == round(1 / 6, 6) or abs(out[8]["risk"] - 1 / 6) < 1e-6
+
+
+def test_kanon_coarse_suppression_implies_fine(spark):
+    """n_docs_coarse >= n_docs, so a group still suppressed after
+    generalization must have been suppressed before — the remediation
+    ladder is monotone (checked over the real synthetic corpus)."""
+    from spark_signals.datapipe.scrub import kanonymity_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = kanonymity_report(docs)
+    assert rep.filter(
+        F.col("suppressed_after_generalization") & ~F.col("suppressed")
+    ).count() == 0
+    assert rep.filter(F.col("n_docs_coarse") < F.col("n_docs")).count() == 0
+    # population conservation at the fine grain
+    assert (
+        rep.agg(F.sum("n_docs")).first()[0] == docs.count()
+    )
+
+
+# ------------------------------------------------ minhash calibration report
+def test_minhash_calibration_top_bin_is_tight(spark):
+    """Planted near-identical pairs land in the top exact-Jaccard bin and
+    the 12-hash estimate tracks the exact value closely there."""
+    from spark_signals.datapipe.dedup import minhash_calibration_report
+
+    rows = []
+    for i in range(6):
+        base = _long_en(i)
+        rows.append((2 * i, base, "en", "s", 120))
+        rows.append((2 * i + 1, base + " extra", "en", "s", 125))
+    out = {r["jaccard_bin"]: r for r in
+           minhash_calibration_report(_docs(spark, rows)).collect()}
+    top = max(out)
+    assert top >= 8
+    r = out[top]
+    assert r["n_pairs"] >= 6
+    assert 0.0 <= r["mean_est"] <= 1.0
+    assert abs(r["mean_est"] - r["mean_exact"]) <= r["mean_abs_err"] + 1e-9
+    assert r["mean_abs_err"] < 0.2
+
+
+def test_minhash_calibration_is_partition_invariant(spark):
+    """Integer-unit gridding before the bin means makes the report exact
+    under any input partitioning."""
+    from spark_signals.datapipe.dedup import minhash_calibration_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, minhash_calibration_report(docs).collect()))
+    b = sorted(map(tuple, minhash_calibration_report(docs.repartition(13)).collect()))
+    assert a == b
