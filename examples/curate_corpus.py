@@ -21,6 +21,9 @@ this engine actually assembles:
       + audit artifacts: per-source curation report + mixing manifest
         + token-id/OOV report (top-V vocab)     datapipe.text.tokenize_with_vocab
         + cluster x source balance table        datapipe.balance
+        + release audits: dedup-aware token     datapipe.dedup.token_yield_report
+          yield, filter-ablation grid,            curate.filter_ablation
+          k-anonymity gate over the release       scrub.kanonymity_report
 
 Usage::
 
@@ -284,6 +287,23 @@ def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]
     )
     shuffle_windows(sampled).write.mode("overwrite").parquet(
         os.path.join(out_dir, "window_order")
+    )
+    # 8. release audits: the dedup-aware token yield of the RAW input
+    #    (what dedup bought, in epoch currency), the filter-ablation grid
+    #    (the what-if table behind the curate thresholds), and the
+    #    k-anonymity gate over the RELEASED corpus's metadata
+    from spark_signals.datapipe.curate import filter_ablation
+    from spark_signals.datapipe.dedup import token_yield_report
+    from spark_signals.datapipe.scrub import kanonymity_report
+
+    token_yield_report(docs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "token_yield")
+    )
+    filter_ablation(docs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "filter_ablation")
+    )
+    kanonymity_report(sampled).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "kanon_report")
     )
 
     return {

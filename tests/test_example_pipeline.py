@@ -88,3 +88,20 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     # tests/test_split_leakage.py. The artifact must still be readable
     # with the report schema.
     assert {"split_lo", "split_hi", "is_cross_split", "n_pairs"} <= set(leak.columns)
+    # release audits: token yield covers the whole raw input and its
+    # accounting closes (raw = unique + dup per source); the ablation
+    # grid's grand-total cell prices the same input; the k-anonymity gate
+    # covers every released doc at the fine QI grain
+    ty = spark.read.parquet(os.path.join(out, "token_yield"))
+    assert ty.agg({"n_docs": "sum"}).first()[0] == counts["input_docs"]
+    assert ty.filter(
+        F.col("raw_tokens") != F.col("unique_tokens") + F.col("dup_tokens")
+    ).count() == 0
+    grid = spark.read.parquet(os.path.join(out, "filter_ablation"))
+    grand = grid.filter(
+        (F.col("f_dup") == "all") & (F.col("f_short") == "all")
+        & (F.col("f_lowq") == "all") & (F.col("f_nonen") == "all")
+    ).first()
+    assert grand["n_docs"] == counts["input_docs"]
+    kan = spark.read.parquet(os.path.join(out, "kanon_report"))
+    assert kan.agg({"n_docs": "sum"}).first()[0] == counts["sampled_docs"]

@@ -179,7 +179,22 @@ def main() -> int:
         "pack_efficiency": lambda: _pack_efficiency(docs),
         "pack_incremental": lambda: _pack_incremental(docs),
         "ann_recall_report": lambda: _ann_recall(emb),
+        # r15 additions: the release-audit quartet
+        "filter_ablation": lambda: _filter_ablation(docs),
+        "token_yield_report": lambda: D.token_yield_report(docs),
+        "kanon_suppression": lambda: _kanon(docs),
+        "minhash_calibration": lambda: D.minhash_calibration_report(docs),
     }
+
+    def _filter_ablation(d):
+        from spark_signals.datapipe.curate import filter_ablation
+
+        return filter_ablation(d)
+
+    def _kanon(d):
+        from spark_signals.datapipe.scrub import kanonymity_report
+
+        return kanonymity_report(d)
 
 
 
