@@ -34,8 +34,7 @@ def test_ablation_grand_total_and_marginals(spark):
     rows = [(i, _long_en(i), "en", "src", 120) for i in range(8)]
     rows += [(100, "tiny", "en", "src", 4),          # f_short + f_lowq
              (101, _long_en(0), "en", "src", 120),   # exact dup of doc 0
-             (102, _long_en(2), "de", "src", 120)]   # f_nonen dup? no: unique i=2 text... but doc 2 exists
-    # doc 102 duplicates doc 2's text -> f_dup AND f_nonen
+             (102, _long_en(2), "de", "src", 120)]   # dup of doc 2 AND f_nonen
     out = {(
         r["f_dup"], r["f_short"], r["f_lowq"], r["f_nonen"]): r
         for r in filter_ablation(_docs(spark, rows)).collect()}
@@ -180,3 +179,35 @@ def test_minhash_calibration_is_partition_invariant(spark):
     a = sorted(map(tuple, minhash_calibration_report(docs).collect()))
     b = sorted(map(tuple, minhash_calibration_report(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_minhash_calibration_band_sampling(spark):
+    """sample_bands=NUM_BANDS is the identity; sample_bands=1 audits the
+    first band's collision population — a subset of the full candidate
+    set with the same per-pair arithmetic (bins present in the sampled
+    report carry plausible means; pair counts never exceed the full
+    report's)."""
+    import pytest
+
+    from spark_signals.datapipe.dedup import NUM_BANDS, minhash_calibration_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = sorted(map(tuple, minhash_calibration_report(docs).collect()))
+    ident = sorted(
+        map(tuple, minhash_calibration_report(docs, sample_bands=NUM_BANDS).collect())
+    )
+    assert full == ident
+    sampled = {
+        r["jaccard_bin"]: r
+        for r in minhash_calibration_report(docs, sample_bands=1).collect()
+    }
+    full_by_bin = {r[0]: r for r in full}  # jaccard_bin is the first column
+    assert sampled, "one-band sample must still see the planted near-dups"
+    for b, r in sampled.items():
+        assert b in full_by_bin
+        assert 0 < r["n_pairs"] <= full_by_bin[b][1]  # n_pairs is column 2
+        assert 0.0 <= r["mean_est"] <= 1.0
+    with pytest.raises(ValueError):
+        minhash_calibration_report(docs, sample_bands=0)
+    with pytest.raises(ValueError):
+        minhash_calibration_report(docs, sample_bands=NUM_BANDS + 1)

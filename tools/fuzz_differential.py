@@ -266,6 +266,7 @@ def _gen_docs(rng: random.Random, n_docs: int = 40) -> list[str]:
 def gen_text_query(rng: random.Random):
     """Random text operator over a random generated corpus."""
     from spark_signals.datapipe import classifier as CL
+    from spark_signals.datapipe import curate as CU
     from spark_signals.datapipe import decontam as DC
     from spark_signals.datapipe import dedup as DD
     from spark_signals.datapipe import pack as PK
@@ -310,6 +311,17 @@ def gen_text_query(rng: random.Random):
             "pack_efficiency",
             PK.pack_efficiency_report,
             PK.sql_pack_efficiency_report(),
+        ),
+        # r15: the release-audit quartet — random tiny corpora exercise
+        # the CUBE null-vs-'all' mapping, the cluster attribution, the
+        # QI banding, and the estimator gridding against the same oracles
+        ("filter_ablation", CU.filter_ablation, CU.sql_filter_ablation()),
+        ("token_yield", DD.token_yield_report, DD.sql_token_yield_report()),
+        ("kanon", SC.kanonymity_report, SC.sql_kanonymity_report()),
+        (
+            "minhash_calibration",
+            DD.minhash_calibration_report,
+            DD.sql_minhash_calibration_report(),
         ),
     ]
     tag, op, sql = ops[rng.randrange(len(ops))]
