@@ -107,9 +107,18 @@ def kanonymity_report(docs: DataFrame) -> DataFrame:
     100 TB the fine-group relation is bounded by the QI cardinality
     (langs × sources × bands), not the row count.
     """
-    from pyspark.sql import Window
+    return kanonymity_from_counts(qi_counts(docs))
 
-    fine = (
+
+kanonymity_report.__doc__ = kanonymity_report.__doc__.format(factor=KANON_COARSE_FACTOR)
+
+
+def qi_counts(docs: DataFrame) -> DataFrame:
+    """The k-anonymity STATE relation: per fine quasi-identifier group
+    (lang, source, band_fine) document counts. Additive — counts of a
+    union are the summed counts of the parts — which is what makes the
+    incremental lane exact (see :func:`kanon_incremental`)."""
+    return (
         docs.select(
             "lang",
             "source",
@@ -120,10 +129,17 @@ def kanonymity_report(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "source", "band_fine")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def kanonymity_from_counts(counts: DataFrame) -> DataFrame:
+    """The k-anonymity report from a (possibly merged) QI-count relation —
+    the verdict stage shared by the batch face and the incremental lane."""
+    from pyspark.sql import Window
+
     band_coarse = F.floor(F.col("band_fine") / F.lit(KANON_COARSE_FACTOR)).cast("long")
     w = Window.partitionBy("lang", "source", band_coarse)
     risk = F.lit(1.0) / F.col("n_docs")
-    return fine.select(
+    return counts.select(
         "lang",
         "source",
         "band_fine",
@@ -138,7 +154,32 @@ def kanonymity_report(docs: DataFrame) -> DataFrame:
     )
 
 
-kanonymity_report.__doc__ = kanonymity_report.__doc__.format(factor=KANON_COARSE_FACTOR)
+def kanon_incremental(
+    batch: DataFrame, counts_index: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of the continuous k-anonymity gate: ``(report,
+    delta)`` where ``delta`` is the batch's own QI counts (the O(batch)
+    state append) and ``report`` is the CORPUS-WIDE verdict relation after
+    the batch lands, computed by merging the persisted count index with
+    the delta.
+
+    Exactness: counts are associative integer sums, so index ⊕ delta
+    equals the counts of the full union — chaining batches in any order
+    reproduces :func:`kanonymity_report` of the whole corpus exactly
+    (pinned by a chain-equals-global test). Cost: the merge and the
+    verdict window run over the QI-COUNT relation, which is bounded by
+    quasi-identifier cardinality (langs × sources × bands), not corpus
+    size — the report after the billionth document costs the same as
+    after the first batch; only the delta aggregate touches batch rows.
+    """
+    delta = qi_counts(batch)
+    merged = (
+        counts_index.select("lang", "source", "band_fine", "n_docs")
+        .unionByName(delta)
+        .groupBy("lang", "source", "band_fine")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return kanonymity_from_counts(merged), delta
 
 
 def sql_kanonymity_report() -> str:

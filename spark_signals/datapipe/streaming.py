@@ -710,3 +710,88 @@ def ingest_spans_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_kanon_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    counts_dir: str,
+    report_dir: str,
+) -> None:
+    """One idempotent step of the continuous k-anonymity gate
+    (module-level so replay semantics are directly testable): merge the
+    batch's QI counts with every EARLIER batch's count partitions, write
+    the corpus-wide verdict report for this point in the stream, then
+    overwrite this batch's own delta partition.
+
+    Same exactly-once shape as the other ingest lanes: both writes target
+    a deterministic ``batch_id=<id>`` subdirectory, so an at-least-once
+    replay rewrites the same files. The count state is additive integers,
+    so a chain of batches reproduces the batch report exactly
+    (scrub.kanon_incremental's invariant); the state relation is bounded
+    by QI cardinality, never corpus size.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_signals.datapipe.scrub import kanon_incremental
+
+    spark = batch_df.sparkSession
+    counts_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("band_fine", T.LongType(), True),
+            T.StructField("n_docs", T.LongType(), True),
+        ]
+    )
+    earlier = _earlier_batch_partitions(spark, counts_dir, batch_id)
+    if earlier:
+        index = (
+            spark.read.option("basePath", counts_dir)
+            .parquet(*earlier)
+            .select("lang", "source", "band_fine", "n_docs")
+        )
+    else:
+        index = spark.createDataFrame([], counts_schema)
+    report, delta = kanon_incremental(batch_df, index)
+    # pin before writing: the report's plan reads counts_dir partitions
+    # the delta write is about to extend
+    report = report.transform(pin)
+    delta = delta.transform(pin)
+    report.write.mode("overwrite").parquet(
+        os.path.join(report_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(counts_dir, f"batch_id={batch_id}")
+    )
+
+
+def kanon_gate_stream(
+    stream: DataFrame,
+    *,
+    counts_dir: str,
+    report_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous k-anonymity release gate: after every ingest drop, the
+    corpus-wide suppression report is re-issued from the persisted QI
+    count state + the batch delta — O(batch) state maintenance, report
+    cost bounded by QI cardinality (see scrub.kanon_incremental). The
+    ``report_dir``'s LATEST ``batch_id`` partition is always the current
+    release verdict; earlier partitions are the gate's audit history.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_kanon_batch(
+            batch_df, batch_id, counts_dir=counts_dir, report_dir=report_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

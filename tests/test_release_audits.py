@@ -211,3 +211,82 @@ def test_minhash_calibration_band_sampling(spark):
         minhash_calibration_report(docs, sample_bands=0)
     with pytest.raises(ValueError):
         minhash_calibration_report(docs, sample_bands=NUM_BANDS + 1)
+
+
+def test_kanon_incremental_chain_equals_global(spark):
+    """Three batches chained through kanon_incremental reproduce the
+    global report exactly — the additive-counts invariant the continuous
+    gate rides on."""
+    from spark_signals.datapipe.scrub import kanon_incremental, kanonymity_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batches = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    index = None
+    report = None
+    for b in batches:
+        if index is None:
+            empty = spark.createDataFrame(
+                [], "lang string, source string, band_fine long, n_docs long"
+            )
+            report, delta = kanon_incremental(b, empty)
+            index = delta
+        else:
+            report, delta = kanon_incremental(b, index)
+            index = index.unionByName(delta).groupBy(
+                "lang", "source", "band_fine"
+            ).agg(F.sum("n_docs").alias("n_docs"))
+    want = sorted(map(tuple, kanonymity_report(docs).collect()))
+    got = sorted(map(tuple, report.collect()))
+    assert got == want
+
+
+def test_kanon_gate_stream_reports_and_replays_idempotently(spark, tmp_path):
+    """The streaming gate: two availableNow drops issue corpus-wide
+    verdicts whose latest partition equals the batch report over the
+    union, and replaying a batch_id rewrites (not duplicates) its
+    partitions."""
+    import os
+
+    from spark_signals.datapipe.scrub import kanonymity_report
+    from spark_signals.datapipe.streaming import kanon_gate_stream, process_kanon_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    batch_a = docs.filter(F.col("doc_id") <= mid)
+    batch_b = docs.filter(F.col("doc_id") > mid)
+
+    src = str(tmp_path / "ingest")
+    counts_dir = str(tmp_path / "qi_counts")
+    report_dir = str(tmp_path / "kanon_reports")
+    ckpt = str(tmp_path / "ckpt")
+    for batch in (batch_a, batch_b):
+        batch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = kanon_gate_stream(
+            stream, counts_dir=counts_dir, report_dir=report_dir, checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+
+    # the latest report partition is the corpus-wide verdict
+    parts = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(report_dir)
+        if p.startswith("batch_id=")
+    )
+    latest = spark.read.parquet(os.path.join(report_dir, f"batch_id={parts[-1]}"))
+    want = sorted(map(tuple, kanonymity_report(docs).collect()))
+    assert sorted(map(tuple, latest.collect())) == want
+    # replay the last batch_id: same report, same state — no duplication
+    process_kanon_batch(
+        batch_b, parts[-1], counts_dir=counts_dir, report_dir=report_dir
+    )
+    latest2 = spark.read.parquet(os.path.join(report_dir, f"batch_id={parts[-1]}"))
+    assert sorted(map(tuple, latest2.collect())) == want
+    state = spark.read.parquet(counts_dir)
+    assert (
+        state.groupBy("lang", "source", "band_fine")
+        .agg(F.sum("n_docs").alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+        == docs.count()
+    )
