@@ -299,6 +299,11 @@ def sql_filter_ablation() -> str:
     def dim(c: str) -> str:
         return f"CASE WHEN {c} IS NULL THEN 'all' WHEN {c} THEN 'y' ELSE 'n' END AS {c}"
 
+    # the trailing n_docs guard exists for ONE case: an EMPTY corpus,
+    # where DuckDB's CUBE emits the global () grouping-set row (count 0)
+    # while Spark emits nothing. Observed cells always have n_docs >= 1,
+    # so on any non-empty corpus the guard is a no-op; with it, both
+    # engines agree on empty input too (degenerate-input sweep).
     return f"""
 WITH st AS (
   SELECT doc_id, lang, n_words, n_tokens_bpe, quality_score
@@ -324,4 +329,5 @@ cube_agg AS (
 )
 SELECT {dim('f_dup')}, {dim('f_short')}, {dim('f_lowq')}, {dim('f_nonen')},
        n_docs, n_tokens, n_dropped
-FROM cube_agg"""
+FROM cube_agg
+WHERE n_docs > 0"""

@@ -125,6 +125,11 @@ def _late_ops():
         "zorder_zonemap": _zorder_zonemap,
         "split_leakage_report": SMP.split_leakage_report,
         "split_leakage_clustered": SMP.split_leakage_clustered,
+        # r15: the release-audit quartet
+        "filter_ablation": _filter_ablation,
+        "token_yield_report": D.token_yield_report,
+        "kanon_suppression": _kanon_report,
+        "minhash_calibration": D.minhash_calibration_report,
     }
 
 
@@ -208,6 +213,18 @@ def _pack_incremental(docs):
     from spark_signals.datapipe.pack import pack_incremental_snapshot
 
     return pack_incremental_snapshot(docs)
+
+
+def _filter_ablation(docs):
+    from spark_signals.datapipe.curate import filter_ablation
+
+    return filter_ablation(docs)
+
+
+def _kanon_report(docs):
+    from spark_signals.datapipe.scrub import kanonymity_report
+
+    return kanonymity_report(docs)
 
 
 OPS.update(_late_ops())
