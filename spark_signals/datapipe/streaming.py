@@ -795,3 +795,26 @@ def kanon_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_latest_kanon_report(spark, report_dir: str) -> DataFrame:
+    """The CURRENT release verdict: the highest-``batch_id`` partition of
+    the continuous gate's report directory (each partition is a complete
+    corpus-wide report as of that drop; earlier partitions are audit
+    history). Same classic-driver FS listing as the ingest lanes — a
+    missing directory is an error (there is no verdict to serve), a
+    committed-partition read error propagates."""
+    import os
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(report_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"no kanon reports at {report_dir}")
+    ids = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith("batch_id=")
+    ]
+    if not ids:
+        raise FileNotFoundError(f"no batch_id partitions at {report_dir}")
+    return spark.read.parquet(os.path.join(report_dir, f"batch_id={max(ids)}"))

@@ -276,6 +276,11 @@ def test_kanon_gate_stream_reports_and_replays_idempotently(spark, tmp_path):
     latest = spark.read.parquet(os.path.join(report_dir, f"batch_id={parts[-1]}"))
     want = sorted(map(tuple, kanonymity_report(docs).collect()))
     assert sorted(map(tuple, latest.collect())) == want
+    # the serving-side reader picks the same (highest) partition
+    from spark_signals.datapipe.streaming import read_latest_kanon_report
+
+    served = read_latest_kanon_report(spark, report_dir)
+    assert sorted(map(tuple, served.collect())) == want
     # replay the last batch_id: same report, same state — no duplication
     process_kanon_batch(
         batch_b, parts[-1], counts_dir=counts_dir, report_dir=report_dir
