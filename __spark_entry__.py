@@ -236,6 +236,13 @@ DRIVER_CAP = 50
 # comes from the 28 r16 entrants' re-retirement slack plus two early
 # re-retirements the r16 round must NAME when it executes (the same
 # closing-slot discipline every round has followed since r10).
+#
+# r18 queue (built r15, INCOMING, wave 2): the provenance/monitoring
+# pair (source_overlap_matrix, quality_drift_psi —
+# datapipe/parity._incoming_r15_wave2) queues BEHIND the r17 wave so
+# the r17 arithmetic stays at 30; r18 takes them alongside the r15
+# retirees due that round, funded by the r17 entrants' re-retirement
+# slack.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is

@@ -3214,3 +3214,63 @@ SELECT jaccard_bin,
        CAST(SUM(jac_u) AS DOUBLE) / (count(*) * 1e6) AS mean_exact,
        CAST(SUM(err_u) AS DOUBLE) / (count(*) * 1e6) AS mean_abs_err
 FROM u GROUP BY jaccard_bin"""
+
+
+# ----------------------------------------------- cross-source overlap audit
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Near-dup overlap matrix between SOURCES — the licensing/provenance
+    audit behind dedup priority decisions: which ingest sources duplicate
+    each other, how much, and how hard (mean Jaccard). A crawl that
+    mirrors a licensed corpus shows up here as a heavy off-diagonal cell
+    before anyone debugs a contamination surprise downstream.
+
+    Rides the verified MinHash-LSH pair relation (the same candidates →
+    exact-Jaccard verify as the dedup lane — banding-bounded, no
+    all-pairs); each verified pair contributes to the unordered
+    (source_lo, source_hi) cell, diagonal cells counting within-source
+    duplication. Mean Jaccard grids per-pair to integer 1e-6 units before
+    the cell mean, so cells are bit-identical at any partitioning. Output
+    is S² cells at most — source-cardinality-bounded, like the QI
+    relation of the k-anonymity gate.
+    """
+    pairs = dedup_minhash_lsh(docs)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")), "doc_b")
+    )
+    graded = j.select(
+        F.least("src_a", "src_b").alias("source_lo"),
+        F.greatest("src_a", "src_b").alias("source_hi"),
+        F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5000001)).cast("long").alias("jac_u"),
+    )
+    out = graded.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("jac_u").alias("sum_jac_u"),
+    )
+    return out.select(
+        "source_lo",
+        "source_hi",
+        "n_pairs",
+        (F.col("source_lo") != F.col("source_hi")).alias("is_cross_source"),
+        (F.col("sum_jac_u").cast("double") / (F.col("n_pairs") * F.lit(1e6))).alias(
+            "mean_jaccard"
+        ),
+    )
+
+
+def sql_source_overlap_matrix() -> str:
+    return f"""
+WITH p AS ({SQL_DEDUP_MINHASH}),
+j AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         CAST(floor(p.jaccard * 1e6 + 0.5000001) AS BIGINT) AS jac_u
+  FROM p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_lo, source_hi, count(*) AS n_pairs,
+       source_lo <> source_hi AS is_cross_source,
+       CAST(SUM(jac_u) AS DOUBLE) / (count(*) * 1e6) AS mean_jaccard
+FROM j GROUP BY source_lo, source_hi"""

@@ -1027,6 +1027,38 @@ def _incoming_r15() -> dict:
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r15())
 
 
+def _incoming_r15_wave2() -> dict:
+    """Second r15-built wave: the provenance/monitoring pair. The source
+    overlap matrix groups the verified MinHash pair relation by unordered
+    source pair — the licensing/provenance audit behind dedup priority
+    decisions (a crawl mirroring a licensed corpus is a heavy
+    off-diagonal cell, caught before it becomes a contamination
+    surprise). The quality-drift PSI monitors token-length distribution
+    shift between corpus versions (per-band (q−p)·ln(q/p) over the
+    established v1/v2 snapshot views; ln is libm-identical on both
+    engines, everything else integer or gridded at 1e-9). Queued r18
+    behind the r17 wave — both fixed-cardinality outputs (S² cells /
+    PSI_BINS rows) at any corpus size."""
+    from spark_signals.datapipe.versioning import (
+        quality_drift_snapshot,
+        sql_quality_drift_snapshot,
+    )
+
+    return {
+        "source_overlap_matrix": (
+            lambda spark, sf_dir: D.source_overlap_matrix(_docs(spark, sf_dir)),
+            D.sql_source_overlap_matrix(),
+        ),
+        "quality_drift_psi": (
+            lambda spark, sf_dir: quality_drift_snapshot(_docs(spark, sf_dir)),
+            sql_quality_drift_snapshot(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r15_wave2())
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

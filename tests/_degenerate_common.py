@@ -130,6 +130,11 @@ def _late_ops():
         "token_yield_report": D.token_yield_report,
         "kanon_suppression": _kanon_report,
         "minhash_calibration": D.minhash_calibration_report,
+        # r15 wave 2: provenance/monitoring pair. NOTE quality_drift is
+        # NOT in this sweep's empty-yields-empty contract: its output is
+        # the fixed PSI_BINS band relation by design (validated empty-safe
+        # in tests/test_release_audits.py instead).
+        "source_overlap_matrix": D.source_overlap_matrix,
     }
 
 

@@ -40,6 +40,9 @@ CASES = [
     "token_yield_report",
     "kanon_suppression",
     "minhash_calibration",
+    # r15 wave 2: both fixed-cardinality audits ride integer/gridded sums
+    "source_overlap_matrix",
+    "quality_drift_psi",
 ]
 
 

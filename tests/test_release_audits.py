@@ -295,3 +295,56 @@ def test_kanon_gate_stream_reports_and_replays_idempotently(spark, tmp_path):
         .first()[0]
         == docs.count()
     )
+
+
+# ------------------------------------- cross-source overlap / drift monitor
+def test_source_overlap_matrix_finds_planted_mirror(spark):
+    """A source that mirrors another's documents shows up as a heavy
+    cross-source cell; unrelated sources contribute nothing."""
+    from spark_signals.datapipe.dedup import source_overlap_matrix
+
+    rows = [(i, _long_en(i), "en", "licensed", 120) for i in range(5)]
+    rows += [(100 + i, _long_en(i) + " tail", "en", "crawl", 125) for i in range(5)]
+    rows += [(200, "completely unrelated text about maritime law and tides",
+              "en", "clean", 55)]
+    out = {(r["source_lo"], r["source_hi"]): r
+           for r in source_overlap_matrix(_docs(spark, rows)).collect()}
+    cell = out[("crawl", "licensed")]
+    assert cell["is_cross_source"]
+    assert cell["n_pairs"] >= 5
+    assert cell["mean_jaccard"] > 0.5
+    assert not any("clean" in k for k in out)
+
+
+def test_quality_drift_psi_zero_on_identical_and_positive_on_shift(spark):
+    """Identical versions score (near-)zero total PSI; a version whose
+    lengths double scores clearly positive."""
+    from spark_signals.datapipe.versioning import quality_drift_psi
+
+    rows = [(i, " ".join(["word"] * (8 + i % 16)), "en", "s", 80) for i in range(64)]
+    base = _docs(spark, rows)
+    same = sum(r["psi_contrib"] for r in quality_drift_psi(base, base).collect())
+    assert abs(same) < 1e-9
+    doubled = _docs(
+        spark,
+        [(i, " ".join(["word"] * (2 * (8 + i % 16))), "en", "s", 160) for i in range(64)],
+    )
+    shifted = sum(r["psi_contrib"] for r in quality_drift_psi(base, doubled).collect())
+    assert shifted > 0.2
+    # every band is present exactly once, shares sum to ~1 on each side
+    rep = quality_drift_psi(base, doubled).collect()
+    assert sorted(r["bin"] for r in rep) == list(range(10))
+    assert abs(sum(r["share_old"] for r in rep) - 1.0) < 1e-6
+
+
+def test_quality_drift_empty_versions_score_zero(spark):
+    """The drift monitor's degenerate contract differs from the sweep's
+    empty-yields-empty: output is ALWAYS the fixed band relation; with
+    both versions empty the smoothed shares are uniform and PSI is 0."""
+    from spark_signals.datapipe.versioning import quality_drift_psi
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    rep = quality_drift_psi(empty, empty).collect()
+    assert len(rep) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in rep)
+    assert all(r["n_old"] == 0 and r["n_new"] == 0 for r in rep)

@@ -272,6 +272,7 @@ def gen_text_query(rng: random.Random):
     from spark_signals.datapipe import pack as PK
     from spark_signals.datapipe import sampling as SM
     from spark_signals.datapipe import scrub as SC
+    from spark_signals.datapipe import versioning as VER
     from spark_signals.datapipe import text as TX
 
     ops = [
@@ -322,6 +323,12 @@ def gen_text_query(rng: random.Random):
             "minhash_calibration",
             DD.minhash_calibration_report,
             DD.sql_minhash_calibration_report(),
+        ),
+        ("source_overlap", DD.source_overlap_matrix, DD.sql_source_overlap_matrix()),
+        (
+            "quality_drift",
+            VER.quality_drift_snapshot,
+            VER.sql_quality_drift_snapshot(),
         ),
     ]
     tag, op, sql = ops[rng.randrange(len(ops))]
