@@ -184,7 +184,14 @@ def main() -> int:
         "token_yield_report": lambda: D.token_yield_report(docs),
         "kanon_suppression": lambda: _kanon(docs),
         "minhash_calibration": lambda: D.minhash_calibration_report(docs),
+        "source_overlap_matrix": lambda: D.source_overlap_matrix(docs),
+        "quality_drift_psi": lambda: _quality_drift(docs),
     }
+
+    def _quality_drift(d):
+        from spark_signals.datapipe.versioning import quality_drift_snapshot
+
+        return quality_drift_snapshot(d)
 
     def _filter_ablation(d):
         from spark_signals.datapipe.curate import filter_ablation
