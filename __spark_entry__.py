@@ -200,7 +200,8 @@ DRIVER_CAP = 50
 # re-check round (entries tagged "r15 rotation" below). 4+13 = 17.
 # After r15, no r12 deadline remains outstanding.
 #
-# r16 rotation plan (queued): the 24 r13-rotation retirees hit their
+# r16 rotation (executed this round, exactly as queued in the recorded
+# r15 plan): the 24 r13-rotation retirees hit their
 # ≤3-round deadline at r16 — all 24 come IN (normalized_prices,
 # signals_decisions, asof_join_tolerance, recent_ticks_per_instrument,
 # dedup_minhash_lsh, dedup_simhash, ann_bruteforce_topk, tfidf_top_terms,
@@ -224,18 +225,25 @@ DRIVER_CAP = 50
 # RRF fusion, the IVF face being the stricter superset — and
 # asof_join_trade_quote (green r02-r15) behind returning
 # asof_join_tolerance — the same backward as-of join core with the bound
-# predicate added (2). 17+9+2 = 28.
-# Due-by ledger (retiree -> latest re-check round): r13 retirees -> r16;
-# r14 retirees -> r17; r15 retirees -> r18. No deadline before r16 is
+# predicate added (2). 17+9+2 = 28. Executed with no deviation.
+# Due-by ledger (retiree -> latest re-check round): r14 retirees -> r17;
+# r15 retirees -> r18; r16 retirees -> r19. No deadline before r17 is
 # outstanding.
 #
-# r17 queue (built r15, INCOMING): the release-audit quartet
-# (filter_ablation, token_yield_report, kanon_suppression,
-# minhash_calibration — datapipe/parity._incoming_r15) promotes r17
-# alongside the 26 r14-rotation retirees due that round (30 IN); funding
-# comes from the 28 r16 entrants' re-retirement slack plus two early
-# re-retirements the r16 round must NAME when it executes (the same
-# closing-slot discipline every round has followed since r10).
+# r17 queue (built r15, INCOMING; funding NAMED at r16 close per the
+# closing-slot discipline): the release-audit quartet (filter_ablation,
+# token_yield_report, kanon_suppression, minhash_calibration —
+# datapipe/parity._incoming_r15) promotes r17 alongside the 26
+# r14-rotation retirees due that round (30 IN). Funding: the 28 r16
+# entrants re-retire after their green r16 round (28) plus TWO NAMED
+# early re-retirements of multi-green staying queries behind returning
+# direct siblings: ann_ivf_trained_topk (green r08-r16) behind returning
+# ann_ivf_topk + ann_ivfpq_topk (the same versioned-IVF assign/probe
+# machinery, of which the trained face is the shared core), and
+# dedup_canonical_quality (green r05-r16) behind returning
+# dedup_clusters_canonical + dedup_exact_hash (the same CC clustering
+# with quality-keyed canonical selection; the digest stage returns with
+# dedup_exact_hash). 28+2 = 30.
 #
 # r18 queue (built r15, INCOMING, wave 2): the provenance/monitoring
 # pair (source_overlap_matrix, quality_drift_psi —
@@ -255,12 +263,49 @@ RETIRED = {
     # returning direct siblings; the freed 26 slots took ALL 22 r11
     # retirees at their ≤3-round deadline plus the four span-face
     # promotions. Due re-check r17.
-    # r15 rotation (this round): the four r14-promoted span faces
-    # re-retire after their first green round behind promoting
-    # dedup_exact_spans_attrib, and the 13 named r14 returners re-retire
-    # after their green re-check round; the freed 17 slots took ALL 13
-    # r12 retirees at their ≤3-round deadline plus the four r13-wave
-    # promotions. Due re-check r18.
+    # r15 rotation: the four r14-promoted span faces re-retired after
+    # their first green round behind promoting dedup_exact_spans_attrib,
+    # and the 13 named r14 returners re-retired after their green
+    # re-check round; the freed 17 slots took ALL 13 r12 retirees at
+    # their ≤3-round deadline plus the four r13-wave promotions. Due
+    # re-check r18.
+    # r16 rotation (this round): the 17 r15 entrants re-retire after
+    # their green r15 round (13 r12 returners + the four r13-wave
+    # promotions on the r08 first-green-plus-sibling precedent), the
+    # nine r14 returners held through r15 re-retire after two green
+    # rounds, and the two NAMED early re-retirees (hybrid_rrf_topk,
+    # asof_join_trade_quote) close the gap; the freed 28 slots took ALL
+    # 24 r13 retirees at their ≤3-round deadline plus the four r14-wave
+    # promotions (mixture_budget_manifest, pack_efficiency_report,
+    # pack_incremental, ann_recall_report). Due re-check r19.
+    "ticks_source": "r16 rotation; returner re-check green r15; the S1 typed tick source feeds EVERY checked pipeline query inline (positions_costs, executions, strategy_metrics, streaming chain) (green r01-r07, r11, r15)",
+    "nation_region_rollup": "r16 rotation; returner re-check green r15; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning tfidf_top_terms's agg shapes (green r01-r07, r11, r15)",
+    "segment_revenue_3way_join": "r16 rotation; returner re-check green r15; J3-J5 listing-join family checked via staying anti_join_parts_never_shipped + segment_revenue_bucketed (green r01-r07, r11, r15)",
+    "sliding_window_counts": "r16 rotation; returner re-check green r15; T6 sliding-window family checked via staying streaming_metrics_5m + streaming_hourly_rollup_chained (green r01-r07, r11, r15)",
+    "length_band_filter": "r16 rotation; returner re-check green r15; length-band family checked via returning length_band_approx (its approx-percentile twin) (green r01-r07, r11, r15)",
+    "sample_temperature_source": "r16 rotation; returner re-check green r15; sampling family checked via returning sample_quota_per_source + mixture_curriculum + promoting mixture_budget_manifest (green r01-r08, r11, r15)",
+    "pack_sequences_manifest": "r16 rotation; returner re-check green r15; packing family checked via staying shuffle_windows (chains the same pack stage) + promoting pack_efficiency_report/pack_incremental (the acceptance + incremental faces of the same packer) (green r07, r08, r11, r15)",
+    "curate_stats_by_source": "r16 rotation; returner re-check green r15; curation-stats family checked via returning curate_keep_decision (the stats stage runs inline in its composition) (green r07, r08, r11, r15)",
+    "chunk_documents_overlap": "r16 rotation; returner re-check green r15; chunk family checked via returning dedup_intra_doc (same passage explode) + tested embed_chunks_hashed chain (green r07, r08, r11, r15)",
+    "lm_bigram_quality": "r16 rotation; returner re-check green r15; LM-scoring family checked via staying ccnet_lm_buckets (same token/model/broadcast-score stages) (green r07, r08, r11, r15)",
+    "knn_join_ivf": "r16 rotation; returner re-check green r15; returning knn_join_ivf_sampled runs the SAME assign/probe/score chain (sampled trainer = the production default branch); full-trainer face stays tested + --extended (green r11, r15)",
+    "media_phash_neardup": "r16 rotation; returner re-check green r15; returning media_phash_neardup_decoded (the production DECODED face) + media_phash_incr_snapshot run the same banded-dHash pair machinery; raw-byte face stays tested + --extended (green r11, r15)",
+    "bm25_topk_queries": "r16 rotation; returner re-check green r15; returning hybrid_rrf_ivf_topk chains the identical BM25 arm inline before fusion; standalone face stays tested + --extended (green r11, r15)",
+    "zorder_zonemap_skipping": "r16 rotation; promoted r15, green r15, re-retires after its first green round per the recorded r16 plan; the D3 layout lane (Z-order clustering, zone-map registry, pruned serving reads, r15 hardening) stays pinned by tests/test_layout.py + tests/test_plans.py + --extended",
+    "dedup_exact_spans_attrib": "r16 rotation; promoted r15, green r15, re-retires after its first green round behind returning dedup_intra_doc (the same corpus-token k-gram digest machinery, intra-doc face); the whole span-island family (strip/incr/attrib/decontam/scrub) stays tested + --extended",
+    "split_leakage_report": "r16 rotation; promoted r15, green r15, re-retires after its first green round behind returning split_train_val_test (the split producer it audits); leakage QA stays pinned by tests/test_split_leakage.py + --extended",
+    "split_clustered_leakproof": "r16 rotation; promoted r15, green r15, re-retires after its first green round behind returning split_train_val_test + dedup_minhash_lsh (the cluster producer it group-assigns by); stays tested + --extended",
+    "latest_price_per_instrument": "r16 rotation; returner held two green rounds (r14, r15); top-k serving family checked via returning recent_ticks_per_instrument (green r01-r05, r10, r14, r15)",
+    "breakout_band_signals": "r16 rotation; returner held two green rounds (r14, r15); rolling-band window stage shared with checked strategy_metrics; §2.9 strategy family stays checked via ewma_zscore_strategy (green r01-r05, r10, r14, r15)",
+    "value_percentiles_exact": "r16 rotation; returner held two green rounds (r14, r15); percentile family checked via returning length_band_approx (its approx twin); exact-percentile SQL stays tested (green r01-r05, r10, r14, r15)",
+    "embedding_cosine_neardup": "r16 rotation; returner held two green rounds (r14, r15); cosine-pair family checked via returning knn_join_ivf_sampled + embedding_incr_neardup + staying ann_ivf_trained_topk (green r01-r05, r10, r14, r15)",
+    "streaming_interval_join": "r16 rotation; returner held two green rounds (r14, r15); streaming temporal family checked via staying streaming_metrics_5m/streaming_positions_costs + batch range_join_tick_stats (green r01-r05, r10, r14, r15)",
+    "sample_stratified_hash": "r16 rotation; returner held two green rounds (r14, r15); hash-predicate sampling family checked via returning sample_quota_per_source + mixture_curriculum + split_train_val_test (same exact-int64 hash core) (green r01-r06, r10, r14, r15)",
+    "lang_id_heuristic": "r16 rotation; returner held two green rounds (r14, r15); lang-keyed consumers stay checked (returning dsir_logratio + staying winnow_zipf_chained per-lang stats) (green r01-r06, r10, r14, r15)",
+    "text_stats_quality": "r16 rotation; returner held two green rounds (r14, r15); text-quality family checked via staying ccnet_lm_buckets + returning curate_keep_decision (its stats stage inline) (green r01-r06, r10, r14, r15)",
+    "runs_listing_join_topn": "r16 rotation; returner held two green rounds (r14, r15); listing-join family checked via staying anti_join_parts_never_shipped + segment_revenue_bucketed (green r01-r06, r10, r14, r15)",
+    "hybrid_rrf_topk": "r16 rotation; NAMED early re-retire (green r10-r15) behind returning hybrid_rrf_ivf_topk — both chain the identical BM25 arm + RRF fusion, the IVF face being the stricter superset; brute-force dense arm stays tested + --extended",
+    "asof_join_trade_quote": "r16 rotation; NAMED early re-retire (green r02-r15) behind returning asof_join_tolerance — the same backward as-of join core with the bound predicate added; unbounded face stays tested + --extended",
     "dedup_exact_spans_strip": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (the same span-island core, now carrying the family's driver evidence — the r08 first-green-plus-sibling precedent); strip face stays tested + --extended",
     "dedup_spans_incr": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (same span-island core); the incremental window-index lane stays pinned by tests/test_span_dedup_incr.py + --extended",
     "decontam_spans": "r15 rotation; promoted r14, green r14, re-retires after its first green round behind promoting dedup_exact_spans_attrib (same span-island core, contamination-localize face); stays tested + --extended",
@@ -304,37 +349,9 @@ RETIRED = {
     "dedup_exact_spans": "r14 rotation; promoted r13, green r13, re-retires after its first green round behind the four promoting span faces (dedup_exact_spans_strip / dedup_spans_incr / decontam_spans / decontam_scrub — the same span-island core now carries the family's driver evidence); reporter stays tested + --extended",
     "ann_index_delta": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning ann_ivf_topk + ann_lsh_hyperplane_pairs and staying ann_ivf_trained_topk (the IVF/banded probe family); delta lane stays tested + --extended",
     "mixture_manifest_by_lang": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning sample_stratified_hash + lang_id_heuristic (its group-key producer); uniform twin re-retires after its own r13 green round (same operator, group_col='lang' vs 'source')",
-    # r13 rotation: the 12 r12 returners re-retired after their green
-    # re-check round, the 2 r12 promotions re-retired behind their lane
-    # families after one green round, 8 r11 promotions/new-ops with
-    # checked siblings re-retired early, and 2 r10 promotions with ≥3
-    # green rounds funded the knn_serve_snapshot + dedup_exact_spans
-    # slots; the freed 24 slots took ALL 22 r10 retirees at their
-    # ≤3-round deadline plus both r12-wave promotions. Due re-check r16.
-    "normalized_prices": "r13 rotation; returner re-check green r12; the P1-P2 normalize stage runs inline in checked positions_costs/executions/strategy_metrics (green r01-r09, r12)",
-    "signals_decisions": "r13 rotation; returner re-check green r12; the P3-P4 decision stage runs inline in the checked positions chain AND as the entry() flagship smoke every round (green r01-r09, r12)",
-    "asof_join_tolerance": "r13 rotation; returner re-check green r12; tolerance variant of staying asof_join_trade_quote (same backward-join core, one bound predicate) (green r02-r09, r12)",
-    "recent_ticks_per_instrument": "r13 rotation; returner re-check green r12; top-k serving family checked via returning topk_events (green r01-r09, r12)",
-    "dedup_minhash_lsh": "r13 rotation; returner re-check green r12; minhash family checked via returning doc_fingerprint_minhash1 + dedup_incremental (the band-index probe shape) + staying decontam_suite_chained's minhash band probe (green r01-r09, r12)",
-    "dedup_simhash": "r13 rotation; returner re-check green r12; hamming-banded family checked via staying winnow_zipf_chained (winnowing fingerprints); exact-jaccard verify twin dedup_ngram_jaccard due back r14 (green r01-r09, r12)",
-    "ann_bruteforce_topk": "r13 rotation; returner re-check green r12; ANN family checked via staying ann_ivf_trained_topk + returning ann_ivfpq_topk; exact-cosine baseline stays the recall oracle in tests/test_ann_recall.py (green r01-r09, r12)",
-    "tfidf_top_terms": "r13 rotation; returner re-check green r12; lexical-scoring family checked via staying hybrid_rrf_topk (chains the BM25 arm inline) + returning bm25_topk_lexical (green r01-r09, r12)",
-    "length_band_approx": "r13 rotation; returner re-check green r12; percentile family twin value_percentiles_exact due its r14 re-check; stays tested + --extended (green r05-r09, r12)",
-    "sample_quota_per_source": "r13 rotation; returner re-check green r12; sampling family checked via staying mixture_manifest_by_lang + returning mixture_manifest_uniform (green r05-r09, r12)",
-    "curate_keep_decision": "r13 rotation; returner re-check green r12; composed stages checked via staying text_clean_markup + decontam_suite_chained + returning quality_logreg_score/repetition_gopher_quality; composition pinned by tests/test_curation_ops.py (green r05-r09, r12)",
-    "split_train_val_test": "r13 rotation; returner re-check green r12; deterministic-hash split family checked via staying shuffle_windows (same exact-int64 hash core); direct twin sample_stratified_hash due r14 (green r08, r09, r12)",
-    "media_phash_incr_snapshot": "r13 rotation; promoted r12, green r12, re-retires behind its lane family per the queued plan (raw-byte face media_phash_neardup due back r15); decoded + incremental faces stay tested + --extended, streaming media lane pinned by tests/test_streaming_datapipe.py",
-    "embedding_incr_neardup": "r13 rotation; promoted r12, green r12, re-retires behind staying ann_ivf_trained_topk's vector machinery; embedding_cosine_neardup (the pair face) due back r14; stays tested + --extended",
-    "hybrid_rrf_ivf_topk": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying hybrid_rrf_topk (identical BM25+RRF fusion; the IVF dense arm stays checked via ann_ivf_trained_topk)",
-    "dedup_incr_neardup": "r13 rotation; promoted r11, green r11-r12, early re-retire behind returning dedup_incremental (the digest-incremental probe shape); stays tested + --extended",
-    "cluster_composition": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying dedup_canonical_quality's cluster family + returning dedup_cluster_stats + semdedup_cells",
-    "dsir_logratio": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying mixture_manifest_by_lang (same broadcast-rate sampling family)",
-    "mixture_curriculum": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying mixture_manifest_by_lang + returning mixture_manifest_uniform",
-    "strip_boilerplate": "r13 rotation; promoted r11, green r11-r12, early re-retire behind staying text_clean_markup (same zero-shuffle JVM regex hygiene shape)",
-    "knn_join_ivf_sampled": "r13 rotation; added r11, green r11-r12, early re-retire behind staying ann_ivf_trained_topk (shared trained-IVF assign/probe machinery); both KNN-join faces stay tested + --extended",
-    "media_phash_neardup_decoded": "r13 rotation; promoted r11 (planted face), green r11-r12, early re-retire per the queued plan; media family due back r15 via media_phash_neardup, decoded + incremental faces stay tested + --extended",
-    "corpus_diff_snapshots": "r13 rotation; promoted r10, green r10-r12, early re-retire behind staying dedup_canonical_quality's digest family + returning dedup_incremental — funds the knn_serve_snapshot slot",
-    "dedup_intra_doc": "r13 rotation; promoted r10, green r10-r12, early re-retire behind promoting dedup_exact_spans (the same corpus-token k-gram digest machinery, cross-document face) + returning dedup_passages — funds the dedup_exact_spans slot",
+    # r13 rotation: all 24 r13-rotation retirees returned at their
+    # ≤3-round deadline in the r16 rotation (this round) — no r13 entry
+    # remains retired; see git log for their retired-entry text.
     # r12 rotation: the 10 r11 returners re-retired after their green
     # re-check round, plus 3 r11 promotions with a green round and
     # checked siblings; the freed slots took the 12 thinnest-coverage r10

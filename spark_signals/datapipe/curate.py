@@ -241,7 +241,11 @@ def filter_ablation(docs: DataFrame) -> DataFrame:
     where a dimension is aggregated-away carry ``'all'``; flag dimensions
     are emitted as strings ('y'/'n'/'all') so the grid has no nullable
     booleans (cross-engine NULL-boolean pandas representation is fragile;
-    the aggregation NULL is the only NULL either engine produces here).
+    the aggregation NULL is the only NULL either engine produces here —
+    ENFORCED by coalescing every flag to a defined boolean pre-cube, not
+    just assumed of the inputs). NULL-text docs carry no content digest
+    and are excluded by the dedup_exact join — they hold 0 tokens, so
+    the grid's mass arithmetic is unaffected.
 
     Dimensions: f_dup (exact-digest duplicate), f_short (< {short} words),
     f_lowq (quality score < {q}), f_nonen (lang ≠ 'en'). ``n_dropped``
@@ -259,11 +263,22 @@ def filter_ablation(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", "n_words", "n_tokens_bpe", "quality_score"
     )
     ex = DD.dedup_exact(docs).select("doc_id", F.col("is_duplicate").alias("f_dup"))
+    # every flag is coalesced to a DEFINED boolean before the cube: the
+    # dim() decode below reads NULL as "aggregated away", so a data-level
+    # NULL reaching the grouping columns (NULL text -> NULL n_words /
+    # quality_score -> NULL comparison) would silently bucket into the
+    # 'all' marginals and corrupt the y+n=all arithmetic (r15 advisory).
+    # Policy: unevaluable = not flagged (false), matching the OR-drop
+    # arithmetic's NULL-is-kept behavior.
     flags = st.join(ex, "doc_id").select(
         "n_tokens_bpe",
-        "f_dup",
-        (F.col("n_words") < F.lit(ABLATION_SHORT_WORDS)).alias("f_short"),
-        (F.col("quality_score") < F.lit(ABLATION_QUALITY_MIN)).alias("f_lowq"),
+        F.coalesce(F.col("f_dup"), F.lit(False)).alias("f_dup"),
+        F.coalesce(
+            F.col("n_words") < F.lit(ABLATION_SHORT_WORDS), F.lit(False)
+        ).alias("f_short"),
+        F.coalesce(
+            F.col("quality_score") < F.lit(ABLATION_QUALITY_MIN), F.lit(False)
+        ).alias("f_lowq"),
         (F.coalesce(F.col("lang"), F.lit("")) != F.lit("en")).alias("f_nonen"),
     )
     dropped = (
@@ -313,9 +328,13 @@ ex AS (
   SELECT doc_id, is_duplicate AS f_dup FROM ({D.SQL_DEDUP_EXACT}) t
 ),
 flags AS (
-  SELECT st.n_tokens_bpe, ex.f_dup,
-         st.n_words < {ABLATION_SHORT_WORDS} AS f_short,
-         st.quality_score < CAST({ABLATION_QUALITY_MIN!r} AS DOUBLE) AS f_lowq,
+  -- flags coalesced to defined booleans pre-CUBE: the decode reads NULL
+  -- as "aggregated away", so data NULLs must never reach the grouping
+  -- columns (mirrors the Spark side; r15 advisory)
+  SELECT st.n_tokens_bpe,
+         COALESCE(ex.f_dup, false) AS f_dup,
+         COALESCE(st.n_words < {ABLATION_SHORT_WORDS}, false) AS f_short,
+         COALESCE(st.quality_score < CAST({ABLATION_QUALITY_MIN!r} AS DOUBLE), false) AS f_lowq,
          COALESCE(st.lang, '') <> 'en' AS f_nonen
   FROM st JOIN ex USING (doc_id)
 ),

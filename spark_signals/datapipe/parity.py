@@ -1059,6 +1059,26 @@ def _incoming_r15_wave2() -> dict:
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r15_wave2())
 
 
+# r16 rotation: the r14-wave quartet promotes, exactly as queued in the
+# recorded r15 plan (__spark_entry__.py rotation note) — the exact-fsum
+# token-budget manifest, both packing acceptance faces, and the ANN
+# recall@k report — funded by the 17 r15 entrants' re-retirement after
+# their green r15 round, the nine r14 returners held through r15, and
+# the two NAMED early re-retirees (hybrid_rrf_topk behind returning
+# hybrid_rrf_ivf_topk; asof_join_trade_quote behind returning
+# asof_join_tolerance). All four verified non-vacuous in the r15
+# extended sweep. The r15-built release-audit quartet stays queued r17;
+# the wave-2 provenance/monitoring pair stays queued r18.
+_R16_PROMOTED = (
+    "mixture_budget_manifest",
+    "pack_efficiency_report",
+    "pack_incremental",
+    "ann_recall_report",
+)
+for _n in _R16_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

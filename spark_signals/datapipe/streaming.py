@@ -721,9 +721,9 @@ def process_kanon_batch(
 ) -> None:
     """One idempotent step of the continuous k-anonymity gate
     (module-level so replay semantics are directly testable): merge the
-    batch's QI counts with every EARLIER batch's count partitions, write
-    the corpus-wide verdict report for this point in the stream, then
-    overwrite this batch's own delta partition.
+    batch's QI counts with every EARLIER batch's count partitions,
+    overwrite this batch's own delta partition, then write the
+    corpus-wide verdict report for this point in the stream.
 
     Same exactly-once shape as the other ingest lanes: both writes target
     a deterministic ``batch_id=<id>`` subdirectory, so an at-least-once
@@ -731,6 +731,13 @@ def process_kanon_batch(
     so a chain of batches reproduces the batch report exactly
     (scrub.kanon_incremental's invariant); the state relation is bounded
     by QI cardinality, never corpus size.
+
+    Write ORDER matters (r15 advisory): the state delta lands BEFORE the
+    report, so a crash between the two writes leaves at worst an
+    unpublished verdict backed by complete state — never a published
+    verdict whose backing QI counts are missing. A direct (non-streaming)
+    caller that crashes mid-step and never replays therefore cannot leave
+    future reports permanently undercounting the batch.
     """
     import os
 
@@ -761,11 +768,11 @@ def process_kanon_batch(
     # the delta write is about to extend
     report = report.transform(pin)
     delta = delta.transform(pin)
-    report.write.mode("overwrite").parquet(
-        os.path.join(report_dir, f"batch_id={batch_id}")
-    )
     delta.write.mode("overwrite").parquet(
         os.path.join(counts_dir, f"batch_id={batch_id}")
+    )
+    report.write.mode("overwrite").parquet(
+        os.path.join(report_dir, f"batch_id={batch_id}")
     )
 
 
@@ -798,15 +805,29 @@ def kanon_gate_stream(
 
 
 def read_latest_kanon_report(spark, report_dir: str) -> DataFrame:
-    """The CURRENT release verdict: the highest-``batch_id`` partition of
-    the continuous gate's report directory (each partition is a complete
-    corpus-wide report as of that drop; earlier partitions are audit
-    history). Same classic-driver FS listing as the ingest lanes — a
-    missing directory is an error (there is no verdict to serve), a
-    committed-partition read error propagates."""
+    """The CURRENT release verdict: the newest COMMITTED ``batch_id``
+    partition of the continuous gate's report directory (each partition
+    is a complete corpus-wide report as of that drop; earlier partitions
+    are audit history). Same classic-driver FS listing as the ingest
+    lanes — a missing directory is an error (there is no verdict to
+    serve), a committed-partition read error propagates.
+
+    Committed = the partition directory contains a ``_SUCCESS`` marker.
+    A ``batch_id=`` directory exists (and lists) from the writer's first
+    task file, before the job commit lands — so a latest-wins read
+    concurrent with an in-flight drop, or after a crash mid-write, must
+    NOT serve that partition: for a privacy gate a silently-partial
+    verdict is the worst failure mode (r15 verdict). Candidates are
+    therefore walked newest-first and the first one carrying ``_SUCCESS``
+    is served; uncommitted newer partitions fall back to the last
+    complete verdict (the streaming checkpoint will replay and commit
+    them). Only latest-wins SERVING reads race the writer this way — the
+    ingest-side readers enumerate strictly earlier, already-committed
+    partitions (:func:`_earlier_batch_partitions`)."""
     import os
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(report_dir)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = Path(report_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         raise FileNotFoundError(f"no kanon reports at {report_dir}")
@@ -817,4 +838,12 @@ def read_latest_kanon_report(spark, report_dir: str) -> DataFrame:
     ]
     if not ids:
         raise FileNotFoundError(f"no batch_id partitions at {report_dir}")
-    return spark.read.parquet(os.path.join(report_dir, f"batch_id={max(ids)}"))
+    for bid in sorted(ids, reverse=True):
+        part = os.path.join(report_dir, f"batch_id={bid}")
+        if fs.exists(Path(os.path.join(part, "_SUCCESS"))):
+            return spark.read.parquet(part)
+    raise FileNotFoundError(
+        f"no COMMITTED batch_id partition at {report_dir} "
+        f"(found {sorted(ids)}, none carrying _SUCCESS — writer in "
+        f"flight or crashed mid-write; replay will commit)"
+    )

@@ -15,62 +15,66 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r15 checked set (50/50): generated from the live registry after the
-# r15 rotation executed (the four r14 span faces + 13 named r14 returners
-# OUT; all 13 r12 retirees at their deadline + the four r13-wave
-# promotions IN). Pinned as literals so a silent registry shrink fails.
+# The r16 checked set (50/50): generated from the live registry after the
+# r16 rotation executed (the 17 r15 entrants + 9 held r14 returners + 2
+# NAMED early re-retirees OUT; all 24 r13 retirees at their deadline +
+# the four r14-wave promotions IN). Pinned as literals so a silent
+# registry shrink fails.
 EXPECTED_QUERIES = frozenset({
-    "ann_ivf_trained_topk", "anti_join_parts_never_shipped",
-    "asof_join_trade_quote", "bm25_topk_queries", "bpe_pipeline_chained",
-    "breakout_band_signals", "ccnet_lm_buckets", "chunk_documents_overlap",
-    "curate_stats_by_source", "decontam_suite_chained",
-    "dedup_canonical_quality", "dedup_exact_spans_attrib",
-    "embedding_cosine_neardup", "ewma_zscore_strategy", "executions",
-    "hybrid_rrf_topk", "knn_join_ivf", "lang_id_heuristic",
-    "latency_metrics_rollup", "latest_price_per_instrument",
-    "length_band_filter", "lm_bigram_quality", "media_phash_neardup",
-    "multimodal_features", "nation_region_rollup",
-    "pack_sequences_manifest", "positions_costs", "range_join_tick_stats",
-    "replay_backtest_window", "runs_listing_join_topn",
-    "sample_stratified_hash", "sample_temperature_source",
-    "segment_revenue_3way_join", "segment_revenue_bucketed",
-    "shuffle_windows", "sliding_window_counts", "split_clustered_leakproof",
-    "split_leakage_report", "strategy_metrics",
-    "streaming_hourly_rollup_chained", "streaming_interval_join",
+    "ann_bruteforce_topk", "ann_ivf_trained_topk", "ann_recall_report",
+    "anti_join_parts_never_shipped", "asof_join_tolerance",
+    "bpe_pipeline_chained", "ccnet_lm_buckets", "cluster_composition",
+    "corpus_diff_snapshots", "curate_keep_decision",
+    "decontam_suite_chained", "dedup_canonical_quality",
+    "dedup_incr_neardup", "dedup_intra_doc", "dedup_minhash_lsh",
+    "dedup_simhash", "dsir_logratio", "embedding_incr_neardup",
+    "ewma_zscore_strategy", "executions", "hybrid_rrf_ivf_topk",
+    "knn_join_ivf_sampled", "latency_metrics_rollup", "length_band_approx",
+    "media_phash_incr_snapshot", "media_phash_neardup_decoded",
+    "mixture_budget_manifest", "mixture_curriculum", "multimodal_features",
+    "normalized_prices", "pack_efficiency_report", "pack_incremental",
+    "positions_costs", "range_join_tick_stats",
+    "recent_ticks_per_instrument", "replay_backtest_window",
+    "sample_quota_per_source", "segment_revenue_bucketed",
+    "shuffle_windows", "signals_decisions", "split_train_val_test",
+    "strategy_metrics", "streaming_hourly_rollup_chained",
     "streaming_metrics_5m", "streaming_positions_costs",
-    "text_clean_markup", "text_stats_quality", "ticks_source",
-    "tokenize_with_vocab", "value_percentiles_exact", "winnow_zipf_chained",
-    "zorder_zonemap_skipping",
+    "strip_boilerplate", "text_clean_markup", "tfidf_top_terms",
+    "tokenize_with_vocab", "winnow_zipf_chained",
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    "ann_bruteforce_topk", "ann_index_delta", "ann_ivf_topk",
-    "ann_ivfpq_topk", "ann_lsh_hyperplane_pairs", "asof_join_tolerance",
-    "bm25_topk_lexical", "cluster_composition", "corpus_diff_snapshots",
-    "curate_keep_decision", "decontam_ngram_overlap", "decontam_scrub",
-    "decontam_spans", "dedup_cluster_stats", "dedup_clusters_canonical",
-    "dedup_exact_hash", "dedup_exact_spans", "dedup_exact_spans_strip",
-    "dedup_incr_neardup", "dedup_incremental", "dedup_intra_doc",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_passages",
-    "dedup_simhash", "dedup_spans_incr", "doc_fingerprint_minhash1",
-    "dsir_logratio", "embed_chunks_hashed", "embedding_incr_neardup",
-    "hybrid_rrf_ivf_topk", "j1_signal_rejoin", "knn_join_ivf_sampled",
-    "knn_serve_snapshot", "length_band_approx", "lm_unigram_quality",
-    "media_phash_incr_snapshot", "media_phash_neardup_decoded",
-    "metrics_hourly_rollup", "mixture_curriculum",
+    "ann_index_delta", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_hyperplane_pairs", "asof_join_trade_quote",
+    "bm25_topk_lexical", "bm25_topk_queries", "breakout_band_signals",
+    "chunk_documents_overlap", "curate_stats_by_source",
+    "decontam_ngram_overlap", "decontam_scrub", "decontam_spans",
+    "dedup_cluster_stats", "dedup_clusters_canonical", "dedup_exact_hash",
+    "dedup_exact_spans", "dedup_exact_spans_attrib",
+    "dedup_exact_spans_strip", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_passages", "dedup_spans_incr", "doc_fingerprint_minhash1",
+    "embed_chunks_hashed", "embedding_cosine_neardup", "hybrid_rrf_topk",
+    "j1_signal_rejoin", "knn_join_ivf", "knn_serve_snapshot",
+    "lang_id_heuristic", "latest_price_per_instrument",
+    "length_band_filter", "lm_bigram_quality", "lm_unigram_quality",
+    "media_phash_neardup", "metrics_hourly_rollup",
     "mixture_manifest_by_lang", "mixture_manifest_uniform",
-    "normalized_prices", "pack_windows_composition",
-    "performance_windows_5m", "pii_scrub_redact", "position_returns",
-    "position_transitions", "positions_forward_fill", "pricing_summary_q1",
-    "quality_logreg_score", "recent_ticks_per_instrument",
-    "repetition_gopher_quality", "sample_quota_per_source",
-    "semdedup_cells", "semi_join_has_lineitems", "session_window_per_user",
-    "signal_counts_5m", "signals_decisions", "sma_crossover_signals",
-    "split_train_val_test", "strategy_summary_filter_agg",
-    "strip_boilerplate", "tfidf_top_terms", "topk_events",
-    "union_live_replay", "vocab_coverage_topv",
+    "nation_region_rollup", "pack_sequences_manifest",
+    "pack_windows_composition", "performance_windows_5m",
+    "pii_scrub_redact", "position_returns", "position_transitions",
+    "positions_forward_fill", "pricing_summary_q1", "quality_logreg_score",
+    "repetition_gopher_quality", "runs_listing_join_topn",
+    "sample_stratified_hash", "sample_temperature_source",
+    "segment_revenue_3way_join", "semdedup_cells",
+    "semi_join_has_lineitems", "session_window_per_user",
+    "signal_counts_5m", "sliding_window_counts", "sma_crossover_signals",
+    "split_clustered_leakproof", "split_leakage_report",
+    "strategy_summary_filter_agg", "streaming_interval_join",
+    "text_stats_quality", "ticks_source", "topk_events",
+    "union_live_replay", "value_percentiles_exact", "vocab_coverage_topv",
+    "zorder_zonemap_skipping",
 })
 
 

@@ -67,6 +67,32 @@ def test_ablation_fully_specified_cells_isolate_overlap(spark):
     assert grid[("n", "n", "n", "n")] == 6
 
 
+def test_ablation_data_null_stays_out_of_all_marginals(spark):
+    """Data-level NULLs must never masquerade as the aggregation NULL and
+    bucket into 'all' marginals (r15 advisory). Two layers: NULL-text
+    docs carry no digest, so they are OUT of the grid entirely (the
+    dedup_exact join — 0 tokens, so no mass distortion); a doc with real
+    text but NULL lang reaches the cube through the coalesced f_nonen
+    flag and must land in a concrete 'y'/'n' cell, keeping y+n = all."""
+    from spark_signals.datapipe.curate import filter_ablation
+
+    rows = [(i, _long_en(i), "en", "src", 120) for i in range(4)]
+    rows += [(90, None, "en", "src", 0),               # NULL text: out of grid
+             (91, None, None, "src", 0),               # NULL text + NULL lang
+             (92, _long_en(92), None, "src", 120)]     # real text, NULL lang
+    out = {(
+        r["f_dup"], r["f_short"], r["f_lowq"], r["f_nonen"]): r
+        for r in filter_ablation(_docs(spark, rows)).collect()}
+    total = out[("all", "all", "all", "all")]
+    assert total["n_docs"] == 5  # 4 en docs + the NULL-lang doc; NULL text out
+    # the NULL-lang doc is a concrete f_nonen='y' cell, not an 'all' leak
+    assert out[("all", "all", "all", "y")]["n_docs"] == 1
+    for ax in range(4):
+        key = lambda v: tuple(v if i == ax else "all" for i in range(4))
+        got = sum(out[key(v)]["n_docs"] for v in ("y", "n") if key(v) in out)
+        assert got == total["n_docs"], f"axis {ax}: y+n != all with NULL data"
+
+
 # --------------------------------------------------- dedup-aware token yield
 def test_token_yield_reconciles_and_counts_epochs(spark):
     """raw = unique + dup per source, and a source that is one document
@@ -295,6 +321,64 @@ def test_kanon_gate_stream_reports_and_replays_idempotently(spark, tmp_path):
         .first()[0]
         == docs.count()
     )
+
+
+def test_kanon_serving_reader_skips_uncommitted_partition(spark, tmp_path):
+    """A `batch_id=` directory lists from the writer's first task file,
+    before `_SUCCESS` lands — the serving reader must fall back to the
+    newest COMMITTED partition instead of serving a partial verdict
+    (r15 verdict #1), and must refuse when nothing is committed."""
+    import os
+    import shutil
+
+    import pytest
+
+    from spark_signals.datapipe.streaming import (
+        process_kanon_batch,
+        read_latest_kanon_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts_dir = str(tmp_path / "qi_counts")
+    report_dir = str(tmp_path / "kanon_reports")
+    process_kanon_batch(docs, 0, counts_dir=counts_dir, report_dir=report_dir)
+    committed = os.path.join(report_dir, "batch_id=0")
+    assert os.path.exists(os.path.join(committed, "_SUCCESS"))
+    want = sorted(map(tuple, spark.read.parquet(committed).collect()))
+
+    # plant an in-flight batch_id=1 next to it: data files, no _SUCCESS
+    partial = os.path.join(report_dir, "batch_id=1")
+    shutil.copytree(committed, partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    served = read_latest_kanon_report(spark, report_dir)
+    assert sorted(map(tuple, served.collect())) == want
+
+    # nothing committed at all -> error, never a partial verdict
+    os.remove(os.path.join(committed, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="COMMITTED"):
+        read_latest_kanon_report(spark, report_dir)
+
+
+def test_kanon_batch_writes_state_before_verdict(spark, tmp_path):
+    """Write ORDER pin (r15 advisory): the QI-count delta lands BEFORE
+    the report, so a crash between the two writes can never publish a
+    verdict whose backing state is missing. Simulated by making the
+    counts write fail (counts_dir path occupied by a plain file): the
+    step must raise WITHOUT having published a report partition."""
+    import os
+
+    import pytest
+
+    from spark_signals.datapipe.streaming import process_kanon_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts_dir = str(tmp_path / "qi_counts")
+    report_dir = str(tmp_path / "kanon_reports")
+    with open(counts_dir, "w", encoding="utf-8") as fh:
+        fh.write("not a directory")
+    with pytest.raises(Exception):
+        process_kanon_batch(docs, 0, counts_dir=counts_dir, report_dir=report_dir)
+    assert not os.path.exists(os.path.join(report_dir, "batch_id=0"))
 
 
 # ------------------------------------- cross-source overlap / drift monitor
