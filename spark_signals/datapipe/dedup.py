@@ -3161,7 +3161,15 @@ minhash_calibration_report.__doc__ = minhash_calibration_report.__doc__.format(
 )
 
 
-def sql_minhash_calibration_report() -> str:
+def sql_minhash_calibration_report(sample_bands: int = NUM_BANDS) -> str:
+    """DuckDB twin, parameterized by the same ``sample_bands`` knob as the
+    Spark face (r15 advisory): with ``sample_bands < NUM_BANDS`` the bands
+    CTE keeps only the first ``sample_bands`` bands, so the SAMPLED
+    warehouse-scale path gets the identical cross-engine value check the
+    full-band audit has — not just the subset-property unit test."""
+    if not 1 <= sample_bands <= NUM_BANDS:
+        raise ValueError(f"sample_bands must be in [1, {NUM_BANDS}]: {sample_bands}")
+    band_pred = f"\n  WHERE b < {sample_bands}" if sample_bands < NUM_BANDS else ""
     match_sum = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
@@ -3182,7 +3190,7 @@ bands AS (
   SELECT doc_id, b AS band,
          [{", ".join(f"m{2 * b}" for b in range(NUM_BANDS))}][b + 1] AS k1,
          [{", ".join(f"m{2 * b + 1}" for b in range(NUM_BANDS))}][b + 1] AS k2
-  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b)
+  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS b){band_pred}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -80,15 +80,42 @@ FROM c"""
 
 
 # ---------------------------------------------------------- k-anonymity audit
-# Quasi-identifier grain: (lang, source, character-length band). k is the
-# classic re-identification floor; the coarse band is the one-step
-# generalization remediation (4 fine bands -> 1 coarse band).
+# Default quasi-identifier grain: (lang, source, character-length band).
+# k is the classic re-identification floor; the coarse band is the
+# one-step generalization remediation (4 fine bands -> 1 coarse band).
 KANON_K = 5
 KANON_BAND_CHARS = 256
 KANON_COARSE_FACTOR = 4
 
+from dataclasses import dataclass  # noqa: E402
 
-def kanonymity_report(docs: DataFrame) -> DataFrame:
+
+@dataclass(frozen=True)
+class QISpec:
+    """The quasi-identifier set the k-anonymity gate audits — a release
+    gate rotates QI sets (add a URL domain, a license tag) without a code
+    change, so the whole lane (batch report, incremental state,
+    continuous gate) is parameterized by this spec. The state schema
+    derives from it: ``key_cols`` + ``band_fine`` + ``n_docs``.
+
+    ``key_cols`` name categorical columns present in the input (derive a
+    column first — e.g. ``withColumn("domain", ...)`` — to audit a
+    computed identifier); ``band_col`` is the numeric column quantized
+    into fine bands of ``band_width``, with ``coarse_factor`` fine bands
+    merging into one generalization step. The default is the
+    oracle-checked (lang, source, char-band) face."""
+
+    key_cols: tuple[str, ...] = ("lang", "source")
+    band_col: str = "n_chars"
+    band_width: int = KANON_BAND_CHARS
+    coarse_factor: int = KANON_COARSE_FACTOR
+    k: int = KANON_K
+
+
+DEFAULT_QI = QISpec()
+
+
+def kanonymity_report(docs: DataFrame, spec: QISpec = DEFAULT_QI) -> DataFrame:
     """k-anonymity audit over the documents' quasi-identifier metadata —
     the privacy-side release gate PII regexes don't cover: a document whose
     (lang, source, length-band) combination is shared by fewer than k
@@ -107,47 +134,47 @@ def kanonymity_report(docs: DataFrame) -> DataFrame:
     100 TB the fine-group relation is bounded by the QI cardinality
     (langs × sources × bands), not the row count.
     """
-    return kanonymity_from_counts(qi_counts(docs))
+    return kanonymity_from_counts(qi_counts(docs, spec), spec)
 
 
 kanonymity_report.__doc__ = kanonymity_report.__doc__.format(factor=KANON_COARSE_FACTOR)
 
 
-def qi_counts(docs: DataFrame) -> DataFrame:
+def qi_counts(docs: DataFrame, spec: QISpec = DEFAULT_QI) -> DataFrame:
     """The k-anonymity STATE relation: per fine quasi-identifier group
-    (lang, source, band_fine) document counts. Additive — counts of a
-    union are the summed counts of the parts — which is what makes the
+    (``spec.key_cols`` + band_fine) document counts. Additive — counts of
+    a union are the summed counts of the parts — which is what makes the
     incremental lane exact (see :func:`kanon_incremental`)."""
     return (
         docs.select(
-            "lang",
-            "source",
-            F.floor(F.col("n_chars") / F.lit(KANON_BAND_CHARS)).cast("long").alias(
-                "band_fine"
-            ),
+            *spec.key_cols,
+            F.floor(F.col(spec.band_col) / F.lit(spec.band_width))
+            .cast("long")
+            .alias("band_fine"),
         )
-        .groupBy("lang", "source", "band_fine")
+        .groupBy(*spec.key_cols, "band_fine")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-def kanonymity_from_counts(counts: DataFrame) -> DataFrame:
+def kanonymity_from_counts(
+    counts: DataFrame, spec: QISpec = DEFAULT_QI
+) -> DataFrame:
     """The k-anonymity report from a (possibly merged) QI-count relation —
     the verdict stage shared by the batch face and the incremental lane."""
     from pyspark.sql import Window
 
-    band_coarse = F.floor(F.col("band_fine") / F.lit(KANON_COARSE_FACTOR)).cast("long")
-    w = Window.partitionBy("lang", "source", band_coarse)
+    band_coarse = F.floor(F.col("band_fine") / F.lit(spec.coarse_factor)).cast("long")
+    w = Window.partitionBy(*spec.key_cols, band_coarse)
     risk = F.lit(1.0) / F.col("n_docs")
     return counts.select(
-        "lang",
-        "source",
+        *spec.key_cols,
         "band_fine",
         band_coarse.alias("band_coarse"),
         "n_docs",
         F.sum("n_docs").over(w).alias("n_docs_coarse"),
-        (F.col("n_docs") < F.lit(KANON_K)).alias("suppressed"),
-        (F.sum("n_docs").over(w) < F.lit(KANON_K)).alias(
+        (F.col("n_docs") < F.lit(spec.k)).alias("suppressed"),
+        (F.sum("n_docs").over(w) < F.lit(spec.k)).alias(
             "suppressed_after_generalization"
         ),
         (F.floor(risk * F.lit(1e6) + F.lit(0.5000001)) / F.lit(1e6)).alias("risk"),
@@ -155,7 +182,7 @@ def kanonymity_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def kanon_incremental(
-    batch: DataFrame, counts_index: DataFrame
+    batch: DataFrame, counts_index: DataFrame, spec: QISpec = DEFAULT_QI
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest step of the continuous k-anonymity gate: ``(report,
     delta)`` where ``delta`` is the batch's own QI counts (the O(batch)
@@ -172,14 +199,14 @@ def kanon_incremental(
     size — the report after the billionth document costs the same as
     after the first batch; only the delta aggregate touches batch rows.
     """
-    delta = qi_counts(batch)
+    delta = qi_counts(batch, spec)
     merged = (
-        counts_index.select("lang", "source", "band_fine", "n_docs")
+        counts_index.select(*spec.key_cols, "band_fine", "n_docs")
         .unionByName(delta)
-        .groupBy("lang", "source", "band_fine")
+        .groupBy(*spec.key_cols, "band_fine")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
-    return kanonymity_from_counts(merged), delta
+    return kanonymity_from_counts(merged, spec), delta
 
 
 def sql_kanonymity_report() -> str:

@@ -718,6 +718,7 @@ def process_kanon_batch(
     *,
     counts_dir: str,
     report_dir: str,
+    spec=None,
 ) -> None:
     """One idempotent step of the continuous k-anonymity gate
     (module-level so replay semantics are directly testable): merge the
@@ -743,27 +744,35 @@ def process_kanon_batch(
 
     from pyspark.sql import types as T
 
-    from spark_signals.datapipe.scrub import kanon_incremental
+    from spark_signals.datapipe.scrub import DEFAULT_QI, kanon_incremental
 
+    if spec is None:
+        spec = DEFAULT_QI
     spark = batch_df.sparkSession
+    # the state schema DERIVES from the QI spec: key columns keep their
+    # input types (a rotated QI set — license tag, URL domain — needs no
+    # code change here), band + count are always long
     counts_schema = T.StructType(
         [
-            T.StructField("lang", T.StringType(), True),
-            T.StructField("source", T.StringType(), True),
+            T.StructField(c, batch_df.schema[c].dataType, True)
+            for c in spec.key_cols
+        ]
+        + [
             T.StructField("band_fine", T.LongType(), True),
             T.StructField("n_docs", T.LongType(), True),
         ]
     )
+    state_cols = [*spec.key_cols, "band_fine", "n_docs"]
     earlier = _earlier_batch_partitions(spark, counts_dir, batch_id)
     if earlier:
         index = (
             spark.read.option("basePath", counts_dir)
             .parquet(*earlier)
-            .select("lang", "source", "band_fine", "n_docs")
+            .select(*state_cols)
         )
     else:
         index = spark.createDataFrame([], counts_schema)
-    report, delta = kanon_incremental(batch_df, index)
+    report, delta = kanon_incremental(batch_df, index, spec)
     # pin before writing: the report's plan reads counts_dir partitions
     # the delta write is about to extend
     report = report.transform(pin)
@@ -782,6 +791,7 @@ def kanon_gate_stream(
     counts_dir: str,
     report_dir: str,
     checkpoint_dir: str,
+    spec=None,
 ):
     """Continuous k-anonymity release gate: after every ingest drop, the
     corpus-wide suppression report is re-issued from the persisted QI
@@ -793,7 +803,11 @@ def kanon_gate_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_kanon_batch(
-            batch_df, batch_id, counts_dir=counts_dir, report_dir=report_dir
+            batch_df,
+            batch_id,
+            counts_dir=counts_dir,
+            report_dir=report_dir,
+            spec=spec,
         )
 
     return (

@@ -239,6 +239,38 @@ def test_minhash_calibration_band_sampling(spark):
         minhash_calibration_report(docs, sample_bands=NUM_BANDS + 1)
 
 
+def test_minhash_calibration_sampled_path_matches_oracle(spark):
+    """Cross-engine value parity for the SAMPLED calibration path (r15
+    advisory): the DuckDB twin takes the same ``sample_bands`` knob, so
+    the warehouse-scale posture gets the identical value-level check the
+    full-band audit has — not just the subset property above."""
+    import duckdb
+
+    from spark_signals.datapipe.dedup import (
+        NUM_BANDS,
+        minhash_calibration_report,
+        sql_minhash_calibration_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        map(tuple, minhash_calibration_report(docs, sample_bands=1).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(sql_minhash_calibration_report(sample_bands=1)).fetchall())
+    )
+    assert got == want
+    # the default twin is unchanged (identity at full bands)
+    assert sql_minhash_calibration_report() == sql_minhash_calibration_report(
+        sample_bands=NUM_BANDS
+    )
+
+
 def test_kanon_incremental_chain_equals_global(spark):
     """Three batches chained through kanon_incremental reproduce the
     global report exactly — the additive-counts invariant the continuous
@@ -321,6 +353,43 @@ def test_kanon_gate_stream_reports_and_replays_idempotently(spark, tmp_path):
         .first()[0]
         == docs.count()
     )
+
+
+def test_kanon_gate_chains_on_non_default_qi_spec(spark, tmp_path):
+    """The QI set is a parameter, not code (r15 verdict #5): chaining the
+    gate under a rotated spec — source-only key, narrower bands, k=3 —
+    reproduces the batch report over the union exactly, with the state
+    schema derived from the spec. The (lang, source, char-band) default
+    face stays the oracle-checked one."""
+    import os
+
+    from spark_signals.datapipe.scrub import QISpec, kanonymity_report
+    from spark_signals.datapipe.streaming import (
+        process_kanon_batch,
+        read_latest_kanon_report,
+    )
+
+    spec = QISpec(key_cols=("source",), band_width=128, coarse_factor=2, k=3)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").first()["p"]
+    counts_dir = str(tmp_path / "qi_counts")
+    report_dir = str(tmp_path / "kanon_reports")
+    for bid, batch in enumerate(
+        (docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid))
+    ):
+        process_kanon_batch(
+            batch, bid, counts_dir=counts_dir, report_dir=report_dir, spec=spec
+        )
+    served = read_latest_kanon_report(spark, report_dir)
+    assert set(served.columns) == {
+        "source", "band_fine", "band_coarse", "n_docs", "n_docs_coarse",
+        "suppressed", "suppressed_after_generalization", "risk",
+    }
+    want = sorted(map(tuple, kanonymity_report(docs, spec).collect()))
+    assert sorted(map(tuple, served.collect())) == want
+    # state partitions carry the spec-derived schema
+    state = spark.read.parquet(os.path.join(counts_dir, "batch_id=0"))
+    assert set(state.columns) == {"source", "band_fine", "n_docs"}
 
 
 def test_kanon_serving_reader_skips_uncommitted_partition(spark, tmp_path):
