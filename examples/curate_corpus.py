@@ -22,8 +22,14 @@ this engine actually assembles:
         + token-id/OOV report (top-V vocab)     datapipe.text.tokenize_with_vocab
         + cluster x source balance table        datapipe.balance
         + release audits: dedup-aware token     datapipe.dedup.token_yield_report
-          yield, filter-ablation grid,            curate.filter_ablation
-          k-anonymity gate over the release       scrub.kanonymity_report
+          yield, cross-source overlap matrix,     dedup.source_overlap_matrix
+          filter-ablation grid, k-anonymity       curate.filter_ablation
+          gate over the release                   scrub.kanonymity_report
+          (one shared, pinned MinHash pair
+           relation feeds yield + overlap)
+      + streaming lane: exact/near-dup ingest  datapipe.streaming
+        with O(drop) persisted state, plus the
+        pre-vs-post-drop PSI drift monitor      versioning.quality_drift_psi
 
 Usage::
 
@@ -246,6 +252,7 @@ def _run_pipeline_pinned(
 
 
 def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]:
+    from spark_signals.checkpoint import pin
     from spark_signals.datapipe.curate import curate_stats
     from spark_signals.datapipe.pack import pack_sequences, shuffle_windows
     from spark_signals.datapipe.sampling import mixture_curriculum, mixture_manifest
@@ -289,15 +296,33 @@ def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]
         os.path.join(out_dir, "window_order")
     )
     # 8. release audits: the dedup-aware token yield of the RAW input
-    #    (what dedup bought, in epoch currency), the filter-ablation grid
-    #    (the what-if table behind the curate thresholds), and the
-    #    k-anonymity gate over the RELEASED corpus's metadata
+    #    (what dedup bought, in epoch currency), the cross-source overlap
+    #    matrix (which sources mirror each other, the licensing/provenance
+    #    read), the filter-ablation grid (the what-if table behind the
+    #    curate thresholds), and the k-anonymity gate over the RELEASED
+    #    corpus's metadata. The expensive relation here is the verified
+    #    MinHash pair list (shingle→signature→band→verify): it is computed
+    #    ONCE, pinned, and shared by the cluster-derived yield report and
+    #    the overlap matrix — not re-run per artifact (r15 advisory). The
+    #    ablation's remaining passes (text_stats, dedup_exact) are
+    #    row-local work + one digest shuffle — cheap next to the pair
+    #    lane, and parameterizable the same way if an artifact set grows.
     from spark_signals.datapipe.curate import filter_ablation
-    from spark_signals.datapipe.dedup import token_yield_report
+    from spark_signals.datapipe.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+        source_overlap_matrix,
+        token_yield_report,
+    )
     from spark_signals.datapipe.scrub import kanonymity_report
 
-    token_yield_report(docs).write.mode("overwrite").parquet(
+    pairs = dedup_minhash_lsh(docs).transform(pin)
+    clusters = dedup_clusters(docs, pairs=pairs)
+    token_yield_report(docs, clusters=clusters).write.mode("overwrite").parquet(
         os.path.join(out_dir, "token_yield")
+    )
+    source_overlap_matrix(docs, pairs=pairs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "source_overlap")
     )
     filter_ablation(docs).write.mode("overwrite").parquet(
         os.path.join(out_dir, "filter_ablation")
@@ -371,6 +396,19 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
     verdicts.write.mode("overwrite").parquet(
         os.path.join(out_dir, "stream_curation")
     )
+    # drift monitor between ingest states: OLD = the corpus as of drop 0
+    # (its batch_id partition), NEW = the accumulated corpus after the
+    # latest drop — the PSI read a retrain decision checks. Fixed
+    # PSI_BINS-row output; one map-side-combined aggregate per version.
+    from spark_signals.datapipe.versioning import quality_drift_psi
+
+    pre_drop = spark.read.parquet(
+        os.path.join(dirs["survivors_dir"], "batch_id=0")
+    ).select("text")
+    post_drop = spark.read.parquet(dirs["survivors_dir"]).select("text")
+    quality_drift_psi(pre_drop, post_drop).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "quality_drift")
+    )
     return {
         "input_docs": docs.count(),
         "ingested_survivors": survivors.count(),
@@ -402,8 +440,9 @@ def main(argv: list[str] | None = None) -> int:
     print(
         f"artifacts under {out_dir}: shards/ pack_manifest/ curation_report/ "
         f"mixture_manifest/ tokens_report/ cluster_composition/ "
-        f"curriculum_schedule/ window_order/ stream/stream_curation/ "
-        f"stream/stream_pack_manifest/"
+        f"curriculum_schedule/ window_order/ token_yield/ source_overlap/ "
+        f"filter_ablation/ kanon_report/ stream/stream_curation/ "
+        f"stream/stream_pack_manifest/ stream/quality_drift/"
         + (" splits/ leakage_report/" if leak_check else "")
     )
     return 0

@@ -230,7 +230,11 @@ ABLATION_SHORT_WORDS = 10      # f_short: fewer words than this
 ABLATION_QUALITY_MIN = 0.25    # f_lowq: deterministic quality score below
 
 
-def filter_ablation(docs: DataFrame) -> DataFrame:
+def filter_ablation(
+    docs: DataFrame,
+    stats: DataFrame | None = None,
+    exact: DataFrame | None = None,
+) -> DataFrame:
     """Quality-filter ablation grid: document/token mass under EVERY
     combination of filter flags, via ``CUBE`` over the flag columns.
 
@@ -259,10 +263,16 @@ def filter_ablation(docs: DataFrame) -> DataFrame:
     """
     from spark_signals.datapipe import dedup as DD
 
-    st = T.text_stats(docs).select(
+    # ``stats`` / ``exact`` optionally supply precomputed text_stats /
+    # dedup_exact relations so a pipeline emitting several audit
+    # artifacts shares those passes instead of re-running them per
+    # artifact (r15 advisory)
+    st = (stats if stats is not None else T.text_stats(docs)).select(
         "doc_id", "lang", "n_words", "n_tokens_bpe", "quality_score"
     )
-    ex = DD.dedup_exact(docs).select("doc_id", F.col("is_duplicate").alias("f_dup"))
+    ex = (exact if exact is not None else DD.dedup_exact(docs)).select(
+        "doc_id", F.col("is_duplicate").alias("f_dup")
+    )
     # every flag is coalesced to a DEFINED boolean before the cube: the
     # dim() decode below reads NULL as "aggregated away", so a data-level
     # NULL reaching the grouping columns (NULL text -> NULL n_words /

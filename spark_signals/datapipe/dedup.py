@@ -1022,7 +1022,7 @@ def connected_components(
     return labels
 
 
-def dedup_clusters(docs: DataFrame) -> DataFrame:
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Near-dup *clusters*: MinHash-LSH pairs → connected components →
     canonical survivor per cluster (min doc_id).
 
@@ -1031,8 +1031,15 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     which needs the transitive closure, not the pair list. Output:
     (doc_id, cluster_id, cluster_size, is_canonical) for every document —
     filter ``is_canonical`` to materialize the deduplicated corpus.
+
+    ``pairs`` optionally supplies an already-computed (ideally pinned)
+    :func:`dedup_minhash_lsh` relation so a pipeline emitting several
+    pair-derived artifacts (clusters, overlap matrix, split verify) pays
+    the shingle→signature→band→verify cost ONCE (r15 advisory).
     """
-    pairs = dedup_minhash_lsh(docs).select(
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs)
+    pairs = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     verts = docs.select(F.col("doc_id").alias("id"))
@@ -2965,7 +2972,9 @@ WHERE vec_id % {mod} = 0 AND vec_id NOT IN (SELECT vec_id FROM drops)"""
 
 
 # ----------------------------------------------- dedup-aware token accounting
-def token_yield_report(docs: DataFrame) -> DataFrame:
+def token_yield_report(
+    docs: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
     """Per-source effective-token yield after near-dup clustering — the
     "how many tokens do I actually have" accounting from the
     data-constrained-scaling literature (Muennighoff et al. 2023,
@@ -2985,11 +2994,14 @@ def token_yield_report(docs: DataFrame) -> DataFrame:
     corpus scan; the join to the CC output is a doc_id equi-join and the
     report is one S-row aggregate — the O(log n) CC passes dominate, and
     everything downstream of them is integer sums (associative, exact at
-    any partitioning; Σtokens < 2^63 at any corpus size).
+    any partitioning; Σtokens < 2^63 at any corpus size). ``clusters``
+    optionally supplies a precomputed :func:`dedup_clusters` relation so
+    a pipeline already holding the CC output doesn't re-run it (r15
+    advisory).
     """
     from spark_signals.datapipe.text import n_tokens_col
 
-    cl = dedup_clusters(docs)
+    cl = clusters if clusters is not None else dedup_clusters(docs)
     toks = docs.select(
         "doc_id", "source", n_tokens_col(F.col("text"), "bpe").cast("long").alias("n_tok")
     )
@@ -3225,7 +3237,9 @@ FROM u GROUP BY jaccard_bin"""
 
 
 # ----------------------------------------------- cross-source overlap audit
-def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+def source_overlap_matrix(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup overlap matrix between SOURCES — the licensing/provenance
     audit behind dedup priority decisions: which ingest sources duplicate
     each other, how much, and how hard (mean Jaccard). A crawl that
@@ -3240,8 +3254,12 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
     the cell mean, so cells are bit-identical at any partitioning. Output
     is S² cells at most — source-cardinality-bounded, like the QI
     relation of the k-anonymity gate.
+
+    ``pairs`` optionally supplies a precomputed :func:`dedup_minhash_lsh`
+    relation (shared with the cluster-derived artifacts — r15 advisory).
     """
-    pairs = dedup_minhash_lsh(docs)
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs)
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")), "doc_a")

@@ -105,3 +105,16 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     assert grand["n_docs"] == counts["input_docs"]
     kan = spark.read.parquet(os.path.join(out, "kanon_report"))
     assert kan.agg({"n_docs": "sum"}).first()[0] == counts["sampled_docs"]
+    # provenance audit: the overlap matrix rides the SAME pinned pair
+    # relation as the yield report; its cells are well-formed and its
+    # within-source duplication is consistent with the yield report
+    # finding duplicate mass (the sf0.001 corpus plants near-dups)
+    ov = spark.read.parquet(os.path.join(out, "source_overlap"))
+    assert {"source_lo", "source_hi", "n_pairs", "is_cross_source",
+            "mean_jaccard"} == set(ov.columns)
+    assert ov.filter(F.col("n_pairs") <= 0).count() == 0
+    assert ov.filter(
+        (F.col("mean_jaccard") < 0) | (F.col("mean_jaccard") > 1)
+    ).count() == 0
+    has_dup_mass = ty.filter(F.col("dup_tokens") > 0).count() > 0
+    assert (ov.count() > 0) == has_dup_mass

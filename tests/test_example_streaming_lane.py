@@ -65,3 +65,14 @@ def test_example_streaming_lane_matches_batch_dedup(spark, tmp_path):
         *docs.columns
     )
     assert got_man == sorted(tuple(r) for r in pack_sequences(survivors).collect())
+    # the drift monitor compares drop-0 state against the accumulated
+    # corpus: fixed PSI_BINS rows, shares in (0, 1], old counts bounded
+    # by new counts (NEW is a superset of OLD by construction)
+    from spark_signals.datapipe.versioning import PSI_BINS
+
+    psi = spark.read.parquet(os.path.join(out, "quality_drift"))
+    assert psi.count() == PSI_BINS
+    assert {"bin", "n_old", "n_new", "share_old", "share_new",
+            "psi_contrib"} == set(psi.columns)
+    assert psi.filter(F.col("n_old") > F.col("n_new")).count() == 0
+    assert psi.agg(F.sum("n_new")).first()[0] == counts["ingested_survivors"]

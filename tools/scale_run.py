@@ -184,6 +184,11 @@ def main() -> int:
         "token_yield_report": lambda: D.token_yield_report(docs),
         "kanon_suppression": lambda: _kanon(docs),
         "minhash_calibration": lambda: D.minhash_calibration_report(docs),
+        # the sampled production posture keeps its own decade evidence as
+        # the code evolves (r15 verdict #8): same audit, first band only
+        "minhash_calibration_sampled": lambda: D.minhash_calibration_report(
+            docs, sample_bands=1
+        ),
         "source_overlap_matrix": lambda: D.source_overlap_matrix(docs),
         "quality_drift_psi": lambda: _quality_drift(docs),
     }
