@@ -251,6 +251,14 @@ DRIVER_CAP = 50
 # the r17 arithmetic stays at 30; r18 takes them alongside the r15
 # retirees due that round, funded by the r17 entrants' re-retirement
 # slack.
+#
+# r19 queue (built r16, INCOMING): the continuous-provenance pair
+# (source_overlap_incr — the O(drop) incremental overlap lane, oracle =
+# the batch matrix SQL over the union; decontam_source_matrix — the
+# benchmark×source contamination drill-down —
+# datapipe/parity._incoming_r16) queues BEHIND the r18 wave; r19 takes
+# them alongside the r16 retirees due that round (28 due r19), funded
+# by the r18 entrants' re-retirement slack.
 RETIRED = {
     # r05-r07 rotation history: see git log for the retired-entry text of
     # queries currently back IN the checked set. Every entry below is

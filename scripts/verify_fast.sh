@@ -37,6 +37,7 @@ else
     tests/test_example_retrieval.py
     tests/test_streaming_curation.py
     tests/test_streaming_curation_b.py
+    tests/test_provenance_lane.py
     tests/test_training_data_ops.py
     tests/test_curation_ops.py
     tests/test_degenerate_inputs.py

@@ -445,6 +445,132 @@ SELECT e.bench,
 FROM ev_sizes e LEFT JOIN per_bench p USING (bench) CROSS JOIN total t"""
 
 
+# --------------------------------------- benchmark x source contamination
+def decontam_source_matrix(
+    train: DataFrame, benchmarks: DataFrame, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """WHERE the contamination lives: per (bench, source) cell, the
+    training documents of that SOURCE overlapping that benchmark — the
+    triage drill-down behind :func:`decontam_report`'s per-benchmark
+    totals. A heavy cell says "this crawl carries GSM8K" and the
+    remediation is source-scoped (drop/scrub one ingest lane), not a
+    corpus-wide scrub; release sign-off wants exactly this matrix next
+    to the overlap matrix (provenance) and the k-anonymity gate.
+
+    Per cell: ``n_contaminated_docs`` (distinct train docs of the source
+    hitting the bench), ``n_overlap_pairs`` (their distinct-digest hit
+    volume), and ``source_rate`` (contaminated share OF THAT SOURCE,
+    1e-6 grid). Only non-zero cells are emitted — output is bounded by
+    benches × sources at any corpus size.
+
+    Shape at 100 TB: the SAME one-pass plan as decontam_report — one
+    training-corpus digest explode joined against the broadcast
+    (bench, digest) relation, a (bench, doc_id) dedup aggregate bounded
+    by true overlap volume, one overlap-bounded doc_id join to recover
+    the source, and a broadcast of the S-row source totals. The corpus
+    is never touched a second time.
+    """
+    ev = (
+        _ngram_digests(benchmarks.select("doc_id", "text"), n)
+        .join(benchmarks.select("doc_id", "bench"), "doc_id")
+        .select("bench", "digest")
+        .distinct()
+    )
+    hits = (
+        _ngram_digests(train, n)
+        .join(F.broadcast(ev), "digest")
+        .groupBy("bench", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    cells = (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("bench", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_docs"),
+            F.sum("n_overlap").cast("bigint").alias("n_overlap_pairs"),
+        )
+    )
+    src_totals = train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source_docs")
+    )
+    return cells.join(F.broadcast(src_totals), "source").select(
+        "bench",
+        "source",
+        "n_contaminated_docs",
+        "n_overlap_pairs",
+        "n_source_docs",
+        (
+            F.floor(
+                F.col("n_contaminated_docs").cast("double")
+                / F.col("n_source_docs")
+                * F.lit(1e6)
+                + F.lit(0.5000001)
+            )
+            / F.lit(1e6)
+        ).alias("source_rate"),
+    )
+
+
+def decontam_source_matrix_snapshot(
+    docs: DataFrame, benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Driver-checkable face: the decontam_report_snapshot split (sources
+    in ``benches`` stand in as eval suites, the rest is training)."""
+    bench_list = list(benches)
+    benchmarks = docs.filter(F.col("source").isin(bench_list)).select(
+        "doc_id", "text", F.col("source").alias("bench")
+    )
+    train = docs.filter(~F.col("source").isin(bench_list))
+    return decontam_source_matrix(train, benchmarks, n)
+
+
+def sql_decontam_source_matrix(
+    benches: tuple[str, ...] = REPORT_BENCHES,
+    n: int = DECONTAM_NGRAM,
+    source: str = "documents",
+) -> str:
+    in_list = ", ".join(f"'{b}'" for b in benches)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+  FROM {source}
+),
+s AS (
+  SELECT doc_id, source, list_distinct({SQL_SHINGLES(n)}) AS grams FROM d
+),
+g AS (
+  SELECT doc_id, source, md5(unnest(grams)) AS digest FROM s
+),
+ev AS (
+  SELECT DISTINCT source AS bench, digest FROM g WHERE source IN ({in_list})
+),
+hits AS (
+  SELECT ev.bench, g.doc_id, count(*) AS n_overlap
+  FROM g JOIN ev USING (digest)
+  WHERE g.source NOT IN ({in_list})
+  GROUP BY ev.bench, g.doc_id
+),
+cells AS (
+  SELECT h.bench, t.source,
+         count(*) AS n_contaminated_docs,
+         CAST(SUM(h.n_overlap) AS BIGINT) AS n_overlap_pairs
+  FROM hits h JOIN {source} t USING (doc_id)
+  GROUP BY h.bench, t.source
+),
+src_totals AS (
+  SELECT source, count(*) AS n_source_docs
+  FROM {source} WHERE source NOT IN ({in_list}) GROUP BY source
+)
+SELECT c.bench, c.source,
+       CAST(c.n_contaminated_docs AS BIGINT) AS n_contaminated_docs,
+       c.n_overlap_pairs,
+       CAST(s.n_source_docs AS BIGINT) AS n_source_docs,
+       floor(CAST(c.n_contaminated_docs AS DOUBLE) / s.n_source_docs * 1e6 + 0.5000001) / 1e6 AS source_rate
+FROM cells c JOIN src_totals s USING (source)"""
+
+
 def decontam_fuzzy_report(
     train: DataFrame,
     benchmarks: DataFrame,

@@ -3300,3 +3300,180 @@ SELECT source_lo, source_hi, count(*) AS n_pairs,
        source_lo <> source_hi AS is_cross_source,
        CAST(SUM(jac_u) AS DOUBLE) / (count(*) * 1e6) AS mean_jaccard
 FROM j GROUP BY source_lo, source_hi"""
+
+
+# ------------------------------------- incremental cross-source overlap lane
+def _overlap_cells(pairs: DataFrame, src_a: DataFrame, src_b: DataFrame) -> DataFrame:
+    """ADDITIVE overlap state from a verified pair relation: per unordered
+    (source_lo, source_hi) cell, pair count and the 1e-6-gridded Jaccard
+    sum. Cells of a pair-set union are the summed cells of disjoint parts
+    — the invariant the incremental lane rides (the qi_counts shape)."""
+    j = (
+        pairs.join(
+            src_a.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        ).join(
+            src_b.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+    )
+    graded = j.select(
+        F.least("src_a", "src_b").alias("source_lo"),
+        F.greatest("src_a", "src_b").alias("source_hi"),
+        F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5000001)).cast("long").alias("jac_u"),
+    )
+    return graded.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("jac_u").alias("sum_jac_u"),
+    )
+
+
+def source_overlap_from_cells(cells: DataFrame) -> DataFrame:
+    """The matrix relation (source_overlap_matrix's exact schema) from a
+    (possibly multi-delta) cell state — merge is an integer sum, the mean
+    is computed only at read time so it never has to be merged."""
+    merged = cells.groupBy("source_lo", "source_hi").agg(
+        F.sum("n_pairs").alias("n_pairs"), F.sum("sum_jac_u").alias("sum_jac_u")
+    )
+    return merged.select(
+        "source_lo",
+        "source_hi",
+        "n_pairs",
+        (F.col("source_lo") != F.col("source_hi")).alias("is_cross_source"),
+        (F.col("sum_jac_u").cast("double") / (F.col("n_pairs") * F.lit(1e6))).alias(
+            "mean_jaccard"
+        ),
+    )
+
+
+def source_overlap_bootstrap(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``(cells, index)`` of an initial corpus: the overlap lane's state
+    from the batch pair machinery — cells via :func:`_overlap_cells` over
+    :func:`dedup_minhash_lsh`'s verified pairs, index via
+    :func:`band_index` over ALL docs (the overlap audit counts duplicate
+    pairs, so unlike the dedup ADMISSION index this one keeps every
+    document's band rows, dropped near-dups included)."""
+    src = docs.select("doc_id", "source")
+    return _overlap_cells(dedup_minhash_lsh(docs), src, src), band_index(docs)
+
+
+def source_overlap_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    snapshot_docs: DataFrame,
+    cells: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingest step of the CONTINUOUS cross-source overlap audit:
+    ``(matrix, cells_merged, index_delta)`` — the corpus-wide provenance
+    matrix after the drop lands, maintained O(batch) instead of a
+    full-corpus MinHash re-run per drop.
+
+    Exactness: the union's verified pair set partitions EXACTLY into
+    batch-internal pairs (the same ``_minhash_pairs`` arithmetic as the
+    batch lane) plus batch×history pairs (band probe against the
+    persisted index → exact-Jaccard verify, each unordered pair counted
+    once because one side is always the batch); per-pair ``jac_u`` grids
+    identically, so summed cells reproduce
+    :func:`source_overlap_matrix` of the whole corpus bit-for-bit —
+    pinned by the snapshot face's oracle, which IS the batch SQL over
+    the union. History is touched only via a semi-join on probed
+    candidate doc_ids (O(candidates) row-groups of a doc_id-sorted
+    store at 100 TB, not a corpus scan).
+
+    State: cells are S²-bounded (source-pair cardinality); the index is
+    the full-corpus band relation (NUM_BANDS rows/doc — store bucketed
+    on (k1, k2) so each drop's probe shuffles only the batch side).
+    """
+    delta_cells, index_delta = _overlap_step(new_docs, index, snapshot_docs, threshold)
+    cells_merged = (
+        cells.select("source_lo", "source_hi", "n_pairs", "sum_jac_u")
+        .unionByName(delta_cells)
+        .groupBy("source_lo", "source_hi")
+        .agg(F.sum("n_pairs").alias("n_pairs"), F.sum("sum_jac_u").alias("sum_jac_u"))
+        .transform(pin)
+    )
+    return source_overlap_from_cells(cells_merged), cells_merged, index_delta
+
+
+def _overlap_step(
+    new_docs: DataFrame,
+    index: DataFrame,
+    snapshot_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """One drop's ADDITIVE contribution ``(delta_cells, index_delta)`` —
+    the delta grain the streaming lane persists per ``batch_id`` partition
+    (overwrite-idempotent replay, the qi_counts storage contract). Both
+    results are pinned before return so the caller's writes cannot race
+    the index/docs partitions a replay would re-read."""
+    sh_b = _km_row_sigs(
+        _with_shingles(new_docs).select("doc_id", "shingles"),
+        "shingles",
+        NUM_HASHES,
+        "shingles",
+    ).persist()
+    try:
+        src_b = new_docs.select("doc_id", "source")
+        batch_pairs = _minhash_pairs(sh_b)
+        bands_b = _band_keys(sh_b)
+        hist_cand = (
+            bands_b.join(
+                index.select("band", "k1", "k2", F.col("doc_id").alias("doc_old")),
+                ["band", "k1", "k2"],
+            )
+            .select(F.col("doc_id").alias("doc_new"), "doc_old")
+            .distinct()
+        )
+        old_docs = snapshot_docs.join(
+            hist_cand.select(F.col("doc_old").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        old_sh = _with_shingles(old_docs).select("doc_id", "shingles")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union
+        cross_pairs = (
+            hist_cand.join(
+                sh_b.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a")),
+                "doc_new",
+            )
+            .join(
+                old_sh.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b")),
+                "doc_old",
+            )
+            .select(
+                F.col("doc_new").alias("doc_a"),
+                F.col("doc_old").alias("doc_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+        )
+        delta_cells = (
+            _overlap_cells(batch_pairs, src_b, src_b)
+            .unionByName(
+                _overlap_cells(cross_pairs, src_b, old_docs.select("doc_id", "source"))
+            )
+            .groupBy("source_lo", "source_hi")
+            .agg(F.sum("n_pairs").alias("n_pairs"), F.sum("sum_jac_u").alias("sum_jac_u"))
+            .transform(pin)
+        )
+        index_delta = bands_b.select("band", "k1", "k2", "doc_id").transform(pin)
+        return delta_cells, index_delta
+    finally:
+        sh_b.unpersist()
+
+
+def source_overlap_incr_snapshot(docs: DataFrame) -> DataFrame:
+    """Driver-checkable face: the same 80/20 snapshot/batch split as the
+    other incremental lanes — bootstrap state from the snapshot, land the
+    batch through :func:`source_overlap_incremental`, and return the
+    resulting corpus-wide matrix. The oracle is sql_source_overlap_matrix
+    over the FULL table: incremental == batch over the union, value-exact
+    (the lane's whole claim, checked cross-engine)."""
+    snapshot = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    cells, idx = source_overlap_bootstrap(snapshot)
+    matrix, _cells, _delta = source_overlap_incremental(batch, idx, snapshot, cells)
+    return matrix

@@ -1079,6 +1079,39 @@ for _n in _R16_PROMOTED:
     DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
 
 
+def _incoming_r16() -> dict:
+    """r16-built wave: the provenance lane goes CONTINUOUS and the
+    decontam lane gets its triage drill-down. ``source_overlap_incr`` is
+    the O(drop) incremental face of the cross-source overlap matrix
+    (bootstrap + one batch through the persisted band index); its oracle
+    is the BATCH matrix SQL over the full table — the lane's
+    incremental-equals-batch claim checked cross-engine at value level.
+    ``decontam_source_matrix`` localizes each benchmark's contamination
+    to the SOURCES carrying it (the remediation is source-scoped, not
+    corpus-wide) — same one-pass digest-broadcast shape as the checked
+    decontam_report, B×S-bounded output. Queued r19 behind the recorded
+    r17 (release-audit quartet) and r18 (provenance/monitoring pair)
+    waves, alongside the r16 retirees due that round."""
+    from spark_signals.datapipe.decontam import (
+        decontam_source_matrix_snapshot,
+        sql_decontam_source_matrix,
+    )
+
+    return {
+        "source_overlap_incr": (
+            lambda spark, sf_dir: D.source_overlap_incr_snapshot(_docs(spark, sf_dir)),
+            D.sql_source_overlap_matrix(),
+        ),
+        "decontam_source_matrix": (
+            lambda spark, sf_dir: decontam_source_matrix_snapshot(_docs(spark, sf_dir)),
+            sql_decontam_source_matrix(),
+        ),
+    }
+
+
+INCOMING_DATAPIPE_QUERIES.update(_incoming_r16())
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

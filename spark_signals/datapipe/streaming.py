@@ -861,3 +861,146 @@ def read_latest_kanon_report(spark, report_dir: str) -> DataFrame:
         f"(found {sorted(ids)}, none carrying _SUCCESS — writer in "
         f"flight or crashed mid-write; replay will commit)"
     )
+
+
+# --------------------------------------- continuous cross-source overlap
+def process_overlap_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    docs_dir: str,
+    band_dir: str,
+    cells_dir: str,
+    matrix_dir: str,
+) -> None:
+    """One idempotent step of the continuous cross-source overlap audit
+    (module-level so replay semantics are directly testable): probe the
+    batch against every EARLIER batch's band-index partitions, persist
+    the batch's docs / band rows / ADDITIVE cell delta, then write the
+    corpus-wide provenance matrix for this point in the stream.
+
+    Storage contract (the qi_counts shape): every write targets a
+    deterministic ``batch_id=<id>`` subdirectory, so an at-least-once
+    replay rewrites the same files — and a replay reads only EARLIER
+    partitions, so it sees the identical pre-batch state and produces
+    identical deltas. Write ORDER follows the kanon lesson: all three
+    state relations (docs, bands, cells) land BEFORE the served matrix,
+    so a crash can never publish a matrix whose backing state is
+    missing.
+
+    Unlike the dedup ADMISSION lane, the band index here keeps EVERY
+    batch document's rows (dropped near-dups included) — the audit
+    counts duplicate pairs, which is exactly what admission discards.
+    State: bands grow with the corpus (NUM_BANDS rows/doc — bucket on
+    (k1, k2) at warehouse scale); cells are S²-bounded; per-drop cost is
+    O(batch probes + candidates), never a corpus re-run.
+    """
+    import os
+
+    from spark_signals.datapipe.dedup import _overlap_step, source_overlap_from_cells
+
+    spark = batch_df.sparkSession
+    empty_docs = spark.createDataFrame([], batch_df.schema)
+
+    earlier_bands = _earlier_batch_partitions(spark, band_dir, batch_id)
+    earlier_docs = _earlier_batch_partitions(spark, docs_dir, batch_id)
+    if earlier_bands:
+        index = (
+            spark.read.option("basePath", band_dir)
+            .parquet(*earlier_bands)
+            .select("band", "k1", "k2", "doc_id")
+        )
+    else:
+        from spark_signals.datapipe.dedup import band_index
+
+        index = band_index(empty_docs)
+    if earlier_docs:
+        snapshot_docs = (
+            spark.read.option("basePath", docs_dir)
+            .parquet(*earlier_docs)
+            .select(*batch_df.columns)
+        )
+    else:
+        snapshot_docs = empty_docs
+
+    delta_cells, index_delta = _overlap_step(batch_df, index, snapshot_docs)
+
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(docs_dir, f"batch_id={batch_id}")
+    )
+    index_delta.write.mode("overwrite").parquet(
+        os.path.join(band_dir, f"batch_id={batch_id}")
+    )
+    delta_cells.write.mode("overwrite").parquet(
+        os.path.join(cells_dir, f"batch_id={batch_id}")
+    )
+    all_cells = spark.read.option("basePath", cells_dir).parquet(cells_dir).select(
+        "source_lo", "source_hi", "n_pairs", "sum_jac_u"
+    )
+    source_overlap_from_cells(all_cells).transform(pin).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(matrix_dir, f"batch_id={batch_id}"))
+
+
+def overlap_audit_stream(
+    stream: DataFrame,
+    *,
+    docs_dir: str,
+    band_dir: str,
+    cells_dir: str,
+    matrix_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous provenance audit: after every ingest drop, the
+    corpus-wide source-overlap matrix is re-issued from the persisted
+    cell state + the drop's O(batch) delta. The ``matrix_dir``'s newest
+    COMMITTED ``batch_id`` partition is the current provenance verdict
+    (serve via :func:`read_latest_overlap_matrix`); earlier partitions
+    are the audit history."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_overlap_batch(
+            batch_df,
+            batch_id,
+            docs_dir=docs_dir,
+            band_dir=band_dir,
+            cells_dir=cells_dir,
+            matrix_dir=matrix_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_latest_overlap_matrix(spark, matrix_dir: str) -> DataFrame:
+    """The CURRENT provenance matrix: the newest COMMITTED ``batch_id``
+    partition — the same ``_SUCCESS``-gated, newest-first fallback walk
+    as :func:`read_latest_kanon_report` (a latest-wins serving read must
+    never return a partial matrix while the writer is in flight)."""
+    import os
+
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jpath = Path(matrix_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"no overlap matrices at {matrix_dir}")
+    ids = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith("batch_id=")
+    ]
+    if not ids:
+        raise FileNotFoundError(f"no batch_id partitions at {matrix_dir}")
+    for bid in sorted(ids, reverse=True):
+        part = os.path.join(matrix_dir, f"batch_id={bid}")
+        if fs.exists(Path(os.path.join(part, "_SUCCESS"))):
+            return spark.read.parquet(part)
+    raise FileNotFoundError(
+        f"no COMMITTED batch_id partition at {matrix_dir} "
+        f"(found {sorted(ids)}, none carrying _SUCCESS — writer in "
+        f"flight or crashed mid-write; replay will commit)"
+    )

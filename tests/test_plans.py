@@ -619,3 +619,32 @@ def test_minhash_calibration_stays_banded_no_python(spark, monkeypatch):
     assert "EvalPython" not in p and "pythonUDF" not in p
     assert count_op(p, "CartesianProduct") == 0
     assert count_op(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_source_overlap_incr_stays_banded_no_python(spark, monkeypatch):
+    """The incremental overlap step keeps the dedup lane's blocking on
+    BOTH arms (batch-internal pairs and the history probe): band-bucket
+    equi-joins only, candidate-bounded verification, no cartesian
+    product, no Python stage (pin() bypassed so the whole pre-checkpoint
+    plan is audited)."""
+    import spark_signals.datapipe.dedup as DD
+
+    monkeypatch.setattr(DD, "pin", lambda df: df)
+    p = plan_str(
+        DD.source_overlap_incr_snapshot(read_table(spark, SF, "documents"))
+    )
+    assert "EvalPython" not in p and "pythonUDF" not in p
+    assert count_op(p, "CartesianProduct") == 0
+    assert count_op(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_decontam_source_matrix_single_corpus_pass(spark):
+    """The benchmark x source drill-down keeps decontam_report's shape:
+    one training digest explode against the BROADCAST eval digests, then
+    overlap-bounded aggregates/joins — the corpus is never digested a
+    second time for the source recovery, and nothing runs in Python."""
+    from spark_signals.datapipe.decontam import decontam_source_matrix_snapshot
+
+    p = plan_str(decontam_source_matrix_snapshot(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in p
+    assert count_op(p, "CartesianProduct") == 0

@@ -191,7 +191,15 @@ def main() -> int:
         ),
         "source_overlap_matrix": lambda: D.source_overlap_matrix(docs),
         "quality_drift_psi": lambda: _quality_drift(docs),
+        # r16 additions: the continuous-provenance pair
+        "source_overlap_incr": lambda: D.source_overlap_incr_snapshot(docs),
+        "decontam_source_matrix": lambda: _decontam_source_matrix(docs),
     }
+
+    def _decontam_source_matrix(d):
+        from spark_signals.datapipe.decontam import decontam_source_matrix_snapshot
+
+        return decontam_source_matrix_snapshot(d)
 
     def _quality_drift(d):
         from spark_signals.datapipe.versioning import quality_drift_snapshot
