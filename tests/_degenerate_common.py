@@ -135,7 +135,18 @@ def _late_ops():
         # the fixed PSI_BINS band relation by design (validated empty-safe
         # in tests/test_release_audits.py instead).
         "source_overlap_matrix": D.source_overlap_matrix,
+        # r16: the continuous-provenance pair (the incremental overlap
+        # face chains bootstrap + batch over the 80/20 split; empty or
+        # degenerate corpora must yield an empty matrix, not a throw)
+        "source_overlap_incr": D.source_overlap_incr_snapshot,
+        "decontam_source_matrix": _decontam_source_matrix,
     }
+
+
+def _decontam_source_matrix(docs):
+    from spark_signals.datapipe.decontam import decontam_source_matrix_snapshot
+
+    return decontam_source_matrix_snapshot(docs)
 
 
 def _zorder_zonemap(docs):

@@ -43,6 +43,11 @@ CASES = [
     # r15 wave 2: both fixed-cardinality audits ride integer/gridded sums
     "source_overlap_matrix",
     "quality_drift_psi",
+    # r16: the continuous-provenance pair — the incremental lane's
+    # additive (n_pairs, Σjac_u) cell merge and the digest-hit cell
+    # aggregate must be partition-count-blind like their batch twins
+    "source_overlap_incr",
+    "decontam_source_matrix",
 ]
 
 

@@ -330,6 +330,25 @@ def gen_text_query(rng: random.Random):
             VER.quality_drift_snapshot,
             VER.sql_quality_drift_snapshot(),
         ),
+        # r16: the continuous-provenance pair — random corpora fuzz the
+        # incremental-equals-batch identity (the oracle IS the batch
+        # matrix SQL) and the bench×source cell accounting; the sampled
+        # calibration path runs against its own parameterized oracle
+        (
+            "source_overlap_incr",
+            DD.source_overlap_incr_snapshot,
+            DD.sql_source_overlap_matrix(),
+        ),
+        (
+            "minhash_calibration_sampled",
+            lambda d: DD.minhash_calibration_report(d, sample_bands=1),
+            DD.sql_minhash_calibration_report(sample_bands=1),
+        ),
+        (
+            "decontam_source_matrix",
+            DC.decontam_source_matrix_snapshot,
+            DC.sql_decontam_source_matrix(),
+        ),
     ]
     tag, op, sql = ops[rng.randrange(len(ops))]
     texts = _gen_docs(rng)
