@@ -50,25 +50,24 @@ def content_digest(text) -> F.Column:
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup on the whitespace-normalized content digest.
 
-    groupBy(digest) with min(doc_id) as the canonical survivor — one hash
-    shuffle keyed by digest; at warehouse scale this is the standard
-    map-side-combined aggregate.
+    Whole-partition window aggregates over one digest-keyed shuffle
+    (min(doc_id), count(*) OVER (PARTITION BY content_hash)): the text is
+    scanned and md5-digested ONCE and only (doc_id, content_hash) pairs
+    cross the exchange. The former groupBy + join-back form planned TWO
+    full scan+digest passes (one per join arm) and, at scale, either an
+    unbounded broadcast of every doc's digest or a second shuffle for the
+    sort-merge join — measured 0.47 → 0.32 s best-of-5 at sf0.1 (r16).
     """
     hashed = docs.select("doc_id", content_digest(F.col("text")).alias("content_hash"))
-    groups = hashed.groupBy("content_hash").agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return (
-        hashed.join(groups, "content_hash")
-        .select(
-            "doc_id",
-            "content_hash",
-            "canonical_doc_id",
-            "group_size",
-            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
-        )
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
 
 
 # DuckDB mirror of content_digest() — keep the two in lockstep

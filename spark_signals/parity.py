@@ -43,9 +43,11 @@ from spark_signals.rounding import sround  # noqa: E402,F401
 
 
 def _round_cols(df: DataFrame, cols: dict[str, int]) -> DataFrame:
-    for c, dp in cols.items():
-        df = df.withColumn(c, sround(F.col(c), dp))
-    return df
+    # single withColumns call: one projection + ONE re-analysis of the plan
+    # instead of len(cols) of each — on the deep pipeline chains each extra
+    # DataFrame op costs ~10-25 ms of driver-side analysis (measured r16),
+    # so the per-column withColumn loop was ~0.2 s per metrics-family query
+    return df.withColumns({c: sround(F.col(c), dp) for c, dp in cols.items()})
 
 
 # ---------------------------------------------------------------- pipeline
@@ -292,7 +294,9 @@ def _metrics_chain(spark: SparkSession, sf_dir: str, *, fused: bool = False):
     sparse signal marker, performance_windows counts it in the SAME tumbling
     aggregate, and the returned ``counts`` is None (metrics_enriched skips
     the window-to-window join). Identical relation, one base scan instead of
-    two. The default join form stays as the J2 witness (strategy_metrics)."""
+    two. The default join form stays as the J2 witness via
+    pipeline.build_pipeline and the q_performance_windows / q_signal_counts
+    extended queries (q_metrics switched to the fused form in r16)."""
     enriched = N.enriched_ticks(_ticks(spark, sf_dir), CFG)
     base = P.positions_base_inline(enriched, CFG)
     stream = P.positions_stream(base, CFG, keep_signal_marker=fused)
@@ -370,7 +374,15 @@ _METRICS_ROUND = {
 
 
 def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    perf, counts = _metrics_chain(spark, sf_dir)
+    # fused single-scan chain (r16 optimization): A2's signal count folds
+    # into A1's tumbling aggregate via the sparse signal marker — one base
+    # scan + one window chain instead of two of each plus the J2 join.
+    # Identical relation (the unchanged SQL_METRICS oracle proves it, as it
+    # already did for q_hourly_rollup); the join form stays exercised as the
+    # J2 witness via pipeline.build_pipeline (tests/test_plans.py
+    # test_metrics_dag_bounded_shuffles) and the q_performance_windows /
+    # q_signal_counts extended queries.
+    perf, counts = _metrics_chain(spark, sf_dir, fused=True)
     metr = M.metrics_enriched(perf, counts, CFG)
     return _round_cols(metr, _METRICS_ROUND)
 

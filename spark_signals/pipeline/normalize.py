@@ -108,8 +108,18 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
         fast.alias("fast_sma"),
         slow.alias("slow_sma"),
     )
-    df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
-    return df.withColumn("prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w))
+    # one projection for both spread columns (driver-side analysis is paid
+    # per DataFrame op): sig_spread materializes fast-slow, and the lag takes
+    # the same subtraction as its argument directly — Catalyst extracts it
+    # into the identical pre-window projection a lag over the materialized
+    # column would use, so plan and values are unchanged vs the former
+    # withColumn pair.
+    spread = F.col("fast_sma") - F.col("slow_sma")
+    return df.select(
+        "*",
+        spread.alias("sig_spread"),
+        F.lag(spread, cfg.confirmation).over(w).alias("prev_sig_spread"),
+    )
 
 
 def lookback_rows(cfg: EngineConfig) -> int:

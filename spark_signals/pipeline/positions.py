@@ -131,10 +131,17 @@ def positions_stream(
     position = F.coalesce(
         F.last("signal_position", ignorenulls=True).over(w), F.lit(0.0)
     )
-    filled = base.withColumn("position", position)
+    # one projection (same column order as the former withColumn +
+    # rename/drop pair — position appended last): each extra DataFrame op
+    # re-analyzes the whole deep chain on the driver
     if keep_signal_marker:
-        return filled.withColumnRenamed("signal_position", SIGNAL_MARKER)
-    return filled.drop("signal_position")
+        cols = [
+            F.col(c).alias(SIGNAL_MARKER) if c == "signal_position" else F.col(c)
+            for c in base.columns
+        ]
+    else:
+        cols = [F.col(c) for c in base.columns if c != "signal_position"]
+    return base.select(*cols, position.alias("position"))
 
 
 def positions_enriched(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -142,20 +149,18 @@ def positions_enriched(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
     (reference: sma_cross.py:236-262)."""
     w = tick_window(cfg)
     mid_bad = F.col("mid_price").isNull() | (F.col("mid_price") == 0)
-    return (
-        stream.withColumn("prev_position", F.lag("position").over(w))
-        .withColumn(
-            "volatility_ratio",
-            F.when(mid_bad, F.lit(0.0)).otherwise(
-                F.coalesce(F.col("volatility"), F.lit(0.0)) / F.col("mid_price")
-            ),
-        )
-        .withColumn(
-            "spread_ratio",
-            F.when(mid_bad | F.col("spread").isNull(), F.lit(0.0)).otherwise(
-                F.col("spread") / F.col("mid_price")
-            ),
-        )
+    # one projection for all three derived columns (the two ratios don't
+    # reference prev_position, so the lag and the plain expressions coexist
+    # in a single select; same column order as the former withColumn chain)
+    return stream.select(
+        "*",
+        F.lag("position").over(w).alias("prev_position"),
+        F.when(mid_bad, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("volatility"), F.lit(0.0)) / F.col("mid_price"))
+        .alias("volatility_ratio"),
+        F.when(mid_bad | F.col("spread").isNull(), F.lit(0.0))
+        .otherwise(F.col("spread") / F.col("mid_price"))
+        .alias("spread_ratio"),
     )
 
 
