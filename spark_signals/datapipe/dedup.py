@@ -57,8 +57,19 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     full scan+digest passes (one per join arm) and, at scale, either an
     unbounded broadcast of every doc's digest or a second shuffle for the
     sort-merge join — measured 0.47 → 0.32 s best-of-5 at sf0.1 (r16).
+
+    NULL-text docs (digest NULL) are filtered out explicitly: the former
+    inner join on content_hash dropped them (NULL never equi-matches, in
+    Spark and in the SQL oracle's JOIN USING), but a window PARTITION BY
+    groups NULLs together — without the filter the r16 rewrite silently
+    marked NULL-text docs as duplicates of each other, breaking
+    filter_ablation's exclusion contract (caught by
+    tests/test_release_audits.py). The predicate is on the source column,
+    so it pushes to the parquet scan.
     """
-    hashed = docs.select("doc_id", content_digest(F.col("text")).alias("content_hash"))
+    hashed = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", content_digest(F.col("text")).alias("content_hash")
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("content_hash")
