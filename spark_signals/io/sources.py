@@ -70,15 +70,41 @@ def utc_timestamps(df: DataFrame) -> DataFrame:
     pinned to UTC, so the cast is an exact reinterpretation — every consumer
     sees ONE type regardless of which parquet flavor was generated.
     """
-    for cname, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
-    return df
+    ntz = {
+        cname: F.col(cname).cast("timestamp")
+        for cname, dtype in df.dtypes
+        if dtype == "timestamp_ntz"
+    }
+    # one withColumns projection, not a per-column withColumn loop: every
+    # DataFrame op re-analyzes the whole plan on the driver, and this runs
+    # inside every read_table call (r16: ~3 NTZ columns on lineitem alone)
+    return df.withColumns(ntz) if ntz else df
+
+
+# Inferred-schema cache keyed by parquet path. The driver's testdata tables
+# are immutable per sf_dir, but a bare spark.read.parquet re-infers the
+# schema with a small driver-side footer-read job on EVERY query build —
+# ~50-100 ms per table per query at r16. A catalog-backed warehouse table
+# carries its schema in the metastore and never pays this; passing the
+# once-inferred schema explicitly mirrors that. Only the fixed source tables
+# go through this cache — mutable pipeline outputs keep full inference.
+# (Schemas are inferred under ensure_session_confs, so the nanosAsLong /
+# NTZ flavor baked into the cache matches what inference would return.)
+_PARQUET_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
+def _read_fixed_parquet(spark: SparkSession, path: str) -> DataFrame:
+    schema = _PARQUET_SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_fixed_parquet(spark, f"{sf_dir}/{name}.parquet")
     # events.ts is parquet timestamp[ns] in some driver generations;
     # nanosAsLong surfaces the raw int64 — truncate to µs exactly as DuckDB
     # does reading the same file.
@@ -103,7 +129,7 @@ def load_ticks(
     with rowgroup pruning.
     """
     ensure_session_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_fixed_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         import datetime as dt
 
@@ -129,17 +155,21 @@ def load_ticks(
         if end_ts is not None:
             ev = ev.filter(F.col("ts") <= F.lit(end_ts).cast(ts_type))
         ev = utc_timestamps(ev)
-    quoted = F.col("event_type") != F.lit("error")
-    return ev.select(
-        F.concat(F.lit("P-"), F.col("user_id").cast("string")).alias("product_id"),
-        F.col("value").alias("price"),
-        F.when(quoted, F.col("value") * F.lit(BID_FACTOR)).alias("best_bid"),
-        F.when(quoted, F.col("value") * F.lit(ASK_FACTOR)).alias("best_ask"),
-        F.lit(None).cast("double").alias("volume_24h"),
-        F.col("event_id").alias("sequence"),
-        F.col("event_type").alias("side"),
-        F.col("ts").alias("event_time"),
-        F.lit(source).alias("source"),
+    # SQL-text projection: one py4j round trip instead of ~30 Column calls
+    # (identical Catalyst expressions — tests/test_plan_equality.py); the D
+    # suffixes keep the bid/ask factors double literals.
+    return ev.selectExpr(
+        "concat('P-', CAST(user_id AS STRING)) AS product_id",
+        "value AS price",
+        f"CASE WHEN NOT (event_type = 'error') THEN value * {BID_FACTOR!r}D END"
+        " AS best_bid",
+        f"CASE WHEN NOT (event_type = 'error') THEN value * {ASK_FACTOR!r}D END"
+        " AS best_ask",
+        "CAST(NULL AS DOUBLE) AS volume_24h",
+        "event_id AS sequence",
+        "event_type AS side",
+        "ts AS event_time",
+        f"'{source}' AS source",
     )
 
 

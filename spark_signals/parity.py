@@ -46,8 +46,12 @@ def _round_cols(df: DataFrame, cols: dict[str, int]) -> DataFrame:
     # single withColumns call: one projection + ONE re-analysis of the plan
     # instead of len(cols) of each — on the deep pipeline chains each extra
     # DataFrame op costs ~10-25 ms of driver-side analysis (measured r16),
-    # so the per-column withColumn loop was ~0.2 s per metrics-family query
-    return df.withColumns({c: sround(F.col(c), dp) for c, dp in cols.items()})
+    # so the per-column withColumn loop was ~0.2 s per metrics-family query.
+    # Each value is one SQL-parsed expression (1 py4j round trip) instead of
+    # ~6 Column calls; parses to the identical Catalyst tree as sround().
+    from spark_signals.rounding import sround_sql
+
+    return df.withColumns({c: F.expr(sround_sql(c, dp)) for c, dp in cols.items()})
 
 
 # ---------------------------------------------------------------- pipeline

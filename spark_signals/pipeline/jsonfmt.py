@@ -32,3 +32,13 @@ def fmt_fixed(col: Column, dp: int) -> Column:
 def sql_fmt_fixed(expr: str, dp: int) -> str:
     """The DuckDB mirror of :func:`fmt_fixed` (same grid, same printf)."""
     return f"printf('%.{dp}f', floor(({expr}) * 1e{dp} + 0.5000001) / 1e{dp})"
+
+
+def fmt_fixed_sqltext(expr: str, dp: int) -> str:
+    """:func:`fmt_fixed` as Spark-SQL text (for selectExpr call sites) —
+    parses to the identical Catalyst expression as the Column form; the
+    ``D`` suffix keeps the nudge literal a double (see rounding.sround_sql).
+    """
+    from spark_signals.rounding import sround_sql
+
+    return f"format_string('%.{dp}f', {sround_sql(expr, dp)})"

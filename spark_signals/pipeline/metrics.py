@@ -24,38 +24,36 @@ from pyspark.sql import functions as F
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
 from spark_signals.pipeline.positions import SIGNAL_MARKER as P_SIGNAL_MARKER
-from spark_signals.rounding import micro_units as _micro
 
 
 def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P8 + P9 — per-tick cost and realized-pnl series
     (reference: performance.py:36-61)."""
-    chg_notional = F.abs(F.col("position_change")) * F.col("mid_price")
+    chg_notional = "ABS(position_change) * mid_price"
     # single-pass chains (positions_stream(keep_signal_marker=True)) forward
-    # the sparse signal marker so A2's count fuses into A1's aggregate
-    marker = [F.col(P_SIGNAL_MARKER)] if P_SIGNAL_MARKER in costs.columns else []
-    return costs.select(
+    # the sparse signal marker so A2's count fuses into A1's aggregate.
+    # SQL-text projection (one py4j round trip; identical Catalyst
+    # expressions — tests/test_plan_equality.py).
+    marker = [P_SIGNAL_MARKER] if P_SIGNAL_MARKER in costs.columns else []
+    return costs.selectExpr(
         "product_id",
         "event_time",
         "sequence",
         "mid_price",
-        F.coalesce(F.col("returns"), F.lit(0.0)).alias("asset_return"),
+        "COALESCE(returns, 0.0D) AS asset_return",
         "position",
         "prev_position",
         "position_change",
         "transaction_cost_rate",
         "slippage_rate",
         "trade_cost_rate",
-        (chg_notional * F.col("transaction_cost_rate")).alias("transaction_cost"),
-        (chg_notional * F.col("slippage_rate")).alias("slippage_cost"),
-        (chg_notional * F.col("trade_cost_rate")).alias("trade_cost"),
-        (
-            F.coalesce(F.col("prev_position"), F.lit(0.0))
-            * F.coalesce(F.col("returns"), F.lit(0.0))
-            - chg_notional * F.col("trade_cost_rate")
-        ).alias("realized_pnl"),
-        (F.abs(F.col("position")) * F.col("mid_price")).alias("notional_exposure"),
-        F.abs(F.col("position")).alias("unit_exposure"),
+        f"{chg_notional} * transaction_cost_rate AS transaction_cost",
+        f"{chg_notional} * slippage_rate AS slippage_cost",
+        f"{chg_notional} * trade_cost_rate AS trade_cost",
+        "COALESCE(prev_position, 0.0D) * COALESCE(returns, 0.0D)"
+        f" - {chg_notional} * trade_cost_rate AS realized_pnl",
+        "ABS(position) * mid_price AS notional_exposure",
+        "ABS(position) AS unit_exposure",
         *marker,
     )
 
@@ -63,7 +61,6 @@ def position_returns(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
 def performance_windows(returns: DataFrame, cfg: EngineConfig) -> DataFrame:
     """A1 — 5-minute tumbling performance aggregates
     (reference: performance.py:62-100)."""
-    pnl = F.col("realized_pnl")
     win = F.window("event_time", cfg.metrics_window)
     # fused A2: when the chain carries the sparse signal marker
     # (non-null exactly on non-HOLD signal rows; signal_time == event_time
@@ -72,34 +69,39 @@ def performance_windows(returns: DataFrame, cfg: EngineConfig) -> DataFrame:
     # the filtered signal relation, eliminating a second base-table scan,
     # its window chain, and the window-to-window join.
     fused = (
-        [F.count(F.col(P_SIGNAL_MARKER)).alias("trades_executed")]
+        [f"count({P_SIGNAL_MARKER}) AS trades_executed"]
         if P_SIGNAL_MARKER in returns.columns
         else []
     )
+    from spark_signals.rounding import micro_units_sql
+
+    # exact integer micro-unit sum (see rounding.micro_units): p² is
+    # per-row-deterministic, but a raw double SUM is summation-order
+    # -dependent and at ~1e8 magnitude its ulp straddles the dp=6
+    # output grid (observed at sf0.1)
+    downside = (
+        "CAST(sum(CASE WHEN realized_pnl < 0 THEN "
+        + micro_units_sql("realized_pnl * realized_pnl", 6)
+        + " ELSE 0 END) AS DOUBLE) / 1000000.0D AS downside_sum"
+    )
+    aggs = [
+        *fused,
+        "avg(realized_pnl) AS avg_return",
+        "stddev_pop(realized_pnl) AS volatility",
+        "sum(realized_pnl) AS cumulative_return",
+        downside,
+        "count(realized_pnl) AS sample_size",
+        "count(CASE WHEN realized_pnl < 0 THEN 1 END) AS negative_samples",
+        "min(realized_pnl) AS min_return",
+        "avg(notional_exposure) AS avg_notional_exposure",
+        "avg(unit_exposure) AS avg_unit_exposure",
+        "sum(trade_cost) AS total_trade_cost",
+        "sum(transaction_cost) AS total_transaction_cost",
+        "sum(slippage_cost) AS total_slippage_cost",
+    ]
     return (
         returns.groupBy(win.alias("w"))
-        .agg(
-            *fused,
-            F.avg(pnl).alias("avg_return"),
-            F.stddev_pop(pnl).alias("volatility"),
-            F.sum(pnl).alias("cumulative_return"),
-            # exact integer micro-unit sum (see rounding.micro_units): p² is
-            # per-row-deterministic, but a raw double SUM is summation-order
-            # -dependent and at ~1e8 magnitude its ulp straddles the dp=6
-            # output grid (observed at sf0.1)
-            (
-                F.sum(F.when(pnl < 0, _micro(pnl * pnl, 6)).otherwise(F.lit(0)))
-                .cast("double") / F.lit(1e6)
-            ).alias("downside_sum"),
-            F.count(pnl).alias("sample_size"),
-            F.count(F.when(pnl < 0, F.lit(1))).alias("negative_samples"),
-            F.min(pnl).alias("min_return"),
-            F.avg("notional_exposure").alias("avg_notional_exposure"),
-            F.avg("unit_exposure").alias("avg_unit_exposure"),
-            F.sum("trade_cost").alias("total_trade_cost"),
-            F.sum("transaction_cost").alias("total_transaction_cost"),
-            F.sum("slippage_cost").alias("total_slippage_cost"),
-        )
+        .agg(*[F.expr(a) for a in aggs])
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -146,49 +148,49 @@ def metrics_enriched(
     fused ``trades_executed`` (performance_windows over a marker-bearing
     chain) and the join is skipped entirely — same relation, one base-table
     scan instead of two. The join form remains the J2 witness."""
-    sharpe = F.when(
-        F.col("volatility").isNull() | (F.col("volatility") == 0), F.lit(None).cast("double")
-    ).otherwise((F.col("avg_return") / F.col("volatility")) * F.sqrt(F.lit(12.0)))
-    downside_dev = F.sqrt(F.col("downside_sum") / F.col("negative_samples"))
-    sortino = F.when(
-        F.col("downside_sum").isNull() | (F.col("negative_samples") == 0),
-        F.lit(None).cast("double"),
-    ).otherwise(
-        (F.col("avg_return") / F.nullif(downside_dev, F.lit(0.0))) * F.sqrt(F.lit(12.0))
+    sharpe = (
+        "CASE WHEN (volatility IS NULL) OR (volatility = 0)"
+        " THEN CAST(NULL AS DOUBLE)"
+        " ELSE (avg_return / volatility) * SQRT(12.0D) END"
     )
-    metadata = F.to_json(
-        F.struct(
-            F.col("sample_size").cast("string").alias("sample_size"),
-            F.col("negative_samples").cast("string").alias("negative_samples"),
-            J.fmt_fixed(F.col("avg_unit_exposure"), 6).alias("average_unit_exposure"),
-            J.fmt_fixed(F.col("total_trade_cost"), 9).alias("total_trade_cost"),
-            J.fmt_fixed(F.col("total_transaction_cost"), 9).alias("total_transaction_cost"),
-            J.fmt_fixed(F.col("total_slippage_cost"), 9).alias("total_slippage_cost"),
-            F.lit(cfg.execution_mode).alias("execution_mode"),
-        )
+    downside_dev = "SQRT(downside_sum / negative_samples)"
+    sortino = (
+        "CASE WHEN (downside_sum IS NULL) OR (negative_samples = 0)"
+        " THEN CAST(NULL AS DOUBLE)"
+        f" ELSE (avg_return / NULLIF({downside_dev}, 0.0D)) * SQRT(12.0D) END"
+    )
+    metadata = (
+        "to_json(struct("
+        "CAST(sample_size AS STRING) AS sample_size, "
+        "CAST(negative_samples AS STRING) AS negative_samples, "
+        f"{J.fmt_fixed_sqltext('avg_unit_exposure', 6)} AS average_unit_exposure, "
+        f"{J.fmt_fixed_sqltext('total_trade_cost', 9)} AS total_trade_cost, "
+        f"{J.fmt_fixed_sqltext('total_transaction_cost', 9)} AS total_transaction_cost, "
+        f"{J.fmt_fixed_sqltext('total_slippage_cost', 9)} AS total_slippage_cost, "
+        f"'{cfg.execution_mode}' AS execution_mode))"
     )
     if counts is None:
         joined = perf
-        trades = F.col("trades_executed")  # fused COUNT — never null
+        trades = "trades_executed"  # fused COUNT — never null
     else:
         joined = perf.join(counts, on=["window_start", "window_end"], how="left")
-        trades = F.coalesce(F.col("trades_executed"), F.lit(0))
-    return joined.select(
-        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
-        F.col("window_start"),
-        F.col("window_end").alias("metric_time"),
-        F.lit(cfg.metrics_window_label).alias("window_label"),
-        sharpe.alias("sharpe_ratio"),
-        sortino.alias("sortino_ratio"),
-        F.col("cumulative_return"),
-        F.col("min_return").alias("drawdown"),
-        F.col("volatility"),
-        trades.alias("trades_executed"),
-        F.col("avg_notional_exposure").alias("avg_exposure_notional"),
-        F.col("total_trade_cost"),
-        F.col("total_transaction_cost"),
-        F.col("total_slippage_cost"),
-        metadata.alias("metadata"),
-        F.col("sample_size"),
-        F.col("negative_samples"),
+        trades = "COALESCE(trades_executed, 0)"
+    return joined.selectExpr(
+        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        "window_start",
+        "window_end AS metric_time",
+        f"'{cfg.metrics_window_label}' AS window_label",
+        f"{sharpe} AS sharpe_ratio",
+        f"{sortino} AS sortino_ratio",
+        "cumulative_return",
+        "min_return AS drawdown",
+        "volatility",
+        f"{trades} AS trades_executed",
+        "avg_notional_exposure AS avg_exposure_notional",
+        "total_trade_cost",
+        "total_transaction_cost",
+        "total_slippage_cost",
+        f"{metadata} AS metadata",
+        "sample_size",
+        "negative_samples",
     )

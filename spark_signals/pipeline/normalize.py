@@ -30,19 +30,29 @@ def tick_window(cfg: EngineConfig | None = None):
     return Window.partitionBy("product_id").orderBy("event_time", "sequence")
 
 
+# The same window spec as SQL OVER-clause text. The rolling-feature
+# expressions below are built as SQL strings (ONE py4j round trip each via
+# selectExpr instead of dozens of Column calls — plan construction was
+# 30-60% of pipeline-query wall at sf0.1, r16); parameterizing the
+# PARTITION BY keeps the single-key and skew-rekeyed plans on literally the
+# same expression text. Parses to the identical Catalyst operators as the
+# former Column DSL — pinned by tests/test_plan_equality.py.
+TICK_OVER = "PARTITION BY product_id ORDER BY event_time, sequence"
+TICK_OVER_REKEYED = "PARTITION BY product_id, bucket_ts ORDER BY event_time, sequence"
+
+
 def normalized_base(ticks: DataFrame) -> DataFrame:
     """P1 — typed casts + mid-price (reference: sma_cross.py:57-73)."""
-    has_quotes = F.col("best_bid").isNotNull() & F.col("best_ask").isNotNull()
-    return ticks.select(
+    return ticks.selectExpr(
         "product_id",
         "event_time",
-        F.col("sequence").cast("long").alias("sequence"),
-        F.col("price").cast("double").alias("price"),
-        F.col("best_bid").cast("double").alias("best_bid"),
-        F.col("best_ask").cast("double").alias("best_ask"),
-        F.when(has_quotes, (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0))
-        .otherwise(F.col("price").cast("double"))
-        .alias("mid_price"),
+        "CAST(sequence AS BIGINT) AS sequence",
+        "CAST(price AS DOUBLE) AS price",
+        "CAST(best_bid AS DOUBLE) AS best_bid",
+        "CAST(best_ask AS DOUBLE) AS best_ask",
+        "CASE WHEN (best_bid IS NOT NULL) AND (best_ask IS NOT NULL)"
+        " THEN (best_bid + best_ask) / 2.0D"
+        " ELSE CAST(price AS DOUBLE) END AS mid_price",
     )
 
 
@@ -59,27 +69,40 @@ def normalized_base(ticks: DataFrame) -> DataFrame:
 VOL_DP = 5
 
 
-def _rolling_features(w, cfg: EngineConfig):
-    """The shared rolling-feature expressions over a window spec ``w`` —
-    factored so the single-key plan (enriched_ticks) and the skew-re-keyed
-    plan (enriched_ticks_rekeyed) compute literally the same expressions."""
-    from spark_signals.rounding import micro_units
+def _rolling_features(over: str, cfg: EngineConfig):
+    """The shared rolling-feature expressions, as SQL text over an OVER
+    clause ``over`` — factored so the single-key plan (enriched_ticks) and
+    the skew-re-keyed plan (enriched_ticks_rekeyed) compute literally the
+    same expressions. SQL strings parse to the identical Catalyst
+    expressions the former Column DSL built (tests/test_plan_equality.py);
+    the repeated ``lag(mid_price)`` / window sub-expressions below dedup in
+    the analyzer's window extraction exactly as the shared Column object
+    did."""
+    from spark_signals.rounding import micro_units_sql
 
-    prev_mid = F.lag("mid_price").over(w)
-    vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
+    prev_mid = f"lag(mid_price) OVER ({over})"
+    vol_frame = f"{over} ROWS BETWEEN {cfg.volatility_window - 1} PRECEDING AND CURRENT ROW"
     returns = (
-        F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
-        .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
+        f"CASE WHEN (({prev_mid}) IS NULL) OR (({prev_mid}) = 0)"
+        f" THEN CAST(NULL AS DOUBLE)"
+        f" ELSE (mid_price - ({prev_mid})) / ({prev_mid}) END"
     )
-    u = micro_units(F.col("mid_price"), VOL_DP)
-    m1 = F.sum(u).over(vol_frame).cast("double")
-    m2 = F.sum(u * u).over(vol_frame).cast("double")
-    n = F.count("mid_price").over(vol_frame).cast("double")
-    mean_u = m1 / n
-    var_u = m2 / n - mean_u * mean_u
-    volatility = F.sqrt(F.greatest(var_u, F.lit(0.0))) / F.lit(float(10**VOL_DP))
-    fast = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_fast_window - 1), 0))
-    slow = F.avg("mid_price").over(w.rowsBetween(-(cfg.sma_slow_window - 1), 0))
+    u = micro_units_sql("mid_price", VOL_DP)
+    scale = float(10**VOL_DP)
+    m1 = f"CAST(sum({u}) OVER ({vol_frame}) AS DOUBLE)"
+    m2 = f"CAST(sum(({u}) * ({u})) OVER ({vol_frame}) AS DOUBLE)"
+    n = f"CAST(count(mid_price) OVER ({vol_frame}) AS DOUBLE)"
+    mean_u = f"(({m1}) / ({n}))"
+    var_u = f"(({m2}) / ({n}) - {mean_u} * {mean_u})"
+    volatility = f"SQRT(GREATEST({var_u}, 0.0D)) / {scale!r}D"
+    fast = (
+        f"avg(mid_price) OVER ({over} ROWS BETWEEN"
+        f" {cfg.sma_fast_window - 1} PRECEDING AND CURRENT ROW)"
+    )
+    slow = (
+        f"avg(mid_price) OVER ({over} ROWS BETWEEN"
+        f" {cfg.sma_slow_window - 1} PRECEDING AND CURRENT ROW)"
+    )
     return returns, volatility, fast, slow
 
 
@@ -93,20 +116,19 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     counts) are pure projections off this one frame; branches that fork from
     it share the exchange via ReuseExchange instead of recomputing the scan.
     """
-    w = tick_window(cfg)
     base = normalized_base(ticks)
-    returns, volatility, fast, slow = _rolling_features(w, cfg)
-    df = base.select(
+    returns, volatility, fast, slow = _rolling_features(TICK_OVER, cfg)
+    df = base.selectExpr(
         "product_id",
         "event_time",
         "sequence",
         "mid_price",
         "best_bid",
         "best_ask",
-        returns.alias("returns"),
-        volatility.alias("volatility"),
-        fast.alias("fast_sma"),
-        slow.alias("slow_sma"),
+        f"{returns} AS returns",
+        f"{volatility} AS volatility",
+        f"{fast} AS fast_sma",
+        f"{slow} AS slow_sma",
     )
     # one projection for both spread columns (driver-side analysis is paid
     # per DataFrame op): sig_spread materializes fast-slow, and the lag takes
@@ -114,11 +136,11 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     # into the identical pre-window projection a lag over the materialized
     # column would use, so plan and values are unchanged vs the former
     # withColumn pair.
-    spread = F.col("fast_sma") - F.col("slow_sma")
-    return df.select(
+    return df.selectExpr(
         "*",
-        spread.alias("sig_spread"),
-        F.lag(spread, cfg.confirmation).over(w).alias("prev_sig_spread"),
+        "fast_sma - slow_sma AS sig_spread",
+        f"lag(fast_sma - slow_sma, {cfg.confirmation}) OVER ({TICK_OVER})"
+        " AS prev_sig_spread",
     )
 
 
@@ -183,27 +205,26 @@ def enriched_ticks_rekeyed(
     )
 
     allrows = base.withColumn("_carry", F.lit(0)).unionByName(carry)
-    w_fine = Window.partitionBy("product_id", "bucket_ts").orderBy(
-        "event_time", "sequence"
-    )
-    returns, volatility, fast, slow = _rolling_features(w_fine, cfg)
-    df = allrows.select(
+    returns, volatility, fast, slow = _rolling_features(TICK_OVER_REKEYED, cfg)
+    df = allrows.selectExpr(
         "product_id",
         "event_time",
         "sequence",
         "mid_price",
         "best_bid",
         "best_ask",
-        returns.alias("returns"),
-        volatility.alias("volatility"),
-        fast.alias("fast_sma"),
-        slow.alias("slow_sma"),
+        f"{returns} AS returns",
+        f"{volatility} AS volatility",
+        f"{fast} AS fast_sma",
+        f"{slow} AS slow_sma",
         "bucket_ts",
         "_carry",
     )
-    df = df.withColumn("sig_spread", F.col("fast_sma") - F.col("slow_sma"))
-    df = df.withColumn(
-        "prev_sig_spread", F.lag("sig_spread", cfg.confirmation).over(w_fine)
+    df = df.selectExpr("*", "fast_sma - slow_sma AS sig_spread")
+    df = df.selectExpr(
+        "*",
+        f"lag(sig_spread, {cfg.confirmation}) OVER ({TICK_OVER_REKEYED})"
+        " AS prev_sig_spread",
     )
     return df.filter(F.col("_carry") == 0).drop("_carry", "bucket_ts")
 
@@ -265,19 +286,21 @@ def enriched_ticks_auto(
 def normalized_prices(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P2 + W1 + W2 — returns and rolling volatility
     (reference: sma_cross.py:76-105)."""
-    w = tick_window(cfg)
     base = normalized_base(ticks)
-    prev_mid = F.lag("mid_price").over(w)
-    vol_frame = w.rowsBetween(-(cfg.volatility_window - 1), 0)
-    return base.select(
+    prev_mid = f"lag(mid_price) OVER ({TICK_OVER})"
+    vol_frame = (
+        f"{TICK_OVER} ROWS BETWEEN {cfg.volatility_window - 1} PRECEDING"
+        " AND CURRENT ROW"
+    )
+    return base.selectExpr(
         "product_id",
         "event_time",
         "sequence",
         "mid_price",
         "best_bid",
         "best_ask",
-        F.when(prev_mid.isNull() | (prev_mid == 0), F.lit(None).cast("double"))
-        .otherwise((F.col("mid_price") - prev_mid) / prev_mid)
-        .alias("returns"),
-        F.stddev_pop("mid_price").over(vol_frame).alias("volatility"),
+        f"CASE WHEN (({prev_mid}) IS NULL) OR (({prev_mid}) = 0)"
+        f" THEN CAST(NULL AS DOUBLE)"
+        f" ELSE (mid_price - ({prev_mid})) / ({prev_mid}) END AS returns",
+        f"stddev_pop(mid_price) OVER ({vol_frame}) AS volatility",
     )

@@ -27,11 +27,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
-from spark_signals.pipeline.normalize import tick_window
 
 
 def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -42,20 +40,17 @@ def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     join, no second shuffle.
     """
     from spark_signals.pipeline.sma_cross import SPREAD_DECISION_DP
-    from spark_signals.rounding import sround
+    from spark_signals.rounding import sround_sql
 
-    df = enriched
     # same dp=9 decision grid as every other crossover implementation
-    # (sround∘lag ≡ lag∘sround, so this matches the join variant exactly)
-    spread_r = sround(F.col("sig_spread"), SPREAD_DECISION_DP)
-    prev_r = sround(F.col("prev_sig_spread"), SPREAD_DECISION_DP)
-    long_cond = (spread_r > 0) & (prev_r <= 0)
-    short_cond = (spread_r < 0) & (prev_r >= 0)
-    quote_spread = F.when(
-        F.col("best_bid").isNotNull() & F.col("best_ask").isNotNull(),
-        F.col("best_ask") - F.col("best_bid"),
-    )
-    return df.select(
+    # (sround∘lag ≡ lag∘sround, so this matches the join variant exactly).
+    # SQL-text projection: one py4j round trip for the whole select instead
+    # of dozens of Column calls (construction is 30-60% of pipeline-query
+    # wall at sf0.1, r16) — parses to the identical Catalyst expressions,
+    # pinned by tests/test_plan_equality.py.
+    spread_r = sround_sql("sig_spread", SPREAD_DECISION_DP)
+    prev_r = sround_sql("prev_sig_spread", SPREAD_DECISION_DP)
+    return enriched.selectExpr(
         "product_id",
         "event_time",
         "sequence",
@@ -64,9 +59,12 @@ def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
         "volatility",
         "best_bid",
         "best_ask",
-        quote_spread.alias("spread"),
+        "CASE WHEN (best_bid IS NOT NULL) AND (best_ask IS NOT NULL)"
+        " THEN best_ask - best_bid END AS spread",
         # sparse: NULL unless a crossover fired (see module docstring)
-        F.when(long_cond, F.lit(1.0)).when(short_cond, F.lit(-1.0)).alias("signal_position"),
+        f"CASE WHEN (({spread_r}) > 0) AND (({prev_r}) <= 0) THEN 1.0D"
+        f" WHEN (({spread_r}) < 0) AND (({prev_r}) >= 0) THEN -1.0D"
+        " END AS signal_position",
     )
 
 
@@ -127,40 +125,42 @@ def positions_stream(
     ``keep_signal_marker=True`` retains the sparse pre-fill signal column as
     :data:`SIGNAL_MARKER` for single-pass metric chains; the default drops
     it so sink-facing relations keep the reference schema."""
-    w = tick_window(cfg).rowsBetween(Window.unboundedPreceding, 0)
-    position = F.coalesce(
-        F.last("signal_position", ignorenulls=True).over(w), F.lit(0.0)
+    from spark_signals.pipeline.normalize import TICK_OVER
+
+    position = (
+        f"COALESCE(last(signal_position, true) OVER ({TICK_OVER}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0D)"
+        " AS position"
     )
     # one projection (same column order as the former withColumn +
     # rename/drop pair — position appended last): each extra DataFrame op
     # re-analyzes the whole deep chain on the driver
     if keep_signal_marker:
         cols = [
-            F.col(c).alias(SIGNAL_MARKER) if c == "signal_position" else F.col(c)
+            f"signal_position AS {SIGNAL_MARKER}" if c == "signal_position" else c
             for c in base.columns
         ]
     else:
-        cols = [F.col(c) for c in base.columns if c != "signal_position"]
-    return base.select(*cols, position.alias("position"))
+        cols = [c for c in base.columns if c != "signal_position"]
+    return base.selectExpr(*cols, position)
 
 
 def positions_enriched(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
     """W7 + P5 — previous position and guarded ratios
     (reference: sma_cross.py:236-262)."""
-    w = tick_window(cfg)
-    mid_bad = F.col("mid_price").isNull() | (F.col("mid_price") == 0)
+    from spark_signals.pipeline.normalize import TICK_OVER
+
+    mid_bad = "(mid_price IS NULL) OR (mid_price = 0)"
     # one projection for all three derived columns (the two ratios don't
     # reference prev_position, so the lag and the plain expressions coexist
     # in a single select; same column order as the former withColumn chain)
-    return stream.select(
+    return stream.selectExpr(
         "*",
-        F.lag("position").over(w).alias("prev_position"),
-        F.when(mid_bad, F.lit(0.0))
-        .otherwise(F.coalesce(F.col("volatility"), F.lit(0.0)) / F.col("mid_price"))
-        .alias("volatility_ratio"),
-        F.when(mid_bad | F.col("spread").isNull(), F.lit(0.0))
-        .otherwise(F.col("spread") / F.col("mid_price"))
-        .alias("spread_ratio"),
+        f"lag(position) OVER ({TICK_OVER}) AS prev_position",
+        f"CASE WHEN {mid_bad} THEN 0.0D"
+        " ELSE COALESCE(volatility, 0.0D) / mid_price END AS volatility_ratio",
+        f"CASE WHEN ({mid_bad}) OR (spread IS NULL) THEN 0.0D"
+        " ELSE spread / mid_price END AS spread_ratio",
     )
 
 
@@ -171,16 +171,19 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     All cost knobs fold into the plan as literals (Catalyst constant-folds the
     clamp bounds), exactly as the reference interpolates config into SQL text.
     """
+    from spark_signals.rounding import sround_sql
+
     slip_raw = (
-        F.lit(cfg.slippage_rate)
-        + F.col("volatility_ratio") * F.lit(cfg.slippage_volatility_multiplier)
-        + F.col("spread_ratio") * F.lit(cfg.slippage_spread_multiplier)
+        f"{cfg.slippage_rate!r}D"
+        f" + volatility_ratio * {cfg.slippage_volatility_multiplier!r}D"
+        f" + spread_ratio * {cfg.slippage_spread_multiplier!r}D"
     )
     # reference clamp is a CASE chain (sma_cross.py:270-275): <0 → 0, >max → max
     slippage = (
-        F.when(slip_raw < 0, F.lit(0.0))
-        .when(slip_raw > cfg.slippage_max_rate, F.lit(cfg.slippage_max_rate))
-        .otherwise(slip_raw)
+        f"CASE WHEN ({slip_raw}) < 0 THEN 0.0D"
+        f" WHEN ({slip_raw}) > {cfg.slippage_max_rate!r}D"
+        f" THEN {cfg.slippage_max_rate!r}D"
+        f" ELSE {slip_raw} END"
     )
     # latency increment truncates toward zero (Flink CAST DOUBLE→BIGINT;
     # volatility_ratio ≥ 0 so floor ≡ trunc), then clamps to
@@ -188,23 +191,25 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
     # at dp=6 before the floor: its raw last ulp is engine-dependent and can
     # straddle an integer (observed 424 vs 425 at sf0.1) — the oracle grids
     # identically.
-    from spark_signals.rounding import sround
-
-    lat_inc = F.floor(
-        sround(F.lit(float(cfg.fill_latency_volatility_ms)) * F.col("volatility_ratio"), 6)
-    ).cast("long")
-    lat_raw = F.lit(cfg.fill_latency_ms) + lat_inc
+    lat_inc = (
+        "CAST(FLOOR("
+        + sround_sql(
+            f"{float(cfg.fill_latency_volatility_ms)!r}D * volatility_ratio", 6
+        )
+        + ") AS BIGINT)"
+    )
+    lat_raw = f"{cfg.fill_latency_ms} + ({lat_inc})"
     lat_hi = cfg.fill_latency_ms + cfg.fill_latency_jitter_ms
     latency = (
-        F.when(lat_raw < cfg.fill_latency_ms, F.lit(cfg.fill_latency_ms))
-        .when(lat_raw > lat_hi, F.lit(lat_hi))
-        .otherwise(lat_raw)
-        .cast("long")
+        f"CAST(CASE WHEN ({lat_raw}) < {cfg.fill_latency_ms}"
+        f" THEN {cfg.fill_latency_ms}"
+        f" WHEN ({lat_raw}) > {lat_hi} THEN {lat_hi}"
+        f" ELSE {lat_raw} END AS BIGINT)"
     )
     # marker-bearing chains (positions_stream(keep_signal_marker=True))
     # forward the sparse signal column for the fused A1+A2 aggregate
-    marker = [F.col(SIGNAL_MARKER)] if SIGNAL_MARKER in enriched.columns else []
-    return enriched.select(
+    marker = [SIGNAL_MARKER] if SIGNAL_MARKER in enriched.columns else []
+    return enriched.selectExpr(
         "product_id",
         "event_time",
         "sequence",
@@ -216,15 +221,13 @@ def positions_costs(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
         "spread",
         "position",
         "prev_position",
-        (F.col("position") - F.coalesce(F.col("prev_position"), F.lit(0.0))).alias(
-            "position_change"
-        ),
+        "position - COALESCE(prev_position, 0.0D) AS position_change",
         "volatility_ratio",
         "spread_ratio",
-        slippage.alias("slippage_rate"),
-        F.lit(cfg.transaction_cost_rate).alias("transaction_cost_rate"),
-        (slippage + F.lit(cfg.transaction_cost_rate)).alias("trade_cost_rate"),
-        latency.alias("fill_latency_ms"),
+        f"{slippage} AS slippage_rate",
+        f"{cfg.transaction_cost_rate!r}D AS transaction_cost_rate",
+        f"({slippage}) + {cfg.transaction_cost_rate!r}D AS trade_cost_rate",
+        f"{latency} AS fill_latency_ms",
         *marker,
     )
 
@@ -233,65 +236,57 @@ def executions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """P7 + P10 — simulated fills: latency-shifted execution_time,
     direction-signed slippage on price, per-fill costs; only rows that trade
     (reference: sma_cross.py:318-353)."""
-    chg = F.col("position_change")
     exec_price = (
-        F.when(chg > 0, F.col("mid_price") * (F.lit(1.0) + F.col("slippage_rate")))
-        .when(chg < 0, F.col("mid_price") * (F.lit(1.0) - F.col("slippage_rate")))
-        .otherwise(F.col("mid_price"))
+        "CASE WHEN position_change > 0 THEN mid_price * (1.0D + slippage_rate)"
+        " WHEN position_change < 0 THEN mid_price * (1.0D - slippage_rate)"
+        " ELSE mid_price END"
     )
-    metadata = F.to_json(
-        F.struct(
-            F.col("fill_latency_ms").cast("string").alias("fill_latency_ms"),
-            J.fmt_fixed(F.col("slippage_rate"), 9).alias("slippage_rate"),
-            F.lit(cfg.execution_mode).alias("execution_mode"),
-        )
+    metadata = (
+        "to_json(struct("
+        "CAST(fill_latency_ms AS STRING) AS fill_latency_ms, "
+        f"{J.fmt_fixed_sqltext('slippage_rate', 9)} AS slippage_rate, "
+        f"'{cfg.execution_mode}' AS execution_mode))"
     )
-    return costs.filter(chg != 0).select(
-        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
+    return costs.filter(F.col("position_change") != 0).selectExpr(
+        f"'{cfg.strategy_run_id}' AS strategy_run_id",
         "product_id",
-        F.col("sequence"),
-        F.col("event_time").alias("signal_time"),
-        F.expr("timestampadd(MILLISECOND, fill_latency_ms, event_time)").alias(
-            "execution_time"
-        ),
-        chg.alias("position_change"),
-        exec_price.alias("execution_price"),
-        F.col("mid_price").alias("base_price"),
-        (F.abs(chg) * F.col("mid_price") * F.lit(cfg.transaction_cost_rate)).alias(
-            "transaction_cost"
-        ),
-        (F.abs(chg) * F.col("mid_price") * F.col("slippage_rate")).alias("slippage_cost"),
-        metadata.alias("metadata"),
+        "sequence",
+        "event_time AS signal_time",
+        "timestampadd(MILLISECOND, fill_latency_ms, event_time) AS execution_time",
+        "position_change",
+        f"{exec_price} AS execution_price",
+        "mid_price AS base_price",
+        f"ABS(position_change) * mid_price * {cfg.transaction_cost_rate!r}D"
+        " AS transaction_cost",
+        "ABS(position_change) * mid_price * slippage_rate AS slippage_cost",
+        f"{metadata} AS metadata",
     )
 
 
 def position_transitions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Position-transition ledger: rows only where the position changed
     (reference: sma_cross.py:356-378)."""
-    chg = F.col("position_change")
-    metadata = F.to_json(
-        F.struct(
-            J.fmt_fixed(F.coalesce(F.col("prev_position"), F.lit(0.0)), 1).alias("prev_position"),
-            F.lit(str(cfg.transaction_cost_bps)).alias("transaction_cost_bps"),
-            F.lit(str(cfg.slippage_bps)).alias("slippage_bps"),
-            J.fmt_fixed(F.col("slippage_rate"), 9).alias("effective_slippage_rate"),
-            F.lit(cfg.execution_mode).alias("execution_mode"),
-        )
+    metadata = (
+        "to_json(struct("
+        f"{J.fmt_fixed_sqltext('COALESCE(prev_position, 0.0D)', 1)} AS prev_position, "
+        f"'{cfg.transaction_cost_bps}' AS transaction_cost_bps, "
+        f"'{cfg.slippage_bps}' AS slippage_bps, "
+        f"{J.fmt_fixed_sqltext('slippage_rate', 9)} AS effective_slippage_rate, "
+        f"'{cfg.execution_mode}' AS execution_mode))"
     )
     return costs.filter(
         F.col("prev_position").isNull() | (F.col("position") != F.col("prev_position"))
-    ).select(
-        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
+    ).selectExpr(
+        f"'{cfg.strategy_run_id}' AS strategy_run_id",
         "product_id",
         "event_time",
         "sequence",
         "position",
         "position_change",
-        (F.abs(chg) * F.col("mid_price") * F.lit(cfg.transaction_cost_rate)).alias(
-            "transaction_cost"
-        ),
-        (F.abs(chg) * F.col("mid_price") * F.col("slippage_rate")).alias("slippage_cost"),
-        (F.abs(chg) * F.col("mid_price") * F.col("trade_cost_rate")).alias("trade_cost"),
+        f"ABS(position_change) * mid_price * {cfg.transaction_cost_rate!r}D"
+        " AS transaction_cost",
+        "ABS(position_change) * mid_price * slippage_rate AS slippage_cost",
+        "ABS(position_change) * mid_price * trade_cost_rate AS trade_cost",
         "mid_price",
-        metadata.alias("metadata"),
+        f"{metadata} AS metadata",
     )

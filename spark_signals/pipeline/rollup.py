@@ -37,26 +37,30 @@ def hourly_rollup_exact(metrics: DataFrame, cfg: EngineConfig, *, avg_dp: int = 
 
     Reference semantics: docker/postgres/init/03_continuous_aggregates.sql:3-22.
     """
+    from spark_signals.rounding import micro_units_sql
+
     win = F.window("metric_time", cfg.rollup_window)
-    sharpe_u = micro_units(F.col("sharpe_ratio"), avg_dp)
-    sortino_u = micro_units(F.col("sortino_ratio"), avg_dp)
+    scale = float(10**avg_dp)
+    aggs = [
+        f"sum({micro_units_sql('sharpe_ratio', avg_dp)}) AS sharpe_sum_u",
+        "count(sharpe_ratio) AS sharpe_n",
+        f"sum({micro_units_sql('sortino_ratio', avg_dp)}) AS sortino_sum_u",
+        "count(sortino_ratio) AS sortino_n",
+        "max_by(cumulative_return, metric_time) AS cumulative_return_last",
+        "max(drawdown) AS max_drawdown",
+        "sum(trades_executed) AS trades_executed_sum",
+    ]
     return (
         metrics.groupBy("strategy_run_id", "window_label", win.alias("w"))
-        .agg(
-            F.sum(sharpe_u).alias("sharpe_sum_u"),
-            F.count(F.col("sharpe_ratio")).alias("sharpe_n"),
-            F.sum(sortino_u).alias("sortino_sum_u"),
-            F.count(F.col("sortino_ratio")).alias("sortino_n"),
-            F.expr("max_by(cumulative_return, metric_time)").alias("cumulative_return_last"),
-            F.max("drawdown").alias("max_drawdown"),
-            F.sum("trades_executed").alias("trades_executed_sum"),
-        )
-        .select(
+        .agg(*[F.expr(a) for a in aggs])
+        .selectExpr(
             "strategy_run_id",
             "window_label",
-            F.col("w.start").alias("bucket"),
-            exact_avg(F.col("sharpe_sum_u"), F.col("sharpe_n"), avg_dp).alias("sharpe_avg"),
-            exact_avg(F.col("sortino_sum_u"), F.col("sortino_n"), avg_dp).alias("sortino_avg"),
+            "w.start AS bucket",
+            "(CAST(sharpe_sum_u AS DOUBLE) / CAST(sharpe_n AS DOUBLE))"
+            f" / {scale!r}D AS sharpe_avg",
+            "(CAST(sortino_sum_u AS DOUBLE) / CAST(sortino_n AS DOUBLE))"
+            f" / {scale!r}D AS sortino_avg",
             "cumulative_return_last",
             "max_drawdown",
             "trades_executed_sum",

@@ -98,39 +98,43 @@ def crossover_signals_enriched(enriched: DataFrame, cfg: EngineConfig) -> DataFr
 
     The decision grids inline (sround∘lag ≡ lag∘sround, so gridding the
     lagged raw spread here equals the join variant's lag of the gridded
-    spread bit-for-bit)."""
-    spread_r = sround(F.col("sig_spread"), SPREAD_DECISION_DP)
-    prev_r = sround(F.col("prev_sig_spread"), SPREAD_DECISION_DP)
-    long_cond = (spread_r > 0) & (prev_r <= 0)
-    short_cond = (spread_r < 0) & (prev_r >= 0)
+    spread bit-for-bit). SQL-text projection (one py4j round trip;
+    identical Catalyst expressions — tests/test_plan_equality.py)."""
+    from spark_signals.rounding import sround_sql
+
+    spread_r = sround_sql("sig_spread", SPREAD_DECISION_DP)
+    prev_r = sround_sql("prev_sig_spread", SPREAD_DECISION_DP)
+    long_cond = f"(({spread_r}) > 0) AND (({prev_r}) <= 0)"
+    short_cond = f"(({spread_r}) < 0) AND (({prev_r}) >= 0)"
     signal_type = (
-        F.when(long_cond, F.lit("LONG")).when(short_cond, F.lit("SHORT")).otherwise(F.lit("HOLD"))
+        f"CASE WHEN {long_cond} THEN 'LONG'"
+        f" WHEN {short_cond} THEN 'SHORT' ELSE 'HOLD' END"
     )
     position = (
-        F.when(long_cond, F.lit(1.0)).when(short_cond, F.lit(-1.0)).otherwise(F.lit(0.0))
+        f"CASE WHEN {long_cond} THEN 1.0D"
+        f" WHEN {short_cond} THEN -1.0D ELSE 0.0D END"
     )
-    metadata = F.to_json(
-        F.struct(
-            J.fmt_fixed(F.col("fast_sma"), 6).alias("fast_sma"),
-            J.fmt_fixed(F.col("slow_sma"), 6).alias("slow_sma"),
-            J.fmt_fixed(F.col("sig_spread"), 6).alias("spread"),
-            F.lit(str(cfg.confirmation)).alias("confirmation_window"),
-            F.lit(cfg.execution_mode).alias("execution_mode"),
-        )
+    metadata = (
+        "to_json(struct("
+        f"{J.fmt_fixed_sqltext('fast_sma', 6)} AS fast_sma, "
+        f"{J.fmt_fixed_sqltext('slow_sma', 6)} AS slow_sma, "
+        f"{J.fmt_fixed_sqltext('sig_spread', 6)} AS spread, "
+        f"'{cfg.confirmation}' AS confirmation_window, "
+        f"'{cfg.execution_mode}' AS execution_mode))"
     )
-    return enriched.select(
-        F.lit(cfg.strategy_run_id).alias("strategy_run_id"),
-        F.col("product_id").alias("instrument_id"),
-        F.col("sequence"),
-        F.col("event_time").alias("signal_time"),
-        signal_type.alias("signal_type"),
-        position.alias("position"),
-        F.abs(F.col("sig_spread")).alias("confidence"),
-        F.col("fast_sma"),
-        F.col("slow_sma"),
-        F.col("sig_spread").alias("spread"),
-        F.col("prev_sig_spread").alias("prev_spread"),
-        metadata.alias("metadata"),
+    return enriched.selectExpr(
+        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        "product_id AS instrument_id",
+        "sequence",
+        "event_time AS signal_time",
+        f"{signal_type} AS signal_type",
+        f"{position} AS position",
+        "ABS(sig_spread) AS confidence",
+        "fast_sma",
+        "slow_sma",
+        "sig_spread AS spread",
+        "prev_sig_spread AS prev_spread",
+        f"{metadata} AS metadata",
     )
 
 

@@ -150,11 +150,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
-        agg = agg.withColumn(c, sround(F.col(c), 2))
-    for c in ["avg_qty", "avg_price", "avg_disc"]:
-        agg = agg.withColumn(c, sround(F.col(c), 6))
-    return agg
+    # one withColumns projection instead of 7 chained withColumn ops (each
+    # re-analyzes the whole plan on the driver; see parity._round_cols)
+    return agg.withColumns(
+        {
+            **{c: sround(F.col(c), 2)
+               for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]},
+            **{c: sround(F.col(c), 6) for c in ["avg_qty", "avg_price", "avg_disc"]},
+        }
+    )
 
 
 SQL_PRICING_SUMMARY = """

@@ -31,6 +31,26 @@ def sround(col, dp: int):
     return F.floor(col * scale + F.lit(0.5000001)) / scale
 
 
+def sround_sql(expr: str, dp: int) -> str:
+    """:func:`sround` as Spark-SQL text (for selectExpr/F.expr call sites).
+
+    Parses to the IDENTICAL Catalyst expression as the Column form — the
+    ``D`` suffixes force double literals (a bare ``0.5000001`` would parse
+    as DECIMAL(8,7) and change the arithmetic). String-built expressions
+    cost ONE py4j round trip instead of ~6 Column calls; the pipeline
+    chains are rebuilt per bench pass, where that construction tax is
+    30-60% of query wall at sf0.1 (r16 measurement). Plan equality vs the
+    Column form is pinned by tests/test_plan_equality.py."""
+    scale = float(10**dp)
+    return f"FLOOR(({expr}) * {scale!r}D + 0.5000001D) / {scale!r}D"
+
+
+def micro_units_sql(expr: str, dp: int) -> str:
+    """:func:`micro_units` as Spark-SQL text (see sround_sql)."""
+    scale = float(10**dp)
+    return f"FLOOR(({expr}) * {scale!r}D + 0.5000001D)"
+
+
 def sround_py(x: float, dp: int) -> float:
     """Python twin of :func:`sround` — the identical IEEE operation sequence
     (multiply, add, floor, divide), so the streaming replay stays

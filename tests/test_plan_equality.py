@@ -1,0 +1,89 @@
+"""SQL-text expression builders must parse to the Column DSL's trees.
+
+r16 rewrote the hot pipeline-chain projections from Column-DSL construction
+to SQL-text (selectExpr / F.expr): one py4j round trip per expression
+instead of dozens, which removed 30-60% of per-query plan-construction wall
+at sf0.1. The rewrite is only safe because the SQL text parses to the
+IDENTICAL Catalyst expressions — this file pins that equivalence for the
+shared primitives, and pins the two literal-typing gotchas that could
+silently change arithmetic:
+
+* a bare SQL ``0.5000001`` parses as DECIMAL(8,7), not DOUBLE — the
+  builders must emit the ``D`` suffix;
+* ``1e6``-style scales must stay double literals.
+
+The full-chain equivalence was proven at rewrite time by canonicalized-
+optimizedPlan comparison against the Column-DSL implementations (all
+pipeline/relational/serving/temporal queries byte-identical up to
+commutative operand order, which is IEEE-value-identical); these pins keep
+the primitives from drifting afterwards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_signals.pipeline.jsonfmt import fmt_fixed, fmt_fixed_sqltext
+from spark_signals.rounding import micro_units, micro_units_sql, sround, sround_sql
+
+
+def _canon(df):
+    return df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.range(3).selectExpr("CAST(id AS DOUBLE) AS x")
+
+
+@pytest.mark.parametrize("dp", [1, 2, 6, 9])
+def test_sround_sql_matches_column_form(frame, dp):
+    a = frame.select(sround(F.col("x"), dp).alias("r"))
+    b = frame.select(F.expr(sround_sql("x", dp)).alias("r"))
+    assert _canon(a) == _canon(b)
+
+
+@pytest.mark.parametrize("dp", [5, 6])
+def test_micro_units_sql_matches_column_form(frame, dp):
+    a = frame.select(micro_units(F.col("x"), dp).alias("u"))
+    b = frame.select(F.expr(micro_units_sql("x", dp)).alias("u"))
+    assert _canon(a) == _canon(b)
+
+
+@pytest.mark.parametrize("dp", [1, 6, 9])
+def test_fmt_fixed_sqltext_matches_column_form(frame, dp):
+    a = frame.select(fmt_fixed(F.col("x"), dp).alias("s"))
+    b = frame.select(F.expr(fmt_fixed_sqltext("x", dp)).alias("s"))
+    assert _canon(a) == _canon(b)
+
+
+def test_nudge_literal_stays_double(spark):
+    """The 0.5000001 nudge must be a DOUBLE literal: a bare SQL decimal
+    parses as DECIMAL(8,7) and promotes the whole grid arithmetic to
+    decimal, changing results. The D suffix in the builders prevents it;
+    this test fails if someone drops it."""
+    row = spark.range(1).select(
+        F.expr(sround_sql("CAST(id AS DOUBLE)", 6)).alias("r"),
+        F.expr(micro_units_sql("CAST(id AS DOUBLE)", 6)).alias("u"),
+        F.expr("0.5000001D").alias("lit_d"),
+        F.expr("0.5000001").alias("lit_bare"),
+    )
+    sch = {f.name: f.dataType for f in row.schema.fields}
+    assert isinstance(sch["lit_d"], T.DoubleType)
+    assert isinstance(sch["lit_bare"], T.DecimalType)  # the gotcha is real
+    assert isinstance(sch["r"], T.DoubleType)
+    assert isinstance(sch["u"], T.LongType)
+
+
+def test_values_match_python_twin(spark):
+    """sround_sql grids exactly like sround_py on representative values
+    (including a half-way double where engine-native round() diverges)."""
+    from spark_signals.rounding import sround_py
+
+    vals = [0.5, 1.005, 2.675, -1.0000005, 123.4567894999, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(F.expr(sround_sql("x", 6)).alias("r")).collect()]
+    want = [sround_py(v, 6) for v in vals]
+    assert got == want
