@@ -74,24 +74,57 @@ def _rolling_features(over: str, cfg: EngineConfig):
     clause ``over`` — factored so the single-key plan (enriched_ticks) and
     the skew-re-keyed plan (enriched_ticks_rekeyed) compute literally the
     same expressions. SQL strings parse to the identical Catalyst
-    expressions the former Column DSL built (tests/test_plan_equality.py);
-    the repeated ``lag(mid_price)`` / window sub-expressions below dedup in
-    the analyzer's window extraction exactly as the shared Column object
-    did."""
+    expressions a Column DSL build would (tests/test_plan_equality.py).
+
+    Returns ``(cum_exprs, returns, volatility, fast, slow)``: callers add
+    the three ``cum_exprs`` running-sum columns in a projection FIRST, then
+    compute the features (which consume ``_c1/_c2/_cn``) and drop them.
+
+    **Why running sums + lag instead of bounded frames** (r16): Spark
+    re-evaluates a bounded sliding frame from scratch for every row —
+    O(rows x frame) aggregate updates; the 60-row volatility frame with
+    three aggregates was ~180 updates/row, the dominant CPU of the whole
+    window stage (measured: no skew, no fetch wait, pure executor run
+    time). An UNBOUNDED PRECEDING frame updates incrementally (O(1)/row),
+    and the 60-row frame sum is recovered exactly as cum(i) - cum(i-60)
+    via lag — the operands are exact integers, so the difference is
+    bit-identical to the frame sum (verified by value-hash at sf0.1 and by
+    the oracle; the volatility expression consumes the identical doubles).
+    enriched_ticks execute: 0.93 -> 0.66 s at sf0.1 on local[32].
+
+    Overflow budget: the RUNNING sums are unbounded where the frame sums
+    were 60-row-bounded, so each accumulator is sized explicitly.
+    _c1 = Σu with u = mid·10^5 ≲ 5.6e7 at observed magnitudes -> BIGINT
+    holds ~1.6e11 rows per key; _cn ≤ rows per key. _c2 = Σu² with
+    u² ≲ 3.1e15 would overflow BIGINT at ~3e3 rows per key, so it
+    accumulates as DECIMAL(38,0) — exact, headroom ~3e22 rows per key, and
+    still O(1)/row. The recovered 60-row differences stay inside the
+    original micro_units precondition, and the final CAST AS DOUBLE is
+    exact (< 2^53), so values are unchanged to the bit.
+    """
     from spark_signals.rounding import micro_units_sql
 
+    V = cfg.volatility_window
+    u = micro_units_sql("mid_price", VOL_DP)
+    scale = float(10**VOL_DP)
+    unbounded = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    cum_exprs = [
+        f"sum({u}) OVER ({over} {unbounded}) AS _c1",
+        f"sum(CAST(({u}) * ({u}) AS DECIMAL(38,0))) OVER ({over} {unbounded}) AS _c2",
+        f"count(mid_price) OVER ({over} {unbounded}) AS _cn",
+    ]
     prev_mid = f"lag(mid_price) OVER ({over})"
-    vol_frame = f"{over} ROWS BETWEEN {cfg.volatility_window - 1} PRECEDING AND CURRENT ROW"
     returns = (
         f"CASE WHEN (({prev_mid}) IS NULL) OR (({prev_mid}) = 0)"
         f" THEN CAST(NULL AS DOUBLE)"
         f" ELSE (mid_price - ({prev_mid})) / ({prev_mid}) END"
     )
-    u = micro_units_sql("mid_price", VOL_DP)
-    scale = float(10**VOL_DP)
-    m1 = f"CAST(sum({u}) OVER ({vol_frame}) AS DOUBLE)"
-    m2 = f"CAST(sum(({u}) * ({u})) OVER ({vol_frame}) AS DOUBLE)"
-    n = f"CAST(count(mid_price) OVER ({vol_frame}) AS DOUBLE)"
+    m1 = f"CAST(_c1 - COALESCE(lag(_c1, {V}) OVER ({over}), 0L) AS DOUBLE)"
+    m2 = (
+        f"CAST(_c2 - COALESCE(lag(_c2, {V}) OVER ({over}),"
+        " CAST(0 AS DECIMAL(38,0))) AS DOUBLE)"
+    )
+    n = f"CAST(_cn - COALESCE(lag(_cn, {V}) OVER ({over}), 0L) AS DOUBLE)"
     mean_u = f"(({m1}) / ({n}))"
     var_u = f"(({m2}) / ({n}) - {mean_u} * {mean_u})"
     volatility = f"SQRT(GREATEST({var_u}, 0.0D)) / {scale!r}D"
@@ -103,7 +136,7 @@ def _rolling_features(over: str, cfg: EngineConfig):
         f"avg(mid_price) OVER ({over} ROWS BETWEEN"
         f" {cfg.sma_slow_window - 1} PRECEDING AND CURRENT ROW)"
     )
-    return returns, volatility, fast, slow
+    return cum_exprs, returns, volatility, fast, slow
 
 
 def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -117,8 +150,9 @@ def enriched_ticks(ticks: DataFrame, cfg: EngineConfig) -> DataFrame:
     it share the exchange via ReuseExchange instead of recomputing the scan.
     """
     base = normalized_base(ticks)
-    returns, volatility, fast, slow = _rolling_features(TICK_OVER, cfg)
-    df = base.selectExpr(
+    cum_exprs, returns, volatility, fast, slow = _rolling_features(TICK_OVER, cfg)
+    cum = base.selectExpr("*", *cum_exprs)
+    df = cum.selectExpr(
         "product_id",
         "event_time",
         "sequence",
@@ -205,7 +239,10 @@ def enriched_ticks_rekeyed(
     )
 
     allrows = base.withColumn("_carry", F.lit(0)).unionByName(carry)
-    returns, volatility, fast, slow = _rolling_features(TICK_OVER_REKEYED, cfg)
+    cum_exprs, returns, volatility, fast, slow = _rolling_features(
+        TICK_OVER_REKEYED, cfg
+    )
+    allrows = allrows.selectExpr("*", *cum_exprs)
     df = allrows.selectExpr(
         "product_id",
         "event_time",
