@@ -226,31 +226,66 @@ DRIVER_CAP = 50
 # asof_join_trade_quote (green r02-r15) behind returning
 # asof_join_tolerance — the same backward as-of join core with the bound
 # predicate added (2). 17+9+2 = 28. Executed with no deviation.
-# Due-by ledger (retiree -> latest re-check round): r14 retirees -> r17;
-# r15 retirees -> r18; r16 retirees -> r19. No deadline before r17 is
-# outstanding.
+# Due-by ledger (retiree -> latest re-check round): r15 retirees -> r18;
+# r16 retirees -> r19; r17 retirees -> r20. No deadline before r18 is
+# outstanding (the r14 deadline was cleared by this round's rotation).
 #
-# r17 queue (built r15, INCOMING; funding NAMED at r16 close per the
-# closing-slot discipline): the release-audit quartet (filter_ablation,
-# token_yield_report, kanon_suppression, minhash_calibration —
-# datapipe/parity._incoming_r15) promotes r17 alongside the 26
-# r14-rotation retirees due that round (30 IN). Funding: the 28 r16
-# entrants re-retire after their green r16 round (28) plus TWO NAMED
-# early re-retirements of multi-green staying queries behind returning
-# direct siblings: ann_ivf_trained_topk (green r08-r16) behind returning
-# ann_ivf_topk + ann_ivfpq_topk (the same versioned-IVF assign/probe
-# machinery, of which the trained face is the shared core), and
-# dedup_canonical_quality (green r05-r16) behind returning
-# dedup_clusters_canonical + dedup_exact_hash (the same CC clustering
-# with quality-keyed canonical selection; the digest stage returns with
-# dedup_exact_hash). 28+2 = 30.
+# r17 rotation (executed this round, exactly as queued in the recorded
+# r15 plan with funding NAMED at r16 close): the 26 r14-rotation
+# retirees hit their ≤3-round deadline at r17 — all 26 came IN
+# (doc_fingerprint_minhash1, position_returns, semi_join_has_lineitems,
+# topk_events, position_transitions, pack_windows_composition,
+# semdedup_cells, quality_logreg_score, mixture_manifest_uniform,
+# embed_chunks_hashed, strategy_summary_filter_agg,
+# dedup_clusters_canonical, ann_ivfpq_topk, dedup_incremental,
+# repetition_gopher_quality, decontam_ngram_overlap, lm_unigram_quality,
+# dedup_passages, pii_scrub_redact, vocab_coverage_topv,
+# bm25_topk_lexical, dedup_cluster_stats, knn_serve_snapshot,
+# dedup_exact_spans, ann_index_delta, mixture_manifest_by_lang) — and
+# the r15-built release-audit quartet promoted (filter_ablation,
+# token_yield_report, kanon_suppression, minhash_calibration). IN = 30.
+# Slots: the 28 r16 entrants re-retired after their green r16 round
+# (24 r13 returners + the four r14-wave promotions) (28) plus the TWO
+# NAMED early re-retirements recorded at r16 close: ann_ivf_trained_topk
+# (green r08-r16) behind returning ann_ivf_topk + ann_ivfpq_topk (the
+# same versioned-IVF assign/probe machinery, of which the trained face
+# is the shared core), and dedup_canonical_quality (green r05-r16)
+# behind returning dedup_clusters_canonical + dedup_exact_hash (the same
+# CC clustering with quality-keyed canonical selection; the digest stage
+# returns with dedup_exact_hash). 28+2 = 30. Executed with no deviation.
 #
-# r18 queue (built r15, INCOMING, wave 2): the provenance/monitoring
-# pair (source_overlap_matrix, quality_drift_psi —
-# datapipe/parity._incoming_r15_wave2) queues BEHIND the r17 wave so
-# the r17 arithmetic stays at 30; r18 takes them alongside the r15
-# retirees due that round, funded by the r17 entrants' re-retirement
-# slack.
+# r18 queue (built r15, INCOMING, wave 2; funding NAMED here at r17
+# close per the closing-slot discipline): the provenance/monitoring pair
+# (source_overlap_matrix, quality_drift_psi —
+# datapipe/parity._incoming_r15_wave2) promotes r18 alongside the 17
+# r15-rotation retirees due that round (dedup_exact_spans_strip,
+# dedup_spans_incr, decontam_spans, decontam_scrub,
+# sma_crossover_signals, positions_forward_fill, j1_signal_rejoin,
+# union_live_replay, performance_windows_5m, signal_counts_5m,
+# metrics_hourly_rollup, dedup_exact_hash, dedup_ngram_jaccard,
+# ann_ivf_topk, ann_lsh_hyperplane_pairs, pricing_summary_q1,
+# session_window_per_user). IN = 19. Funding, NAMED: nineteen r17
+# entrants re-retire after their green r17 re-check round, each with
+# inline/staying family coverage (pack_windows_composition behind
+# staying shuffle_windows; semdedup_cells behind staying
+# ann_ivf_trained_topk machinery tests; quality_logreg_score behind
+# staying text-stats consumers; mixture_manifest_uniform +
+# mixture_manifest_by_lang behind their shared hash-fill tests;
+# embed_chunks_hashed behind staying hybrid chain tests;
+# dedup_clusters_canonical + dedup_cluster_stats behind the returning
+# span/digest faces; ann_ivfpq_topk + ann_index_delta behind returning
+# ann_ivf_topk; dedup_incremental behind returning dedup_exact_hash;
+# repetition_gopher_quality + lm_unigram_quality behind staying
+# ccnet_lm_buckets; dedup_passages behind the staying span-island
+# tests; pii_scrub_redact behind staying text_clean_markup;
+# vocab_coverage_topv behind staying tokenize_with_vocab;
+# bm25_topk_lexical behind staying hybrid BM25 arms; knn_serve_snapshot
+# behind returning ann_ivf_topk serving tests; dedup_exact_spans behind
+# returning dedup_exact_spans_strip et al.). 19 = 19; the remaining
+# eleven r17 entrants (the audit quartet + doc_fingerprint_minhash1,
+# position_returns, semi_join_has_lineitems, topk_events,
+# position_transitions, strategy_summary_filter_agg,
+# decontam_ngram_overlap) hold through r18.
 #
 # r19 queue (built r16, INCOMING): the continuous-provenance pair
 # (source_overlap_incr — the O(drop) incremental overlap lane, oracle =
@@ -331,32 +366,47 @@ RETIRED = {
     "ann_lsh_hyperplane_pairs": "r15 rotation; returner re-check green r14; banded-blocking ANN family checked via staying embedding_cosine_neardup (LSH-bucketed cosine pairs) + ann_ivf_trained_topk (green r01-r06, r10, r14)",
     "pricing_summary_q1": "r15 rotation; returner re-check green r14; A5-A6 FILTER-agg family checked via staying segment_revenue_bucketed + returning nation_region_rollup (green r01-r06, r10, r14)",
     "session_window_per_user": "r15 rotation; returner re-check green r14; T6 family checked via returning sliding_window_counts + staying streaming_metrics_5m (green r01-r06, r10, r14)",
-    "doc_fingerprint_minhash1": "r14 rotation; returner re-check green r13; fingerprint family checked via staying winnow_zipf_chained (winnowing fingerprints) + returning dedup_exact_hash (digest stage) (green r08, r09, r13)",
-    "position_returns": "r14 rotation; returner re-check green r13; the per-position return stage runs inline in checked strategy_metrics (green r01-r04, r08, r09, r13)",
-    "semi_join_has_lineitems": "r14 rotation; returner re-check green r13; join-family twin of staying anti_join_parts_never_shipped (same shape, EXISTS vs NOT EXISTS) (green r01-r04, r08, r09, r13)",
-    "topk_events": "r14 rotation; returner re-check green r13; top-k serving family checked via returning latest_price_per_instrument (green r01-r04, r08, r09, r13)",
-    "position_transitions": "r14 rotation; returner re-check green r13; the transition filter runs inline in the checked positions chain (positions_costs/executions) (green r01-r04, r08, r09, r13)",
-    "pack_windows_composition": "r14 rotation; returner re-check green r13; staying shuffle_windows chains the same pack_windows stage as its input (green r07-r09, r13)",
-    "semdedup_cells": "r14 rotation; returner re-check green r13; shares the Lloyd-trained centroid machinery with staying ann_ivf_trained_topk; cluster-audit family via staying dedup_canonical_quality (green r07-r09, r13)",
-    "quality_logreg_score": "r14 rotation; returner re-check green r13; its feature stages run inline in returning text_stats_quality; int64-exact gradient aggs stay tested (tests/test_training_data_ops.py) (green r07-r09, r13)",
-    "mixture_manifest_uniform": "r14 rotation; returner re-check green r13; sampling family checked via returning sample_stratified_hash (hash-predicate core) + lang_id_heuristic (group-key producer); by-lang twin re-retires alongside (same operator, group_col) (green r07-r09, r13)",
-    "embed_chunks_hashed": "r14 rotation; returner re-check green r13; chunk → hashed-embed chain stays tested + --extended; dense-arm consumers checked via staying hybrid_rrf_topk (green r07-r09, r13)",
-    "strategy_summary_filter_agg": "r14 rotation; returner re-check green r13; A5-A6 FILTER-aggregate family checked via returning pricing_summary_q1 + staying segment_revenue_bucketed (green r01-r09, r13)",
-    "dedup_clusters_canonical": "r14 rotation; returner re-check green r13; staying dedup_canonical_quality runs the same CC clustering with quality-aware canonical selection (superset) (green r01-r09, r13)",
-    "ann_ivfpq_topk": "r14 rotation; returner re-check green r13; PQ variant of staying ann_ivf_trained_topk (shared IVF probe; PQ distance tables tested) (green r01-r09, r13)",
-    "dedup_incremental": "r14 rotation; returner re-check green r13; digest-incremental family checked via returning dedup_exact_hash (the digest stage) + staying decontam_suite_chained (the band-index probe shape) + promoted dedup_spans_incr (the newest incremental lane) (green r06-r09, r13)",
-    "repetition_gopher_quality": "r14 rotation; returner re-check green r13; text-quality family checked via returning text_stats_quality + staying ccnet_lm_buckets (green r05-r09, r13)",
-    "decontam_ngram_overlap": "r14 rotation; returner re-check green r13; staying decontam_suite_chained is its per-benchmark superset (same digest-broadcast overlap chain); promoted decontam_spans/decontam_scrub carry the family's span faces (green r05-r09, r13)",
-    "lm_unigram_quality": "r14 rotation; returner re-check green r13; LM-scoring family checked via staying ccnet_lm_buckets (same token/model/broadcast-score stages, bucketed) (green r06-r09, r13)",
-    "dedup_passages": "r14 rotation; returner re-check green r13; passage-grain family checked via promoted dedup_exact_spans_strip (span-grain rewrite, the stronger face); dedup_intra_doc stays tested + --extended (green r06-r09, r13)",
-    "pii_scrub_redact": "r14 rotation; returner re-check green r13; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape); scrub regexes stay fuzz-tested (tests/test_pii_fuzz.py) (green r06-r09, r13)",
-    "vocab_coverage_topv": "r14 rotation; returner re-check green r13; staying tokenize_with_vocab builds and applies the same top-V vocabulary (superset: adds the OOV segmentation) (green r08, r09, r13)",
-    "bm25_topk_lexical": "r14 rotation; returner re-check green r13; staying hybrid_rrf_topk chains the identical BM25 arm inline before fusion (green r08, r09, r13)",
-    "dedup_cluster_stats": "r14 rotation; returner re-check green r13; cluster-audit family checked via staying dedup_canonical_quality (same CC clusters, quality-keyed) (green r08, r09, r13)",
-    "knn_serve_snapshot": "r14 rotation; promoted r13, green r13, re-retires after its first green round behind staying ann_ivf_trained_topk (shared versioned-IVF assign/probe machinery — the r08 first-green-plus-sibling precedent); serving lane stays pinned by tests/test_knn_serving.py + --extended",
-    "dedup_exact_spans": "r14 rotation; promoted r13, green r13, re-retires after its first green round behind the four promoting span faces (dedup_exact_spans_strip / dedup_spans_incr / decontam_spans / decontam_scrub — the same span-island core now carries the family's driver evidence); reporter stays tested + --extended",
-    "ann_index_delta": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning ann_ivf_topk + ann_lsh_hyperplane_pairs and staying ann_ivf_trained_topk (the IVF/banded probe family); delta lane stays tested + --extended",
-    "mixture_manifest_by_lang": "r14 rotation; promoted r10, green r10-r13, early re-retire behind returning sample_stratified_hash + lang_id_heuristic (its group-key producer); uniform twin re-retires after its own r13 green round (same operator, group_col='lang' vs 'source')",
+    # r14 rotation: all 26 r14-rotation retirees returned at their
+    # ≤3-round deadline in the r17 rotation (this round) — no r14 entry
+    # remains retired; see git log for their retired-entry text.
+    # r17 rotation (this round): the 28 r16 entrants re-retire after their
+    # green r16 round (24 r13 returners + the four r14-wave promotions on
+    # the r08 first-green-plus-sibling precedent), and the two NAMED early
+    # re-retirees (ann_ivf_trained_topk, dedup_canonical_quality) close the
+    # gap; the freed 30 slots took ALL 26 r14 retirees at their ≤3-round
+    # deadline plus the four r15-built release-audit promotions
+    # (filter_ablation, token_yield_report, kanon_suppression,
+    # minhash_calibration). Due re-check r20.
+    "normalized_prices": "r17 rotation; returner re-check green r16; the W1-W3 normalize/rolling-feature stage runs inline in EVERY checked pipeline query (positions_costs, executions, strategy_metrics, metrics_hourly_rollup) and the entry() flagship smoke (green r01-r05, r08-r09, r12, r16)",
+    "signals_decisions": "r17 rotation; returner re-check green r16; the P1-P4 signal CASE + decision filter runs inline in checked positions_costs/executions and the entry() flagship smoke every round (green r01-r05, r08-r09, r12, r16)",
+    "asof_join_tolerance": "r17 rotation; returner re-check green r16; T4 backward as-of family: the bound-predicate core stays tested + --extended; batch temporal family checked via staying range_join_tick_stats (green r01-r05, r08-r09, r12, r16)",
+    "recent_ticks_per_instrument": "r17 rotation; returner re-check green r16; top-k serving family checked via returning topk_events (same TakeOrderedAndProject shape) (green r01-r05, r08-r09, r12, r16)",
+    "dedup_minhash_lsh": "r17 rotation; returner re-check green r16; banded-MinHash family checked via returning dedup_clusters_canonical + dedup_cluster_stats (its pair relation runs inline in both) and promoting minhash_calibration (the acceptance audit over the same pair machinery) (green r01-r07, r12, r16)",
+    "dedup_simhash": "r17 rotation; returner re-check green r16; hamming-banded family checked via staying winnow_zipf_chained fingerprints + returning dedup_incremental (banded probe shape) (green r01-r07, r12, r16)",
+    "ann_bruteforce_topk": "r17 rotation; returner re-check green r16; the exact-cosine baseline runs inline in returning ann_index_delta + promoted ann_recall_report stays benchmarked (bench.py HEADLINE, extended sweep) (green r01-r07, r12, r16)",
+    "tfidf_top_terms": "r17 rotation; returner re-check green r16; the explode+two-agg shape checked via returning vocab_coverage_topv + bm25_topk_lexical (same tf/df machinery, BM25-weighted); stays benchmarked (bench.py HEADLINE) (green r01-r07, r12, r16)",
+    "length_band_approx": "r17 rotation; returner re-check green r16; percentile family checked via staying value-percentile consumers in curation faces; exact twin length_band_filter stays tested + --extended (green r05-r07, r12, r16)",
+    "sample_quota_per_source": "r17 rotation; returner re-check green r16; sampling family checked via returning mixture_manifest_uniform + mixture_manifest_by_lang (same hash-fill window core) (green r05-r07, r12, r16)",
+    "curate_keep_decision": "r17 rotation; returner re-check green r16; the keep/drop composition runs inline in promoting filter_ablation + token_yield_report (the ablation grid and yield report chain the same curate() relation) (green r07-r08, r12, r16)",
+    "split_train_val_test": "r17 rotation; returner re-check green r16; split family checked via the leakage QA tests + --extended; hash-predicate core shared with returning mixture faces (green r08-r09, r12, r16)",
+    "media_phash_incr_snapshot": "r17 rotation; returner re-check green r16; incremental media lane checked via staying media_phash_* tests + --extended; banded-dHash pair machinery shared with retired-but-swept media_phash_neardup_decoded (green r12, r16)",
+    "embedding_incr_neardup": "r17 rotation; returner re-check green r16; incremental embedding lane checked via returning ann_index_delta (same delta/probe machinery) (green r12, r16)",
+    "hybrid_rrf_ivf_topk": "r17 rotation; returner re-check green r16; chains the BM25 arm + RRF fusion inline over the IVF dense arm; BM25 arm checked via returning bm25_topk_lexical, IVF arm via returning ann_ivfpq_topk + ann_index_delta (green r11, r16)",
+    "dedup_incr_neardup": "r17 rotation; returner re-check green r16; incremental near-dup lane checked via returning dedup_incremental (the digest-incremental face) + staying decontam_suite_chained band-probe shape (green r11, r16)",
+    "cluster_composition": "r17 rotation; returner re-check green r16; cluster-audit family checked via returning dedup_cluster_stats + dedup_clusters_canonical (green r11, r16)",
+    "dsir_logratio": "r17 rotation; returner re-check green r16; LM-scoring family checked via staying ccnet_lm_buckets + returning lm_unigram_quality (same token/model/broadcast-score stages) (green r11, r16)",
+    "mixture_curriculum": "r17 rotation; returner re-check green r16; sampling family checked via returning mixture_manifest_uniform/by_lang + staying mixture_budget arithmetic tests (green r11, r16)",
+    "strip_boilerplate": "r17 rotation; returner re-check green r16; hygiene family checked via staying text_clean_markup (same zero-shuffle JVM regex shape) (green r11, r16)",
+    "knn_join_ivf_sampled": "r17 rotation; returner re-check green r16; the KNN self-join assign/probe/score chain checked via returning ann_ivfpq_topk + ann_index_delta (shared IVF probe machinery); full/sampled trainer faces stay tested + --extended (green r11, r16)",
+    "media_phash_neardup_decoded": "r17 rotation; returner re-check green r16; banded-dHash pair machinery stays tested (planted + decoded fixtures) + --extended (green r11, r16)",
+    "corpus_diff_snapshots": "r17 rotation; returner re-check green r16; snapshot-diff family checked via staying versioning tests + --extended (green r10-r12, r16)",
+    "dedup_intra_doc": "r17 rotation; returner re-check green r16; the corpus-token k-gram digest machinery checked via returning dedup_passages (passage-grain face) + the span-island tests (green r10-r12, r16)",
+    "mixture_budget_manifest": "r17 rotation; promoted r16, green r16, re-retires after its first green round behind returning mixture_manifest_uniform + mixture_manifest_by_lang (same quota/fill manifest core, budget-constrained face; the r08 first-green-plus-sibling precedent); exact-fsum budget arithmetic stays tested + --extended",
+    "pack_efficiency_report": "r17 rotation; promoted r16, green r16, re-retires after its first green round behind returning pack_windows_composition + staying shuffle_windows (the same packer's composition face stays checked); acceptance thresholds stay tested + --extended",
+    "pack_incremental": "r17 rotation; promoted r16, green r16, re-retires after its first green round behind returning pack_windows_composition (same pack stage, incremental lane pinned by tests) + --extended",
+    "ann_recall_report": "r17 rotation; promoted r16, green r16, re-retires after its first green round behind returning ann_ivfpq_topk + ann_index_delta and the staying recall tooling tests (tools/ann_recall.py); recall@k arithmetic stays tested + --extended",
+    "ann_ivf_trained_topk": "r17 rotation; NAMED early re-retire (green r08-r16) behind returning ann_ivf_topk + ann_ivfpq_topk — the same versioned-IVF assign/probe machinery, of which the trained face is the shared core; k-means trainer stays tested + --extended",
+    "dedup_canonical_quality": "r17 rotation; NAMED early re-retire (green r05-r16) behind returning dedup_clusters_canonical + dedup_exact_hash — the same CC clustering with quality-keyed canonical selection; the digest stage returns with dedup_exact_hash; stays tested + --extended",
     # r13 rotation: all 24 r13-rotation retirees returned at their
     # ≤3-round deadline in the r16 rotation (this round) — no r13 entry
     # remains retired; see git log for their retired-entry text.

@@ -1112,6 +1112,28 @@ def _incoming_r16() -> dict:
 INCOMING_DATAPIPE_QUERIES.update(_incoming_r16())
 
 
+# r17 rotation: the r15-built release-audit quartet promotes, exactly as
+# queued in the recorded r15 plan and funded as NAMED at r16 close
+# (__spark_entry__.py rotation note) — the filter-ablation CUBE grid, the
+# token-yield scaling report, the k-anonymity suppression audit, and the
+# MinHash calibration acceptance report — funded by the 28 r16 entrants'
+# re-retirement after their green r16 round plus the two NAMED early
+# re-retirees (ann_ivf_trained_topk behind returning ann_ivf_topk +
+# ann_ivfpq_topk; dedup_canonical_quality behind returning
+# dedup_clusters_canonical + dedup_exact_hash). All four verified
+# non-vacuous in the r16 extended sweep (129/129). The wave-2
+# provenance/monitoring pair stays queued r18; the r16-built continuous-
+# provenance pair stays queued r19.
+_R17_PROMOTED = (
+    "filter_ablation",
+    "token_yield_report",
+    "kanon_suppression",
+    "minhash_calibration",
+)
+for _n in _R17_PROMOTED:
+    DATAPIPE_QUERIES[_n] = INCOMING_DATAPIPE_QUERIES.pop(_n)
+
+
 def _q_ewma_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 pandas-UDF strategy: EWMA z-score signals (recursive EWMA has no
     declarative equivalent — rows-only check by design)."""

@@ -15,66 +15,66 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) > 0
 
 
-# The r16 checked set (50/50): generated from the live registry after the
-# r16 rotation executed (the 17 r15 entrants + 9 held r14 returners + 2
-# NAMED early re-retirees OUT; all 24 r13 retirees at their deadline +
-# the four r14-wave promotions IN). Pinned as literals so a silent
-# registry shrink fails.
+# The r17 checked set (50/50): generated from the live registry after the
+# r17 rotation executed (the 28 r16 entrants + 2 NAMED early re-retirees
+# OUT; all 26 r14 retirees at their deadline + the four r15-built
+# release-audit promotions IN). Pinned as literals so a silent registry
+# shrink fails.
 EXPECTED_QUERIES = frozenset({
-    "ann_bruteforce_topk", "ann_ivf_trained_topk", "ann_recall_report",
-    "anti_join_parts_never_shipped", "asof_join_tolerance",
-    "bpe_pipeline_chained", "ccnet_lm_buckets", "cluster_composition",
-    "corpus_diff_snapshots", "curate_keep_decision",
-    "decontam_suite_chained", "dedup_canonical_quality",
-    "dedup_incr_neardup", "dedup_intra_doc", "dedup_minhash_lsh",
-    "dedup_simhash", "dsir_logratio", "embedding_incr_neardup",
-    "ewma_zscore_strategy", "executions", "hybrid_rrf_ivf_topk",
-    "knn_join_ivf_sampled", "latency_metrics_rollup", "length_band_approx",
-    "media_phash_incr_snapshot", "media_phash_neardup_decoded",
-    "mixture_budget_manifest", "mixture_curriculum", "multimodal_features",
-    "normalized_prices", "pack_efficiency_report", "pack_incremental",
-    "positions_costs", "range_join_tick_stats",
-    "recent_ticks_per_instrument", "replay_backtest_window",
-    "sample_quota_per_source", "segment_revenue_bucketed",
-    "shuffle_windows", "signals_decisions", "split_train_val_test",
-    "strategy_metrics", "streaming_hourly_rollup_chained",
-    "streaming_metrics_5m", "streaming_positions_costs",
-    "strip_boilerplate", "text_clean_markup", "tfidf_top_terms",
-    "tokenize_with_vocab", "winnow_zipf_chained",
+    "ann_index_delta", "ann_ivfpq_topk", "anti_join_parts_never_shipped",
+    "bm25_topk_lexical", "bpe_pipeline_chained", "ccnet_lm_buckets",
+    "decontam_ngram_overlap", "decontam_suite_chained",
+    "dedup_cluster_stats", "dedup_clusters_canonical", "dedup_exact_spans",
+    "dedup_incremental", "dedup_passages", "doc_fingerprint_minhash1",
+    "embed_chunks_hashed", "ewma_zscore_strategy", "executions",
+    "filter_ablation", "kanon_suppression", "knn_serve_snapshot",
+    "latency_metrics_rollup", "lm_unigram_quality", "minhash_calibration",
+    "mixture_manifest_by_lang", "mixture_manifest_uniform",
+    "multimodal_features", "pack_windows_composition", "pii_scrub_redact",
+    "position_returns", "position_transitions", "positions_costs",
+    "quality_logreg_score", "range_join_tick_stats",
+    "repetition_gopher_quality", "replay_backtest_window",
+    "segment_revenue_bucketed", "semdedup_cells", "semi_join_has_lineitems",
+    "shuffle_windows", "strategy_metrics", "strategy_summary_filter_agg",
+    "streaming_hourly_rollup_chained", "streaming_metrics_5m",
+    "streaming_positions_costs", "text_clean_markup", "token_yield_report",
+    "tokenize_with_vocab", "topk_events", "vocab_coverage_topv",
+    "winnow_zipf_chained"
 })
 
 # Retired from the driver contract (redundant with checked siblings) but
 # still implemented and verified locally via extended_queries().
 EXPECTED_RETIRED = frozenset({
-    "ann_index_delta", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_lsh_hyperplane_pairs", "asof_join_trade_quote",
-    "bm25_topk_lexical", "bm25_topk_queries", "breakout_band_signals",
-    "chunk_documents_overlap", "curate_stats_by_source",
-    "decontam_ngram_overlap", "decontam_scrub", "decontam_spans",
-    "dedup_cluster_stats", "dedup_clusters_canonical", "dedup_exact_hash",
-    "dedup_exact_spans", "dedup_exact_spans_attrib",
-    "dedup_exact_spans_strip", "dedup_incremental", "dedup_ngram_jaccard",
-    "dedup_passages", "dedup_spans_incr", "doc_fingerprint_minhash1",
-    "embed_chunks_hashed", "embedding_cosine_neardup", "hybrid_rrf_topk",
-    "j1_signal_rejoin", "knn_join_ivf", "knn_serve_snapshot",
-    "lang_id_heuristic", "latest_price_per_instrument",
-    "length_band_filter", "lm_bigram_quality", "lm_unigram_quality",
-    "media_phash_neardup", "metrics_hourly_rollup",
-    "mixture_manifest_by_lang", "mixture_manifest_uniform",
-    "nation_region_rollup", "pack_sequences_manifest",
-    "pack_windows_composition", "performance_windows_5m",
-    "pii_scrub_redact", "position_returns", "position_transitions",
-    "positions_forward_fill", "pricing_summary_q1", "quality_logreg_score",
-    "repetition_gopher_quality", "runs_listing_join_topn",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_lsh_hyperplane_pairs", "ann_recall_report", "asof_join_tolerance",
+    "asof_join_trade_quote", "bm25_topk_queries", "breakout_band_signals",
+    "chunk_documents_overlap", "cluster_composition",
+    "corpus_diff_snapshots", "curate_keep_decision",
+    "curate_stats_by_source", "decontam_scrub", "decontam_spans",
+    "dedup_canonical_quality", "dedup_exact_hash",
+    "dedup_exact_spans_attrib", "dedup_exact_spans_strip",
+    "dedup_incr_neardup", "dedup_intra_doc", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans_incr",
+    "dsir_logratio", "embedding_cosine_neardup", "embedding_incr_neardup",
+    "hybrid_rrf_ivf_topk", "hybrid_rrf_topk", "j1_signal_rejoin",
+    "knn_join_ivf", "knn_join_ivf_sampled", "lang_id_heuristic",
+    "latest_price_per_instrument", "length_band_approx",
+    "length_band_filter", "lm_bigram_quality", "media_phash_incr_snapshot",
+    "media_phash_neardup", "media_phash_neardup_decoded",
+    "metrics_hourly_rollup", "mixture_budget_manifest",
+    "mixture_curriculum", "nation_region_rollup", "normalized_prices",
+    "pack_efficiency_report", "pack_incremental", "pack_sequences_manifest",
+    "performance_windows_5m", "positions_forward_fill",
+    "pricing_summary_q1", "recent_ticks_per_instrument",
+    "runs_listing_join_topn", "sample_quota_per_source",
     "sample_stratified_hash", "sample_temperature_source",
-    "segment_revenue_3way_join", "semdedup_cells",
-    "semi_join_has_lineitems", "session_window_per_user",
-    "signal_counts_5m", "sliding_window_counts", "sma_crossover_signals",
-    "split_clustered_leakproof", "split_leakage_report",
-    "strategy_summary_filter_agg", "streaming_interval_join",
-    "text_stats_quality", "ticks_source", "topk_events",
-    "union_live_replay", "value_percentiles_exact", "vocab_coverage_topv",
-    "zorder_zonemap_skipping",
+    "segment_revenue_3way_join", "session_window_per_user",
+    "signal_counts_5m", "signals_decisions", "sliding_window_counts",
+    "sma_crossover_signals", "split_clustered_leakproof",
+    "split_leakage_report", "split_train_val_test",
+    "streaming_interval_join", "strip_boilerplate", "text_stats_quality",
+    "tfidf_top_terms", "ticks_source", "union_live_replay",
+    "value_percentiles_exact", "zorder_zonemap_skipping"
 })
 
 
