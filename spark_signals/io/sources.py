@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_signals.rounding import sql_str_lit
+
 # Fixed schema — no runtime inference, parse errors dropped
 # (reference: __main__.py:53-71, 'json.ignore-parse-errors').
 PRICES_RAW_SCHEMA = T.StructType(
@@ -81,23 +83,40 @@ def utc_timestamps(df: DataFrame) -> DataFrame:
     return df.withColumns(ntz) if ntz else df
 
 
-# Inferred-schema cache keyed by parquet path. The driver's testdata tables
-# are immutable per sf_dir, but a bare spark.read.parquet re-infers the
-# schema with a small driver-side footer-read job on EVERY query build —
-# ~50-100 ms per table per query at r16. A catalog-backed warehouse table
-# carries its schema in the metastore and never pays this; passing the
-# once-inferred schema explicitly mirrors that. Only the fixed source tables
-# go through this cache — mutable pipeline outputs keep full inference.
-# (Schemas are inferred under ensure_session_confs, so the nanosAsLong /
-# NTZ flavor baked into the cache matches what inference would return.)
-_PARQUET_SCHEMA_CACHE: dict[str, T.StructType] = {}
+# Inferred-schema cache keyed by (path, mtime_ns, size). A bare
+# spark.read.parquet re-infers the schema with a small driver-side
+# footer-read job on EVERY query build — ~50-100 ms per table per query at
+# r16. A catalog-backed warehouse table carries its schema in the metastore
+# and never pays this; passing the once-inferred schema explicitly mirrors
+# that. The mtime+size token invalidates on in-place regeneration — the
+# driver has rewritten testdata between rounds, even switching parquet
+# timestamp flavor (same keying as streaming.parity._materialize_tick_files;
+# r16 advisory). Only the fixed source tables go through this cache —
+# mutable pipeline outputs keep full inference. (Schemas are inferred under
+# ensure_session_confs, so the nanosAsLong / NTZ flavor baked into the cache
+# matches what inference would return.)
+_PARQUET_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _schema_cache_key(path: str) -> tuple[str, int, int]:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory-style or remote parquet path: no single stat target —
+        # never cache (key can't match any stored entry)
+        return (path, -1, -1)
 
 
 def _read_fixed_parquet(spark: SparkSession, path: str) -> DataFrame:
-    schema = _PARQUET_SCHEMA_CACHE.get(path)
+    key = _schema_cache_key(path)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _PARQUET_SCHEMA_CACHE[path] = df.schema
+        if key[1] >= 0:
+            _PARQUET_SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -169,7 +188,7 @@ def load_ticks(
         "event_id AS sequence",
         "event_type AS side",
         "ts AS event_time",
-        f"'{source}' AS source",
+        f"{sql_str_lit(source)} AS source",
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
+from spark_signals.rounding import sql_str_lit
 from spark_signals.pipeline.positions import SIGNAL_MARKER as P_SIGNAL_MARKER
 
 
@@ -167,7 +168,7 @@ def metrics_enriched(
         f"{J.fmt_fixed_sqltext('total_trade_cost', 9)} AS total_trade_cost, "
         f"{J.fmt_fixed_sqltext('total_transaction_cost', 9)} AS total_transaction_cost, "
         f"{J.fmt_fixed_sqltext('total_slippage_cost', 9)} AS total_slippage_cost, "
-        f"'{cfg.execution_mode}' AS execution_mode))"
+        f"{sql_str_lit(cfg.execution_mode)} AS execution_mode))"
     )
     if counts is None:
         joined = perf
@@ -176,10 +177,10 @@ def metrics_enriched(
         joined = perf.join(counts, on=["window_start", "window_end"], how="left")
         trades = "COALESCE(trades_executed, 0)"
     return joined.selectExpr(
-        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        f"{sql_str_lit(cfg.strategy_run_id)} AS strategy_run_id",
         "window_start",
         "window_end AS metric_time",
-        f"'{cfg.metrics_window_label}' AS window_label",
+        f"{sql_str_lit(cfg.metrics_window_label)} AS window_label",
         f"{sharpe} AS sharpe_ratio",
         f"{sortino} AS sortino_ratio",
         "cumulative_return",

@@ -101,6 +101,17 @@ def _rolling_features(over: str, cfg: EngineConfig):
     still O(1)/row. The recovered 60-row differences stay inside the
     original micro_units precondition, and the final CAST AS DOUBLE is
     exact (< 2^53), so values are unchanged to the bit.
+
+    Per-ROW product ceiling (r16 advisory): the u·u below multiplies in
+    BIGINT *before* the DECIMAL(38,0) cast — deliberately, because a
+    DECIMAL(19,0) operand would leave Spark's Long-backed Decimal fast
+    path (MAX_LONG_DIGITS=18) and put a BigDecimal multiply on the
+    hottest per-row path. That caps mid_price at ~3.0e4 at dp=5
+    (u² < 2^63 ⇔ u ≲ 3.04e9 ⇔ mid ≲ 3.04e4) — the same ceiling the
+    module-level VOL_DP note states for a single u², 54× above observed
+    data. Under Spark 4's default ANSI mode an excursion past it THROWS
+    (loud, not silent); re-derive VOL_DP before disabling ANSI or
+    ingesting quote magnitudes near 3e4.
     """
     from spark_signals.rounding import micro_units_sql
 

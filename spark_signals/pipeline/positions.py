@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
+from spark_signals.rounding import sql_str_lit
 
 
 def positions_base_inline(enriched: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -245,10 +246,10 @@ def executions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
         "to_json(struct("
         "CAST(fill_latency_ms AS STRING) AS fill_latency_ms, "
         f"{J.fmt_fixed_sqltext('slippage_rate', 9)} AS slippage_rate, "
-        f"'{cfg.execution_mode}' AS execution_mode))"
+        f"{sql_str_lit(cfg.execution_mode)} AS execution_mode))"
     )
     return costs.filter(F.col("position_change") != 0).selectExpr(
-        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        f"{sql_str_lit(cfg.strategy_run_id)} AS strategy_run_id",
         "product_id",
         "sequence",
         "event_time AS signal_time",
@@ -269,15 +270,15 @@ def position_transitions(costs: DataFrame, cfg: EngineConfig) -> DataFrame:
     metadata = (
         "to_json(struct("
         f"{J.fmt_fixed_sqltext('COALESCE(prev_position, 0.0D)', 1)} AS prev_position, "
-        f"'{cfg.transaction_cost_bps}' AS transaction_cost_bps, "
-        f"'{cfg.slippage_bps}' AS slippage_bps, "
+        f"{sql_str_lit(cfg.transaction_cost_bps)} AS transaction_cost_bps, "
+        f"{sql_str_lit(cfg.slippage_bps)} AS slippage_bps, "
         f"{J.fmt_fixed_sqltext('slippage_rate', 9)} AS effective_slippage_rate, "
-        f"'{cfg.execution_mode}' AS execution_mode))"
+        f"{sql_str_lit(cfg.execution_mode)} AS execution_mode))"
     )
     return costs.filter(
         F.col("prev_position").isNull() | (F.col("position") != F.col("prev_position"))
     ).selectExpr(
-        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        f"{sql_str_lit(cfg.strategy_run_id)} AS strategy_run_id",
         "product_id",
         "event_time",
         "sequence",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from spark_signals.config import EngineConfig
 from spark_signals.pipeline import jsonfmt as J
 from spark_signals.pipeline.normalize import tick_window
-from spark_signals.rounding import sround
+from spark_signals.rounding import sql_str_lit, sround
 
 # decision-boundary grid: the crossover compares window-AVG outputs, whose
 # last ulp is summation-order-dependent — a raw `spread > 0` can flip
@@ -119,11 +119,11 @@ def crossover_signals_enriched(enriched: DataFrame, cfg: EngineConfig) -> DataFr
         f"{J.fmt_fixed_sqltext('fast_sma', 6)} AS fast_sma, "
         f"{J.fmt_fixed_sqltext('slow_sma', 6)} AS slow_sma, "
         f"{J.fmt_fixed_sqltext('sig_spread', 6)} AS spread, "
-        f"'{cfg.confirmation}' AS confirmation_window, "
-        f"'{cfg.execution_mode}' AS execution_mode))"
+        f"{sql_str_lit(cfg.confirmation)} AS confirmation_window, "
+        f"{sql_str_lit(cfg.execution_mode)} AS execution_mode))"
     )
     return enriched.selectExpr(
-        f"'{cfg.strategy_run_id}' AS strategy_run_id",
+        f"{sql_str_lit(cfg.strategy_run_id)} AS strategy_run_id",
         "product_id AS instrument_id",
         "sequence",
         "event_time AS signal_time",

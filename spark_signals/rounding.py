@@ -51,6 +51,18 @@ def micro_units_sql(expr: str, dp: int) -> str:
     return f"FLOOR(({expr}) * {scale!r}D + 0.5000001D)"
 
 
+def sql_str_lit(value) -> str:
+    """A Python string as a Spark-SQL string literal, quotes escaped.
+
+    The SQL-text construction rewrite (r16) interpolates config/user
+    strings (strategy_run_id, execution_mode, window labels, source names)
+    into selectExpr text; a bare f-string ``'{value}'`` breaks — or injects
+    SQL — the moment a value carries a single quote, where the former
+    ``F.lit`` handled arbitrary strings (r16 advisory). Doubling embedded
+    quotes is the ANSI escape both engines parse."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def sround_py(x: float, dp: int) -> float:
     """Python twin of :func:`sround` — the identical IEEE operation sequence
     (multiply, add, floor, divide), so the streaming replay stays

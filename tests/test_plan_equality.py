@@ -77,6 +77,85 @@ def test_nudge_literal_stays_double(spark):
     assert isinstance(sch["u"], T.LongType)
 
 
+def test_sql_str_lit_escapes_quotes(spark):
+    """Interpolated config strings must survive embedded quotes: the bare
+    f-string literal the r16 rewrite used raises a parse error (or injects
+    SQL) on a value like "o'brien" where the former F.lit handled arbitrary
+    strings (r16 advisory)."""
+    from spark_signals.rounding import sql_str_lit
+
+    for val in ["plain", "o'brien", "a''b", "'", ""]:
+        got = spark.range(1).selectExpr(f"{sql_str_lit(val)} AS s").first().s
+        assert got == val
+    # and the quote-free path emits the identical literal text the old
+    # f-string produced, so committed plans are unchanged
+    assert sql_str_lit("paper") == "'paper'"
+
+
+def test_enriched_ticks_sqltext_matches_column_witness(spark):
+    """Full-chain pin (r16 advisory #4): the SQL-text rolling-feature
+    projection must parse to the identical Catalyst tree as a Column-DSL
+    witness of the same expressions. Guards the _rolling_features strings
+    against silent semantic drift — the primitive pins above can't see a
+    typo inside the chain's CASE/lag/frame wiring."""
+    from pyspark.sql import Window
+
+    from spark_signals.config import EngineConfig
+    from spark_signals.pipeline.normalize import TICK_OVER, VOL_DP, _rolling_features
+
+    cfg = EngineConfig()
+    base = spark.createDataFrame(
+        [("P-1", 1, 1.0)], "product_id string, sequence long, mid_price double"
+    ).withColumn("event_time", F.col("sequence").cast("timestamp"))
+
+    cum_exprs, returns, volatility, fast, slow = _rolling_features(TICK_OVER, cfg)
+    sql_df = base.selectExpr("*", *cum_exprs).selectExpr(
+        "product_id",
+        f"{returns} AS returns",
+        f"{volatility} AS volatility",
+        f"{fast} AS fast_sma",
+        f"{slow} AS slow_sma",
+    )
+
+    # Column-DSL witness of the same running-sum + lag-difference features
+    w = Window.partitionBy("product_id").orderBy("event_time", "sequence")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = micro_units(F.col("mid_price"), VOL_DP)
+    scale = float(10**VOL_DP)
+    col_df = base.select(
+        "*",
+        F.sum(u).over(wcum).alias("_c1"),
+        F.sum((u * u).cast(T.DecimalType(38, 0))).over(wcum).alias("_c2"),
+        F.count("mid_price").over(wcum).alias("_cn"),
+    )
+    prev = F.lag("mid_price").over(w)
+    m1 = (F.col("_c1") - F.coalesce(F.lag("_c1", cfg.volatility_window).over(w), F.lit(0).cast("long"))).cast("double")
+    m2 = (
+        F.col("_c2")
+        - F.coalesce(
+            F.lag("_c2", cfg.volatility_window).over(w),
+            F.lit(0).cast(T.DecimalType(38, 0)),
+        )
+    ).cast("double")
+    n = (F.col("_cn") - F.coalesce(F.lag("_cn", cfg.volatility_window).over(w), F.lit(0).cast("long"))).cast("double")
+    mean_u = m1 / n
+    var_u = m2 / n - mean_u * mean_u
+    col_df = col_df.select(
+        "product_id",
+        F.when(prev.isNull() | (prev == 0), F.lit(None).cast("double"))
+        .otherwise((F.col("mid_price") - prev) / prev)
+        .alias("returns"),
+        (F.sqrt(F.greatest(var_u, F.lit(0.0))) / F.lit(scale)).alias("volatility"),
+        F.avg("mid_price")
+        .over(w.rowsBetween(-(cfg.sma_fast_window - 1), Window.currentRow))
+        .alias("fast_sma"),
+        F.avg("mid_price")
+        .over(w.rowsBetween(-(cfg.sma_slow_window - 1), Window.currentRow))
+        .alias("slow_sma"),
+    )
+    assert _canon(sql_df) == _canon(col_df)
+
+
 def test_values_match_python_twin(spark):
     """sround_sql grids exactly like sround_py on representative values
     (including a half-way double where engine-native round() diverges)."""
