@@ -208,8 +208,17 @@ def _run_pipeline_pinned(
     from spark_signals.datapipe.balance import cluster_composition
     from spark_signals.io.docs import write_training_shards
 
-    # 1. curation verdicts (audited: drop_reasons says WHY)
-    verdicts = curate(docs)
+    # 1. curation verdicts (audited: drop_reasons says WHY). The digest
+    #    pass (dedup_exact) is pinned and SHARED with the filter-ablation
+    #    audit artifact, and the verdicts relation itself is pinned and
+    #    shared with the per-source curation report — neither the digest
+    #    shuffle nor the whole multi-operator curate chain runs twice
+    #    (r16 verdict #5). Each face's no-arg default stays the
+    #    independently oracle-checked one.
+    from spark_signals.datapipe.dedup import dedup_exact
+
+    exact = dedup_exact(docs).transform(pin)
+    verdicts = curate(docs, exact=exact).transform(pin)
     kept = (
         verdicts.filter(F.col("keep"))
         .select(
@@ -248,10 +257,14 @@ def _run_pipeline_pinned(
             os.path.join(out_dir, "leakage_report")
         )
 
-    return _write_artifacts(spark, docs, kept, sampled, out_dir)
+    return _write_artifacts(
+        spark, docs, kept, sampled, out_dir, exact=exact, verdicts=verdicts
+    )
 
 
-def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]:
+def _write_artifacts(
+    spark, docs, kept, sampled, out_dir: str, exact=None, verdicts=None
+) -> dict[str, int]:
     from spark_signals.checkpoint import pin
     from spark_signals.datapipe.curate import curate_stats
     from spark_signals.datapipe.pack import pack_sequences, shuffle_windows
@@ -270,7 +283,7 @@ def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]
         rows_per_shard=10_000,
     )
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "pack_manifest"))
-    curate_stats(docs).write.mode("overwrite").parquet(
+    curate_stats(docs, curated=verdicts).write.mode("overwrite").parquet(
         os.path.join(out_dir, "curation_report")
     )
     mixture_manifest(sampled).write.mode("overwrite").parquet(
@@ -324,7 +337,7 @@ def _write_artifacts(spark, docs, kept, sampled, out_dir: str) -> dict[str, int]
     source_overlap_matrix(docs, pairs=pairs).write.mode("overwrite").parquet(
         os.path.join(out_dir, "source_overlap")
     )
-    filter_ablation(docs).write.mode("overwrite").parquet(
+    filter_ablation(docs, exact=exact).write.mode("overwrite").parquet(
         os.path.join(out_dir, "filter_ablation")
     )
     kanonymity_report(sampled).write.mode("overwrite").parquet(

@@ -49,8 +49,13 @@ DROP_REASONS = [
 ]
 
 
-def curate(docs: DataFrame) -> DataFrame:
-    exact = D.dedup_exact(docs).select(
+def curate(docs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
+    # ``exact`` optionally supplies a precomputed dedup_exact relation so a
+    # pipeline emitting several audit artifacts (this composition + the
+    # filter-ablation grid both consume the digest pass) shares ONE digest
+    # shuffle instead of re-running it per artifact (r16 verdict #5); the
+    # no-arg face — the oracle-checked one — is unchanged.
+    exact = (exact if exact is not None else D.dedup_exact(docs)).select(
         "doc_id", F.col("is_duplicate").alias("exact_dup")
     )
     # corpus-level passes (passage dup, LM model, length percentiles,
@@ -124,13 +129,19 @@ def curate(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate_stats(docs: DataFrame) -> DataFrame:
+def curate_stats(docs: DataFrame, curated: DataFrame | None = None) -> DataFrame:
     """Per-source curation audit: document counts, keeps, and one count per
     drop reason (+ the informational has_pii) — the dashboard row a 100 TB
     curation run reports per ingest source. One S-row aggregate over the
     curate() relation; reasons are tested with array membership, never
-    substring matching (reason names could substring-collide)."""
-    c = curate(docs)
+    substring matching (reason names could substring-collide).
+
+    ``curated`` optionally supplies an already-materialized curate()
+    relation: the curation pipeline example computes the verdicts once
+    (pinned) for the keep decision, and this report then aggregates that
+    relation instead of re-running the whole multi-operator curate chain a
+    second time (r16 verdict #5). Default face unchanged."""
+    c = curated if curated is not None else curate(docs)
     reasons = F.split(F.col("drop_reasons"), ",")
     sums = [
         F.sum(F.array_contains(reasons, r).cast("long")).alias(f"n_{r}")
@@ -295,22 +306,31 @@ def filter_ablation(
         (F.col("f_dup") | F.col("f_short") | F.col("f_lowq") | F.col("f_nonen"))
         .cast("long")
     )
-    cube = flags.cube("f_dup", "f_short", "f_lowq", "f_nonen").agg(
+    dims = ("f_dup", "f_short", "f_lowq", "f_nonen")
+    # GROUPING(c), not c IS NULL, marks the aggregated-away cells (r16
+    # advisory): the grouping bit is the engine's own statement of which
+    # grouping set a row belongs to, so the 'all' decode stays correct even
+    # if a data-level NULL ever slipped past the coalesces above — instead
+    # of silently merging into the marginals. The DuckDB oracle keeps the
+    # IS NULL decode; the two agree exactly BECAUSE the coalesces hold, and
+    # the degenerate/NULL-text tests pin that they do.
+    cube = flags.cube(*dims).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens_bpe").cast("long")).alias("n_tokens"),
         F.sum(dropped).alias("n_dropped"),
+        *[F.grouping(c).alias(f"_g_{c}") for c in dims],
     )
 
     def dim(c: str) -> F.Column:
         return (
-            F.when(F.col(c).isNull(), F.lit("all"))
+            F.when(F.col(f"_g_{c}") == 1, F.lit("all"))
             .when(F.col(c), F.lit("y"))
             .otherwise(F.lit("n"))
             .alias(c)
         )
 
     return cube.select(
-        dim("f_dup"), dim("f_short"), dim("f_lowq"), dim("f_nonen"),
+        *[dim(c) for c in dims],
         "n_docs", "n_tokens", "n_dropped",
     )
 

@@ -777,11 +777,20 @@ def process_kanon_batch(
     # the delta write is about to extend
     report = report.transform(pin)
     delta = delta.transform(pin)
-    delta.write.mode("overwrite").parquet(
-        os.path.join(counts_dir, f"batch_id={batch_id}")
-    )
+    # REPORT commits first (r15 advisory): both writes are idempotent
+    # per-batch overwrites re-run on foreachBatch retry, so the order only
+    # matters to a reader between a crash and the retry — and for a release
+    # gate the failure modes are not symmetric. Delta-first + crash leaves
+    # the count state ADVANCED while the newest committed report is stale:
+    # consumers keep releasing under an outdated suppression verdict.
+    # Report-first + crash leaves a current verdict whose state write
+    # re-runs on retry — the gate never serves a verdict older than the
+    # persisted state.
     report.write.mode("overwrite").parquet(
         os.path.join(report_dir, f"batch_id={batch_id}")
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(counts_dir, f"batch_id={batch_id}")
     )
 
 

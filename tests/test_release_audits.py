@@ -392,6 +392,25 @@ def test_kanon_gate_chains_on_non_default_qi_spec(spark, tmp_path):
     assert set(state.columns) == {"source", "band_fine", "n_docs"}
 
 
+def test_kanon_batch_commits_report_before_delta(spark, tmp_path):
+    """The release verdict (report) must COMMIT before the count-state
+    delta (r15 advisory, closed r17): a crash between the two writes then
+    leaves a current verdict whose state write simply re-runs on retry —
+    never an advanced state serving a stale verdict. Pinned via the
+    _SUCCESS markers' commit times."""
+    import os
+
+    from spark_signals.datapipe.streaming import process_kanon_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts_dir = str(tmp_path / "qi_counts")
+    report_dir = str(tmp_path / "kanon_reports")
+    process_kanon_batch(docs, 0, counts_dir=counts_dir, report_dir=report_dir)
+    rep = os.stat(os.path.join(report_dir, "batch_id=0", "_SUCCESS")).st_mtime_ns
+    cnt = os.stat(os.path.join(counts_dir, "batch_id=0", "_SUCCESS")).st_mtime_ns
+    assert rep < cnt
+
+
 def test_kanon_serving_reader_skips_uncommitted_partition(spark, tmp_path):
     """A `batch_id=` directory lists from the writer's first task file,
     before `_SUCCESS` lands — the serving reader must fall back to the
@@ -428,12 +447,18 @@ def test_kanon_serving_reader_skips_uncommitted_partition(spark, tmp_path):
         read_latest_kanon_report(spark, report_dir)
 
 
-def test_kanon_batch_writes_state_before_verdict(spark, tmp_path):
-    """Write ORDER pin (r15 advisory): the QI-count delta lands BEFORE
-    the report, so a crash between the two writes can never publish a
-    verdict whose backing state is missing. Simulated by making the
-    counts write fail (counts_dir path occupied by a plain file): the
-    step must raise WITHOUT having published a report partition."""
+def test_kanon_batch_writes_verdict_before_state(spark, tmp_path):
+    """Write ORDER pin, REVERSED at r17 (r16 verdict #7, superseding the
+    r15-era delta-first pin): the report commits BEFORE the QI-count
+    delta. Both writes are idempotent per-batch overwrites that re-run on
+    foreachBatch retry, so the order only matters to a reader between a
+    crash and the retry — and there the failure modes are asymmetric: a
+    committed delta with a stale report keeps the gate releasing under an
+    OUTDATED suppression verdict (the dangerous direction for a release
+    gate), while a committed report whose state write re-runs on retry
+    never serves anything older than the persisted state. Simulated by
+    making the delta write fail (counts_dir path occupied by a plain
+    file): the report partition must already be published."""
     import os
 
     import pytest
@@ -447,7 +472,7 @@ def test_kanon_batch_writes_state_before_verdict(spark, tmp_path):
         fh.write("not a directory")
     with pytest.raises(Exception):
         process_kanon_batch(docs, 0, counts_dir=counts_dir, report_dir=report_dir)
-    assert not os.path.exists(os.path.join(report_dir, "batch_id=0"))
+    assert os.path.exists(os.path.join(report_dir, "batch_id=0", "_SUCCESS"))
 
 
 # ------------------------------------- cross-source overlap / drift monitor
