@@ -77,6 +77,37 @@ def build_corpus(spark, out_dir: str, repl: int) -> None:
     big_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+    build_events(spark, out_dir, repl)
+
+
+def build_events(spark, out_dir: str, repl: int) -> None:
+    """Replicate the tick source (events.parquet) for the pipeline-chain
+    decade rows (r16 verdict #3): replica r re-keys user_id (→ product_id)
+    and event_id (→ sequence), keeping the time range — the horizontal
+    growth a window-partitioned chain actually sees at 100 TB is MORE
+    instruments, not longer per-instrument histories, so per-key window
+    state stays bounded while total rows scale 10x/100x."""
+    from pyspark.sql import functions as F
+
+    from spark_signals.io.sources import read_table
+
+    ev = read_table(spark, SF_BASE, "events")
+    bounds = ev.agg(
+        F.max("user_id").alias("u"), F.max("event_id").alias("e")
+    ).first()
+    n_users, n_events = bounds["u"] + 1, bounds["e"] + 1
+    parts = []
+    for r in range(repl):
+        parts.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(r * n_users))
+            .withColumn("event_id", F.col("event_id") + F.lit(r * n_events))
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
 
 
 def main() -> int:
@@ -95,6 +126,11 @@ def main() -> int:
         build_corpus(spark, args.out, args.repl)
         open(marker, "w").write(str(args.repl))
         print(f"built {args.out} (repl={args.repl}) in {time.time() - t0:.1f}s")
+    elif not os.path.exists(os.path.join(args.out, "events.parquet")):
+        # corpus built by a pre-r17 run: backfill the tick replica only
+        t0 = time.time()
+        build_events(spark, args.out, args.repl)
+        print(f"backfilled events (repl={args.repl}) in {time.time() - t0:.1f}s")
 
     docs = spark.read.parquet(os.path.join(args.out, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(args.out, "embeddings.parquet"))
@@ -194,7 +230,25 @@ def main() -> int:
         # r16 additions: the continuous-provenance pair
         "source_overlap_incr": lambda: D.source_overlap_incr_snapshot(docs),
         "decontam_source_matrix": lambda: _decontam_source_matrix(docs),
+        # r17 additions (r16 verdict #3): decade rows for the two r16
+        # structural rewrites — the digest-window exact dedup and the
+        # fused single-scan pipeline chain (reads the replicated
+        # events.parquet via the registry function, so the timed plan IS
+        # the declared query's)
+        "dedup_exact": lambda: D.dedup_exact(docs),
+        "strategy_metrics": lambda: _strategy_metrics(),
+        "positions_costs": lambda: _positions_costs(),
     }
+
+    def _strategy_metrics():
+        from spark_signals.parity import q_metrics
+
+        return q_metrics(spark, args.out)
+
+    def _positions_costs():
+        from spark_signals.parity import q_positions_costs
+
+        return q_positions_costs(spark, args.out)
 
     def _decontam_source_matrix(d):
         from spark_signals.datapipe.decontam import decontam_source_matrix_snapshot
