@@ -401,13 +401,26 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
 
     # same page-hygiene stage as the batch lane (stateless — it could also
     # run inside the stream, but ingest dedup keys on the RAW text digest,
-    # so hygiene runs after ingest identity is settled)
+    # so hygiene runs after ingest identity is settled). PINNED like the
+    # batch lane's hygiene boundary (r17): curate() references its input
+    # from ~8 component branches, and an unpinned hygiene tree was being
+    # replanned and re-executed per branch — the exact replanning tax the
+    # r12 batch-lane measurement (432 s → 51 s) already charged.
+    from spark_signals.checkpoint import pin
+
     survivors = _hygiene(
         spark.read.parquet(dirs["survivors_dir"]).select(*docs.columns)
-    )
+    ).transform(pin)
     verdicts = curate(survivors)
     verdicts.write.mode("overwrite").parquet(
         os.path.join(out_dir, "stream_curation")
+    )
+    # count the kept docs from the artifact just written instead of
+    # re-running the curate chain a second time for one scalar
+    stream_kept = (
+        spark.read.parquet(os.path.join(out_dir, "stream_curation"))
+        .filter(F.col("keep"))
+        .count()
     )
     # drift monitor between ingest states: OLD = the corpus as of drop 0
     # (its batch_id partition), NEW = the accumulated corpus after the
@@ -425,7 +438,7 @@ def run_streaming_ingest(spark, corpus_path: str, out_dir: str) -> dict[str, int
     return {
         "input_docs": docs.count(),
         "ingested_survivors": survivors.count(),
-        "stream_kept_docs": verdicts.filter(F.col("keep")).count(),
+        "stream_kept_docs": stream_kept,
         "neardup_index_docs": spark.read.parquet(dirs["band_index_dir"])
         .select("doc_id")
         .distinct()

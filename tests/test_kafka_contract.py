@@ -104,14 +104,23 @@ def test_sink_schemas_encode_parseable(spark):
     cfg = EngineConfig()
     outs = build_pipeline(make_ticks(spark, [100 + i * 0.5 for i in range(40)]), cfg)
     for name, df in outs.sinks().items():
-        wire = encode_json_value(df.limit(5), key_column=None)
+        # materialize the 5 sample rows ONCE per sink and run the encode →
+        # decode trip over a local relation of them: the former version's
+        # per-column count() pairs re-executed the full pipeline chain
+        # ~2×columns times per sink (~95 s of this one test's runtime) and,
+        # because each action re-evaluated limit(5) independently, compared
+        # null counts across potentially different row picks. Same
+        # assertions, one execution, one consistent sample.
+        head = spark.createDataFrame(df.limit(5).collect(), df.schema)
+        wire = encode_json_value(head, key_column=None)
         decoded = wire.select(
             F.from_json("value", df.schema, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}).alias("r")
         ).select("r.*")
-        n = df.limit(5).count()
-        assert decoded.count() == n, name
+        orig_rows = head.collect()
+        dec_rows = decoded.collect()
+        assert len(dec_rows) == len(orig_rows), name
         # schema-faithful decode: no column nulls out that wasn't null
         for col in decoded.columns:
-            before = df.limit(5).filter(F.col(col).isNotNull()).count()
-            after = decoded.filter(F.col(col).isNotNull()).count()
+            before = sum(r[col] is not None for r in orig_rows)
+            after = sum(r[col] is not None for r in dec_rows)
             assert before == after, f"{name}.{col}"

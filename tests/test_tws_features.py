@@ -116,7 +116,7 @@ def test_tws_state_ttl_expires_idle_keys(spark, tmp_path, rocksdb_state):
             .option("path", out)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="500 milliseconds")
+            .trigger(processingTime="100 milliseconds")
             .start()
         )
         deadline = time.time() + 120
@@ -127,7 +127,7 @@ def test_tws_state_ttl_expires_idle_keys(spark, tmp_path, rocksdb_state):
                         break
                 except Exception:
                     pass  # sink dir not created yet
-                time.sleep(0.5)
+                time.sleep(0.1)
             else:
                 raise AssertionError(f"sink never reached {expect_rows} rows")
         finally:
