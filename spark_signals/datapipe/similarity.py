@@ -67,27 +67,57 @@ def _safe_div(num: F.Column, den: F.Column) -> F.Column:
     return F.when(den != 0, num / den).otherwise(F.lit(0.0))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"SQRT(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))"
+
+
+def _cos_div_sql(num: str, den: str) -> str:
+    """SQL-text twin of :func:`_cos_div` (same greatest-eps guard)."""
+    return f"({num}) / greatest({den}, {_EPS!r}D)"
+
+
+# construction as SQL text (r17, guide §5): the Column-DSL build of the two
+# ANN query faces cost ~250-440 py4j round trips per build — string
+# expressions parse in the JVM in ONE trip each, and the text parses to the
+# IDENTICAL Catalyst trees (gated by canonicalized-optimizedPlan equality
+# against the Column form at rewrite time; the primitives are pinned in
+# tests/test_plan_equality.py).
 def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     """Exact cosine top-k for each query vector (the recall=1 baseline)."""
-    queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    from spark_signals.rounding import sround_sql
+
+    queries = embeddings.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
     )
     from spark_signals.datapipe.util import spread_small_input
 
-    corpus = spread_small_input(embeddings).select(
-        F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb"),
-        F.col("label").alias("match_label"),
+    corpus = spread_small_input(embeddings).selectExpr(
+        "vec_id AS match_id", "embedding AS c_emb", "label AS match_label"
     )
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
-        F.col("match_id") != F.col("query_id")
+    pairs = corpus.crossJoin(F.broadcast(queries)).where("NOT (match_id = query_id)")
+    cos = sround_sql(
+        _cos_div_sql(
+            _dot_sql("q_emb", "c_emb"), f"{_norm_sql('q_emb')} * {_norm_sql('c_emb')}"
+        ),
+        6,
     )
-    cos = sround(_cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
-    scored = pairs.select("query_id", "match_id", "match_label", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "match_id", "match_label", "cosine", "rank")
+        pairs.selectExpr(
+            "query_id", "match_id", "match_label", f"{cos} AS cosine"
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, match_id ASC) AS rank",
+        )
+        .where(f"rank <= {TOP_K}")
     )
 
 
@@ -116,59 +146,65 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
     """IVF top-k: probe the NPROBE nearest label-centroids, scan only those
     cells. Centroid build + query→centroid scoring run in long form (one
     row per dimension) — pure shuffle-based linear algebra, no arrays of
-    arrays, no UDFs."""
+    arrays, no UDFs. Construction is SQL text (r17, guide §5): the Column
+    build cost ~440 py4j round trips; the strings parse to the identical
+    Catalyst trees (canonicalized-optimizedPlan-equality gated)."""
+    from spark_signals.rounding import sround_sql
+
     # centroids in long form: (label, dim, c_val)
-    dims = embeddings.select(
-        "label",
-        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    dims = embeddings.selectExpr(
+        "label", "posexplode(embedding) AS (dim, val)"
     )
     centroids = dims.groupBy("label", "dim").agg(
-        F.avg(F.col("val").cast("double")).alias("c_val")
+        F.expr("avg(cast(val as double)) AS c_val")
     )
-    queries = embeddings.filter(F.col("vec_id") < N_QUERIES)
-    q_dims = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(F.col("embedding")).alias("dim", "q_val"),
+    queries = embeddings.where(f"vec_id < {N_QUERIES}")
+    q_dims = queries.selectExpr(
+        "vec_id AS query_id", "posexplode(embedding) AS (dim, q_val)"
     )
     # query ⋈ centroid on dim → cosine per (query, label)
+    c_cos = sround_sql(_cos_div_sql("dot", "SQRT(qq) * SQRT(cc)"), 6)
     qc = (
         q_dims.join(centroids, "dim")
         .groupBy("query_id", "label")
         .agg(
-            F.sum(F.col("q_val").cast("double") * F.col("c_val")).alias("dot"),
-            F.sum(F.col("q_val").cast("double") * F.col("q_val").cast("double")).alias("qq"),
-            F.sum(F.col("c_val") * F.col("c_val")).alias("cc"),
+            F.expr("sum(cast(q_val as double) * c_val) AS dot"),
+            F.expr("sum(cast(q_val as double) * cast(q_val as double)) AS qq"),
+            F.expr("sum(c_val * c_val) AS cc"),
         )
-        .select(
-            "query_id",
-            "label",
-            sround(_cos_div(F.col("dot"), F.sqrt("qq") * F.sqrt("cc")), 6).alias("c_cos"),
-        )
+        .selectExpr("query_id", "label", f"{c_cos} AS c_cos")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("label"))
-    probes = qc.withColumn("c_rank", F.row_number().over(wq)).filter(
-        F.col("c_rank") <= NPROBE
-    )
+    probes = qc.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY c_cos DESC, label ASC) AS c_rank",
+    ).where(f"c_rank <= {NPROBE}")
     # scan only the probed cells
-    corpus = embeddings.select(
-        F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb"),
-        F.col("label").alias("label"),
+    corpus = embeddings.selectExpr(
+        "vec_id AS match_id", "embedding AS c_emb", "label"
     )
     cand = corpus.join(
         F.broadcast(probes.select("query_id", "label")), "label"
     ).join(
-        F.broadcast(
-            queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-        ),
+        F.broadcast(queries.selectExpr("vec_id AS query_id", "embedding AS q_emb")),
         "query_id",
-    ).filter(F.col("match_id") != F.col("query_id"))
-    cos = sround(_cos_div(_dot("q_emb", "c_emb"), _norm("q_emb") * _norm("c_emb")), 6)
-    scored = cand.select("query_id", "match_id", F.col("label").alias("match_label"), cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    ).where("NOT (match_id = query_id)")
+    cos = sround_sql(
+        _cos_div_sql(
+            _dot_sql("q_emb", "c_emb"), f"{_norm_sql('q_emb')} * {_norm_sql('c_emb')}"
+        ),
+        6,
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "match_id", "match_label", "cosine", "rank")
+        cand.selectExpr(
+            "query_id", "match_id", "label AS match_label", f"{cos} AS cosine"
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, match_id ASC) AS rank",
+        )
+        .where(f"rank <= {TOP_K}")
     )
 
 

@@ -236,9 +236,15 @@ def main() -> int:
         # events.parquet via the registry function, so the timed plan IS
         # the declared query's)
         "dedup_exact": lambda: D.dedup_exact(docs),
+        "tfidf_top_terms": lambda: _tfidf(docs),
         "strategy_metrics": lambda: _strategy_metrics(),
         "positions_costs": lambda: _positions_costs(),
     }
+
+    def _tfidf(d):
+        from spark_signals.datapipe.text import tfidf_top_terms
+
+        return tfidf_top_terms(d)
 
     def _strategy_metrics():
         from spark_signals.parity import q_metrics
