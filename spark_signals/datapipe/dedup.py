@@ -138,19 +138,23 @@ def _km_row_sigs(rel: DataFrame, arr: str, n: int, *keep: str) -> DataFrame:
     leave their input partition (the r5 long-form explode → 12-min groupBy
     recomputed its whole pipeline per self-join side; see
     dedup_minhash_lsh's docstring).
+
+    Built as SQL text (r17, guide §5): the Column-DSL form cost ~15 py4j
+    round trips per permutation lambda per build, on a builder every
+    banded-fingerprint operator calls; the strings parse to the identical
+    Catalyst trees (canonicalized-optimizedPlan-equality gated at rewrite
+    time — _km_perm stays as the Column witness used by that gate).
     """
-    hs = rel.withColumn(
-        "_hs",
-        F.transform(
-            F.col(arr),
-            lambda s: F.struct(
-                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
-                F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
-            ),
-        ),
+    hs_expr = (
+        f"transform({arr}, s -> struct("
+        "cast(conv(substring(md5(s), 1, 8), 16, 10) as long) AS h1, "
+        "cast(conv(substring(md5(s), 9, 8), 16, 10) as long) AS h2))"
     )
-    ms = [F.array_min(F.transform("_hs", _km_perm(i))).alias(f"m{i}") for i in range(n)]
-    return hs.select("doc_id", *keep, *ms)
+    ms = [
+        f"array_min(transform(_hs, x -> (x.h1 + {i + 1} * x.h2) % {MINHASH_P})) AS m{i}"
+        for i in range(n)
+    ]
+    return rel.selectExpr("*", f"{hs_expr} AS _hs").selectExpr("doc_id", *keep, *ms)
 
 
 def _band_keys(sigs: DataFrame, n_bands: int = NUM_BANDS) -> DataFrame:
@@ -160,15 +164,11 @@ def _band_keys(sigs: DataFrame, n_bands: int = NUM_BANDS) -> DataFrame:
     values — two bigints, no digest of the band needed (narrower shuffle
     keys than the former 32-char band_hash md5, and one less hash pass).
     """
-    pieces = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.col(f"m{2 * b}").alias("k1"),
-            F.col(f"m{2 * b + 1}").alias("k2"),
-        )
+    pieces = ", ".join(
+        f"struct({b} AS band, m{2 * b} AS k1, m{2 * b + 1} AS k2)"
         for b in range(n_bands)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*pieces)).alias("bb")).select(
+    )
+    return sigs.selectExpr("doc_id", f"explode(array({pieces})) AS bb").selectExpr(
         "doc_id", "bb.band", "bb.k1", "bb.k2"
     )
 

@@ -156,6 +156,48 @@ def test_enriched_ticks_sqltext_matches_column_witness(spark):
     assert _canon(sql_df) == _canon(col_df)
 
 
+def test_km_row_sigs_sqltext_matches_column_witness(spark):
+    """The r17 SQL-text MinHash signature/band builders must parse to the
+    identical Catalyst trees as the Column form (_km_perm is the retained
+    Column witness) — the banded-fingerprint operators all build through
+    these strings."""
+    from spark_signals.datapipe.dedup import _band_keys, _km_perm, _km_row_sigs
+
+    rel = spark.createDataFrame(
+        [(1, ["ab", "cd"])], "doc_id long, shingles array<string>"
+    )
+    n = 4
+    sql_df = _km_row_sigs(rel, "shingles", n, "shingles")
+    hs = rel.withColumn(
+        "_hs",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        ),
+    )
+    ms = [F.array_min(F.transform("_hs", _km_perm(i))).alias(f"m{i}") for i in range(n)]
+    col_df = hs.select("doc_id", "shingles", *ms)
+    assert _canon(sql_df) == _canon(col_df)
+
+    sigs = sql_df.drop("shingles")
+    band_sql = _band_keys(sigs, n_bands=2)
+    pieces = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"m{2 * b}").alias("k1"),
+            F.col(f"m{2 * b + 1}").alias("k2"),
+        )
+        for b in range(2)
+    ]
+    band_col = sigs.select("doc_id", F.explode(F.array(*pieces)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.k1", "bb.k2"
+    )
+    assert _canon(band_sql) == _canon(band_col)
+
+
 def test_values_match_python_twin(spark):
     """sround_sql grids exactly like sround_py on representative values
     (including a half-way double where engine-native round() diverges)."""
