@@ -236,6 +236,23 @@ def replay_batch(
     rule_state = list(rule_state)
     out_rows: list[dict] = []
 
+    # Incremental exact-integer volatility accumulators (r17, guide §4.2
+    # per-row work): _stddev_pop re-derived all vol_w micro-units and
+    # re-summed Σu/Σu² from scratch per row (~3·vol_w integer ops/row, the
+    # loop's dominant cost at 60-row frames). The micro-units are exact
+    # integers and Python ints never overflow, so maintaining the window's
+    # Σu/Σu² incrementally (add the entering unit, subtract the evicted
+    # one) is associativity-exact: m1/m2 below are the same integers
+    # _stddev_pop summed, and the float division/sqrt chain is unchanged —
+    # bit-identical output (pinned by the streaming==batch parity tests).
+    # The FP frame averages (fast/slow SMA) stay per-row ascending loops:
+    # float addition is order-sensitive, so they cannot be restructured
+    # without changing values (same refusal as the batch plan's).
+    scale = float(10**_VOL_DP)
+    us = [math.floor(v * scale + 0.5000001) for v in mids[-vol_w:]]
+    s1 = sum(us)
+    s2 = sum(u * u for u in us)
+
     for row in batch.itertuples(index=False):
         bid = None if pd.isna(row.best_bid) else float(row.best_bid)
         ask = None if pd.isna(row.best_ask) else float(row.best_ask)
@@ -249,7 +266,18 @@ def replay_batch(
         mids.append(mid)
         if len(mids) > keep:
             mids = mids[-keep:]
-        volatility = _stddev_pop(mids[-vol_w:])
+        u = math.floor(mid * scale + 0.5000001)
+        if len(us) == vol_w:
+            old = us.pop(0)
+            s1 -= old
+            s2 -= old * old
+        us.append(u)
+        s1 += u
+        s2 += u * u
+        n_u = float(len(us))
+        mean_u = float(s1) / n_u
+        var_u = float(s2) / n_u - mean_u * mean_u
+        volatility = math.sqrt(var_u if var_u > 0.0 else 0.0) / scale
         fast_sma = _running_avg(mids[-fast:])
         slow_sma = _running_avg(mids[-slow:])
 
