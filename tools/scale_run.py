@@ -237,9 +237,15 @@ def main() -> int:
         # the declared query's)
         "dedup_exact": lambda: D.dedup_exact(docs),
         "tfidf_top_terms": lambda: _tfidf(docs),
+        "ann_ivf_topk": lambda: _ann_ivf(emb),
         "strategy_metrics": lambda: _strategy_metrics(),
         "positions_costs": lambda: _positions_costs(),
     }
+
+    def _ann_ivf(e):
+        from spark_signals.datapipe.similarity import ann_ivf_topk
+
+        return ann_ivf_topk(e)
 
     def _tfidf(d):
         from spark_signals.datapipe.text import tfidf_top_terms
