@@ -313,16 +313,20 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
     # ONE explode + (doc_id, word) aggregate pass, STRUCTURALLY: tf is
     # materialized once and both consumers (the scored join's left side and
-    # the doc_freq aggregate) read the cache. r16 got the same single-pass
-    # behavior from AQE's runtime stage reuse (COUNT(tf) keeping the two
-    # subtrees canonically identical), but that reuse silently keyed on
-    # canonical-form equality — one pruning-relevant edit away from running
-    # the whole corpus tokenization twice again with no signal (r16 verdict
-    # #3). The pinned relation makes the sharing explicit and
-    # plan-checkable: the optimized plan holds ONE explode subtree. Same
-    # per-call persist lifecycle as dedup_minhash_lsh: materialize the
-    # (small, top-k) result eagerly while the cache is warm, release in the
-    # finally.
+    # the per-word doc_freq aggregate) read the cache. r16 believed AQE's
+    # runtime stage reuse already gave this (COUNT(tf) keeping the two
+    # subtrees canonically identical) — re-checked r17 on Spark 4.1.2, it
+    # does NOT: the optimizer rewrites the non-null COUNT(tf) back to a
+    # prunable form, the dfreq branch's exchange loses the count column
+    # (458.7 vs 367.0 KiB stage stats), and the final adaptive plan runs
+    # TWO full explode subtrees at every SF probed. The pinned relation
+    # makes the single pass structural and plan-checkable. Decade evidence
+    # (tools/scale_run.py, 100× = 500k docs): 95.5 s two-pass vs 45.1 s
+    # pinned — 2.1× at scale; locally (sf0.1) the two forms measure equal
+    # within host noise (the cache build costs about what the second pass
+    # did). Same per-call persist lifecycle as dedup_minhash_lsh:
+    # materialize the (small, top-k) result eagerly while the cache is
+    # warm, release in the finally.
     from spark_signals.checkpoint import pin
 
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).persist()
