@@ -306,6 +306,25 @@ def test_tfidf_surfaces_distinctive_terms(spark):
     assert top[0] == "zebra" and top[1] == "yak"
 
 
+def test_tfidf_single_explode_pass_is_pinned(spark):
+    """The r17 single-explode-pass guarantee is STRUCTURAL: tf is persisted
+    and the result eagerly pinned — if someone drops the pin lifecycle, the
+    corpus tokenization pass silently runs twice again (the r16 COUNT(tf)
+    stage-reuse trick does NOT survive Spark 4.1.2's count rewrite; see
+    plans/r17/tfidf_top_terms_after_internal.txt). The returned relation
+    must therefore be checkpoint-backed (the pin executed at build time,
+    while the tf cache was warm)."""
+    from spark_signals.datapipe.text import tfidf_top_terms
+
+    df = tfidf_top_terms(docs_df(spark, ["alpha beta", "beta gamma"]), k=2)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in opt or "ExistingRDD" in opt, opt[:400]
+    # and the tf cache is released after the build (per-call lifecycle)
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getRDDStorageInfo()
+    assert all("tfidf" not in (r.name() or "") for r in cached)
+
+
 def test_length_band_trims_extremes_per_lang(spark):
     from spark_signals.datapipe.text import length_band
 
